@@ -1,0 +1,99 @@
+"""Scored search — reference Jobs 4+5 (``Query.java``).
+
+The reference runs two chained MapReduce jobs per query (score, then
+global sort + top-K). Here the whole search is one lazy DataFrame
+plan: broadcast-join the query terms against the postings, sum
+partial scores per doc, then ``orderBy(desc).limit(k)`` — which Spark
+plans as ``TakeOrderedAndProject`` (per-partition top-K heaps merged
+on the driver; no global shuffle-sort at all).
+
+Scoring modes:
+
+- ``"reference"`` — bit-faithful to ``Query.java:113-115``:
+  ``score = sum_w (tf_doc / df) * (tf_query / df)``. The reference
+  calls the divisor "idf" but it is the raw document frequency
+  written by ``Vocabulary.java:103`` (SURVEY §4 flaw F3).
+- ``"smooth"`` — standard smoothed TF-IDF:
+  ``idf = ln((N + 1) / (df + 1)) + 1``,
+  ``score = sum_w (tf_doc * idf) * (tf_query * idf)``.
+
+The query string is compiled driver-side with the same filterText +
+tokenize logic the reference applies (``Query.java:48-58``), producing
+a tiny ``(word, q_tf)`` DataFrame that is broadcast — the Spark
+version of the reference shipping term weights through the Hadoop
+``Configuration`` (``Query.java:254-260``).
+
+Top-K is exact ``limit(k)`` — the reference's per-reducer counter
+emits K+1 rows and is only globally correct with one reducer
+(``Query.java:229-234``, flaw F2). Ties are broken by ``doc_id`` so
+results are fully deterministic; scores are rounded to 6 decimals to
+make float comparison stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.text import tokenize_str
+
+SCORE_DECIMALS = 6
+
+
+def compile_query(
+    spark: SparkSession, query: str
+) -> DataFrame:
+    """Query string -> tiny ``(word, q_tf)`` DataFrame (driver-side)."""
+    counts = Counter(tokenize_str(query))
+    rows = [(w, float(c)) for w, c in sorted(counts.items())]
+    return spark.createDataFrame(rows, "word string, q_tf double")
+
+
+def search(
+    spark: SparkSession,
+    query: str,
+    vocab: DataFrame,
+    postings: DataFrame,
+    doc_meta: DataFrame | None = None,
+    k: int = 10,
+    scoring: str = "reference",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Rank documents for ``query``; top-k ``(doc_id, score)``.
+
+    If ``doc_meta`` is given, the result is the reference's final
+    projection ``(title, url)`` plus ``doc_id, score``
+    (``Query.java:236-240``) via a broadcast lookup join.
+    ``n_docs`` (corpus size) is required for ``scoring="smooth"``.
+    """
+    q_terms = compile_query(spark, query)
+    # word -> (word_id, df): tiny join on the (already tiny) vocab.
+    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+        "word_id", "q_tf", "df"
+    )
+
+    if scoring == "reference":
+        partial = (F.col("tf") / F.col("df")) * (F.col("q_tf") / F.col("df"))
+    elif scoring == "smooth":
+        if n_docs is None:
+            raise ValueError("scoring='smooth' needs n_docs (corpus size)")
+        idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+        partial = (F.col("tf") * idf) * (F.col("q_tf") * idf)
+    else:
+        raise ValueError(f"unknown scoring mode: {scoring}")
+
+    scores = (
+        postings.join(F.broadcast(q), "word_id")
+        .withColumn("partial", partial)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("score"))
+    )
+    ranked = scores.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+    if doc_meta is not None:
+        ranked = ranked.join(F.broadcast(doc_meta), "doc_id", "left")
+    return ranked

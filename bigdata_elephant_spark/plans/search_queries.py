@@ -1,0 +1,190 @@
+"""Registry entries for the search-engine pipeline (SURVEY §2 O1-O15).
+
+The ``documents`` testdata table plays the Wikipedia-corpus role:
+``doc_id`` + ``text`` (its ``lang``/``source`` stand in for the
+reference's url/title metadata).
+
+The DuckDB oracles re-derive the identical token stream with RE2-safe
+SQL: the reference's single Java regex uses a backreference + lookahead
+(unsupported in RE2), so the oracle decomposes it into
+punctuation->space, whitespace split, then token-level filters
+(all-digits; any char repeated >=4x via a LIKE disjunction).
+``tests/test_text.py`` proves the decomposition equals the faithful
+regex on the real corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.operators.index import build_index
+from bigdata_elephant_spark.operators.search import search
+from bigdata_elephant_spark.operators.vocab import build_vocabulary
+from bigdata_elephant_spark.functions.text import tokenize_str
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+# Exercises every filterText branch: case-folding, punctuation,
+# all-digit drop, >=4-repeat drop, and a repeated term (q_tf = 2).
+DEFAULT_QUERY = "The Hash-Join!! 1234 stream query, Query aaaa"
+DEFAULT_K = 10
+
+# ---------------------------------------------------------------- SQL
+
+_REPEAT4_LIKE = " OR ".join(
+    f"word LIKE '%{c * 4}%'" for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+# doc_id, word token stream (duplicates kept — needed for tf).
+TOKS_CTE = f"""
+raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+               '\\s+')) AS word
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, word FROM raw
+    WHERE word <> ''
+      AND NOT regexp_full_match(word, '[0-9]+')
+      AND NOT ({_REPEAT4_LIKE})
+)
+"""
+
+VOCAB_CTE = """
+vocab AS (
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS word_id,
+           df
+    FROM (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY word
+    )
+)
+"""
+
+POSTINGS_CTE = """
+postings AS (
+    SELECT t.doc_id, v.word_id, CAST(count(*) AS BIGINT) AS tf
+    FROM toks t JOIN vocab v USING (word)
+    GROUP BY t.doc_id, v.word_id
+)
+"""
+
+
+def _qterms_values(query: str) -> str:
+    counts = Counter(tokenize_str(query))
+    rows = ", ".join(
+        f"('{w}', {float(c)})" for w, c in sorted(counts.items())
+    )
+    return f"qterms(word, q_tf) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def _search_oracle(query: str, k: int, scoring: str) -> str:
+    if scoring == "reference":
+        partial = "(p.tf / v.df) * (q.q_tf / v.df)"
+        extra = ""
+    else:  # smooth tf-idf
+        partial = "(p.tf * i.idf) * (q.q_tf * i.idf)"
+        extra = (
+            ", ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)"
+        )
+    idf_join = (
+        ", idf AS (SELECT word_id, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf"
+        "   FROM vocab, ndocs)"
+        if scoring != "reference"
+        else ""
+    )
+    join_idf = " JOIN idf i USING (word_id)" if scoring != "reference" else ""
+    return f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {POSTINGS_CTE},
+{_qterms_values(query)}{extra}{idf_join}
+SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           round(sum({partial}), 6) AS score
+    FROM postings p
+    JOIN vocab v USING (word_id)
+    JOIN qterms q USING (word){join_idf}
+    GROUP BY p.doc_id
+)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+VOCAB_SQL = f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}
+SELECT word, word_id, df FROM vocab
+"""
+
+POSTINGS_SQL = f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {POSTINGS_CTE}
+SELECT doc_id, word_id, tf FROM postings
+"""
+
+DOC_META_SQL = "SELECT doc_id, lang, source FROM documents"
+
+# -------------------------------------------------------------- Spark
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_vocabulary(_corpus(spark, sf_dir))
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return build_index(corpus, build_vocabulary(corpus))
+
+
+def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir).select("doc_id", "lang", "source")
+
+
+def _search_q(scoring: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = _corpus(spark, sf_dir)
+        vocab = build_vocabulary(corpus)
+        postings = build_index(corpus, vocab)
+        n_docs = corpus.count() if scoring == "smooth" else None
+        return search(
+            spark,
+            DEFAULT_QUERY,
+            vocab,
+            postings,
+            k=DEFAULT_K,
+            scoring=scoring,
+            n_docs=n_docs,
+        ).select("doc_id", "score")
+
+    return run
+
+
+SPECS = [
+    QuerySpec("vocab_build", q_vocab, VOCAB_SQL, ("search", "agg"), bench=True),
+    QuerySpec(
+        "postings_build", q_postings, POSTINGS_SQL, ("search", "join"),
+        bench=True,
+    ),
+    QuerySpec("doc_meta", q_doc_meta, DOC_META_SQL, ("search", "project")),
+    QuerySpec(
+        "search_reference",
+        _search_q("reference"),
+        _search_oracle(DEFAULT_QUERY, DEFAULT_K, "reference"),
+        ("search", "topk"),
+        bench=True,
+    ),
+    QuerySpec(
+        "search_smooth",
+        _search_q("smooth"),
+        _search_oracle(DEFAULT_QUERY, DEFAULT_K, "smooth"),
+        ("search", "topk"),
+    ),
+]

@@ -1,0 +1,70 @@
+"""Sources: JSON-lines corpus reader + parquet table readers.
+
+The reference ingests a WikiExtractor JSON-lines corpus with an
+implicit, inconsistently-typed schema (``id`` parsed as string at
+``Vocabulary.java:37``, as int at ``Indexer.java:92``, kept as string
+at ``ParseDocument.java:39``). Here the schema is explicit and ``id``
+is a long, cast on ingest — never inferred (inference would scan the
+data twice and can flip types between shards at 100 TB).
+
+Glob pruning: the reference hardcodes the shard glob ``"/AA*"``
+(``Vocabulary.java:25,143``). ``read_corpus`` exposes that as an
+optional ``glob`` argument — path globs prune at file-listing time,
+before any bytes are read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# WikiExtractor record: {"id": ..., "url": ..., "title": ..., "text": ...}
+# id declared string then cast: tolerates shards writing it quoted.
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def read_corpus(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read a JSON-lines corpus with the explicit schema.
+
+    Returns ``(doc_id long, url, title, text)``. ``glob`` (e.g.
+    ``"AA*"``) restricts which shard files are listed — file-level
+    input pruning, the Spark equivalent of the reference's
+    hardcoded ``/AA*``.
+    """
+    src = f"{path.rstrip('/')}/{glob}" if glob else path
+    df = spark.read.schema(CORPUS_SCHEMA).json(src)
+    return df.select(
+        F.col("id").cast(LongType()).alias("doc_id"), "url", "title", "text"
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table (columnar scan + pushdown)."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Read several tables; defaults to the full star schema."""
+    return {n: read_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}

@@ -1,0 +1,99 @@
+"""End-to-end search pipeline on a tiny hand-computed corpus.
+
+Golden scores computed by hand from the reference's F3 semantics:
+``score = sum_w (tf_doc / df) * (tf_query / df)`` (``Query.java:113-115``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_elephant_spark.operators.index import build_index, parse_documents
+from bigdata_elephant_spark.operators.search import search
+from bigdata_elephant_spark.operators.vocab import build_vocabulary
+
+CORPUS = [
+    # (doc_id, url, title, text)
+    (1, "u1", "t1", "the good person"),
+    (2, "u2", "t2", "the the bad person"),
+    (3, "u3", "t3", "good good good wine"),
+    (4, "u4", "t4", "1234 booook zzzz"),  # all tokens filtered
+    (5, "u5", "t5", "unrelated words here"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        CORPUS, "doc_id long, url string, title string, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def vocab(corpus):
+    return build_vocabulary(corpus)
+
+
+def test_vocabulary(vocab):
+    rows = {r["word"]: (r["word_id"], r["df"]) for r in vocab.collect()}
+    # df counts: distinct docs per word
+    assert rows["the"][1] == 2
+    assert rows["good"][1] == 2
+    assert rows["person"][1] == 2
+    assert rows["wine"][1] == 1
+    assert "1234" not in rows and "booook" not in rows and "zzzz" not in rows
+    # dense deterministic ids: row_number over (order by word) - 1
+    words = sorted(rows)
+    assert [rows[w][0] for w in words] == list(range(len(words)))
+
+
+def test_postings(corpus, vocab):
+    postings = build_index(corpus, vocab)
+    v = {r["word"]: r["word_id"] for r in vocab.collect()}
+    tf = {(r["doc_id"], r["word_id"]): r["tf"] for r in postings.collect()}
+    assert tf[(2, v["the"])] == 2
+    assert tf[(3, v["good"])] == 3
+    assert tf[(1, v["the"])] == 1
+    assert (4, v.get("wine", -1)) not in tf  # doc 4 fully filtered
+
+
+def test_search_reference_scoring(spark, corpus, vocab):
+    postings = build_index(corpus, vocab)
+    res = search(spark, "the good person", vocab, postings, k=10)
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    # hand-computed with df(the)=df(good)=df(person)=2, q_tf=1:
+    # doc1: (1/2)(1/2)*3 terms = 0.75
+    # doc2: the tf=2 -> (2/2)(1/2)=0.5 ; person -> 0.25 ; total 0.75
+    # doc3: good tf=3 -> (3/2)(1/2) = 0.75
+    # doc5: no overlap -> absent
+    assert got == {1: 0.75, 2: 0.75, 3: 0.75}
+    # deterministic ordering: equal scores tie-broken by doc_id
+    assert [r["doc_id"] for r in res.collect()] == [1, 2, 3]
+
+
+def test_search_k_limit(spark, corpus, vocab):
+    postings = build_index(corpus, vocab)
+    res = search(spark, "the good person", vocab, postings, k=2)
+    assert res.count() == 2  # exact k, not the reference's k+1 (flaw F2)
+
+
+def test_search_with_doc_meta(spark, corpus, vocab):
+    postings = build_index(corpus, vocab)
+    meta = parse_documents(corpus)
+    res = search(spark, "wine", vocab, postings, doc_meta=meta, k=3)
+    rows = res.collect()
+    assert len(rows) == 1
+    assert rows[0]["title"] == "t3" and rows[0]["url"] == "u3"
+
+
+def test_search_smooth_scoring(spark, corpus, vocab):
+    import math
+
+    postings = build_index(corpus, vocab)
+    res = search(
+        spark, "wine", vocab, postings, k=3, scoring="smooth", n_docs=5
+    )
+    rows = res.collect()
+    idf = math.log(6.0 / 2.0) + 1.0
+    assert rows[0]["doc_id"] == 3
+    assert rows[0]["score"] == pytest.approx(idf * idf, abs=1e-6)

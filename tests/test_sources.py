@@ -1,0 +1,41 @@
+"""Corpus source: schema'd JSON-lines read + glob pruning (O1/O2)."""
+
+from __future__ import annotations
+
+import json
+
+from bigdata_elephant_spark.sources.corpus import read_corpus
+
+
+def _write_shard(path, docs):
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def test_read_corpus_schema_and_cast(spark, tmp_path):
+    _write_shard(
+        tmp_path / "AA_wiki_00",
+        [
+            {"id": "12", "url": "u", "title": "t", "text": "hello"},
+            {"id": 13, "url": "u2", "title": "t2", "text": "world"},
+        ],
+    )
+    df = read_corpus(spark, str(tmp_path))
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "url", "title", "text",
+    ]
+    assert df.schema["doc_id"].dataType.simpleString() == "bigint"
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    # id arrives quoted in one shard and bare in another — both land
+    # as long (the reference parsed it 3 different ways; SURVEY §1.2)
+    assert rows == {12: "hello", 13: "world"}
+
+
+def test_read_corpus_glob_pruning(spark, tmp_path):
+    _write_shard(tmp_path / "AA_wiki_00", [
+        {"id": 1, "url": "u", "title": "t", "text": "kept"}])
+    _write_shard(tmp_path / "AB_wiki_00", [
+        {"id": 2, "url": "u", "title": "t", "text": "pruned"}])
+    df = read_corpus(spark, str(tmp_path), glob="AA*")
+    assert [r["doc_id"] for r in df.collect()] == [1]

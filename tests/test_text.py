@@ -1,0 +1,81 @@
+"""filterText / tokenize unit tests.
+
+Golden vectors verified against the reference's regex behavior
+(``Vocabulary.java:118-121``; SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.text import (
+    ALL_DIGITS,
+    REPEAT4,
+    filter_text,
+    filter_text_py,
+    tokenize,
+    tokenize_str,
+)
+
+GOLDEN = [
+    ("The Good, Person!", "the good  person "),
+    ("aaaa bbb 1234 ab12 x1111y", "  bbb  ab12 "),
+    ("booook cool", "  cool"),
+]
+
+
+@pytest.mark.parametrize("raw,filtered", GOLDEN)
+def test_filter_text_py_golden(raw, filtered):
+    assert filter_text_py(raw) == filtered
+
+
+@pytest.mark.parametrize("raw,filtered", GOLDEN)
+def test_filter_text_spark_matches_python(spark, raw, filtered):
+    df = spark.createDataFrame([(raw,)], "text string")
+    got = df.select(filter_text("text").alias("f")).collect()[0]["f"]
+    assert got == filtered
+
+
+def test_tokenize_str():
+    assert tokenize_str("The Hash-Join!! 1234 stream query, Query aaaa") == [
+        "the", "hash", "join", "stream", "query", "query",
+    ]
+
+
+def test_tokenize_df(spark):
+    df = spark.createDataFrame(
+        [(1, "The Good, Person!"), (2, "1234 only"), (3, "")],
+        "doc_id long, text string",
+    )
+    toks = tokenize(df).collect()
+    got = sorted((r["doc_id"], r["word"]) for r in toks)
+    assert got == [(1, "good"), (1, "person"), (1, "the"), (2, "only")]
+
+
+def test_decomposed_filter_equals_faithful_on_real_corpus(spark, sf_dir):
+    """The oracle's RE2-safe decomposition (punct->space, split, drop
+    all-digit / 4-repeat tokens) must yield the identical (doc_id,
+    word) multiset as the verbatim reference regex, on real data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    faithful = tokenize(docs).groupBy("doc_id", "word").count()
+    decomposed = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "),
+                    r"\s+",
+                )
+            ).alias("word"),
+        )
+        .filter(
+            (F.length("word") > 0)
+            & ~F.col("word").rlike(ALL_DIGITS)
+            & ~F.col("word").rlike(REPEAT4)
+        )
+        .groupBy("doc_id", "word")
+        .count()
+    )
+    assert faithful.exceptAll(decomposed).count() == 0
+    assert decomposed.exceptAll(faithful).count() == 0
