@@ -1,3 +1,644 @@
-"""Placeholder — filled in by later milestones."""
+"""Relational surface over the TPC-H-ish star schema.
 
-SPECS = []
+The reference's only relational shapes are broadcast joins, partial+
+final aggregation, global sort and top-K (SURVEY §2). This module
+declares those — and the standard surface a user of an analytics
+engine expects (windows, rollup/cube, set ops, semi/anti joins,
+subqueries, JSON extraction, sessionization) — as Catalyst-optimized
+DataFrame/SQL plans with DuckDB oracles.
+
+Scale notes (100 TB stance):
+- Dimension joins (region/nation/customer/supplier/part) are
+  explicitly ``broadcast()`` — no shuffle of the fact table for
+  lookups. ``orders``-``lineitem`` joins shuffle on the join key and
+  rely on AQE for skew; at warehouse scale both sides would be
+  bucketed by orderkey to co-locate.
+- Filters are plain column predicates on the scan columns, so they
+  reach the parquet reader as PushedFilters; aggregates use built-in
+  functions only (whole-stage codegen, map-side partial agg).
+- Every float output is rounded in-plan; every top-K orders by the
+  rounded value with a unique tie-break, so plans stay deterministic
+  cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------ Q1
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ Q3
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ Q5
+# Declared via the Spark SQL API (temp views) — same engine, SQL front.
+
+Q5_SPARK_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders", "lineitem", "supplier", "nation",
+                 "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(Q5_SPARK_SQL)
+
+
+Q5_SQL = Q5_SPARK_SQL  # ANSI subset: valid in DuckDB verbatim
+
+
+# ------------------------------------------------- top customers (topK)
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       count(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------- window funcs
+
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WINDOW_ORDER_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+    FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("cum_spent"),
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("prev_price"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spent,
+       round(coalesce(lag(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           0.0), 2) AS prev_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------- rollup and cube
+
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ROLLUP_RETURNS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+CUBE_PRIORITY_STATUS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*)                    AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ------------------------------------------------------------ set ops
+
+def setop_nations_without_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return c.subtract(s)  # EXCEPT (distinct)
+
+
+SETOP_NATIONS_WITHOUT_SUPPLIERS_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_common_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)  # INTERSECT (distinct)
+
+
+SETOP_COMMON_NATIONS_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ------------------------------------------------- semi / anti joins
+
+def anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_customers_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+SEMI_CUSTOMERS_OPEN_ORDERS_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# ------------------------------------------------- scalar subquery
+
+SCALAR_SUBQUERY_SPARK_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+def scalar_subquery_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SCALAR_SUBQUERY_SPARK_SQL)
+
+
+SCALAR_SUBQUERY_SQL = SCALAR_SUBQUERY_SPARK_SQL
+
+
+# ------------------------------------------------- scalar functions
+
+def scalar_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplift"),
+        (F.col("p_size") % 5).cast("long").alias("size_mod5"),
+        F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 6).alias("sqrt_price"),
+    )
+
+
+SCALAR_FUNCS_PART_SQL = """
+SELECT p_partkey,
+       upper(p_name)                        AS name_upper,
+       substr(p_type, 1, 3)                 AS type3,
+       CAST(length(p_name) AS BIGINT)       AS name_len,
+       concat_ws('/', p_brand, p_type)      AS brand_type,
+       round(p_retailprice * 1.1, 2)        AS uplift,
+       CAST(p_size % 5 AS BIGINT)           AS size_mod5,
+       round(sqrt(abs(p_retailprice)), 6)   AS sqrt_price
+FROM part
+"""
+
+
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .groupBy("yr", "mo", "qtr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+DATE_PARTS_ORDERS_SQL = """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)    AS yr,
+       CAST(extract(month FROM o_orderdate) AS BIGINT)   AS mo,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       count(*) AS n
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------- events: JSON
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+       count(*)                                                         AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------- events: time-bucket agg
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*)              AS n,
+       round(sum(value), 4)  AS sum_value,
+       round(avg(value), 6)  AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------- sessionization
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+SESSIONIZATION_SQL = f"""
+SELECT user_id, sum(ns) AS n_sessions
+FROM (
+    SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR (us - prev_us) > {SESSION_GAP_US} THEN 1 ELSE 0
+           END AS ns
+    FROM (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+)
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------- pivot-style
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(*aggs, F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+PIVOT_EVENTS_DAILY_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+           for t in EVENT_TYPES
+       )},
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+# ------------------------------------------- window over aggregate
+
+def priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("_rev")
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(total), 6).alias("share"),
+    )
+
+
+PRIORITY_REVENUE_SHARE_SQL = """
+SELECT o_orderpriority,
+       round(rev, 2)                       AS revenue,
+       round(rev / sum(rev) OVER (), 6)    AS share
+FROM (
+    SELECT o_orderpriority, sum(o_totalprice) AS rev
+    FROM orders GROUP BY o_orderpriority
+)
+"""
+
+
+# ----------------------------------------------- dim-chain broadcast
+
+def suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SUPPLIERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
+              ("relational", "agg"), bench=True),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
+              ("relational", "join", "topk"), bench=True),
+    QuerySpec("q5_region_revenue", q5_region_revenue, Q5_SQL,
+              ("relational", "join"), bench=True),
+    QuerySpec("top_customers", top_customers, TOP_CUSTOMERS_SQL,
+              ("relational", "topk"), bench=True),
+    QuerySpec("window_order_rank", window_order_rank, WINDOW_ORDER_RANK_SQL,
+              ("relational", "window")),
+    QuerySpec("window_running_sum", window_running_sum,
+              WINDOW_RUNNING_SUM_SQL, ("relational", "window")),
+    QuerySpec("rollup_returns", rollup_returns, ROLLUP_RETURNS_SQL,
+              ("relational", "agg")),
+    QuerySpec("cube_priority_status", cube_priority_status,
+              CUBE_PRIORITY_STATUS_SQL, ("relational", "agg")),
+    QuerySpec("setop_nations_without_suppliers",
+              setop_nations_without_suppliers,
+              SETOP_NATIONS_WITHOUT_SUPPLIERS_SQL, ("relational", "setop")),
+    QuerySpec("setop_common_nations", setop_common_nations,
+              SETOP_COMMON_NATIONS_SQL, ("relational", "setop")),
+    QuerySpec("anti_customers_no_orders", anti_customers_no_orders,
+              ANTI_CUSTOMERS_NO_ORDERS_SQL, ("relational", "join")),
+    QuerySpec("semi_customers_open_orders", semi_customers_open_orders,
+              SEMI_CUSTOMERS_OPEN_ORDERS_SQL, ("relational", "join")),
+    QuerySpec("scalar_subquery_rich_customers",
+              scalar_subquery_rich_customers, SCALAR_SUBQUERY_SQL,
+              ("relational", "subquery")),
+    QuerySpec("scalar_funcs_part", scalar_funcs_part, SCALAR_FUNCS_PART_SQL,
+              ("relational", "scalar")),
+    QuerySpec("date_parts_orders", date_parts_orders, DATE_PARTS_ORDERS_SQL,
+              ("relational", "scalar")),
+    QuerySpec("events_json_extract", events_json_extract,
+              EVENTS_JSON_EXTRACT_SQL, ("events", "json")),
+    QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL,
+              ("events", "agg"), bench=True),
+    QuerySpec("sessionization", sessionization, SESSIONIZATION_SQL,
+              ("events", "window"), bench=True),
+    QuerySpec("pivot_events_daily", pivot_events_daily,
+              PIVOT_EVENTS_DAILY_SQL, ("events", "pivot")),
+    QuerySpec("priority_revenue_share", priority_revenue_share,
+              PRIORITY_REVENUE_SHARE_SQL, ("relational", "window")),
+    QuerySpec("suppliers_per_region", suppliers_per_region,
+              SUPPLIERS_PER_REGION_SQL, ("relational", "join")),
+]

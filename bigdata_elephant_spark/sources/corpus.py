@@ -59,8 +59,19 @@ def read_corpus(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata parquet table (columnar scan + pushdown)."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    """Read one testdata parquet table (columnar scan + pushdown).
+
+    Nanosecond-timestamp columns (parquet TIMESTAMP(NANOS), which
+    Spark surfaces as long under ``nanosAsLong``) are converted to
+    microsecond timestamps with integer division — same truncation
+    DuckDB applies — so both engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def read_tables(
