@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Four tiers, all pure DataFrame expressions (no Python UDFs — every
+hash is the engine-portable md5-based ``h32`` so the DuckDB oracle
+can recompute identical values):
+
+- :func:`exact_dedup` — hash-groupBy on normalized text. One shuffle
+  on a 32-hex key; at 100 TB this is the cheapest first pass.
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash
+  + banded LSH. Cost is linear in corpus size (explode shingles ->
+  partial-aggregated min per permutation); the quadratic step only
+  happens *within* LSH buckets, which stay tiny when the banding is
+  tuned (b bands of r rows target sim >= (1/b)^(1/r)).
+- :func:`simhash_signatures` — 32-bit SimHash per doc (linear; pairs
+  can then be found by banding the signature bits).
+- :func:`ngram_jaccard_pairs` — *exact* shingle-set Jaccard via a
+  shingle self-join. Quadratic in docs-per-shingle; used as the
+  verifier behind LSH candidates, not as the scale path.
+
+Shingling uses higher-order array functions (``transform`` over
+``sequence`` + ``get``) — whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.hashing import (
+    h32,
+    minhash_coeffs,
+    perm_hash,
+)
+from bigdata_elephant_spark.functions.text import filter_text
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.71
+SIMHASH_BITS = 32
+
+
+def tokens_array(text_col: str = "text") -> Column:
+    """Filtered token array (same stream as functions.text.tokenize)."""
+    return F.filter(
+        F.split(filter_text(text_col), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def shingles_array(arr: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (empty if < n tokens)."""
+    idx = F.sequence(F.lit(0), F.size(arr) - F.lit(n))
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(arr, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(arr) >= n, mk).otherwise(
+        F.expr("array()").cast("array<string>")
+    )
+
+
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """Explode a corpus into ``(id_col, shingle)`` rows."""
+    sh = df.select(
+        id_col, F.explode(shingles_array(tokens_array(text_col), n)).alias("shingle")
+    )
+    return sh.distinct() if distinct else sh
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text hash.
+
+    Returns ``(text_hash, canonical_doc_id, n_dups)`` — one row per
+    distinct normalized text, canonical = min id. Keep-one filtering
+    is then ``semi-join on (text_hash, canonical_doc_id)``.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# ----------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature columns ``m0..m{n-1}``.
+
+    Docs with fewer than ``shingle_n`` tokens have no shingles and
+    drop out (they can't near-duplicate anything at this shingle
+    size). The min-per-permutation aggregation is partially applied
+    map-side by Catalyst, so the shuffle carries one row per doc.
+    """
+    sh = doc_shingles(df, text_col, id_col, n=shingle_n)
+    hashed = sh.select(id_col, h32("shingle").alias("h"))
+    aggs = [
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated similarity.
+
+    Bucket key = the concatenated rows of one band; docs sharing any
+    band bucket become a candidate pair. Output:
+    ``(doc_a, doc_b, est_sim)`` where ``est_sim`` = fraction of
+    matching minhashes (an unbiased Jaccard estimate).
+    """
+    rows = n_hashes // n_bands
+    bands = None
+    for b in range(n_bands):
+        cols = [f"m{b * rows + r}" for r in range(rows)]
+        part = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                "bkey"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band", "bkey"
+    )
+    b_ = bands.select(
+        F.col(id_col).alias("doc_b"), "band", "bkey"
+    )
+    pairs = (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(n_hashes)), 6).alias("est_sim"),
+        )
+    )
+
+
+# ----------------------------------------------------------- simhash
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash over tf-weighted token hashes -> ``(id, simhash)``.
+
+    Bit j of the signature is 1 iff the sum over tokens of
+    ``(bit_j(h32(token)) ? +1 : -1)`` is positive. Linear: one
+    explode + one partially-aggregated groupBy.
+    """
+    toks = df.select(
+        id_col, F.explode(tokens_array(text_col)).alias("word")
+    )
+    hashed = toks.select(id_col, h32("word").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(bits)
+    )
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------- exact jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard pairs ``(doc_a, doc_b, jaccard)``.
+
+    Inverted-index style: self-join distinct shingles, count the
+    intersection per pair, derive the union from per-doc set sizes.
+    The join key is the shingle, so frequent shingles dominate cost —
+    at scale, drop ultra-frequent shingles first (stopword shingles
+    carry no dedup signal).
+    """
+    sh = doc_shingles(df, text_col, id_col, n=shingle_n, distinct=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines.
+
+All single-pass, expression-only (whole-stage codegen; zero Python in
+the data path): quality stats, language-ID heuristic, token counting,
+and content fingerprinting. Each is one narrow projection or one
+partially-aggregated groupBy — the shapes that stay cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.hashing import h32
+from bigdata_elephant_spark.operators.dedup import (
+    shingles_array,
+    tokens_array,
+)
+
+# Tiny fixed stopword list — a real deployment plugs in a per-language
+# list; fixed here so the oracle can embed the same constants.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality stats: lengths, ratios, stopword share."""
+    toks = tokens_array(text_col)
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(text_col).cast("long")
+    alnum_space = F.length(
+        F.regexp_replace(lower, r"[^a-z0-9\s]", "")
+    )
+    digits = F.length(lower) - F.length(
+        F.regexp_replace(lower, r"[0-9]", "")
+    )
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))
+    ).cast("long")
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(
+                n_tokens > 0,
+                (
+                    F.aggregate(
+                        F.transform(toks, lambda x: F.length(x).cast("double")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / n_tokens
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            (n_chars - alnum_space) / F.greatest(n_chars, F.lit(1)), 6
+        ).alias("punct_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(
+            stop_hits / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Stopword-density language-ID heuristic -> ``(id, en_score, pred_lang)``.
+
+    A real system uses char n-gram profiles per language; the Spark
+    shape is identical (a filtered-array density per profile), so
+    this single-profile version stands in without loss of structure.
+    """
+    toks = tokens_array(text_col)
+    n_tokens = F.size(toks).cast("long")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    score = F.round(hits / F.greatest(n_tokens, F.lit(1)), 6)
+    return df.select(
+        id_col,
+        score.alias("en_score"),
+        F.when(score > threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc."""
+    lower = F.lower(F.col(text_col))
+    ws = F.size(
+        F.filter(
+            F.split(F.trim(lower), r"\s+"), lambda x: F.length(x) > 0
+        )
+    ).cast("long")
+    bpe = F.regexp_count(lower, F.lit(BPE_ISH_PATTERN)).cast("long")
+    return df.select(
+        id_col, ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Winnowing-style content fingerprint: min/max shingle hash.
+
+    Two docs sharing a fingerprint share at least one shingle —
+    a cheap first-pass clustering key for near-dup detection.
+    Docs with < ``shingle_n`` tokens fingerprint to -1.
+    """
+    sh = shingles_array(tokens_array(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: h32(s))
+    return df.select(
+        id_col,
+        F.coalesce(F.array_min(hashes), F.lit(-1)).alias("fp_min"),
+        F.coalesce(F.array_max(hashes), F.lit(-1)).alias("fp_max"),
+    )

@@ -1,3 +1,386 @@
-"""Placeholder — filled in by later milestones."""
+"""Registry entries for the LLM-data-pipeline operators.
 
-SPECS = []
+Every oracle below recomputes the exact arithmetic of its Spark
+counterpart (same md5-derived 32-bit hashes, same universal-hash
+coefficients, same left-fold float summation order), so even the
+"approximate" operators (MinHash-LSH, hyperplane-LSH ANN) are
+hash-match verifiable — approximation is in the algorithm, not in
+the execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_elephant_spark.functions.hashing import (
+    MERSENNE_P,
+    h32_sql_duckdb,
+    minhash_coeffs,
+    perm_hash_sql_duckdb,
+)
+from bigdata_elephant_spark.operators import dedup, similarity, textstats
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+N_HASHES = dedup.N_MINHASH
+N_BANDS = dedup.N_BANDS
+ROWS_PER_BAND = N_HASHES // N_BANDS
+COEFFS = minhash_coeffs(N_HASHES)
+
+KNN_QUERY_VEC_ID = 0
+KNN_K = 10
+JACCARD_THRESHOLD = 0.5
+LSH_EST_SIM_MIN = 0.5
+EMBED_DIM = 64
+N_PLANES = 4
+PLANES = similarity.hyperplanes(N_PLANES, EMBED_DIM)
+
+# ------------------------------------------------- shared SQL pieces
+
+_REPEAT4_W = " OR ".join(
+    f"w LIKE '%{c * 4}%'" for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+DOC_TOKS_CTE = f"""
+doc_toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   '\\s+'),
+               w -> w <> ''
+                    AND NOT regexp_full_match(w, '[0-9]+')
+                    AND NOT ({_REPEAT4_W})) AS toks
+    FROM documents
+)
+"""
+
+DOC_SHINGLES_CTE = """
+doc_shingles AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM doc_toks
+)
+"""
+
+_H = h32_sql_duckdb("shingle")
+
+_MIN_COLS = ",\n           ".join(
+    f"min({perm_hash_sql_duckdb(_H, a, b)}) AS m{i}"
+    for i, (a, b) in enumerate(COEFFS)
+)
+
+MINHASH_SIGS_CTE = f"""
+sigs AS (
+    SELECT doc_id,
+           {_MIN_COLS}
+    FROM doc_shingles
+    GROUP BY doc_id
+)
+"""
+
+_BAND_SELECTS = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(N_BANDS)
+)
+
+_MATCHES = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+# ------------------------------------------------------ Spark side
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*)    AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE}
+SELECT * FROM sigs
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    from pyspark.sql import functions as F
+
+    return pairs.filter(F.col("est_sim") >= LSH_EST_SIM_MIN)
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(({_MATCHES}) / {float(N_HASHES)}, 6) AS est_sim
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+_SIM_BITS = dedup.SIMHASH_BITS
+_HW = h32_sql_duckdb("word")
+_BIT_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_SIM_BITS)
+)
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIM_BITS)
+)
+
+SIMHASH_SIGNATURES_SQL = f"""
+WITH {DOC_TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(toks) AS word FROM doc_toks),
+hashed AS (SELECT doc_id, {_HW} AS h FROM tok_rows),
+sums AS (
+    SELECT doc_id,
+           {_BIT_SUMS}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------- similarity
+
+def _dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, KNN_QUERY_VEC_ID, k=KNN_K)
+
+
+KNN_COSINE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {KNN_QUERY_VEC_ID})
+SELECT vec_id, cos_sim FROM (
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "([" + ", ".join(repr(v) for v in p) + "]::DOUBLE[])"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_dot_sql('embedding', _plane_sql(p))} > 0 "
+    f"THEN {2**j} ELSE 0 END)"
+    for j, p in enumerate(PLANES)
+)
+
+
+def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, KNN_QUERY_VEC_ID, PLANES, k=KNN_K
+    )
+
+
+KNN_COSINE_LSH_SQL = f"""
+WITH wb AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM wb
+      WHERE vec_id = {KNN_QUERY_VEC_ID})
+SELECT vec_id, cos_sim FROM (
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+    FROM wb e, q
+    WHERE e.bucket = q.qbucket AND e.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
+# ------------------------------------------------------ text stats
+
+_STOPS = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+TEXT_STATS_SQL = f"""
+WITH {DOC_TOKS_CTE}
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars_calc,
+       CAST(len(t.toks) AS BIGINT)    AS n_tokens,
+       round(CASE WHEN len(t.toks) > 0 THEN
+           list_reduce(list_transform(t.toks,
+                       w -> CAST(length(w) AS DOUBLE)),
+                       (x, y) -> x + y) / len(t.toks)
+           ELSE 0.0 END, 6) AS avg_token_len,
+       round((length(d.text)
+              - length(regexp_replace(lower(d.text), '[^a-z0-9\\s]', '', 'g')))
+             / greatest(length(d.text), 1), 6) AS punct_ratio,
+       round((length(lower(d.text))
+              - length(regexp_replace(lower(d.text), '[0-9]', '', 'g')))
+             / greatest(length(d.text), 1), 6) AS digit_ratio,
+       round(len(list_filter(t.toks, w -> w IN ({_STOPS})))
+             / greatest(len(t.toks), 1), 6) AS stopword_ratio
+FROM documents d JOIN doc_toks t USING (doc_id)
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+LANG_ID_SQL = f"""
+WITH {DOC_TOKS_CTE},
+scored AS (
+    SELECT doc_id,
+           round(len(list_filter(toks, w -> w IN ({_STOPS})))
+                 / greatest(len(toks), 1), 6) AS en_score
+    FROM doc_toks
+)
+SELECT doc_id, en_score,
+       CASE WHEN en_score > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            w -> w <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(_docs(spark, sf_dir))
+
+
+_HS = h32_sql_duckdb("s")
+DOC_FINGERPRINTS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+hashes AS (
+    SELECT doc_id,
+           list_transform(
+               list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+               s -> {_HS}) AS hs
+    FROM doc_toks
+)
+SELECT doc_id,
+       coalesce(list_aggregate(hs, 'min'), -1) AS fp_min,
+       coalesce(list_aggregate(hs, 'max'), -1) AS fp_max
+FROM hashes
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
+              ("llm", "dedup"), bench=True),
+    QuerySpec("minhash_signatures", q_minhash_signatures,
+              MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
+              DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("simhash_signatures", q_simhash_signatures,
+              SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
+    QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_SQL,
+              ("llm", "dedup")),
+    QuerySpec("knn_cosine", q_knn_cosine, KNN_COSINE_SQL,
+              ("llm", "similarity"), bench=True),
+    QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
+              ("llm", "similarity")),
+    QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,
+              ("llm", "text"), bench=True),
+    QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),
+    QuerySpec("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
+              ("llm", "text")),
+    QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
+              ("llm", "text")),
+]

@@ -1,0 +1,77 @@
+"""Behavioral tests for dedup operators on synthetic corpora with
+known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm window sill every single day"
+)
+NEAR = BASE.replace("warm", "cold")  # one token differs
+OTHER = (
+    "completely different content about spark catalyst optimizer "
+    "plans and shuffle partitions in distributed execution engines"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # dup modulo case/whitespace
+        (4, NEAR),                      # near-dup of 1
+        (5, OTHER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = dedup.exact_dedup(corpus).collect()
+    by_canon = {r["canonical_doc_id"]: r["n_dups"] for r in groups}
+    assert by_canon[1] == 3  # docs 1, 2, 3 normalize identically
+    assert by_canon[4] == 1 and by_canon[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    sigs = dedup.minhash_signatures(corpus)
+    pairs = dedup.lsh_candidate_pairs(sigs).collect()
+    sim = {(r["doc_a"], r["doc_b"]): r["est_sim"] for r in pairs}
+    # exact dups estimate 1.0
+    assert sim[(1, 2)] == 1.0 and sim[(1, 3)] == 1.0
+    # the near-dup pair must be caught by banding with high est_sim
+    assert sim[(1, 4)] >= 0.5
+    # unrelated doc shares no band with anything
+    assert not any(5 in p for p in sim)
+
+
+def test_simhash_near_dup_close(corpus):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(corpus).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert hamming(sigs[1], sigs[4]) <= 6
+    assert hamming(sigs[1], sigs[5]) > 6
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 < jac[(1, 4)] < 1.0
+    assert (1, 5) not in jac
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "")], "doc_id long, text string"
+    )
+    assert dedup.doc_shingles(df).count() == 0
+    # and minhash drops shingle-less docs instead of crashing
+    assert dedup.minhash_signatures(df).count() == 0
