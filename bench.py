@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline (bench-tagged) queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a noop-format write (full plan
+execution, no driver collect, no sink I/O) — the closest local proxy
+for cluster throughput. Everything except the final JSON goes to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from bigdata_elephant_spark.registry import all_specs
+from bigdata_elephant_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("elephant-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = [s for s in all_specs() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF_DIR))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[spec.name] = dt
+        print(f"  {spec.name}: {dt:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a typed
+metadata struct alongside — the pattern that scales: the 100 TB of
+bytes stay columnar and compressed in parquet, metadata predicates
+(format/width/duration) prune row groups *without touching payload
+bytes*, and per-record decode runs as Arrow-batched pandas functions
+via ``mapInPandas`` (one Python process per partition, zero
+driver involvement).
+
+The decode step itself is STUBBED: the runtime image/audio libs are
+not in this container, so ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic hash-seeded feature vector. Everything around the stub
+— schemas, batch iteration, partitioning, output shapes — is real
+and tested; swapping in PIL/torchaudio is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Derive a deterministic binary payload + metadata from text —
+    test plumbing for environments with no real media files."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        id_col,
+        payload.alias("media"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.octet_length(payload) % 640).cast("int").alias("width"),
+            (F.octet_length(payload) % 480).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real decoder+encoder."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.standard_normal(dim).astype(np.float32)]
+
+
+def decode_media(
+    df: DataFrame,
+    fake: bool = False,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """binary payloads -> fixed-size feature vectors via mapInPandas.
+
+    Arrow ships each partition to Python in batches; the iterator
+    form keeps memory bounded regardless of partition size. With
+    ``fake=False`` this is the integration point for a real decoder
+    (PIL / ffmpeg / torchaudio) — not available in this container.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg/torchaudio, which are "
+            "not installed here; pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "feature": [
+                        _fake_features(bytes(b)) for b in pdf[media_col]
+                    ],
+                    "n_bytes": pdf[media_col].map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=FEATURES_SCHEMA
+    )
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never touches payload bytes, so
+    parquet column pruning skips the heavy column entirely."""
+    return (
+        df.select("meta.format", F.octet_length("media").alias("nb"))
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nb").alias("total_bytes"),
+        )
+    )

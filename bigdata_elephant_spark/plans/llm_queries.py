@@ -361,6 +361,32 @@ FROM hashes
 """
 
 
+# ------------------------------------------------------ multimodal
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("content_md5"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").cast("long").alias("width"),
+    )
+
+
+MULTIMODAL_BYTES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text)                                  AS content_md5,
+       'fake/raw'                                 AS format,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
@@ -383,4 +409,6 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
               ("llm", "text")),
+    QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,
+              ("llm", "multimodal")),
 ]

@@ -1,3 +1,105 @@
-"""Placeholder — filled in by later milestones."""
+"""Registry entries that exercise Structured Streaming end-to-end.
 
-SPECS = []
+Each query drives a real streaming job (file micro-batch source ->
+watermark -> stateful windowed aggregation -> memory sink) to
+completion and returns the materialized result. Because the input is
+finite, the streaming result equals the batch aggregation — so these
+streaming queries still get full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.streaming import events as ev
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    agg = ev.tumbling_counts(stream, window="1 hour")
+    return ev.run_stream_to_memory(
+        agg, f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    )
+
+
+# 1-hour tumbling windows are epoch-aligned == date_trunc('hour').
+STREAM_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*)             AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    sessions = ev.user_sessions(stream, gap="30 minutes")
+    mat = ev.run_stream_to_memory(
+        sessions, f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    )
+    return ev.session_counts(mat)
+
+
+# session_window semantics: a new session starts when the gap is
+# >= 30 min (an event at exactly start+gap falls outside the window).
+STREAM_SESSIONS_SQL = """
+SELECT user_id,
+       sum(ns)  AS n_sessions,
+       count(*) AS n_events
+FROM (
+    SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR (us - prev_us) >= 30 * 60 * 1000000 THEN 1 ELSE 0
+           END AS ns
+    FROM (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+)
+GROUP BY user_id
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    agg = ev.sliding_value_avg(stream, window="2 hours", slide="1 hour")
+    return ev.run_stream_to_memory(
+        agg, f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    )
+
+
+# every event lands in two 2h-wide hourly-sliding windows:
+# [trunc(ts)-1h, +2h) and [trunc(ts), +2h)
+STREAM_SLIDING_SQL = """
+WITH assigned AS (
+    SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, value
+    FROM events
+    UNION ALL
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, value
+    FROM events
+)
+SELECT win_start, event_type, round(avg(value), 6) AS avg_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+SPECS = [
+    QuerySpec("events_stream_tumbling", q_stream_tumbling,
+              STREAM_TUMBLING_SQL, ("streaming",)),
+    QuerySpec("events_stream_sessions", q_stream_sessions,
+              STREAM_SESSIONS_SQL, ("streaming",)),
+    QuerySpec("events_stream_sliding", q_stream_sliding,
+              STREAM_SLIDING_SQL, ("streaming",)),
+]

@@ -1,0 +1,149 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is batch-only (SURVEY §2: "Streaming: none"), so this
+whole module is north-star surface: the same event aggregations a
+batch user writes, expressed as incremental streaming plans.
+
+Design rules:
+
+- Every aggregation is written once against a DataFrame and works on
+  BOTH the batch and the streaming reader (parity tests assert the
+  outputs are identical) — watermarking is the only stream-specific
+  line.
+- Watermarks bound state: ``withWatermark("ts", delay)`` lets Spark
+  drop window state older than the delay, which is what makes a
+  windowed aggregation runnable forever at 100 TB/day ingest.
+- Sinks are exactly-once-friendly: tests use the ``memory`` sink;
+  production would use ``foreachBatch`` + idempotent parquet/Delta
+  writes.
+
+File-based micro-batch source over the testdata parquet stands in
+for Kafka: the plan shape (source -> watermark -> stateful agg ->
+sink) is identical.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.sources.corpus import read_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch file stream with the explicit events schema.
+
+    The file-stream source wants a *directory* it can watch; testdata
+    ships one parquet file, so stage it into a temp dir (a stand-in
+    for the landing directory a real ingest pipeline appends to).
+    """
+    batch = read_table(spark, sf_dir, "events")
+    src_file = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    stage_dir = tempfile.mkdtemp(prefix="elephant_events_stream_")
+    shutil.copy(src_file, stage_dir)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    # same nanos->micros conversion as the batch reader
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    assert stream.schema == batch.schema
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(window, event_type) count/sum with late-data watermark."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Data-driven session windows per user (built-in session_window).
+
+    One stateful aggregation only — a streaming query can't chain two
+    (the per-user rollup happens on the materialized output; see
+    :func:`session_counts`).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def session_counts(sessions: DataFrame) -> DataFrame:
+    """Per-user rollup of :func:`user_sessions` output (batch side)."""
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming plan to completion against the finite file
+    source; returns the materialized result table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

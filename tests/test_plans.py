@@ -1,0 +1,75 @@
+"""Plan hygiene: assert the physical plans Catalyst produces are the
+ones we want at scale — pushdown reaching the scan, broadcasts where
+dimensions are small, TakeOrderedAndProject for top-K, no Python in
+the hot path."""
+
+from __future__ import annotations
+
+from bigdata_elephant_spark.operators.index import build_index
+from bigdata_elephant_spark.operators.search import search
+from bigdata_elephant_spark.operators.vocab import build_vocabulary
+from bigdata_elephant_spark.plans import relational
+from bigdata_elephant_spark.sources.corpus import read_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused cols (l_orderkey, l_partkey, ...) not read
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "l_orderkey" not in m[0] and "l_partkey" not in m[0]
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(relational.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_search_plan_topk_and_broadcasts(spark, sf_dir):
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    df = search(spark, "hash join query", vocab, postings, k=10)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan  # no global sort shuffle
+    assert "BroadcastHashJoin" in plan      # query terms broadcast
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_vocab_partial_aggregation(spark, sf_dir):
+    corpus = read_table(spark, sf_dir, "documents")
+    plan = plan_of(build_vocabulary(corpus))
+    # two-phase distinct: partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "merge_count" in plan
+
+
+def test_no_python_udfs_in_registry_plans(spark, sf_dir):
+    """Hot paths must stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    in any registered batch query plan."""
+    from bigdata_elephant_spark.registry import all_specs
+
+    for spec in all_specs():
+        if "streaming" in spec.tags:
+            continue  # streaming queries execute eagerly; skip here
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, spec.name
+        assert "ArrowEvalPython" not in plan, spec.name
+
+
+def test_whole_stage_codegen_in_q1(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = plan_of(df)
+    # '*(n)' is the simple-string marker for a WholeStageCodegen span
+    assert "isFinalPlan=true" in plan and "*(" in plan

@@ -1,0 +1,51 @@
+"""Streaming: batch/stream parity and watermark state handling."""
+
+from __future__ import annotations
+
+import uuid
+
+from bigdata_elephant_spark.sources.corpus import read_table
+from bigdata_elephant_spark.streaming import events as ev
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    batch = ev.tumbling_counts(read_table(spark, sf_dir, "events"))
+    stream = ev.tumbling_counts(ev.read_events_stream(spark, sf_dir))
+    got = ev.run_stream_to_memory(
+        stream, f"t_{uuid.uuid4().hex[:8]}"
+    )
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    batch = ev.sliding_value_avg(read_table(spark, sf_dir, "events"))
+    stream = ev.sliding_value_avg(ev.read_events_stream(spark, sf_dir))
+    got = ev.run_stream_to_memory(stream, f"s_{uuid.uuid4().hex[:8]}")
+    cols = ["win_start", "event_type", "avg_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    batch = ev.session_counts(
+        ev.user_sessions(read_table(spark, sf_dir, "events"))
+    )
+    stream = ev.user_sessions(ev.read_events_stream(spark, sf_dir))
+    got = ev.session_counts(
+        ev.run_stream_to_memory(stream, f"u_{uuid.uuid4().hex[:8]}")
+    )
+    cols = ["user_id", "n_sessions", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    stream = ev.tumbling_counts(
+        ev.read_events_stream(spark, sf_dir), watermark="2 hours"
+    )
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
