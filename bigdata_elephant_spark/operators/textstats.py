@@ -29,7 +29,10 @@ def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc quality stats: lengths, ratios, stopword share."""
-    toks = tokens_array(text_col)
+    # Project the token array once; the stats below reference it 4x
+    # and inlining the tokenize regex per reference multiplies cost.
+    df = df.select(id_col, text_col, tokens_array(text_col).alias("__toks"))
+    toks = F.col("__toks")
     lower = F.lower(F.col(text_col))
     n_chars = F.length(text_col).cast("long")
     alnum_space = F.length(
@@ -82,7 +85,8 @@ def lang_id(
     shape is identical (a filtered-array density per profile), so
     this single-profile version stands in without loss of structure.
     """
-    toks = tokens_array(text_col)
+    df = df.select(id_col, tokens_array(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_tokens = F.size(toks).cast("long")
     hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     score = F.round(hits / F.greatest(n_tokens, F.lit(1)), 6)
@@ -121,7 +125,10 @@ def doc_fingerprints(
     a cheap first-pass clustering key for near-dup detection.
     Docs with < ``shingle_n`` tokens fingerprint to -1.
     """
-    sh = shingles_array(tokens_array(text_col), shingle_n)
+    # Token array must be a materialized column before shingling —
+    # the shingle lambda indexes it per element (see doc_shingles).
+    df = df.select(id_col, tokens_array(text_col).alias("__toks"))
+    sh = shingles_array(F.col("__toks"), shingle_n)
     hashes = F.transform(sh, lambda s: h32(s))
     return df.select(
         id_col,
