@@ -31,19 +31,11 @@ from bigdata_elephant_spark.functions.hashing import (
     minhash_coeffs,
     perm_hash,
 )
-from bigdata_elephant_spark.functions.text import filter_text
+from bigdata_elephant_spark.functions.text import tokens_array
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.71
 SIMHASH_BITS = 32
-
-
-def tokens_array(text_col: str = "text") -> Column:
-    """Filtered token array (same stream as functions.text.tokenize)."""
-    return F.filter(
-        F.split(filter_text(text_col), r"\s+"),
-        lambda x: F.length(x) > 0,
-    )
 
 
 def shingles_array(arr: Column, n: int = 3) -> Column:

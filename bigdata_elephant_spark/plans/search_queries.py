@@ -151,7 +151,10 @@ def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _search_q(scoring: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = _corpus(spark, sf_dir)
-        vocab = build_vocabulary(corpus)
+        # The vocab feeds two plan branches (index probe + query-term
+        # lookup); persisting it (vocab-sized, tiny vs corpus) stops
+        # the corpus tokenize+aggregate from running once per branch.
+        vocab = build_vocabulary(corpus).persist()
         postings = build_index(corpus, vocab)
         n_docs = corpus.count() if scoring == "smooth" else None
         return search(
