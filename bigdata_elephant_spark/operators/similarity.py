@@ -110,6 +110,154 @@ def lsh_bucket_assignments(
     )
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``.
+
+    With ``planes`` (the scale path) candidates are restricted to
+    vectors sharing an LSH bucket: an equi-join on the bucket id — a
+    co-locating shuffle join whose per-bucket work is quadratic only
+    in the bucket size (2^planes buckets cut pairs ~4^planes-fold).
+    Without ``planes`` every pair is scored (exact; a nested-loop
+    join) — the verifier for the bucketed variant, viable only at
+    small n.
+    """
+    cols = [id_col, vec_col]
+    base = (
+        lsh_bucket_assignments(embeddings, planes, id_col, vec_col)
+        .join(embeddings.select(*cols), id_col)
+        if planes is not None
+        else embeddings.select(*cols)
+    )
+    a = base.select(
+        *[F.col(c).alias(f"{c}_a") for c in base.columns]
+    )
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in base.columns]
+    )
+    cond = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    if planes is not None:
+        pairs = a.join(b, F.col("bucket_a") == F.col("bucket_b")).filter(cond)
+    else:
+        pairs = a.join(b, cond)
+    return (
+        pairs.select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.round(
+                cosine_expr(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_cells`` lowest-id
+    vectors. A production index swaps in k-means|| centroids; every
+    downstream shape (assignment, probing) is unchanged, and this
+    choice is replayable by any engine (no RNG, no iteration)."""
+    return embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, deterministic left-fold order."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cell_id)``: nearest centroid by (rounded) squared L2,
+    ties to the lowest cell id. The centroid table is broadcast; the
+    argmin is a ``min(struct(dist, cell_id))`` — one partial-aggregated
+    groupBy, no window, no shuffle of the vectors beyond the id."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        F.struct(
+            F.round(_l2sq(F.col(vec_col), F.col("cvec")), 6).alias("d"),
+            F.col("cell_id").alias("c"),
+        ).alias("dc"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min("dc").getField("c").alias("cell_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``n_probe``
+    cells nearest the query.
+
+    At 100 TB the embedding table is *partitioned by cell_id* so the
+    probe is partition pruning — the scan touches n_probe/n_cells of
+    the data; the per-cell lists are the inverted file. Here the cell
+    assignment is computed inline (the testdata is unpartitioned) but
+    the plan below the scan is identical.
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "cell_id")
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    candidates = embeddings.join(assigned, id_col).join(
+        F.broadcast(probe_cells), "cell_id"
+    )
+    return (
+        candidates.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                cosine_expr(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -275,6 +275,106 @@ LIMIT {KNN_K}
 """
 
 
+NEAR_DUP_THRESHOLD = 0.4
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def _l2_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_COS_AB = (
+    f"round({_dot_sql('a.embedding', 'b.embedding')} "
+    f"/ (sqrt({_dot_sql('a.embedding', 'a.embedding')}) "
+    f"* sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)"
+)
+
+
+def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, NEAR_DUP_THRESHOLD)
+
+
+NEAR_DUP_EXACT_SQL = f"""
+SELECT id_a, id_b, cos_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, NEAR_DUP_THRESHOLD, planes=PLANES)
+
+
+NEAR_DUP_LSH_SQL = f"""
+WITH wb AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+)
+SELECT id_a, id_b, cos_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, KNN_QUERY_VEC_ID, n_cells=IVF_CELLS, n_probe=IVF_PROBE, k=KNN_K
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+q AS (SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = {KNN_QUERY_VEC_ID}),
+probe AS (
+    SELECT cell_id FROM (
+        SELECT c.cell_id, round({_l2_sql('c.cvec', 'q.qv')}, 6) AS d
+        FROM cents c, q
+        ORDER BY d, cell_id LIMIT {IVF_PROBE}
+    )
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+)
+SELECT vec_id, cos_sim FROM (
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+    FROM embeddings e
+    JOIN assigned s ON s.vec_id = e.vec_id
+    JOIN probe p ON p.cell_id = s.cell_id
+    CROSS JOIN q
+    WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
 # ------------------------------------------------------ text stats
 
 _STOPS = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -402,6 +502,12 @@ SPECS = [
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
               ("llm", "similarity")),
+    QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
+              ("llm", "similarity"), bench=True),
+    QuerySpec("near_dup_embeddings", q_near_dup_exact, NEAR_DUP_EXACT_SQL,
+              ("llm", "dedup", "similarity")),
+    QuerySpec("near_dup_embeddings_lsh", q_near_dup_lsh, NEAR_DUP_LSH_SQL,
+              ("llm", "dedup", "similarity"), bench=True),
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,
               ("llm", "text"), bench=True),
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),

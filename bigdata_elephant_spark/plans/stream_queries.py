@@ -95,6 +95,35 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    agg = ev.user_running_anomalies(stream)
+    return ev.run_stream_to_memory(
+        agg, f"stream_anomalies_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+
+
+# The pandas state fold accumulates sum/count in (ts, event_id) order;
+# DuckDB's cumulative-frame AVG maintains the same running sum, so the
+# float comparisons agree.
+STREAM_ANOMALIES_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN prior_avg IS NOT NULL AND value > prior_avg
+                THEN 1 ELSE 0 END) AS n_flagged
+FROM (
+    SELECT user_id, value,
+           avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prior_avg
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("events_stream_tumbling", q_stream_tumbling,
               STREAM_TUMBLING_SQL, ("streaming",)),
@@ -102,4 +131,6 @@ SPECS = [
               STREAM_SESSIONS_SQL, ("streaming",)),
     QuerySpec("events_stream_sliding", q_stream_sliding,
               STREAM_SLIDING_SQL, ("streaming",)),
+    QuerySpec("events_stream_anomalies", q_stream_anomalies,
+              STREAM_ANOMALIES_SQL, ("streaming", "stateful")),
 ]

@@ -131,6 +131,58 @@ def session_counts(sessions: DataFrame) -> DataFrame:
     )
 
 
+ANOMALY_OUT_SCHEMA = (
+    "user_id long, n_events long, n_flagged long"
+)
+ANOMALY_STATE_SCHEMA = "cnt long, vsum double, flagged long"
+
+
+def user_running_anomalies(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``.
+
+    Per user, flag every event whose ``value`` exceeds the running
+    mean of that user's *prior* events (ordered by ``ts, event_id``)
+    and emit ``(user_id, n_events, n_flagged)``. The running
+    ``(count, sum, flagged)`` state persists across micro-batches in
+    the state store — the shape built-in windowed aggregation cannot
+    express (the predicate depends on fold-ordered history).
+
+    Arrow ships each user's batch rows to Python as pandas frames;
+    state is O(1) per user regardless of history length, so the
+    operator runs forever at any ingest rate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        cnt, vsum, flagged = state.get if state.exists else (0, 0.0, 0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            if cnt > 0 and v > vsum / cnt:
+                flagged += 1
+            cnt += 1
+            vsum += float(v)
+        state.update((cnt, vsum, flagged))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "n_flagged": [flagged],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fn,
+        ANOMALY_OUT_SCHEMA,
+        ANOMALY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

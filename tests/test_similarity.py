@@ -47,6 +47,44 @@ def test_cosine_topk_lsh_subset_of_bucket(emb_df, vectors):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_near_dup_lsh_subset_of_exact(emb_df):
+    planes = similarity.hyperplanes(3, DIM)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(emb_df, 0.2).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(emb_df, 0.2, planes=planes).collect()
+    }
+    assert bucketed <= exact
+    # random hyperplanes keep most high-cosine pairs in one bucket
+    assert len(bucketed) > 0
+
+
+def test_near_dup_pairs_canonical_order(emb_df):
+    for r in similarity.near_dup_pairs(emb_df, 0.2).collect():
+        assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_full_probe_equals_exact(emb_df):
+    """Probing every cell makes IVF exact."""
+    exact = similarity.cosine_topk(emb_df, 3, k=5).collect()
+    ivf = similarity.ivf_topk(
+        emb_df, 3, n_cells=8, n_probe=8, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+
+
+def test_ivf_assign_partitions_all_vectors(emb_df):
+    cents = similarity.ivf_centroids(emb_df, 8)
+    assigned = similarity.ivf_assign(emb_df, cents).collect()
+    assert len(assigned) == N
+    assert {r["cell_id"] for r in assigned} <= set(range(8))
+
+
 def test_bucket_determinism(emb_df):
     planes = similarity.hyperplanes(3, DIM)
     a = similarity.lsh_bucket_assignments(emb_df, planes).collect()

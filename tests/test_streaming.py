@@ -49,3 +49,23 @@ def test_watermark_present_in_plan(spark, sf_dir):
     assert stream.isStreaming
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_anomalies_semantics(spark, sf_dir):
+    """First event per user is never flagged; counts cover all events."""
+    import pyspark.sql.functions as F
+
+    stream = ev.user_running_anomalies(ev.read_events_stream(spark, sf_dir))
+    got = ev.run_stream_to_memory(
+        stream, f"a_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    events = read_table(spark, sf_dir, "events")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    rows = got.collect()
+    assert {r["user_id"] for r in rows} == set(per_user)
+    for r in rows:
+        assert r["n_events"] == per_user[r["user_id"]]
+        assert 0 <= r["n_flagged"] <= r["n_events"] - 1
