@@ -43,6 +43,8 @@ def get_spark(
         # rejects by default; read as long and convert in read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed sinks) land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/elephant-warehouse")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )

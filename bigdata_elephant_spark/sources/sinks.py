@@ -1,0 +1,84 @@
+"""Sinks: the write-side patterns that make the read-side fast.
+
+The reference's only sink is a tab-delimited ``TextOutputFormat``
+directory per job (``Vocabulary.java:144``, ``Indexer.java:163``,
+``Query.java:272,289``). Here the lake is columnar and laid out for
+pruning:
+
+- :func:`write_table` — plain columnar write in any supported format
+  (parquet default; orc/json/csv for interchange).
+- :func:`write_partitioned` — hive-style ``partitionBy`` layout.
+  Filters on the partition columns become *directory* pruning: a
+  100 TB table partitioned by day serves a one-day query by listing
+  one directory.
+- :func:`write_bucketed` — ``bucketBy(n, keys)`` + ``sortWithinBuckets``.
+  Two tables bucketed the same way join with ZERO shuffle (the plan
+  test proves no Exchange appears): at 100 TB the shuffle *is* the
+  join cost, so pre-bucketing fact tables on their join key is the
+  single highest-leverage layout decision.
+
+All writers take mode="overwrite" semantics from the caller; nothing
+here ever writes outside the given path/table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Columnar (or interchange-format) write of ``df`` to ``path``."""
+    df.write.format(fmt).mode(mode).save(path)
+
+
+def read_back(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+):
+    """Read a written table back; explicit schema for text formats
+    (csv/json carry no types — never infer, same rule as the corpus
+    reader)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout write; queries filtering on ``partition_cols``
+    prune at directory-listing time (no footer reads, no data IO)."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols).
+
+    Joins/aggregations keyed on ``bucket_cols`` between tables with
+    identical bucketing read pre-shuffled data — Catalyst drops the
+    Exchange on both sides. ``sort_cols`` additionally pre-sorts
+    within buckets (sort-merge join without the sort).
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
