@@ -596,7 +596,55 @@ GROUP BY r_name
 """
 
 
+
+# ------------------------------------------------------------- as-of
+
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to its user's most recent order at or before
+    the event time (backward-inclusive as-of join — an operator Spark
+    lacks natively; see operators/temporal.py for the single-shuffle
+    union+window construction)."""
+    from bigdata_elephant_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    r = temporal.dedupe_right(
+        orders, "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    out = temporal.asof_join(
+        ev, r, "user_id", "o_custkey", "ts", "o_orderdate"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
+# DuckDB has a native ASOF JOIN — the ideal independent oracle for
+# our hand-built operator (same dedupe so ties are well-defined).
+ASOF_EVENTS_ORDERS_SQL = """
+WITH r AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, r.o_orderkey,
+       round(r.o_totalprice, 4) AS o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
 SPECS = [
+    QuerySpec("asof_events_orders", asof_events_orders,
+              ASOF_EVENTS_ORDERS_SQL, ("relational", "temporal"),
+              bench=True),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               ("relational", "agg"), bench=True),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
