@@ -117,6 +117,60 @@ def decode_media(
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_crc", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_size: int = 64,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from each payload.
+
+    The video-pipeline shape: one input row fans out to many frame
+    rows (``mapInPandas`` may return more rows than it receives —
+    the Arrow-batched equivalent of a generate/explode). A real
+    decoder replaces the byte-slicing with container-aware frame
+    extraction; partitioning, batch iteration, and the fan-out
+    contract are identical.
+    """
+    import zlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, crcs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(payload)
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    chunk = raw[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    crcs.append(zlib.crc32(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_crc": pd.Series(crcs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never touches payload bytes, so
     parquet column pruning skips the heavy column entirely."""

@@ -487,6 +487,53 @@ FROM documents
 """
 
 
+FRAME_SIZE = 64
+FRAME_STRIDE = 4
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.multimodal import (
+        attach_fake_media,
+        frame_sample,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    frames = frame_sample(
+        media, frame_size=FRAME_SIZE, stride=FRAME_STRIDE
+    )
+    # frame_crc has no DuckDB equivalent — covered by pytest instead.
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
+MEDIA_FRAMES_SQL = f"""
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(least({FRAME_SIZE}, nb - fi * {FRAME_SIZE}) AS BIGINT)
+           AS frame_bytes
+FROM (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           unnest(range(0, (octet_length(encode(text)) + {FRAME_SIZE - 1})
+                           // {FRAME_SIZE}, {FRAME_STRIDE})) AS fi
+    FROM documents
+)
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode: md5-seeded feature vectors. The RNG
+    is not SQL-expressible, so this entry has no oracle (driver runs
+    the weaker rows-only check); determinism is pytest-verified."""
+    from bigdata_elephant_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return decode_media(media, fake=True)
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
@@ -516,5 +563,9 @@ SPECS = [
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
               ("llm", "text")),
     QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,
+              ("llm", "multimodal")),
+    QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
+              ("llm", "multimodal")),
+    QuerySpec("media_features", q_media_features, None,
               ("llm", "multimodal")),
 ]

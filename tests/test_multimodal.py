@@ -42,3 +42,33 @@ def test_media_summary_prunes_payload(media):
     out = mm.media_summary(media).collect()
     assert len(out) == 1 and out[0]["format"] == "fake/raw"
     assert out[0]["total_bytes"] > 0
+
+
+def test_frame_sample_fanout_and_crc(spark):
+    import zlib
+    from bigdata_elephant_spark.operators.multimodal import (
+        attach_fake_media,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = frame_sample(
+        attach_fake_media(docs), frame_size=64, stride=2
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 200 bytes -> 4 frames, stride 2 -> idx 0 and 2
+    assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 2]
+    assert {r["frame_idx"]: r["frame_bytes"] for r in by_doc[1]} == {
+        0: 64, 2: 64}
+    # 2 bytes -> 1 frame; empty payload -> no frames
+    assert [r["frame_bytes"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+    # crc matches an independent recompute
+    raw = b"a" * 200
+    crc0 = zlib.crc32(raw[0:64])
+    assert {r["frame_idx"]: r["frame_crc"] for r in by_doc[1]}[0] == crc0
