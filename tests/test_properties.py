@@ -1,0 +1,97 @@
+"""Property-based checks (SURVEY §5.4) over generated mini-corpora.
+
+Hypothesis drives the corpus shapes; example counts are small because
+each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from bigdata_elephant_spark.operators.search import search
+from bigdata_elephant_spark.operators.index import build_index
+from bigdata_elephant_spark.operators.vocab import build_vocabulary
+from bigdata_elephant_spark.functions.text import tokenize_str
+
+WORDS = ["spark", "hash", "join", "query", "stream", "the", "scan"]
+
+doc_strategy = st.lists(
+    st.sampled_from(WORDS), min_size=0, max_size=12
+).map(" ".join)
+
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=8)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _corpus_df(spark, texts, order=None):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if order is not None:
+        rows = [rows[i] for i in order]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_vocab_df_matches_bruteforce(spark, texts):
+    got = {
+        r["word"]: r["df"]
+        for r in build_vocabulary(_corpus_df(spark, texts)).collect()
+    }
+    expect: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for w in set(tokenize_str(t)):
+            expect.setdefault(w, set()).add(i)
+    assert got == {w: len(d) for w, d in expect.items()}
+
+
+@given(texts=corpus_strategy, data=st.data())
+@SETTINGS
+def test_score_permutation_invariant(spark, texts, data):
+    perm = data.draw(st.permutations(range(len(texts))))
+
+    def run(order):
+        corpus = _corpus_df(spark, texts, order)
+        vocab = build_vocabulary(corpus)
+        postings = build_index(corpus, vocab)
+        return sorted(
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, "spark join query", vocab, postings, k=100
+            ).collect()
+        )
+
+    assert run(None) == run(list(perm))
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_topk_is_prefix_of_topk_plus_one(spark, texts):
+    corpus = _corpus_df(spark, texts)
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+
+    def topk(k):
+        return [
+            (r["doc_id"], r["score"])
+            for r in search(spark, "hash the scan", vocab, postings, k=k)
+            .collect()
+        ]
+
+    k3, k4 = topk(3), topk(4)
+    assert k3 == k4[: len(k3)]
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_word_ids_dense_and_alphabetical(spark, texts):
+    rows = sorted(
+        build_vocabulary(_corpus_df(spark, texts)).collect(),
+        key=lambda r: r["word"],
+    )
+    assert [r["word_id"] for r in rows] == list(range(len(rows)))
