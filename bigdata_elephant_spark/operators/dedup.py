@@ -202,6 +202,62 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive duplicate groups: connected components over a pair
+    graph -> ``(doc_id, group_id)`` with ``group_id`` = min doc id in
+    the component (the canonical survivor).
+
+    Min-label propagation: each iteration joins labels across edges
+    and takes the per-node min — one shuffle join + one aggregation
+    per round, early-stopped when no label changes. Lineage is
+    truncated with ``localCheckpoint`` every round (iterative joins
+    otherwise grow the plan exponentially). Label distance to the
+    component minimum shrinks by >= 1 hop per round, so rounds <=
+    graph diameter; near-dup components are shallow in practice
+    (``max_iter`` caps pathological chains).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 # ----------------------------------------------------------- simhash
 
 def simhash_signatures(

@@ -154,6 +154,50 @@ WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
 """
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups over the LSH pair graph —
+    iterative min-label propagation (operators/dedup.py); the oracle
+    recomputes the same components with a recursive CTE."""
+    from pyspark.sql import functions as F
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    return dedup.duplicate_groups(pairs)
+
+
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM cand p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+),
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM good
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM good
+),
+reach AS (
+    SELECT a AS node, a AS label FROM e
+    UNION
+    SELECT e.b AS node, r.label FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -541,6 +585,8 @@ SPECS = [
               MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
+              ("llm", "dedup", "iterative")),
     QuerySpec("simhash_signatures", q_simhash_signatures,
               SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_SQL,

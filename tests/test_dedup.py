@@ -75,3 +75,35 @@ def test_shingles_short_doc(spark):
     assert dedup.doc_shingles(df).count() == 0
     # and minhash drops shingle-less docs instead of crashing
     assert dedup.minhash_signatures(df).count() == 0
+
+
+def test_duplicate_groups_transitive(spark):
+    from bigdata_elephant_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in duplicate_groups(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_duplicate_groups_long_chain_converges(spark):
+    from bigdata_elephant_spark.operators.dedup import duplicate_groups
+
+    # path graph 0-1-2-...-9: diameter 9, forces several rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in duplicate_groups(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(10)}
