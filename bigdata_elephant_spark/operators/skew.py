@@ -1,0 +1,69 @@
+"""Skew mitigation for hot keys.
+
+AQE's skew-join splitting handles most skew at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py). What AQE
+does NOT fix is a skewed *aggregation* whose partial state is itself
+huge per key — e.g. ``collect_set``/``count_distinct`` over a key
+where one value holds 10% of a 100 TB table: every row of the hot key
+lands on one reducer.
+
+:func:`salted_aggregate` is the classic two-phase fix for algebraic
+aggregates: scatter each key over ``n_salts`` sub-keys (random salt —
+correctness doesn't depend on which rows land where), partially
+aggregate per ``(key, salt)``, then combine the ``n_salts`` partial
+rows per key. The hot key's work spreads over ``n_salts`` reducers;
+the second aggregation touches only ``n_keys * n_salts`` rows.
+
+Works for any aggregate with a partial/combine decomposition
+(sum/count/min/max/avg-as-sum+count/approx sketches). Not for
+holistic aggregates (exact median) — those need a different plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial_aggs`` run per ``(keys, salt)``; ``final_aggs`` combine
+    the partials per ``keys`` and must reference the partial output
+    columns by their aliases (e.g. partial ``sum(x) as s`` + final
+    ``sum(s) as total``).
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Skew-safe count-distinct: salt by the *distinct value* (so
+    equal values share a salt and the per-salt dedup is exact), dedup
+    per (key, salt), then sum partial distinct counts."""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salts)),
+    )
+    partial = (
+        salted.groupBy(*keys, "__salt")
+        .agg(F.count_distinct(distinct_col).alias("__pd"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__pd").alias(out_col))

@@ -95,6 +95,26 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    joined = ev.enrich_with_users(
+        stream, read_table(spark, sf_dir, "customer")
+    )
+    return ev.run_stream_to_memory(
+        joined, f"stream_enrich_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment, c.c_nationkey
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
 def q_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.read_events_stream(spark, sf_dir)
     agg = ev.user_running_anomalies(stream)
@@ -133,4 +153,6 @@ SPECS = [
               STREAM_SLIDING_SQL, ("streaming",)),
     QuerySpec("events_stream_anomalies", q_stream_anomalies,
               STREAM_ANOMALIES_SQL, ("streaming", "stateful")),
+    QuerySpec("events_stream_enrich", q_stream_enrich,
+              STREAM_ENRICH_SQL, ("streaming", "join")),
 ]

@@ -131,6 +131,27 @@ def session_counts(sessions: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_users(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: each (possibly streaming) event
+    picks up its customer's segment/nation via a broadcast hash join
+    against the static dimension — the standard shape for decorating
+    a 100 TB/day stream with reference data (the static side is
+    re-read per micro-batch, so slowly-changing dimensions stay
+    fresh without restarting the query)."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
+
+
 ANOMALY_OUT_SCHEMA = (
     "user_id long, n_events long, n_flagged long"
 )
@@ -181,6 +202,38 @@ def user_running_anomalies(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+) -> None:
+    """Exactly-once-friendly production sink: ``foreachBatch`` writes
+    each micro-batch to a ``batch_id=N`` partition with overwrite —
+    replays after failure rewrite the same partition instead of
+    duplicating rows (idempotence from deterministic batch ids +
+    partition overwrite), and the checkpoint dir makes restarts
+    resume from the last committed batch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_stream_to_memory(

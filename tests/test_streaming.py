@@ -69,3 +69,29 @@ def test_stateful_anomalies_semantics(spark, sf_dir):
     for r in rows:
         assert r["n_events"] == per_user[r["user_id"]]
         assert 0 <= r["n_flagged"] <= r["n_events"] - 1
+
+
+def test_foreachbatch_parquet_sink_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch sink lands every input row exactly once, and
+    a replay of the same batch does not duplicate rows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id"
+    )
+    ev.run_stream_to_parquet(stream, out, ckpt)
+    events = read_table(spark, sf_dir, "events")
+    written = spark.read.parquet(out)
+    assert written.count() == events.count()
+    assert written.select("event_id").distinct().count() == events.count()
+    # simulate a replayed batch: rewriting batch 0 must not duplicate
+    b0 = written.filter("batch_id = 0").drop("batch_id")
+    import pyspark.sql.functions as F
+    (
+        b0.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == events.count()
