@@ -641,7 +641,54 @@ FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
+
+# ------------------------------------------------- percentiles / sets
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolating, = SQL percentile_cont) per
+    event type. Exact medians are holistic (need the sorted group in
+    one place) — fine per *group*; the approximate sketch
+    (percentile_approx) is the 100 TB default when groups are huge."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube: only
+    the combinations that get read, no wasted shuffle volume)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
 SPECS = [
+    QuerySpec("value_percentiles", value_percentiles,
+              VALUE_PERCENTILES_SQL, ("relational", "agg")),
+    QuerySpec("grouping_sets_revenue", grouping_sets_revenue,
+              GROUPING_SETS_SQL, ("relational", "agg")),
     QuerySpec("asof_events_orders", asof_events_orders,
               ASOF_EVENTS_ORDERS_SQL, ("relational", "temporal"),
               bench=True),
