@@ -62,15 +62,21 @@ def cosine_topk(
     heaps, no global sort shuffle.
     """
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
     )
     return (
         embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+        )
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(
-                cosine_expr(F.col(vec_col), F.col("_qvec")), 6
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -127,13 +133,16 @@ def near_dup_pairs(
     join) — the verifier for the bucketed variant, viable only at
     small n.
     """
-    cols = [id_col, vec_col]
-    base = (
-        lsh_bucket_assignments(embeddings, planes, id_col, vec_col)
-        .join(embeddings.select(*cols), id_col)
-        if planes is not None
-        else embeddings.select(*cols)
+    # Per-vector norms are computed ONCE before the pair fan-out (the
+    # value is identical to an inline recompute — same left fold — so
+    # oracles are unaffected); per pair only the dot product remains.
+    base = embeddings.select(
+        id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
     )
+    if planes is not None:
+        base = lsh_bucket_assignments(embeddings, planes, id_col, vec_col).join(
+            base, id_col
+        )
     a = base.select(
         *[F.col(c).alias(f"{c}_a") for c in base.columns]
     )
@@ -150,7 +159,9 @@ def near_dup_pairs(
             F.col(f"{id_col}_a").alias("id_a"),
             F.col(f"{id_col}_b").alias("id_b"),
             F.round(
-                cosine_expr(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")), 6
+                _dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
+                / (F.col("_nrm_a") * F.col("_nrm_b")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -228,7 +239,8 @@ def ivf_topk(
     """
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
     )
     probe_cells = (
         cents.crossJoin(F.broadcast(q))
@@ -246,11 +258,16 @@ def ivf_topk(
     )
     return (
         candidates.filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+        )
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(
-                cosine_expr(F.col(vec_col), F.col("_qvec")), 6
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -276,9 +293,12 @@ def cosine_topk_lsh(
         id_col,
         vec_col,
         bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
     )
     q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qbucket")
+        F.col(vec_col).alias("_qvec"),
+        F.col("bucket").alias("_qbucket"),
+        F.col("_nrm").alias("_qnrm"),
     )
     return (
         with_bucket.crossJoin(F.broadcast(q))
@@ -289,7 +309,9 @@ def cosine_topk_lsh(
         .select(
             id_col,
             F.round(
-                cosine_expr(F.col(vec_col), F.col("_qvec")), 6
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
