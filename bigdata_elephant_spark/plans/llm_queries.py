@@ -531,6 +531,20 @@ FROM documents
 """
 
 
+def q_pandas_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.pandas_ws_token_counts(_docs(spark, sf_dir))
+
+
+# python's str.split() splits on runs of whitespace and strips ends —
+# same as DuckDB's regexp split after trim, counting empties out.
+PANDAS_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                            w -> w <> '')) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+
 FRAME_SIZE = 64
 FRAME_STRIDE = 4
 
@@ -606,6 +620,8 @@ SPECS = [
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),
     QuerySpec("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
               ("llm", "text")),
+    QuerySpec("pandas_token_counts", q_pandas_token_counts,
+              PANDAS_TOKEN_COUNTS_SQL, ("llm", "text", "pandas_udf")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
               ("llm", "text")),
     QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,

@@ -684,7 +684,38 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                         (o_orderstatus, o_orderpriority))
 """
 
+
+def full_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: every nation and every supplier count, nations
+    with no suppliers and (hypothetical) orphan suppliers both kept."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    per_nation = s.groupBy("s_nationkey").agg(F.count("*").alias("n_sup"))
+    return (
+        n.join(
+            per_nation,
+            n["n_nationkey"] == per_nation["s_nationkey"],
+            "full_outer",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("n_sup"), F.lit(0)).alias("n_sup"),
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT n_nationkey, n_name, coalesce(n_sup, 0) AS n_sup
+FROM nation n
+FULL OUTER JOIN (
+    SELECT s_nationkey, count(*) AS n_sup FROM supplier GROUP BY 1
+) s ON n.n_nationkey = s.s_nationkey
+"""
+
 SPECS = [
+    QuerySpec("full_outer_nation_suppliers", full_outer_nation_suppliers,
+              FULL_OUTER_SQL, ("relational", "join")),
     QuerySpec("value_percentiles", value_percentiles,
               VALUE_PERCENTILES_SQL, ("relational", "agg")),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue,

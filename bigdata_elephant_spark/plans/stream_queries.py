@@ -115,6 +115,26 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 """
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: the state-store-backed dedup every
+    ingest pipeline needs (exactly-once per key). Projected to the
+    key columns so the result is order-independent — first-arrival
+    wins on the dropped columns, which is nondeterministic."""
+    stream = ev.read_events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return ev.run_stream_to_memory(
+        dedup, f"stream_distinct_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+STREAM_DISTINCT_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.read_events_stream(spark, sf_dir)
     agg = ev.user_running_anomalies(stream)
@@ -155,4 +175,6 @@ SPECS = [
               STREAM_ANOMALIES_SQL, ("streaming", "stateful")),
     QuerySpec("events_stream_enrich", q_stream_enrich,
               STREAM_ENRICH_SQL, ("streaming", "join")),
+    QuerySpec("events_stream_distinct", q_stream_distinct,
+              STREAM_DISTINCT_SQL, ("streaming", "dedup")),
 ]

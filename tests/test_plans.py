@@ -62,9 +62,14 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     for spec in all_specs():
         if "streaming" in spec.tags:
             continue  # streaming queries execute eagerly; skip here
+        if "multimodal" in spec.tags or "pandas_udf" in spec.tags:
+            continue  # Arrow-batched Python is these operators' POINT
         plan = plan_of(spec.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, spec.name
         assert "ArrowEvalPython" not in plan, spec.name
+        # row-at-a-time Python is banned outright (Arrow-batched forms
+        # above are opt-in via tags; nothing may use the slow path)
+        assert "MapInPandas" not in plan, spec.name
 
 
 def test_whole_stage_codegen_in_q1(spark, sf_dir):
