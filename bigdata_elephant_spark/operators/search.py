@@ -60,6 +60,7 @@ def search(
     k: int = 10,
     scoring: str = "reference",
     n_docs: int | None = None,
+    replicate_off_by_one: bool = False,
 ) -> DataFrame:
     """Rank documents for ``query``; top-k ``(doc_id, score)``.
 
@@ -90,9 +91,13 @@ def search(
         .groupBy("doc_id")
         .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("score"))
     )
+    # Faithful-diff mode: the reference's per-reducer counter uses
+    # `count > pages` (Query.java:229-234, flaw F2) and emits K+1
+    # rows; enable only to byte-compare against actual reference
+    # output. The public API is exact limit(k).
     ranked = scores.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
-    ).limit(k)
+    ).limit(k + 1 if replicate_off_by_one else k)
 
     if doc_meta is not None:
         ranked = ranked.join(F.broadcast(doc_meta), "doc_id", "left")

@@ -42,7 +42,10 @@ TPCH_TABLES = (
 
 
 def read_corpus(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Read a JSON-lines corpus with the explicit schema.
 
@@ -50,12 +53,28 @@ def read_corpus(
     ``"AA*"``) restricts which shard files are listed — file-level
     input pruning, the Spark equivalent of the reference's
     hardcoded ``/AA*``.
+
+    ``mode``: ``PERMISSIVE`` (default) nulls the fields of malformed
+    lines instead of failing the 10-hour job at record 10^11 — rows
+    with a null ``doc_id`` are dropped (the reference would have
+    thrown mid-job, ``Vocabulary.java:37``); ``FAILFAST`` surfaces
+    the first malformed record for debugging an ingest.
     """
     src = f"{path.rstrip('/')}/{glob}" if glob else path
-    df = spark.read.schema(CORPUS_SCHEMA).json(src)
-    return df.select(
-        F.col("id").cast(LongType()).alias("doc_id"), "url", "title", "text"
+    df = spark.read.schema(CORPUS_SCHEMA).option("mode", mode).json(src)
+    # try_cast: under ANSI semantics a plain cast would abort the job
+    # on the first unparsable id; PERMISSIVE tolerates and drops it.
+    id_cast = (
+        F.expr("try_cast(id AS BIGINT)")
+        if mode == "PERMISSIVE"
+        else F.col("id").cast(LongType())
     )
+    out = df.select(
+        id_cast.alias("doc_id"), "url", "title", "text"
+    )
+    if mode == "PERMISSIVE":
+        out = out.filter(F.col("doc_id").isNotNull())
+    return out
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -62,6 +62,27 @@ def write_partitioned(
     df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
 
 
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction: rewrite ``src`` as ``target_files``
+    files at ``dst``.
+
+    Streaming sinks and fine-grained partitioning both breed small
+    files; at 100 TB the file-listing and footer overhead of millions
+    of 1 MB files dominates scan startup. `coalesce` (not
+    `repartition`) avoids a shuffle — it only merges read splits.
+    Run per partition directory in production, sized so files land
+    near the 128 MB–1 GB sweet spot.
+    """
+    df = spark.read.format(fmt).load(src)
+    df.coalesce(target_files).write.format(fmt).mode("overwrite").save(dst)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

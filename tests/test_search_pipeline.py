@@ -97,3 +97,23 @@ def test_search_smooth_scoring(spark, corpus, vocab):
     idf = math.log(6.0 / 2.0) + 1.0
     assert rows[0]["doc_id"] == 3
     assert rows[0]["score"] == pytest.approx(idf * idf, abs=1e-6)
+
+
+def test_reference_off_by_one_replica(spark, sf_dir):
+    """Flaw F2 (Query.java:229-234): the reference emits K+1 rows.
+    The faithful-diff mode replicates that; the public API does not."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    exact = search(spark, "hash join", vocab, postings, k=5).collect()
+    faithful = search(
+        spark, "hash join", vocab, postings, k=5,
+        replicate_off_by_one=True,
+    ).collect()
+    assert len(exact) == 5
+    assert len(faithful) == 6
+    assert [r["doc_id"] for r in faithful[:5]] == [
+        r["doc_id"] for r in exact
+    ]

@@ -88,3 +88,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == expect.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    import os
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 16
+    sinks.compact(spark, src, dst, target_files=2)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst <= 2
+    assert spark.read.parquet(dst).count() == orders.count()

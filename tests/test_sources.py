@@ -39,3 +39,27 @@ def test_read_corpus_glob_pruning(spark, tmp_path):
         {"id": 2, "url": "u", "title": "t", "text": "pruned"}])
     df = read_corpus(spark, str(tmp_path), glob="AA*")
     assert [r["doc_id"] for r in df.collect()] == [1]
+
+
+def test_read_corpus_permissive_drops_malformed(spark, tmp_path):
+    p = tmp_path / "AA_bad"
+    p.write_text(
+        '{"id": 1, "url": "u", "title": "t", "text": "good"}\n'
+        "this is not json at all\n"
+        '{"id": "not_a_number", "url": "u", "title": "t", "text": "x"}\n'
+        '{"id": 2, "url": "u", "title": "t", "text": "also good"}\n'
+    )
+    df = read_corpus(spark, str(tmp_path))
+    assert sorted(r["doc_id"] for r in df.collect()) == [1, 2]
+
+
+def test_read_corpus_failfast_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    p = tmp_path / "AA_bad"
+    p.write_text(
+        '{"id": 1, "url": "u", "title": "t", "text": "good"}\n'
+        "garbage\n"
+    )
+    with _pytest.raises(Exception):
+        read_corpus(spark, str(tmp_path), mode="FAILFAST").collect()
