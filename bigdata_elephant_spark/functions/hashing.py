@@ -31,6 +31,17 @@ def h32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def h32_fast(col: Column | str) -> Column:
+    """Production hash: xxhash64 folded to 32 bits — one codegen'd
+    intrinsic vs md5's digest+hex+parse chain (~5x cheaper per row).
+    Same distribution properties for MinHash/SimHash purposes but NOT
+    cross-engine replayable (xxhash64 seed/impl is Spark's own), so
+    the oracle-checked registry paths keep :func:`h32`; use this when
+    wiring the operators into a real pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(2**32)).cast("long")
+
+
 def h32_sql_duckdb(expr: str) -> str:
     """DuckDB SQL text computing the same value as :func:`h32`."""
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from bigdata_elephant_spark.functions.hashing import (
     h32,
+    h32_fast,
     minhash_coeffs,
     perm_hash,
 )
@@ -106,6 +107,7 @@ def minhash_signatures(
     n_hashes: int = N_MINHASH,
     shingle_n: int = 3,
     seed: int = 42,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature columns ``m0..m{n-1}``.
 
@@ -113,9 +115,14 @@ def minhash_signatures(
     drop out (they can't near-duplicate anything at this shingle
     size). The min-per-permutation aggregation is partially applied
     map-side by Catalyst, so the shuffle carries one row per doc.
+
+    ``fast_hash=True`` swaps the engine-portable md5-derived shingle
+    hash for xxhash64 (~5x cheaper; not oracle-replayable — use in
+    production pipelines, keep the default when verifying).
     """
     sh = doc_shingles(df, text_col, id_col, n=shingle_n)
-    hashed = sh.select(id_col, h32("shingle").alias("h"))
+    hfn = h32_fast if fast_hash else h32
+    hashed = sh.select(id_col, hfn("shingle").alias("h"))
     aggs = [
         F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))

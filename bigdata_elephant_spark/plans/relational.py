@@ -713,7 +713,40 @@ FULL OUTER JOIN (
 ) s ON n.n_nationkey = s.s_nationkey
 """
 
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data-quality profile (operators/profiling.py) of
+    the orders table's non-float columns (floats are excluded from
+    the oracle-checked profile because engines format them
+    differently when rendered to string)."""
+    from bigdata_elephant_spark.operators.profiling import profile
+
+    return profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS "column",
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+
+
+PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(c)
+    for c in ("o_orderkey", "o_orderstatus", "o_orderpriority",
+              "o_orderdate")
+)
+
 SPECS = [
+    QuerySpec("profile_orders", profile_orders, PROFILE_ORDERS_SQL,
+              ("relational", "profiling")),
     QuerySpec("full_outer_nation_suppliers", full_outer_nation_suppliers,
               FULL_OUTER_SQL, ("relational", "join")),
     QuerySpec("value_percentiles", value_percentiles,

@@ -107,3 +107,15 @@ def test_duplicate_groups_long_chain_converges(spark):
         for r in duplicate_groups(pairs).collect()
     }
     assert got == {i: 0 for i in range(10)}
+
+
+def test_minhash_fast_hash_deterministic_and_same_shape(spark, sf_dir):
+    from bigdata_elephant_spark.sources.corpus import read_table
+    from bigdata_elephant_spark.operators.dedup import minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = minhash_signatures(docs, fast_hash=True).collect()
+    b = minhash_signatures(docs, fast_hash=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    portable = minhash_signatures(docs).collect()
+    assert len(a) == len(portable)  # same docs survive shingling
