@@ -744,7 +744,56 @@ PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
               "o_orderdate")
 )
 
+
+def window_frames_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile/percent_rank in one pass — all share one window
+    spec, so Catalyst plans a single sort+Window (one shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey,
+       lag(o_orderkey)  OVER w AS prev_ok,
+       lead(o_orderkey) OVER w AS next_ok,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6)  AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+def array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: per event type, the sorted distinct
+    user list (sort_array makes collect_set deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ARRAY_AGG_USERS_SQL = """
+SELECT event_type,
+       list_sort(list(DISTINCT user_id)) AS users,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
 SPECS = [
+    QuerySpec("window_frames_orders", window_frames_orders,
+              WINDOW_FRAMES_SQL, ("relational", "window")),
+    QuerySpec("array_agg_users", array_agg_users,
+              ARRAY_AGG_USERS_SQL, ("relational", "agg", "array")),
     QuerySpec("profile_orders", profile_orders, PROFILE_ORDERS_SQL,
               ("relational", "profiling")),
     QuerySpec("full_outer_nation_suppliers", full_outer_nation_suppliers,
