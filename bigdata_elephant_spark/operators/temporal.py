@@ -27,6 +27,111 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def gap_fill_hourly(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Hypertable-style rollup with gap filling: per key, the hourly
+    average of ``value`` on a *dense* hour grid from the key's first
+    to last hour, empty hours forward-filled from the previous
+    non-empty one.
+
+    Shapes: one aggregation to hourly buckets; per-key grid generated
+    with ``sequence`` + ``explode`` (rows = hours spanned, not raw
+    events — at 100 TB the rollup output is orders of magnitude
+    smaller than the input); forward fill is the same running
+    ``last(ignorenulls)`` window as the as-of join. Grid explosion is
+    bounded per key by the time span / step — guard pathological
+    spans with a where-clause on the span before calling.
+
+    Output: ``(key, hour, avg_value, filled)`` — ``filled`` marks
+    forward-filled rows.
+    """
+    hourly = (
+        events.groupBy(
+            F.col(key), F.date_trunc("hour", F.col(ts)).alias("hour")
+        )
+        .agg(F.round(F.avg(value), 6).alias("avg_raw"))
+    )
+    spans = hourly.groupBy(key).agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, [key, "hour"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "hour",
+        F.last("avg_raw", ignorenulls=True).over(w).alias("avg_value"),
+        F.col("avg_raw").isNull().alias("filled"),
+    )
+
+
+def range_join_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    window_minutes: int = 30,
+) -> DataFrame:
+    """For every event: how many *later* events of the same key fall
+    within ``window_minutes`` after it — a self range join.
+
+    The naive inequality join is O(per-key²). The scalable form
+    buckets time by the window width and equi-joins each event to its
+    own and the next bucket only (any match within (t, t+w] lives in
+    one of the two), then applies the exact range predicate — the
+    standard interval-bucketing trick: shuffle is keyed on
+    ``(key, bucket)``, candidate pairs are ~2× the true matches, not
+    n² per key.
+    """
+    w_us = window_minutes * 60 * 1_000_000
+    base = events.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("eid"),
+        F.unix_micros(F.col(ts)).alias("t"),
+    ).withColumn("bucket", (F.col("t") / w_us).cast("long"))
+
+    probe = base.select("k", "eid", "t", "bucket")
+    # candidates live in the probe row's bucket or the one above
+    cand = base.select(
+        F.col("k"),
+        F.col("t").alias("t2"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") - 1)
+        ).alias("bucket"),
+    )
+    matches = (
+        probe.join(cand, ["k", "bucket"])
+        .filter(
+            (F.col("t2") > F.col("t"))
+            & (F.col("t2") <= F.col("t") + w_us)
+        )
+        .groupBy("k", "eid")
+        .agg(F.count("*").alias("n_following"))
+    )
+    return (
+        probe.select("k", "eid")
+        .join(matches, ["k", "eid"], "left")
+        .select(
+            F.col("k").alias(key),
+            F.col("eid").alias(id_col),
+            F.coalesce("n_following", F.lit(0)).alias("n_following"),
+        )
+    )
+
+
 _SIDE = "__asof_side"
 _KEY = "__asof_key"
 _TS = "__asof_ts"

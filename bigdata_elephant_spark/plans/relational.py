@@ -789,7 +789,71 @@ FROM events
 GROUP BY event_type
 """
 
+
+def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with forward fill (hypertable-style
+    continuous aggregate; operators/temporal.py)."""
+    from bigdata_elephant_spark.operators import temporal
+
+    return temporal.gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           round(avg(value), 6) AS avg_raw
+    FROM events GROUP BY 1, 2
+),
+spans AS (
+    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM spans
+),
+joined AS (
+    SELECT g.user_id, g.hour, h.avg_raw
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+)
+SELECT user_id, hour,
+       last_value(avg_raw IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value,
+       avg_raw IS NULL AS filled
+FROM joined
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range join via interval bucketing (operators/temporal.py):
+    per event, count of same-user events within the next 30 minutes."""
+    from bigdata_elephant_spark.operators import temporal
+
+    return temporal.range_join_counts(_t(spark, sf_dir, "events"))
+
+
+RANGE_JOIN_SQL = """
+WITH base AS (
+    SELECT user_id AS k, event_id AS eid, epoch_us(ts) AS t FROM events
+)
+SELECT b.k AS user_id, b.eid AS event_id,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_following
+FROM base b
+LEFT JOIN (
+    SELECT a.k, a.eid, count(*) AS n
+    FROM base a JOIN base c
+      ON a.k = c.k AND c.t > a.t AND c.t <= a.t + 30 * 60 * 1000000
+    GROUP BY 1, 2
+) m ON m.k = b.k AND m.eid = b.eid
+"""
+
 SPECS = [
+    QuerySpec("gap_fill_hourly_values", gap_fill_hourly_values,
+              GAP_FILL_SQL, ("relational", "temporal")),
+    QuerySpec("events_range_join", events_range_join,
+              RANGE_JOIN_SQL, ("relational", "temporal"), bench=True),
     QuerySpec("window_frames_orders", window_frames_orders,
               WINDOW_FRAMES_SQL, ("relational", "window")),
     QuerySpec("array_agg_users", array_agg_users,

@@ -79,3 +79,61 @@ def test_asof_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_forward_fills_missing_hours(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 00:10:00"), 2.0),
+            (2, 7, _ts("2024-01-01 00:50:00"), 4.0),
+            # hour 01 empty -> filled with 3.0
+            (3, 7, _ts("2024-01-01 02:30:00"), 10.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["hour"].isoformat(): (r["avg_value"], r["filled"])
+        for r in temporal.gap_fill_hourly(events).collect()
+    }
+    assert got == {
+        "2024-01-01T00:00:00": (3.0, False),
+        "2024-01-01T01:00:00": (3.0, True),
+        "2024-01-01T02:00:00": (10.0, False),
+    }
+
+
+def test_range_join_matches_bruteforce(spark):
+    import itertools, random
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randrange(3), _ts("2024-01-01 00:00:00"), 0.0)
+        for i in range(40)
+    ]
+    # scatter timestamps over 3 hours at odd offsets incl. exact
+    # window-boundary cases
+    rows = [
+        (i, u, ts.replace(minute=(i * 7) % 60, hour=(i * 13) % 3), v)
+        for (i, u, ts, v) in rows
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["n_following"]
+        for r in temporal.range_join_counts(events).collect()
+    }
+    w_us = 30 * 60 * 1_000_000
+    ts_us = {i: int(t.timestamp() * 1e6) for (i, _, t, _) in rows}
+    user = {i: u for (i, u, _, _) in rows}
+    expect = {
+        i: sum(
+            1
+            for j in ts_us
+            if user[j] == user[i]
+            and ts_us[j] > ts_us[i]
+            and ts_us[j] <= ts_us[i] + w_us
+        )
+        for i in ts_us
+    }
+    assert got == expect
