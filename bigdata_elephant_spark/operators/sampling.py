@@ -1,0 +1,60 @@
+"""Reproducible sampling for training-data curation.
+
+``df.sample()``/``sampleBy()`` are seeded per *partition split*, so
+results change whenever partitioning changes — useless for a dataset
+you need to reproduce across cluster sizes, reruns, and engines.
+Hash-based sampling decides per ROW from a content key:
+``bucket = h32(key) % 10_000; keep iff bucket < rate``. Deterministic
+everywhere, stable under repartitioning, cheap (one md5 per row —
+or swap in h32_fast at production), and composable: disjoint bucket
+ranges give non-overlapping train/val/test splits from one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.hashing import h32
+
+BUCKETS = 10_000
+
+
+def sample_bucket(key: Column | str) -> Column:
+    """Stable per-row bucket in [0, 10000) from the key's hash."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(h32(c.cast("string")), F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    offset: float = 0.0,
+) -> DataFrame:
+    """Keep rows whose bucket falls in
+    ``[offset*10000, (offset+fraction)*10000)`` — e.g.
+    ``hash_sample(df, "doc_id", 0.8)`` for train and
+    ``hash_sample(df, "doc_id", 0.1, offset=0.8)`` for val are
+    disjoint by construction."""
+    lo = int(offset * BUCKETS)
+    hi = int((offset + fraction) * BUCKETS)
+    b = sample_bucket(key)
+    return df.filter((b >= lo) & (b < hi))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Per-stratum keep fractions (absent strata keep nothing) —
+    deterministic counterpart of ``sampleBy``."""
+    b = sample_bucket(key)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == stratum) & (b < int(frac * BUCKETS))
+        )
+    return df.filter(keep)

@@ -545,6 +545,52 @@ FROM documents
 """
 
 
+CURATE_MIN_TOKENS = 25
+CURATE_MAX_TOKENS = 95
+CURATE_SAMPLE = 0.8
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality filter -> exact-dedup survivors
+    -> reproducible 80% hash sample. The composition every
+    training-data run executes, as one lazy plan (one corpus scan
+    feeds stats + dedup branches; Catalyst handles the rest)."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.dedup import exact_dedup
+    from bigdata_elephant_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    stats = textstats.text_stats(docs).select("doc_id", "n_tokens")
+    keep = exact_dedup(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    curated = (
+        stats.join(keep, "doc_id")
+        .filter(
+            F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+        )
+    )
+    return hash_sample(curated, "doc_id", CURATE_SAMPLE)
+
+
+CURATE_CORPUS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+stats AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM doc_toks
+),
+canon AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+)
+SELECT s.doc_id, s.n_tokens
+FROM stats s JOIN canon c USING (doc_id)
+WHERE s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+  AND ({h32_sql_duckdb("CAST(s.doc_id AS VARCHAR)")} % 10000)
+      < {int(CURATE_SAMPLE * 10000)}
+"""
+
+
 FRAME_SIZE = 64
 FRAME_STRIDE = 4
 
@@ -595,6 +641,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
+    QuerySpec("curate_corpus", q_curate_corpus, CURATE_CORPUS_SQL,
+              ("llm", "pipeline"), bench=True),
     QuerySpec("minhash_signatures", q_minhash_signatures,
               MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
