@@ -77,6 +77,19 @@ def read_corpus(
     return out
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set the dynamic SQL confs every query depends on, on whatever
+    session we were handed. The driver harness builds its OWN
+    SparkSession — without ``nanosAsLong`` the events table's
+    TIMESTAMP(NANOS) column aborts the scan outright, and a non-UTC
+    session timezone shifts every rendered timestamp away from the
+    (UTC-naive) DuckDB oracle. Both are runtime-settable; setting
+    them here, at the one choke point every query reads through,
+    makes the engine session-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table (columnar scan + pushdown).
 
@@ -85,6 +98,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps with integer division — same truncation
     DuckDB applies — so both engines see identical values.
     """
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
