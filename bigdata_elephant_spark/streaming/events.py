@@ -33,18 +33,39 @@ from pyspark.sql import functions as F
 from bigdata_elephant_spark.sources.corpus import read_table
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 1
+) -> DataFrame:
     """Micro-batch file stream with the explicit events schema.
 
     The file-stream source wants a *directory* it can watch; testdata
     ships one parquet file, so stage it into a temp dir (a stand-in
     for the landing directory a real ingest pipeline appends to).
+
+    ``n_chunks > 1`` splits the data into time-ordered chunk files
+    with strictly increasing mtimes, so the source (oldest-first)
+    replays them as ``n_chunks`` forward-in-time micro-batches —
+    the shape real ingest has, where each trigger advances the
+    watermark without stranding earlier data behind it.
     """
     batch = read_table(spark, sf_dir, "events")
     src_file = f"{sf_dir.rstrip('/')}/events.parquet"
     raw_schema = spark.read.parquet(src_file).schema
     stage_dir = tempfile.mkdtemp(prefix="elephant_events_stream_")
-    shutil.copy(src_file, stage_dir)
+    if n_chunks <= 1:
+        shutil.copy(src_file, stage_dir)
+    else:
+        import os
+
+        raw = spark.read.parquet(src_file).orderBy("ts", "event_id")
+        rows = raw.count()
+        per = (rows + n_chunks - 1) // n_chunks
+        pdf = raw.toPandas()
+        for i in range(n_chunks):
+            part = pdf.iloc[i * per : (i + 1) * per]
+            path = f"{stage_dir}/chunk-{i:03d}.parquet"
+            part.to_parquet(path, index=False)
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
