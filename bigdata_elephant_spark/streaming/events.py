@@ -225,6 +225,56 @@ def user_running_anomalies(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas (Spark 4 successor of
+    applyInPandasWithState) needs the protobuf runtime for its state
+    server protocol; absent in this container."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_event_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running event count via ``transformWithStateInPandas``
+    — the modern typed-state API (ValueState/MapState/ListState +
+    timers, state schema evolution). Functionally equivalent to a
+    grouped count; kept as the migration template for
+    :func:`user_running_anomalies` once the environment has
+    protobuf. Raises ImportError where unavailable (see
+    :func:`tws_available`)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+
+    class Counts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = sum(len(pdf) for pdf in rows)
+            cur = self.n.get()
+            base = cur[0] if cur else 0
+            self.n.update((base + total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [base + total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counts(),
+        outputStructType="user_id long, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     path: str,

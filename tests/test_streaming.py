@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from bigdata_elephant_spark.sources.corpus import read_table
 from bigdata_elephant_spark.streaming import events as ev
 
@@ -126,3 +128,19 @@ def test_multi_batch_runs_multiple_triggers(spark, sf_dir):
     finally:
         q.stop()
     assert n_batches >= 3
+
+
+@pytest.mark.skipif(
+    not ev.tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf "
+    "(not in this container)",
+)
+def test_tws_counts_equal_batch(spark, sf_dir):
+    stream = ev.user_event_counts_tws(ev.read_events_stream(spark, sf_dir))
+    got = ev.run_stream_to_memory(
+        stream, f"tws_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    batch = read_table(spark, sf_dir, "events").groupBy("user_id").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
