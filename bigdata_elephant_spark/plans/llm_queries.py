@@ -198,6 +198,91 @@ SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node
 """
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate pair graph (symmetric edges):
+    rank concentration identifies template/boilerplate clusters. The
+    iterative-join workload (operators/graph.py) on top of the LSH
+    pair mining."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.graph import pagerank
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    return pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+
+
+def _pagerank_iter_ctes(iters: int, damping: float) -> str:
+    """Unrolled per-iteration CTEs (aggregates are not allowed in a
+    recursive CTE term, so the fixed iteration count is unrolled)."""
+    parts = []
+    for i in range(iters):
+        parts.append(f"""
+pr{i + 1} AS (
+    SELECT n.node,
+           round((1.0 - {damping}) / (SELECT count(*) FROM nodes)
+                 + {damping} * coalesce(s.inflow, 0.0), 9) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT w.dst AS node, sum(p.rank * w.w) AS inflow
+        FROM wedges w JOIN pr{i} p ON p.node = w.src
+        GROUP BY w.dst
+    ) s USING (node)
+)""")
+    return ",".join(parts)
+
+
+PAGERANK_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM cand p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+),
+e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM good
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM good
+),
+nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+wedges AS (
+    SELECT src, dst,
+           1.0 / (count(*) OVER (PARTITION BY src)) AS w
+    FROM e
+),
+pr0 AS (
+    SELECT node,
+           round(1.0 / (SELECT count(*) FROM nodes), 9) AS rank
+    FROM nodes
+),
+{_pagerank_iter_ctes(PR_ITERS, PR_DAMPING)}
+SELECT node, round(rank, 6) AS rank FROM pr{PR_ITERS}
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -649,6 +734,8 @@ SPECS = [
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
               ("llm", "dedup", "iterative")),
+    QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
+              ("llm", "graph", "iterative")),
     QuerySpec("simhash_signatures", q_simhash_signatures,
               SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_SQL,

@@ -1,0 +1,29 @@
+"""PageRank sanity on hand-analyzable graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_elephant_spark.operators.graph import pagerank
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    # 3-cycle both directions: perfect symmetry => uniform ranks
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]],
+        "src long, dst long",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert all(v == pytest.approx(1 / 3, abs=1e-6) for v in ranks.values())
+
+
+def test_pagerank_star_center_dominates(spark):
+    # leaves all point at the hub (and hub points back)
+    leaves = list(range(2, 8))
+    pairs = [(leaf, 1) for leaf in leaves] + [(1, leaf) for leaf in leaves]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    hub = ranks.pop(1)
+    assert all(hub > v for v in ranks.values())
+    assert sum(ranks.values()) + hub == pytest.approx(1.0, abs=1e-4)
