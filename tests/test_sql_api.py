@@ -1,0 +1,27 @@
+"""The whole engine is reachable through plain spark.sql."""
+
+from __future__ import annotations
+
+from bigdata_elephant_spark.sql_api import register_views
+
+
+def test_sql_over_derived_views(spark, sf_dir):
+    names = register_views(spark, sf_dir)
+    assert {"lineitem", "vocabulary", "postings", "doc_meta"} <= set(names)
+    row = spark.sql("""
+        SELECT count(*) AS n
+        FROM postings p JOIN vocabulary v USING (word_id)
+        WHERE v.df > 1
+    """).collect()[0]
+    assert row["n"] > 0
+
+
+def test_view_filter_reaches_scan(spark, sf_dir):
+    """Catalyst optimizes through the view: a filter typed in SQL on
+    the raw table view lands in the parquet scan as a pushed filter."""
+    register_views(spark, sf_dir, derived=False)
+    df = spark.sql(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
