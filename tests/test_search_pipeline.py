@@ -117,3 +117,21 @@ def test_reference_off_by_one_replica(spark, sf_dir):
     assert [r["doc_id"] for r in faithful[:5]] == [
         r["doc_id"] for r in exact
     ]
+
+
+def test_search_edge_cases(spark, sf_dir):
+    """All-filtered query -> 0 rows; k >> corpus; empty query."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    # every token dropped by filterText (digits / 4x-repeat / punct)
+    assert (
+        search(spark, "1234 aaaa !!!", vocab, postings, k=5).count() == 0
+    )
+    # empty query string
+    assert search(spark, "", vocab, postings, k=5).count() == 0
+    # k far beyond the corpus: returns every scored doc, no crash
+    n = search(spark, "hash join", vocab, postings, k=10_000_000).count()
+    assert 0 < n <= corpus.count()
