@@ -1,0 +1,112 @@
+"""Adversarial inputs: unicode, huge docs, randomized as-of."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.text import tokenize
+from bigdata_elephant_spark.operators import temporal
+from bigdata_elephant_spark.operators.dedup import doc_shingles
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_tokenize_unicode_matches_duckdb(spark, duck):
+    """The decomposed filterText must agree cross-engine on unicode:
+    [a-z0-9] classes are ASCII in both Java regex and RE2, and both
+    operate on codepoints, so emoji/CJK/diacritics become spaces."""
+    texts = [
+        (1, "héllo wörld"),            # diacritics -> split tokens
+        (2, "日本語のテキスト mixed ascii"),
+        (3, "emoji 😀 test aaaa"),
+        (4, "tabs\tand\nnewlines stay whitespace"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["word"]) for r in tokenize(df).collect()
+    )
+    duck.execute("DROP TABLE IF EXISTS u_docs")
+    duck.execute(
+        "CREATE TABLE u_docs (doc_id BIGINT, text VARCHAR)"
+    )
+    duck.executemany(
+        "INSERT INTO u_docs VALUES (?, ?)", texts
+    )
+    repeat4 = " OR ".join(
+        f"w LIKE '%{c * 4}%'" for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(f"""
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                           '\\s+')) AS w
+                FROM u_docs
+            ) WHERE w <> ''
+              AND NOT regexp_full_match(w, '[0-9]+')
+              AND NOT ({repeat4})
+        """).fetchall()
+    )
+    assert got == expect
+
+
+def test_huge_doc_shingles(spark):
+    """A 1 MB document flows through shingling without error and
+    yields the expected shingle count."""
+    words = " ".join(f"w{i % 997}x" for i in range(150_000))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    n = doc_shingles(df).count()
+    assert n == 150_000 - 2  # n_tokens - (shingle_n - 1)
+
+
+@given(
+    n_left=st.integers(1, 15),
+    n_right=st.integers(0, 10),
+    data=st.data(),
+)
+@SETTINGS
+def test_asof_random_matches_bruteforce(spark, n_left, n_right, data):
+    t0 = datetime(2024, 1, 1)
+    lefts = [
+        (i, data.draw(st.integers(0, 2)),
+         t0 + timedelta(minutes=data.draw(st.integers(0, 500))))
+        for i in range(n_left)
+    ]
+    rights = {}
+    for j in range(n_right):
+        k = data.draw(st.integers(0, 2))
+        ts = t0 + timedelta(minutes=data.draw(st.integers(0, 500)))
+        rights[(k, ts)] = f"p{j}"  # unique per (key, ts) by dict
+    right_rows = [(k, ts, p) for (k, ts), p in rights.items()]
+    left_df = spark.createDataFrame(
+        lefts, "event_id long, k long, ts timestamp"
+    )
+    right_df = spark.createDataFrame(
+        right_rows or [(99, t0, "none")],
+        "rk long, rts timestamp, payload string",
+    )
+    if not right_rows:
+        right_df = right_df.filter(F.lit(False))
+    got = {
+        r["event_id"]: r["payload"]
+        for r in temporal.asof_join(
+            left_df, right_df, "k", "rk", "ts", "rts"
+        ).collect()
+    }
+    for (i, k, ts) in lefts:
+        cands = [
+            (rts, p) for (rk, rts), p in rights.items()
+            if rk == k and rts <= ts
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts)
