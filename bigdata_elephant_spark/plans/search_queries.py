@@ -170,8 +170,29 @@ def _search_q(scoring: str):
     return run
 
 
+# The reference's hardcoded default query and K (Query.java:27,29) —
+# registered verbatim so its out-of-the-box behavior has an oracle.
+REFERENCE_DEFAULT_QUERY = "the good person"
+
+
+def _search_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    vocab = build_vocabulary(corpus).persist()
+    postings = build_index(corpus, vocab)
+    return search(
+        spark, REFERENCE_DEFAULT_QUERY, vocab, postings, k=DEFAULT_K,
+        scoring="reference",
+    ).select("doc_id", "score")
+
+
 SPECS = [
     QuerySpec("vocab_build", q_vocab, VOCAB_SQL, ("search", "agg"), bench=True),
+    QuerySpec(
+        "search_default_query",
+        _search_default,
+        _search_oracle(REFERENCE_DEFAULT_QUERY, DEFAULT_K, "reference"),
+        ("search", "topk"),
+    ),
     QuerySpec(
         "postings_build", q_postings, POSTINGS_SQL, ("search", "join"),
         bench=True,
