@@ -36,6 +36,57 @@ def assign_dense_ids(
     return df.withColumn(id_col, (F.row_number().over(w) - 1).cast("long"))
 
 
+def assign_dense_ids_distributed(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "word_id",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Scale-safe dense ids: the two-phase partition-offset scheme.
+
+    The plain window funnels every row through one partition — fine
+    for natural-language vocabularies, a wall for billion-row id
+    spaces. Here: range-partition by ``order_col``, rank *within*
+    each partition (independent windows, fully parallel), then add
+    the partition's global offset (a tiny driver-side cumulative sum
+    broadcast back). Output ids equal the global dense rank exactly,
+    regardless of where the sampled range boundaries fall, because
+    range partitions are themselves ordered.
+    """
+    parted = df.repartitionByRange(n_parts, F.col(order_col))
+    # Materialize BEFORE reading partition ids: the offsets collected
+    # below and the final ranking must see the SAME boundaries, and
+    # range partitioning samples — recomputation could re-draw them.
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        with_pid.withColumn(
+            id_col,
+            (
+                offset_col[F.col("__pid")]
+                + F.row_number().over(w)
+                - 1
+            ).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 def build_vocabulary(
     corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

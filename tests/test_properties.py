@@ -95,3 +95,33 @@ def test_word_ids_dense_and_alphabetical(spark, texts):
         key=lambda r: r["word"],
     )
     assert [r["word_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_distributed_ids_equal_window_ids(spark):
+    """The two-phase partition-offset scheme produces exactly the
+    global dense rank the single-partition window produces."""
+    from bigdata_elephant_spark.operators.vocab import (
+        assign_dense_ids,
+        assign_dense_ids_distributed,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+    import os
+
+    sf = os.environ.get("ELEPHANT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    vocab_words = (
+        read_table(spark, sf, "documents")
+        .selectExpr("explode(split(lower(text), ' ')) AS word")
+        .filter("word <> ''")
+        .distinct()
+    )
+    a = {
+        r["word"]: r["word_id"]
+        for r in assign_dense_ids(vocab_words, "word").collect()
+    }
+    b = {
+        r["word"]: r["word_id"]
+        for r in assign_dense_ids_distributed(
+            vocab_words, "word", n_parts=7
+        ).collect()
+    }
+    assert a == b and len(a) > 20
