@@ -16,8 +16,9 @@ Scale note: the global ``row_number`` window funnels the *vocabulary*
 (not the corpus) through one partition. Natural-language vocabularies
 are <= tens of millions of rows — a few hundred MB — so this is fine
 even at 100 TB corpus scale; the corpus-sized work (tokenize +
-aggregate) is fully parallel. If the id space ever explodes, swap in
-the two-phase partition-offset scheme in ``assign_dense_ids``.
+aggregate) is fully parallel. For id spaces where it isn't,
+:func:`assign_dense_ids_distributed` computes identical ids with
+parallel per-partition windows + global offsets.
 """
 
 from __future__ import annotations
