@@ -66,6 +66,17 @@ def read_events_stream(
             path = f"{stage_dir}/chunk-{i:03d}.parquet"
             part.to_parquet(path, index=False)
             os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = open_events_stream(spark, stage_dir, raw_schema)
+    assert stream.schema == batch.schema
+    return stream
+
+
+def open_events_stream(
+    spark: SparkSession, stage_dir: str, raw_schema
+) -> DataFrame:
+    """File micro-batch stream over an existing landing directory —
+    the restart path: a new query with the same checkpoint resumes
+    from the last committed file, processing only newly landed ones."""
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -76,7 +87,6 @@ def read_events_stream(
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    assert stream.schema == batch.schema
     return stream
 
 

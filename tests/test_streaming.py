@@ -144,3 +144,45 @@ def test_tws_counts_equal_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Kill-and-restart with the same checkpoint: the resumed query
+    picks up after the last committed batch — every input row lands
+    exactly once across both query lifetimes."""
+    import os
+
+    stage = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = raw.schema
+    pdf = raw.orderBy("ts", "event_id").toPandas()
+    third = (len(pdf) + 2) // 3
+    for i in range(2):  # land chunks 0 and 1
+        p = f"{stage}/chunk-{i:03d}.parquet"
+        pdf.iloc[i * third : (i + 1) * third].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = ev.open_events_stream(spark, stage, raw_schema)
+    ev.run_stream_to_parquet(
+        stream.select("event_id", "user_id"), out, ckpt
+    )
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 2 * third
+
+    # land chunk 2, then RESTART (fresh query object, same checkpoint)
+    p = f"{stage}/chunk-002.parquet"
+    pdf.iloc[2 * third :].to_parquet(p, index=False)
+    os.utime(p, (1_700_000_002, 1_700_000_002))
+    stream2 = ev.open_events_stream(spark, stage, raw_schema)
+    ev.run_stream_to_parquet(
+        stream2.select("event_id", "user_id"), out, ckpt
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == len(pdf)
+    assert written.select("event_id").distinct().count() == len(pdf)
+    # the resumed query appended batch 2 only (batches 0,1 untouched)
+    assert written.select("batch_id").distinct().count() == 3
