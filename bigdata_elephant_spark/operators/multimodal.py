@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -169,6 +170,55 @@ def frame_sample(
     return df.select(id_col, media_col).mapInPandas(
         batches, schema=FRAME_SCHEMA
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize plumbing: payload -> payload of the target dimensions.
+
+    The fake "resampler" truncates/cycles bytes to ``w*h`` — a real
+    implementation swaps in PIL/ffmpeg scaling per record; schema
+    (binary out + updated metadata struct), Arrow batching, and
+    1-in-1-out row contract are identical. Runs in ``mapInPandas``
+    so decoder state could be reused across a partition's records.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in it:
+            payloads = []
+            for b in pdf[media_col]:
+                raw = bytes(b)
+                if not raw:
+                    payloads.append(b"\x00" * size)
+                elif len(raw) >= size:
+                    payloads.append(raw[:size])
+                else:
+                    reps = (size + len(raw) - 1) // len(raw)
+                    payloads.append((raw * reps)[:size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return df.select(id_col, media_col).mapInPandas(batches, schema=schema)
 
 
 def media_summary(df: DataFrame) -> DataFrame:

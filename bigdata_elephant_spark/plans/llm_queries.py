@@ -723,6 +723,109 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+RESIZE_W = 32
+RESIZE_H = 32
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing fingerprints: deterministic byte resampling in
+    mapInPandas; the oracle recomputes the truncate/cycle byte math
+    (testdata text is ASCII, so char ops == byte ops in SQL)."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    resized = resize_media(
+        attach_fake_media(_docs(spark, sf_dir)),
+        target_w=RESIZE_W,
+        target_h=RESIZE_H,
+    )
+    return resized.select(
+        "doc_id",
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("content_md5"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+_RSZ = RESIZE_W * RESIZE_H
+
+MEDIA_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST({_RSZ} AS BIGINT) AS n_bytes,
+       md5(substr(
+           repeat(text, CAST(ceil({_RSZ}.0 / length(text)) AS INT)),
+           1, {_RSZ})) AS content_md5,
+       CAST({RESIZE_W} AS BIGINT) AS width,
+       CAST({RESIZE_H} AS BIGINT) AS height
+FROM documents
+"""
+
+
+# Common-English char-trigram profile (fixed so any engine replays it).
+EN_TRIGRAMS = (
+    "the", "ing", "and", "ion", "ent", "for", "tio", "ere", "her", "ate",
+)
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID: fraction of the doc's character
+    trigrams found in a fixed English profile — the real lang-ID
+    shape (per-language n-gram profiles), single-profile here.
+    Expression-only: the normalized text is projected to a column
+    before the trigram transform (HOF lambdas re-evaluate inlined
+    subtrees per element)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("__norm"),
+    )
+    n = F.length("__norm")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.substring(F.col("__norm"), i, 3),
+    )
+    hits = F.size(F.filter(tri, lambda t: t.isin(*EN_TRIGRAMS)))
+    score = F.round(
+        hits / F.greatest(F.size(tri), F.lit(1)), 6
+    )
+    return norm.select(
+        "doc_id",
+        score.alias("en_trigram_score"),
+        F.when(score > 0.02, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+_TRI_SET = ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
+
+LANG_ID_NGRAM_SQL = f"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS n
+    FROM documents
+),
+tris AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(n) - 2, 0) + 1),
+                          i -> substr(n, i, 3)) AS tri
+    FROM norm
+)
+SELECT doc_id,
+       round(len(list_filter(tri, t -> t IN ({_TRI_SET})))
+             / greatest(len(tri), 1), 6) AS en_trigram_score,
+       CASE WHEN round(len(list_filter(tri, t -> t IN ({_TRI_SET})))
+                       / greatest(len(tri), 1), 6) > 0.02
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM tris
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
@@ -753,6 +856,10 @@ SPECS = [
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,
               ("llm", "text"), bench=True),
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),
+    QuerySpec("lang_id_ngram", q_lang_id_ngram, LANG_ID_NGRAM_SQL,
+              ("llm", "text")),
+    QuerySpec("media_resize", q_media_resize, MEDIA_RESIZE_SQL,
+              ("llm", "multimodal")),
     QuerySpec("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
               ("llm", "text")),
     QuerySpec("pandas_token_counts", q_pandas_token_counts,

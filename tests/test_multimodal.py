@@ -72,3 +72,23 @@ def test_frame_sample_fanout_and_crc(spark):
     raw = b"a" * 200
     crc0 = zlib.crc32(raw[0:64])
     assert {r["frame_idx"]: r["frame_crc"] for r in by_doc[1]}[0] == crc0
+
+
+def test_resize_media_shapes(spark):
+    from bigdata_elephant_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "x" * 5000), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in resize_media(
+        attach_fake_media(docs), target_w=8, target_h=8
+    ).collect()}
+    assert all(len(r["media"]) == 64 for r in got.values())
+    assert bytes(got[1]["media"])[:4] == b"abab"      # cycled
+    assert bytes(got[2]["media"]) == b"x" * 64        # truncated
+    assert bytes(got[3]["media"]) == b"\x00" * 64     # empty -> zeros
+    assert got[1]["width"] == 8 and got[1]["height"] == 8
