@@ -723,6 +723,39 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+def q_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: every document's token count next to its
+    embedding's norm and cluster label (doc_id == vec_id). The
+    text-plus-vector view a curation pipeline filters on; at scale
+    both sides are bucketed on the id so this join is shuffle-free."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.similarity import _norm2
+
+    stats = textstats.text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens"
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("label").cast("long").alias("label"),
+        F.round(F.sqrt(_norm2(F.col("embedding"))), 6).alias("emb_norm"),
+    )
+    return stats.join(emb, "doc_id")
+
+
+_NORM_SQL = (
+    f"sqrt({_dot_sql('embedding', 'embedding')})"
+)
+
+DOC_EMBEDDING_JOIN_SQL = f"""
+WITH {DOC_TOKS_CTE}
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(e.label AS BIGINT)     AS label,
+       round({_NORM_SQL}, 6)       AS emb_norm
+FROM doc_toks t JOIN embeddings e ON e.vec_id = t.doc_id
+"""
+
+
 RESIZE_W = 32
 RESIZE_H = 32
 
@@ -849,6 +882,8 @@ SPECS = [
               ("llm", "similarity")),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
+    QuerySpec("doc_embedding_join", q_doc_embedding_join,
+              DOC_EMBEDDING_JOIN_SQL, ("llm", "multimodal", "join")),
     QuerySpec("near_dup_embeddings", q_near_dup_exact, NEAR_DUP_EXACT_SQL,
               ("llm", "dedup", "similarity")),
     QuerySpec("near_dup_embeddings_lsh", q_near_dup_lsh, NEAR_DUP_LSH_SQL,
