@@ -640,20 +640,30 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> reproducible 80% hash sample. The composition every
     training-data run executes, as one lazy plan (one corpus scan
     feeds stats + dedup branches; Catalyst handles the rest)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from bigdata_elephant_spark.operators.dedup import exact_dedup
+    from bigdata_elephant_spark.functions.text import tokens_array
     from bigdata_elephant_spark.operators.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
-    stats = textstats.text_stats(docs).select("doc_id", "n_tokens")
-    keep = exact_dedup(docs).select(
-        F.col("canonical_doc_id").alias("doc_id")
+    # ONE projection computes both curation signals (token count +
+    # normalized-text hash); dedup survivorship is a window rank per
+    # hash instead of an aggregate + self-join, so the whole pipeline
+    # is one corpus scan and one shuffle (by text hash).
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_array("text")).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("__h"),
     )
+    w = Window.partitionBy("__h").orderBy("doc_id")
     curated = (
-        stats.join(keep, "doc_id")
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .filter(
             F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
         )
+        .select("doc_id", "n_tokens")
     )
     return hash_sample(curated, "doc_id", CURATE_SAMPLE)
 
