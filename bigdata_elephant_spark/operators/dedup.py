@@ -298,6 +298,72 @@ def simhash_signatures(
     return per_doc.select(id_col, sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: candidates share at
+    least one of ``n_bands`` bit-slices (pigeonhole: any pair within
+    ``n_bands - 1`` differing bits MUST agree on some band; wider
+    ``max_hamming`` trades recall), verified by exact Hamming
+    distance (xor + popcount — one codegen'd expression).
+
+    Input is one row of (id, 32-bit signature) per doc, so the
+    shuffle is tiny regardless of corpus size; quadratic work only
+    inside identical-bit-slice buckets.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(band_structs).alias("bb")
+    ).select(
+        id_col,
+        sig_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(sig_col).alias("sig_a"),
+        "band",
+        "bkey",
+    )
+    b_ = bands.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(sig_col).alias("sig_b"),
+        "band",
+        "bkey",
+    )
+    return (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------- exact jaccard
 
 def ngram_jaccard_pairs(

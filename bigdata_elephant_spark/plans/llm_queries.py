@@ -310,6 +310,41 @@ SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM sums
 """
 
 
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    return dedup.simhash_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+_SH_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * 8}) & 255 AS bkey FROM sh_sigs"
+    for b in range(4)
+)
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(toks) AS word FROM doc_toks),
+hashed AS (SELECT doc_id, {_HW} AS h FROM tok_rows),
+sums AS (
+    SELECT doc_id,
+           {_BIT_SUMS}
+    FROM hashed GROUP BY doc_id
+),
+sh_sigs AS (SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM sums),
+bands AS (
+{_SH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b USING (band, bkey)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
@@ -884,6 +919,8 @@ SPECS = [
               ("llm", "graph", "iterative")),
     QuerySpec("simhash_signatures", q_simhash_signatures,
               SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
+    QuerySpec("dedup_simhash_pairs", q_simhash_pairs,
+              SIMHASH_PAIRS_SQL, ("llm", "dedup")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_SQL,
               ("llm", "dedup")),
     QuerySpec("knn_cosine", q_knn_cosine, KNN_COSINE_SQL,
