@@ -964,7 +964,68 @@ JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: distribution of customers by order count —
+    left join keeps zero-order customers, then a two-level
+    aggregation (count per customer, then customers per count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values via width_bucket — the
+    single-pass distribution profile (each row maps to a bucket in
+    the projection; one partial-aggregated groupBy)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# DuckDB has no width_bucket; the oracle spells out its arithmetic
+# (0 below range, n_buckets+1 at/above max, else floor(v/width)+1).
+VALUE_HISTOGRAM_SQL = """
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 21
+            ELSE CAST(floor(value / 5.0) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
 SPECS = [
+    QuerySpec("q13_order_count_distribution", q13_order_count_distribution,
+              Q13_SQL, ("relational", "agg", "join")),
+    QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
+              ("relational", "agg")),
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL,
               ("relational", "join"), bench=True),
     QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL,
