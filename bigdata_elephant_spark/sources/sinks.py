@@ -31,9 +31,25 @@ def write_table(
     path: str,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
-    """Columnar (or interchange-format) write of ``df`` to ``path``."""
-    df.write.format(fmt).mode(mode).save(path)
+    """Columnar (or interchange-format) write of ``df`` to ``path``.
+
+    ``compression``: parquet default is snappy (fast, ~2x); zstd
+    trades ~30% more CPU for ~30% smaller files — at 100 TB the
+    storage + network savings usually win, so production tables use
+    zstd and hot intermediate datasets keep snappy.
+    ``max_records_per_file`` caps file size writer-side (the
+    complement of :func:`compact`: prevent too-big instead of heal
+    too-small).
+    """
+    w = df.write.format(fmt).mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.save(path)
 
 
 def read_back(

@@ -78,3 +78,30 @@ def test_whole_stage_codegen_in_q1(spark, sf_dir):
     plan = plan_of(df)
     # '*(n)' is the simple-string marker for a WholeStageCodegen span
     assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_curate_is_single_scan_with_group_limit(spark, sf_dir):
+    """The curation pipeline is one corpus scan; rank-1-per-hash
+    dedup plans as WindowGroupLimit (map-side partial top-1)."""
+    from bigdata_elephant_spark.plans.llm_queries import q_curate_corpus
+
+    plan = plan_of(q_curate_corpus(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
+    plan = plan_of(relational.q7_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 4  # c, s, n1, n2
+    m = [ln for ln in plan.splitlines()
+         if "FileScan" in ln and "lineitem" in ln]
+    # fact scan pruned to the join/agg columns only
+    assert m and "l_quantity" not in m[0] and "l_tax" not in m[0]
+
+
+def test_range_join_no_cartesian(spark, sf_dir):
+    from bigdata_elephant_spark.plans.relational import events_range_join
+
+    plan = plan_of(events_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

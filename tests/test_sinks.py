@@ -103,3 +103,35 @@ def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
     n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_dst <= 2
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_zstd_compression_roundtrip_and_smaller(spark, sf_dir, tmp_path):
+    import os
+
+    src = read_table(spark, sf_dir, "documents")
+    p_snappy = str(tmp_path / "snappy")
+    p_zstd = str(tmp_path / "zstd")
+    sinks.write_table(src.coalesce(1), p_snappy, compression="snappy")
+    sinks.write_table(src.coalesce(1), p_zstd, compression="zstd")
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    assert spark.read.parquet(p_zstd).count() == src.count()
+    assert total(p_zstd) < total(p_snappy)  # text compresses better
+
+
+def test_max_records_per_file_caps_file_size(spark, sf_dir, tmp_path):
+    import os
+
+    src = read_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "capped")
+    n = src.count()
+    cap = max(1, n // 4)
+    sinks.write_table(src.coalesce(1), p, max_records_per_file=cap)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    assert spark.read.parquet(p).count() == n
