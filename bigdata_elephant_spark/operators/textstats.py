@@ -117,6 +117,78 @@ def token_counts(
     )
 
 
+# Minimal per-language char-trigram profiles. Real systems learn a
+# few hundred trigrams per language from corpora; the scoring shape
+# (density against each profile, argmax) is identical.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent", "for", "tio", "ere",
+           "her", "ate"),
+    "de": ("der", "die", "und", "ein", "sch", "ich", "den", "che",
+           "gen", "ung"),
+    "fr": ("les", "ent", "des", "est", "que", "ion", "ait", "lle",
+           "une", "eur"),
+}
+
+
+def lang_id_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Multi-profile char-trigram language ID: score the document's
+    trigram stream against every language profile, predict the
+    argmax (ties broken by language name for determinism).
+
+    One pass: the trigram array is computed once (projected column —
+    HOF lambdas re-evaluate inlined subtrees), then each profile
+    score is a filtered-size expression over it.
+    """
+    profiles = profiles or LANG_TRIGRAM_PROFILES
+    norm = df.select(
+        id_col,
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+        .alias("__norm"),
+    )
+    n = F.length("__norm")
+    tri_df = norm.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.substring(F.col("__norm"), i, 3),
+        ).alias("__tri"),
+    )
+    denom = F.greatest(F.size("__tri"), F.lit(1))
+
+    def in_profile(p):
+        # closure factory: a 2-arg lambda would make PySpark bind the
+        # array INDEX to the second parameter
+        return lambda t: t.isin(*p)
+
+    scored = tri_df.select(
+        id_col,
+        *[
+            F.round(
+                F.size(F.filter("__tri", in_profile(p))) / denom, 6
+            ).alias(f"score_{lang}")
+            for lang, p in sorted(profiles.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in sorted(profiles)])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{l}") == best, F.lit(l))
+            for l in sorted(profiles)
+        ]
+    )
+    return scored.select(
+        id_col,
+        *[f"score_{l}" for l in sorted(profiles)],
+        F.when(best > 0, pred).otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+    )
+
+
 def pandas_ws_token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

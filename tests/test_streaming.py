@@ -186,3 +186,18 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
     assert written.select("event_id").distinct().count() == len(pdf)
     # the resumed query appended batch 2 only (batches 0,1 untouched)
     assert written.select("batch_id").distinct().count() == 3
+
+
+def test_kafka_reader_wiring(spark, sf_dir):
+    """With the Kafka package absent, the reader must fail with
+    data-source-not-found (proving the wiring reaches Spark's source
+    resolution); where the package exists, the plan builds and its
+    schema matches the file-based stream exactly."""
+    if ev.kafka_available(spark):
+        kdf = ev.read_events_kafka(spark, "broker:9092", "events")
+        fdf = ev.read_events_stream(spark, sf_dir)
+        assert kdf.schema == fdf.schema
+    else:
+        with pytest.raises(Exception) as ei:
+            ev.read_events_kafka(spark, "broker:9092", "events")
+        assert "kafka" in str(ei.value).lower()

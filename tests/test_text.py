@@ -79,3 +79,33 @@ def test_decomposed_filter_equals_faithful_on_real_corpus(spark, sf_dir):
     )
     assert faithful.exceptAll(decomposed).count() == 0
     assert decomposed.exceptAll(faithful).count() == 0
+
+
+def test_lang_id_profiles_argmax(spark):
+    from bigdata_elephant_spark.operators.textstats import lang_id_profiles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the thing for the nation there and here"),
+            (2, "der dichter und die schoene einige sachen"),
+            (3, "les choses est que une fleur des montagnes"),
+            (4, "zzz qqq xxx"),  # matches nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id_profiles(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_lang_id_profiles_deterministic_tiebreak(spark):
+    from bigdata_elephant_spark.operators.textstats import lang_id_profiles
+
+    # 'ion' and 'ent' are in BOTH the en and fr profiles -> exact tie;
+    # alphabetical tie-break picks 'en' deterministically
+    docs = spark.createDataFrame(
+        [(1, "iония ent ion")], "doc_id long, text string"
+    )
+    rows = lang_id_profiles(docs).collect()
+    assert rows[0]["pred_lang"] == "en"
+    assert rows[0]["score_en"] == rows[0]["score_fr"] > 0
