@@ -880,6 +880,54 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id_profiles(_docs(spark, sf_dir))
+
+
+def _profile_score_sql(p: tuple[str, ...]) -> str:
+    s = ", ".join(f"'{t}'" for t in p)
+    return (
+        f"round(len(list_filter(tri, t -> t IN ({s})))"
+        " / greatest(len(tri), 1), 6)"
+    )
+
+
+_PROFILES_SORTED = sorted(textstats.LANG_TRIGRAM_PROFILES.items())
+_SCORE_COLS = ",\n       ".join(
+    f"{_profile_score_sql(p)} AS score_{lang}"
+    for lang, p in _PROFILES_SORTED
+)
+_BEST = "greatest(" + ", ".join(
+    f"score_{lang}" for lang, _ in _PROFILES_SORTED
+) + ")"
+_PRED = "CASE WHEN " + _BEST + " = 0 THEN 'unknown' " + " ".join(
+    f"WHEN score_{lang} = {_BEST} THEN '{lang}'"
+    for lang, _ in _PROFILES_SORTED
+) + " END"
+
+LANG_ID_PROFILES_SQL = f"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS n
+    FROM documents
+),
+tris AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(n) - 2, 0) + 1),
+                          i -> substr(n, i, 3)) AS tri
+    FROM norm
+),
+scored AS (
+    SELECT doc_id,
+           {_SCORE_COLS}
+    FROM tris
+)
+SELECT doc_id, {", ".join(f"score_{l}" for l, _ in _PROFILES_SORTED)},
+       {_PRED} AS pred_lang
+FROM scored
+"""
+
+
 _TRI_SET = ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
 
 LANG_ID_NGRAM_SQL = f"""
@@ -940,6 +988,8 @@ SPECS = [
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),
     QuerySpec("lang_id_ngram", q_lang_id_ngram, LANG_ID_NGRAM_SQL,
               ("llm", "text")),
+    QuerySpec("lang_id_profiles", q_lang_id_profiles,
+              LANG_ID_PROFILES_SQL, ("llm", "text")),
     QuerySpec("media_resize", q_media_resize, MEDIA_RESIZE_SQL,
               ("llm", "multimodal")),
     QuerySpec("token_counts", q_token_counts, TOKEN_COUNTS_SQL,
