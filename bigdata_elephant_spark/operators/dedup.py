@@ -372,17 +372,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard pairs ``(doc_a, doc_b, jaccard)``.
 
     Inverted-index style: self-join distinct shingles, count the
     intersection per pair, derive the union from per-doc set sizes.
-    The join key is the shingle, so frequent shingles dominate cost —
-    at scale, drop ultra-frequent shingles first (stopword shingles
-    carry no dedup signal).
+    The join key is the shingle, so frequent shingles dominate cost:
+    a shingle in d docs spawns d^2/2 candidate rows. ``max_doc_freq``
+    drops shingles above that document frequency BEFORE the join
+    (boilerplate shingles carry no dedup signal but all of the
+    cost). Set sizes still use the full shingle sets, so the capped
+    result is conservative: reported Jaccard is a LOWER BOUND (the
+    intersection count misses any dropped shingles a pair shares),
+    and pairs overlapping only in ultra-frequent shingles are missed
+    entirely — both are the right direction for a dedup *verifier*.
     """
     sh = doc_shingles(df, text_col, id_col, n=shingle_n, distinct=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

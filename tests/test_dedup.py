@@ -119,3 +119,34 @@ def test_minhash_fast_hash_deterministic_and_same_shape(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     portable = minhash_signatures(docs).collect()
     assert len(a) == len(portable)  # same docs survive shingling
+
+
+def test_ngram_jaccard_max_df_is_conservative(spark, sf_dir):
+    """With a doc-frequency cap, the result is a conservative subset:
+    surviving pairs report a lower-bound jaccard."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+    from bigdata_elephant_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=50
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j <= full[pair]  # lower bound (exact when no dropped
+        # shingle is shared by the pair)
+    # a generous cap keeps everything
+    uncapped_equiv = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=10**9
+        ).collect()
+    }
+    assert uncapped_equiv == full
