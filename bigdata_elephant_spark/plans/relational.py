@@ -1021,7 +1021,72 @@ FROM events
 GROUP BY 1
 """
 
+
+def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: revenue at year -> quarter -> month
+    grain plus grand totals in one aggregation pass (each rollup
+    level is a partial re-aggregation of the previous, not a
+    rescan)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            "o_totalprice",
+        )
+        .rollup("y", "q", "m")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER)    AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER)   AS m,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (1, 2, 3)
+"""
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day event activity matrix — the
+    operational dashboard query (two cheap date parts, one agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+ACTIVITY_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER)          AS hod,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
 SPECS = [
+    QuerySpec("time_rollup_revenue", time_rollup_revenue, TIME_ROLLUP_SQL,
+              ("relational", "agg", "date")),
+    QuerySpec("activity_heatmap", activity_heatmap, ACTIVITY_HEATMAP_SQL,
+              ("events", "agg", "date")),
     QuerySpec("q13_order_count_distribution", q13_order_count_distribution,
               Q13_SQL, ("relational", "agg", "join")),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
