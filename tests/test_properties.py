@@ -125,3 +125,46 @@ def test_distributed_ids_equal_window_ids(spark):
         ).collect()
     }
     assert a == b and len(a) > 20
+
+
+@given(
+    n=st.integers(10, 60),
+    frac=st.floats(0.1, 0.9),
+)
+@SETTINGS
+def test_hash_sample_split_properties(spark, n, frac):
+    """Sampling is deterministic, and [0,frac) + [frac,1) partition
+    the id space for ANY id set and fraction."""
+    from bigdata_elephant_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [(i * 7 + 3,) for i in range(n)], "doc_id long"
+    )
+    lo = {r["doc_id"] for r in hash_sample(df, "doc_id", frac).collect()}
+    hi = {
+        r["doc_id"]
+        for r in hash_sample(df, "doc_id", 1.0 - frac, offset=frac).collect()
+    }
+    again = {r["doc_id"] for r in hash_sample(df, "doc_id", frac).collect()}
+    assert lo == again
+    assert not (lo & hi)
+    assert len(lo | hi) == n
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """Every doc lands in exactly one dedup group; group sizes sum to
+    the corpus size; canonical id is the min of its group."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.dedup import exact_dedup
+
+    df = _corpus_df(spark, texts)
+    groups = exact_dedup(df).collect()
+    assert sum(r["n_dups"] for r in groups) == len(texts)
+    norm = {}
+    for i, t in enumerate(texts):
+        key = " ".join(t.lower().split())
+        norm.setdefault(key, []).append(i)
+    expect_canon = {min(v) for v in norm.values()}
+    assert {r["canonical_doc_id"] for r in groups} == expect_canon
