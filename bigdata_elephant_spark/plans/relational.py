@@ -1082,7 +1082,91 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+def setop_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: order-priority rows of open orders minus
+    those of fulfilled orders, keeping duplicates (bag semantics —
+    the count of each surviving row = count(left) - count(right))."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.exceptAll(right).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+SETOP_EXCEPT_ALL_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY 1
+"""
+
+
+def conditional_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation: one pass computes
+    per-flag metrics without pivot or self-join."""
+    l = _t(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    big = F.col("l_quantity") > 30
+    return l.groupBy("l_linestatus").agg(
+        F.count_if(returned).alias("n_returned"),
+        F.count_if(big).alias("n_big"),
+        F.round(F.avg(F.when(returned, F.col("l_extendedprice"))), 6)
+        .alias("avg_price_returned"),
+        F.round(F.sum(F.when(big, F.col("l_quantity")).otherwise(0.0)), 2)
+        .alias("qty_big"),
+    )
+
+
+CONDITIONAL_AGGS_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       count(*) FILTER (WHERE l_quantity > 30)    AS n_big,
+       round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 6)
+           AS avg_price_returned,
+       round(coalesce(sum(l_quantity) FILTER (WHERE l_quantity > 30), 0), 2)
+           AS qty_big
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nations per region as one sorted
+    comma-joined string (deterministic because the collected set is
+    sorted before joining)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("n_name"))
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+STRING_AGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
 SPECS = [
+    QuerySpec("setop_except_all_orders", setop_except_all_orders,
+              SETOP_EXCEPT_ALL_SQL, ("relational", "setop")),
+    QuerySpec("conditional_aggs_lineitem", conditional_aggs_lineitem,
+              CONDITIONAL_AGGS_SQL, ("relational", "agg")),
+    QuerySpec("string_agg_nations", string_agg_nations,
+              STRING_AGG_SQL, ("relational", "agg")),
     QuerySpec("time_rollup_revenue", time_rollup_revenue, TIME_ROLLUP_SQL,
               ("relational", "agg", "date")),
     QuerySpec("activity_heatmap", activity_heatmap, ACTIVITY_HEATMAP_SQL,
