@@ -49,11 +49,20 @@ def gap_fill_hourly(
     Output: ``(key, hour, avg_value, filled)`` — ``filled`` marks
     forward-filled rows.
     """
+    # avg as exact-decimal sum / count: engine-AVG accumulation order
+    # differs across engines/partitionings; this keeps the rounded
+    # value identical to the DuckDB oracle (values are 2-decimal).
     hourly = (
         events.groupBy(
             F.col(key), F.date_trunc("hour", F.col(ts)).alias("hour")
         )
-        .agg(F.round(F.avg(value), 6).alias("avg_raw"))
+        .agg(
+            F.round(
+                F.sum(F.col(value).cast("decimal(12,2)")).cast("double")
+                / F.count(value),
+                6,
+            ).alias("avg_raw")
+        )
     )
     spans = hourly.groupBy(key).agg(
         F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
@@ -101,7 +110,10 @@ def range_join_counts(
         F.col(key).alias("k"),
         F.col(id_col).alias("eid"),
         F.unix_micros(F.col(ts)).alias("t"),
-    ).withColumn("bucket", (F.col("t") / w_us).cast("long"))
+    ).withColumn("bucket", F.expr(f"t div {w_us}"))
+    # integer division, not (t / w).cast: double division can
+    # misassign epoch-us values within ~50us of a bucket boundary
+    # (double has 53 bits; epoch-us needs 51 — the quotient rounds).
 
     probe = base.select("k", "eid", "t", "bucket")
     # candidates live in the probe row's bucket or the one above

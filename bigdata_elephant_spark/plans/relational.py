@@ -26,6 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_elephant_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_expr,
+    money,
+    rate,
+)
 from bigdata_elephant_spark.registry import QuerySpec
 from bigdata_elephant_spark.sources.corpus import read_table
 
@@ -38,19 +45,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Exact-decimal aggregation (functions/numeric.py): the measures
+    # are 2-decimal doubles, so the decimal sums are order-independent
+    # and bit-identical to the DuckDB oracle at any partitioning.
+    disc_price = money("l_extendedprice") * (1 - rate("l_discount"))
+    charge = disc_price * (1 + rate("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum_expr(disc_price, 2).alias("sum_disc_price"),
+            dsum_expr(charge, 2).alias("sum_charge"),
+            davg("l_quantity", 6).alias("avg_qty"),
+            davg("l_extendedprice", 6).alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -59,14 +69,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)                                                       AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)                                                       AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(l_quantity), 6)                                         AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(l_extendedprice), 6)                                    AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             / count(l_discount), 6)                                         AS avg_disc,
+       count(*)                                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
@@ -91,8 +109,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum_expr(
+                money("l_extendedprice") * (1 - rate("l_discount")), 2
             ).alias("revenue")
         )
         .select(
@@ -107,7 +125,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)                                   AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -126,7 +146,9 @@ LIMIT 10
 
 Q5_SPARK_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -158,7 +180,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        .agg(dsum("o_totalprice", 2).alias("total_spent"),
              F.count("*").alias("n_orders"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spent", "n_orders")
@@ -169,7 +191,8 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name,
-       round(sum(o_totalprice), 2) AS total_spent,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_spent,
        count(*)                    AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -212,11 +235,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum("o_totalprice").over(
+            F.sum(money("o_totalprice")).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
             2,
-        ).alias("cum_spent"),
+        ).cast("double").alias("cum_spent"),
         F.round(
             F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
         ).alias("prev_price"),
@@ -225,9 +248,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_SUM_SQL = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spent,
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS cum_spent,
        round(coalesce(lag(o_totalprice) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            0.0), 2) AS prev_price
@@ -242,7 +266,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dsum("l_quantity", 2).alias("sum_qty"),
             F.count("*").alias("n"),
         )
     )
@@ -250,7 +274,8 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_RETURNS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS sum_qty,
        count(*)                  AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -263,7 +288,7 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dsum("o_totalprice", 2).alias("total"),
         )
     )
 
@@ -271,7 +296,8 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_PRIORITY_STATUS_SQL = """
 SELECT o_orderpriority, o_orderstatus,
        count(*)                    AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
@@ -348,10 +374,18 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 # ------------------------------------------------- scalar subquery
 
+# The avg threshold is computed as an exact decimal sum / count so
+# both engines compare against the identical double (engine AVG
+# accumulates in engine-specific order; a boundary customer could
+# flip membership).
 SCALAR_SUBQUERY_SPARK_SQL = """
 SELECT c_custkey, round(c_acctbal, 2) AS acctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / count(c_acctbal)
+    FROM customer
+)
 """
 
 
@@ -426,7 +460,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6)
+            .alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count("*").alias("n"),
         )
@@ -435,7 +470,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_EXTRACT_SQL = """
 SELECT event_type,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS DOUBLE)
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+             6) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
        count(*)                                                         AS n
 FROM events
@@ -456,8 +494,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dsum("value", 4).alias("sum_value"),
+            davg("value", 6).alias("avg_value"),
         )
     )
 
@@ -466,8 +504,10 @@ EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*)              AS n,
-       round(sum(value), 4)  AS sum_value,
-       round(avg(value), 6)  AS avg_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / count(value), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -494,7 +534,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONIZATION_SQL = f"""
-SELECT user_id, sum(ns) AS n_sessions
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
 FROM (
     SELECT user_id,
            CASE WHEN prev_us IS NULL
@@ -528,17 +568,21 @@ def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
         )
-        .agg(*aggs, F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(*aggs, dsum("value", 4).alias("total_value"))
     )
 
 
+# CAST(... AS BIGINT): DuckDB sum(INTEGER) returns HUGEINT, which
+# pandas renders float64 — the driver hashes 5.0 != 5 vs Spark int64.
 PIVOT_EVENTS_DAILY_SQL = f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        {", ".join(
-           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+           "CAST(sum(CASE WHEN event_type = "
+           f"'{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
            for t in EVENT_TYPES
        )},
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS total_value
 FROM events
 GROUP BY 1
 """
@@ -548,23 +592,31 @@ GROUP BY 1
 
 def priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # Per-group and grand-total sums both stay exact decimal; the
+    # share division happens on identical doubles in both engines.
     per = o.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("_rev")
+        F.sum(money("o_totalprice")).alias("_rev")
     )
     total = Window.partitionBy()
     return per.select(
         "o_orderpriority",
-        F.round("_rev", 2).alias("revenue"),
-        F.round(F.col("_rev") / F.sum("_rev").over(total), 6).alias("share"),
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(total).cast("double"),
+            6,
+        ).alias("share"),
     )
 
 
 PRIORITY_REVENUE_SHARE_SQL = """
 SELECT o_orderpriority,
-       round(rev, 2)                       AS revenue,
-       round(rev / sum(rev) OVER (), 6)    AS share
+       CAST(round(rev, 2) AS DOUBLE)       AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE), 6) AS share
 FROM (
-    SELECT o_orderpriority, sum(o_totalprice) AS rev
+    SELECT o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
     FROM orders GROUP BY o_orderpriority
 )
 """
@@ -582,13 +634,15 @@ def suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            dsum("s_acctbal", 2).alias("total_bal"),
         )
     )
 
 
 SUPPLIERS_PER_REGION_SQL = """
-SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+SELECT r_name, count(*) AS n_suppliers,
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_bal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -677,7 +731,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus,
        o_orderpriority,
-       round(sum(o_totalprice), 2) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS revenue,
        count(*) AS n
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
@@ -773,17 +828,23 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
 
 def array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: per event type, the sorted distinct
-    user list (sort_array makes collect_set deterministic)."""
+    user list (sort_array makes collect_set deterministic). Emitted
+    as a comma-joined string: the driver's pandas canonicalizer
+    cannot hash list cells (r01 recorded ``TypeError: unhashable
+    type: 'list'``), and a string carries the same information."""
     e = _t(spark, sf_dir, "events")
+    users = F.sort_array(F.collect_set("user_id"))
     return e.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.array_join(
+            F.transform(users, lambda x: x.cast("string")), ","
+        ).alias("users"),
         F.count_distinct("user_id").alias("n_users"),
     )
 
 
 ARRAY_AGG_USERS_SQL = """
 SELECT event_type,
-       list_sort(list(DISTINCT user_id)) AS users,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type
@@ -801,7 +862,8 @@ def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAP_FILL_SQL = """
 WITH hourly AS (
     SELECT user_id, date_trunc('hour', ts) AS hour,
-           round(avg(value), 6) AS avg_raw
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(value), 6) AS avg_raw
     FROM events GROUP BY 1, 2
 ),
 spans AS (
@@ -877,17 +939,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ), 2).alias("revenue"))
+        .agg(dsum_expr(
+            money("l_extendedprice") * (1 - rate("l_discount")), 2
+        ).alias("revenue"))
     )
 
 
+# r01 red row: float summation order differed between engines and
+# round(..., 2) exposed the last ulp on ~5e5 sums. Decimal sums are
+# order-independent, so this is now exact at any partitioning.
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN customer  ON o_custkey = c_custkey
@@ -912,9 +979,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ), 2).alias("revenue"))
+        .agg(dsum_expr(
+            money("l_extendedprice") * (1 - rate("l_discount")), 2
+        ).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -922,7 +989,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -943,7 +1012,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -957,8 +1026,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
 FROM (
-    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-    FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+           > 150
 ) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1037,7 +1110,7 @@ def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rollup("y", "q", "m")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            dsum("o_totalprice", 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -1047,7 +1120,8 @@ TIME_ROLLUP_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER)    AS y,
        CAST(quarter(o_orderdate) AS INTEGER) AS q,
        CAST(month(o_orderdate) AS INTEGER)   AS m,
-       round(sum(o_totalprice), 2) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (1, 2, 3)
@@ -1067,7 +1141,7 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hod")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            davg("value", 6).alias("avg_value"),
         )
     )
 
@@ -1077,7 +1151,8 @@ ACTIVITY_HEATMAP_SQL = """
 SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
        CAST(hour(ts) AS INTEGER)          AS hod,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / count(value), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1111,13 +1186,20 @@ def conditional_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     returned = F.col("l_returnflag") == "R"
     big = F.col("l_quantity") > 30
+    price_r = F.when(returned, money("l_extendedprice"))
     return l.groupBy("l_linestatus").agg(
         F.count_if(returned).alias("n_returned"),
         F.count_if(big).alias("n_big"),
-        F.round(F.avg(F.when(returned, F.col("l_extendedprice"))), 6)
-        .alias("avg_price_returned"),
-        F.round(F.sum(F.when(big, F.col("l_quantity")).otherwise(0.0)), 2)
-        .alias("qty_big"),
+        F.round(
+            F.sum(price_r).cast("double") / F.count(price_r), 6
+        ).alias("avg_price_returned"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(big, money("l_quantity"))),
+                F.lit(0).cast("decimal(12,2)"),
+            ),
+            2,
+        ).cast("double").alias("qty_big"),
     )
 
 
@@ -1125,9 +1207,13 @@ CONDITIONAL_AGGS_SQL = """
 SELECT l_linestatus,
        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
        count(*) FILTER (WHERE l_quantity > 30)    AS n_big,
-       round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 6)
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+             / count(*) FILTER (WHERE l_returnflag = 'R'), 6)
            AS avg_price_returned,
-       round(coalesce(sum(l_quantity) FILTER (WHERE l_quantity > 30), 0), 2)
+       CAST(round(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                           FILTER (WHERE l_quantity > 30),
+                           0), 2) AS DOUBLE)
            AS qty_big
 FROM lineitem
 GROUP BY 1

@@ -31,7 +31,8 @@ STREAM_TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*)             AS n,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -50,8 +51,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= 30 min (an event at exactly start+gap falls outside the window).
 STREAM_SESSIONS_SQL = """
 SELECT user_id,
-       sum(ns)  AS n_sessions,
-       count(*) AS n_events
+       CAST(sum(ns) AS BIGINT) AS n_sessions,
+       count(*)                AS n_events
 FROM (
     SELECT user_id,
            CASE WHEN prev_us IS NULL
@@ -89,7 +90,9 @@ WITH assigned AS (
            event_type, value
     FROM events
 )
-SELECT win_start, event_type, round(avg(value), 6) AS avg_value
+SELECT win_start, event_type,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / count(value), 6) AS avg_value
 FROM assigned
 GROUP BY 1, 2
 """
@@ -150,8 +153,8 @@ def q_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ANOMALIES_SQL = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN prior_avg IS NOT NULL AND value > prior_avg
-                THEN 1 ELSE 0 END) AS n_flagged
+       CAST(sum(CASE WHEN prior_avg IS NOT NULL AND value > prior_avg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
 FROM (
     SELECT user_id, value,
            avg(value) OVER (

@@ -24,6 +24,9 @@ sink) is identical.
 
 from __future__ import annotations
 
+import atexit
+import glob
+import os
 import shutil
 import tempfile
 
@@ -31,6 +34,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_elephant_spark.sources.corpus import read_table
+
+_STAGE_DIRS: list[str] = []
+
+
+def _new_stage_dir() -> str:
+    d = tempfile.mkdtemp(prefix="elephant_events_stream_")
+    _STAGE_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_stage_dirs() -> None:
+    while _STAGE_DIRS:
+        shutil.rmtree(_STAGE_DIRS.pop(), ignore_errors=True)
 
 
 def read_events_stream(
@@ -40,31 +57,45 @@ def read_events_stream(
 
     The file-stream source wants a *directory* it can watch; testdata
     ships one parquet file, so stage it into a temp dir (a stand-in
-    for the landing directory a real ingest pipeline appends to).
+    for the landing directory a real ingest pipeline appends to;
+    cleaned up atexit).
 
-    ``n_chunks > 1`` splits the data into time-ordered chunk files
+    ``n_chunks > 1`` splits the data into time-sliced chunk files
     with strictly increasing mtimes, so the source (oldest-first)
     replays them as ``n_chunks`` forward-in-time micro-batches —
     the shape real ingest has, where each trigger advances the
-    watermark without stranding earlier data behind it.
+    watermark without stranding earlier data behind it. Chunks are
+    equal *time* slices cut with distributed filters (no driver-side
+    collect, no global sort — each chunk is one filtered scan).
     """
     batch = read_table(spark, sf_dir, "events")
     src_file = f"{sf_dir.rstrip('/')}/events.parquet"
     raw_schema = spark.read.parquet(src_file).schema
-    stage_dir = tempfile.mkdtemp(prefix="elephant_events_stream_")
+    stage_dir = _new_stage_dir()
     if n_chunks <= 1:
         shutil.copy(src_file, stage_dir)
     else:
-        import os
-
-        raw = spark.read.parquet(src_file).orderBy("ts", "event_id")
-        rows = raw.count()
-        per = (rows + n_chunks - 1) // n_chunks
-        pdf = raw.toPandas()
+        raw = spark.read.parquet(src_file)
+        lo, hi = raw.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        # ts is either a timestamp or raw epoch-nanos bigint; integer
+        # division keeps nanos exact (they exceed double's 53 bits).
+        step = (
+            (hi - lo) // n_chunks if isinstance(lo, int)
+            else (hi - lo) / n_chunks
+        )
         for i in range(n_chunks):
-            part = pdf.iloc[i * per : (i + 1) * per]
+            t0 = lo + step * i
+            chunk = raw.where(F.col("ts") >= F.lit(t0))
+            if i < n_chunks - 1:
+                chunk = chunk.where(F.col("ts") < F.lit(lo + step * (i + 1)))
+            tmp = f"{stage_dir}/_chunk-{i:03d}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
             path = f"{stage_dir}/chunk-{i:03d}.parquet"
-            part.to_parquet(path, index=False)
+            shutil.move(part, path)
+            shutil.rmtree(tmp)
             os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = open_events_stream(spark, stage_dir, raw_schema)
     assert stream.schema == batch.schema
@@ -101,7 +132,11 @@ def tumbling_counts(
         src.groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact decimal sum: order-independent across micro-batch
+            # boundaries and engines (see functions/numeric.py)
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -126,7 +161,13 @@ def sliding_value_avg(
         src = events.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window, slide), "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value")
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
                 "win_start"
