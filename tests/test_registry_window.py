@@ -1,0 +1,46 @@
+"""Pin the driver-gate window composition.
+
+The driver records correctness rows for the FIRST 50 registry entries
+only (r01 evidence). These assertions keep the window covering every
+operator family; if a new query family is added, it must either get a
+priority slot or consciously rely on the local gate.
+"""
+
+from __future__ import annotations
+
+from bigdata_elephant_spark.registry import GATE_PRIORITY, all_specs
+
+WINDOW = 50
+
+# Families that must have at least one driver-verified row per round.
+REQUIRED_TAGS = {
+    "search", "relational", "llm", "streaming", "dedup", "similarity",
+    "text", "multimodal", "graph", "temporal", "window", "agg", "join",
+    "topk", "stateful",
+}
+
+
+def test_priority_fills_window_exactly():
+    assert len(GATE_PRIORITY) == WINDOW
+    assert len(set(GATE_PRIORITY)) == WINDOW
+
+
+def test_window_is_the_priority_set():
+    first = [s.name for s in all_specs()[:WINDOW]]
+    assert first == list(GATE_PRIORITY)
+
+
+def test_window_covers_required_families():
+    tags = set()
+    for s in all_specs()[:WINDOW]:
+        tags.update(s.tags)
+    missing = REQUIRED_TAGS - tags
+    assert not missing, f"gate window lost coverage of: {missing}"
+
+
+def test_every_spec_has_fn_and_most_have_oracles():
+    specs = all_specs()
+    no_oracle = [s.name for s in specs if s.oracle is None]
+    # media_features is the one declared rows-only check (RNG decode
+    # stub); anything else missing an oracle is a regression.
+    assert no_oracle == ["media_features"], no_oracle
