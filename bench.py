@@ -19,7 +19,7 @@ import sys
 import time
 
 from bigdata_elephant_spark.registry import all_specs
-from bigdata_elephant_spark.session import get_spark
+from bigdata_elephant_spark.session import get_spark, release_caches
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -47,6 +47,7 @@ def warmup(spark, specs) -> None:
         return
     for spec in specs:
         materialize(spec.fn(spark, WARMUP_DIR))
+        release_caches()
 
 
 def main() -> None:
@@ -63,6 +64,10 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[spec.name] = dt
         print(f"  {spec.name}: {dt:.3f}s", file=sys.stderr)
+        # caches an operator registered (LSH signatures, vocab) are
+        # scoped to its own timed run; release so queries don't
+        # inherit each other's cached blocks
+        release_caches()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -153,7 +153,9 @@ def lsh_candidate_pairs(
     """
     rows = n_hashes // n_bands
     if materialize:
-        sigs = sigs.persist()
+        from bigdata_elephant_spark.session import persist_tracked
+
+        sigs = persist_tracked(sigs)
     band_structs = F.array(
         *[
             F.struct(
@@ -260,6 +262,17 @@ def duplicate_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_groups: still propagating after max_iter="
+            f"{max_iter} rounds — a component chain is longer than "
+            "max_iter hops and group ids are NOT fully transitive "
+            "(the exact-closure oracle will mismatch). Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )

@@ -275,6 +275,97 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write-side IVF materialization: assign every vector to its
+    nearest centroid ONCE and persist the table *partitioned by
+    cell_id* (plus the centroid table next to it).
+
+    This is the piece :func:`ivf_topk` computes inline for the
+    unpartitioned testdata — at 100 TB the inline recompute is a full
+    O(n·n_cells) scan per query, which defeats the n_probe pruning.
+    With this layout a probe is static partition pruning: the scan
+    touches n_probe/n_cells of the files (asserted in
+    tests/test_similarity.py against ``inputFiles()``).
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    (
+        embeddings.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/vectors")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec_id: int,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Read-side IVF top-k over a :func:`build_ivf_index` layout.
+
+    The query vector comes from ``source`` (the base table — at scale
+    a point lookup / the caller's own vector), never from a scan of
+    the index. Probe-cell selection collects exactly ``n_probe`` cell
+    ids (index *metadata*, same scale class as the broadcast centroid
+    table); the candidate scan then filters ``cell_id IN probe`` —
+    static partition pruning on the index layout.
+
+    Scoring is identical to :func:`ivf_topk`, so results match the
+    inline variant row-for-row (equivalence-tested).
+    """
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    src = source if source is not None else vecs
+    q = src.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    probe = [
+        r.cell_id
+        for r in (
+            cents.crossJoin(F.broadcast(q))
+            .select(
+                "cell_id",
+                F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
+            )
+            .orderBy("d", "cell_id")
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+    return (
+        vecs.filter(F.col("cell_id").isin(probe))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -282,12 +373,21 @@ def cosine_topk_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: brute force *within the query's LSH bucket*.
 
     Deterministic (bucket assignment and scoring replay identically
     in the oracle), so approximate != unverifiable: the oracle
     recomputes the same bucketed search.
+
+    ``probe_hamming`` is the recall knob — multi-probe widens the
+    candidate set to buckets whose sign pattern differs from the
+    query's in at most that many planes (popcount of the XOR,
+    JVM-side). h=0 scans ~1/2^planes of the data; h=1 adds the
+    ``n_planes`` adjacent buckets (the ones a borderline vector most
+    likely fell into); at the partitioned-by-bucket 100 TB layout
+    each probed bucket is still just one pruned partition.
     """
     with_bucket = embeddings.select(
         id_col,
@@ -303,7 +403,12 @@ def cosine_topk_lsh(
     return (
         with_bucket.crossJoin(F.broadcast(q))
         .filter(
-            (F.col("bucket") == F.col("_qbucket"))
+            (
+                F.bit_count(
+                    F.col("bucket").bitwiseXOR(F.col("_qbucket"))
+                )
+                <= probe_hamming
+            )
             & (F.col(id_col) != query_vec_id)
         )
         .select(

@@ -439,6 +439,38 @@ LIMIT {KNN_K}
 """
 
 
+def q_knn_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (probe_hamming=1): the recall knob —
+    also scans the n_planes buckets one sign-flip away from the
+    query's, each of which is one more pruned partition at scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, KNN_QUERY_VEC_ID, PLANES, k=KNN_K, probe_hamming=1
+    )
+
+
+KNN_COSINE_LSH_MULTIPROBE_SQL = f"""
+WITH wb AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM wb
+      WHERE vec_id = {KNN_QUERY_VEC_ID})
+SELECT vec_id, cos_sim FROM (
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+    FROM wb e, q
+    WHERE bit_count(xor(e.bucket, q.qbucket)) <= 1
+      AND e.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.4
 IVF_CELLS = 16
 IVF_PROBE = 4
@@ -537,6 +569,32 @@ SELECT vec_id, cos_sim FROM (
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
 """
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a *materialized* index (operators/similarity.py
+    ``build_ivf_index``): cell assignment persisted partitioned by
+    cell_id, so the probe is partition pruning instead of the inline
+    O(n·n_cells) recompute of ``knn_ivf``. Semantics (probe cells,
+    scoring, ordering) are identical, hence the same oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="elephant_ivf_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb,
+    )
 
 
 # ------------------------------------------------------ text stats
@@ -962,9 +1020,9 @@ SPECS = [
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
-              ("llm", "dedup", "iterative")),
+              ("llm", "dedup", "iterative"), bench=True),
     QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
-              ("llm", "graph", "iterative")),
+              ("llm", "graph", "iterative"), bench=True),
     QuerySpec("simhash_signatures", q_simhash_signatures,
               SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_simhash_pairs", q_simhash_pairs,
@@ -975,6 +1033,10 @@ SPECS = [
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
               ("llm", "similarity")),
+    QuerySpec("knn_cosine_lsh_multiprobe", q_knn_cosine_lsh_multiprobe,
+              KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
+    QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
+              ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,

@@ -25,6 +25,7 @@ from bigdata_elephant_spark.operators.search import search
 from bigdata_elephant_spark.operators.vocab import build_vocabulary
 from bigdata_elephant_spark.functions.text import tokenize_str
 from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.session import persist_tracked
 from bigdata_elephant_spark.sources.corpus import read_table
 
 # Exercises every filterText branch: case-folding, punctuation,
@@ -154,7 +155,7 @@ def _search_q(scoring: str):
         # The vocab feeds two plan branches (index probe + query-term
         # lookup); persisting it (vocab-sized, tiny vs corpus) stops
         # the corpus tokenize+aggregate from running once per branch.
-        vocab = build_vocabulary(corpus).persist()
+        vocab = persist_tracked(build_vocabulary(corpus))
         postings = build_index(corpus, vocab)
         n_docs = corpus.count() if scoring == "smooth" else None
         return search(
@@ -177,7 +178,7 @@ REFERENCE_DEFAULT_QUERY = "the good person"
 
 def _search_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    vocab = build_vocabulary(corpus).persist()
+    vocab = persist_tracked(build_vocabulary(corpus))
     postings = build_index(corpus, vocab)
     return search(
         spark, REFERENCE_DEFAULT_QUERY, vocab, postings, k=DEFAULT_K,

@@ -169,7 +169,7 @@ GROUP BY user_id
 
 SPECS = [
     QuerySpec("events_stream_tumbling", q_stream_tumbling,
-              STREAM_TUMBLING_SQL, ("streaming",)),
+              STREAM_TUMBLING_SQL, ("streaming",), bench=True),
     QuerySpec("events_stream_sessions", q_stream_sessions,
               STREAM_SESSIONS_SQL, ("streaming",)),
     QuerySpec("events_stream_sliding", q_stream_sliding,

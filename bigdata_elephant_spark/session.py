@@ -17,7 +17,32 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+# Operators that persist an intermediate (LSH signatures, vocabulary)
+# register it here; a long-lived session (the driver runs ~80 queries
+# in one) calls release_caches() between queries so cached blocks
+# don't accumulate. MEMORY_AND_DISK: an oversized intermediate spills
+# instead of evicting hot blocks or OOMing an executor.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """persist() with session-scoped lifecycle tracking."""
+    df = df.persist(level)
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate (safe to call anytime:
+    an in-flight plan recomputes instead of failing)."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
 
 
 def get_spark(
