@@ -1,0 +1,299 @@
+"""Product-analytics operators over the events stream.
+
+These are the shapes a warehouse user reaches for daily — funnel,
+retention, rolling features, pivot/unpivot, stratified sampling —
+declared as Catalyst plans with DuckDB oracles, and designed for the
+100 TB layout:
+
+- Funnel and retention aggregate *per user first* (shuffle keyed on
+  user_id, map-side partial), so downstream stages see user-sized,
+  not event-sized, data.
+- Rolling features use a RANGE window frame over epoch-micros — one
+  shuffle + partition-local sort, state bounded by the time width.
+- The stratified sample is deterministic (md5 order): reproducible
+  across runs/engines, no global shuffle beyond the per-stratum sort,
+  and at scale each stratum samples independently in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------ funnel
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view -> click -> purchase: a user
+    counts for a stage only if the stage event happens strictly after
+    their entry into the previous stage. Each stage is a user-keyed
+    aggregate then a user-keyed join — all three shuffles share the
+    user_id key, so at scale they co-locate."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+"""
+
+
+# --------------------------------------------------------- retention
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-seen day
+    (cohort), counted per day-offset of later activity. Two stages:
+    per-user first day (user-keyed agg), then distinct user-days
+    joined back — cohort table is user-sized and reused, not a
+    rescan of events."""
+    e = _events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first AS (
+    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- rolling time features
+
+ROLL_US = 3600 * 1_000_000  # 1 hour in epoch-micros
+
+
+def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's event count and mean value over the
+    trailing hour (inclusive) — the RANGE-frame window (frame bounds
+    in *value* space, epoch-micros, not row counts). One shuffle on
+    user_id + a partition-local sort; frame state is bounded by the
+    hour width however long the history. The mean divides an exact
+    decimal sum by the frame count, so both engines round the same
+    double."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ROLL_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+            .cast("double")
+            / F.count("value").over(w),
+            6,
+        ).alias("avg_value_1h"),
+    )
+
+
+ROLLING_FEATURES_SQL = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS avg_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------- pivot and unpivot
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_api_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native relational PIVOT (``groupBy().pivot()`` with an
+    explicit value list — never the two-pass value-discovery form,
+    which scans twice and breaks at scale): daily event counts, one
+    column per type."""
+    e = _events(spark, sf_dir)
+    pivoted = (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+PIVOT_API_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {", ".join(
+           "CAST(coalesce(sum(CASE WHEN event_type = "
+           f"'{t}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+"""
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational UNPIVOT (``DataFrame.unpivot``): lineitem's four
+    numeric measures melted to (measure, value) long format, then
+    aggregated per measure — the wide-to-long reshape feature stores
+    need. Melt multiplies rows by the measure count but narrows to
+    two columns; the aggregate is exact decimal."""
+    l = read_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=[],
+        values=list(UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum(F.col("val").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+UNPIVOT_SQL = f"""
+SELECT measure,
+       CAST(round(sum(CAST(val AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+       count(*) AS n
+FROM (
+    {" UNION ALL ".join(
+        f"SELECT '{m}' AS measure, {m} AS val FROM lineitem"
+        for m in UNPIVOT_MEASURES
+    )}
+)
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------ stratified sample
+
+STRATUM_N = 50
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ``STRATUM_N`` events
+    per event_type, chosen by md5 order of the event id — a
+    reproducible pseudo-random draw (same rows on any engine, any
+    partitioning, any run). Per-stratum work is an independent
+    window; no global shuffle."""
+    e = _events(spark, sf_dir)
+    key = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(key, "event_id")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= STRATUM_N)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT event_id, event_type, draw_rank FROM (
+    SELECT event_id, event_type,
+           CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS BIGINT) AS draw_rank
+    FROM events
+)
+WHERE draw_rank <= {STRATUM_N}
+"""
+
+
+SPECS = [
+    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL,
+              ("events", "analytics", "join"), bench=True),
+    QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL,
+              ("events", "analytics", "agg")),
+    QuerySpec("rolling_user_features", rolling_user_features,
+              ROLLING_FEATURES_SQL, ("events", "analytics", "window")),
+    QuerySpec("pivot_api_events", pivot_api_events, PIVOT_API_SQL,
+              ("events", "pivot")),
+    QuerySpec("unpivot_lineitem", unpivot_lineitem, UNPIVOT_SQL,
+              ("relational", "pivot")),
+    QuerySpec("stratified_sample_events", stratified_sample_events,
+              STRATIFIED_SAMPLE_SQL, ("events", "sampling")),
+]

@@ -1246,6 +1246,351 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1
 """
 
+# ------------------------------------- TPC-H analogues, second wave
+# (adapted to the testdata schema: no partsupp/shipmode/phone
+# columns, so Q2/Q12/Q21/Q22 shapes are not reproducible; each query
+# below keeps its original's *plan shape*, which is what matters.)
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _disc_price() -> "Column":
+    return money("l_extendedprice") * (1 - rate("l_discount"))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure filter + single aggregate — the
+    predicate-pushdown showcase (all three filters reach the parquet
+    scan; no join, no groupBy shuffle, one partial+final agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice") * rate("l_discount")), 2
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: NATION_3's share of ASIA-customer revenue
+    per year — conditional aggregation over a fact-fact join with
+    broadcast dimension chains on both the customer and supplier
+    sides."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_nat = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        s["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = _disc_price()
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust_nat), o["o_custkey"] == cust_nat["c_custkey"])
+        .join(F.broadcast(supp_nat), l["l_suppkey"] == supp_nat["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).alias("_nat"),
+            F.sum(vol).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_all").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       round(CAST(nat AS DOUBLE) / CAST(total AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           sum(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN {_DISC_PRICE_SQL}
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS nat,
+           sum({_DISC_PRICE_SQL}) AS total
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region    ON cn.n_regionkey = r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: profit by supplier nation and year. The
+    schema has no partsupp.ps_supplycost, so cost is modeled as
+    0.5 * p_retailprice * l_quantity — same join/agg shape (fact scan
+    filtered through a part-name predicate, two broadcast dims)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    amount = _disc_price() - (
+        money("p_retailprice") * money("l_quantity") * rate(F.lit(0.5))
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(round(sum({_DISC_PRICE_SQL}
+                      - CAST(p_retailprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(0.5 AS DECIMAL(4,2))), 2) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: PROMO parts' share of monthly revenue —
+    conditional aggregation after a broadcast part join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = _disc_price()
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).alias("_promo"),
+            F.sum(vol).alias("_all"),
+        )
+        .select(
+            "month",
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_all").cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT month,
+       round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+           AS promo_pct
+FROM (
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+           sum({_DISC_PRICE_SQL}) AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: supplier(s) with the maximum quarterly
+    revenue. The per-supplier aggregate is supplier-sized (tiny vs
+    the fact table), so the global max is a window over the aggregate
+    output, not over raw data — the exact-decimal revenue makes the
+    max comparison exact."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("_rev"))
+    w = Window.partitionBy()
+    top = rev.withColumn("_max", F.max("_rev").over(w)).filter(
+        F.col("_rev") == F.col("_max")
+    )
+    return (
+        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey, sum({_DISC_PRICE_SQL}) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: weekly-ish revenue that would be lost by
+    dropping small orders — per-part average quantity threshold via a
+    window over the part key (the correlated-subquery shape, executed
+    as one pass instead of a per-row rescan). The threshold uses the
+    exact-decimal sum/count so both engines compare the identical
+    double."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    w = Window.partitionBy("l_partkey")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    avg_qty = (
+        F.sum(money("l_quantity")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        joined.withColumn("_avg", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH j AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#11'
+),
+t AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / count(l_quantity) AS avg_q
+    FROM j GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM j JOIN t USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_q
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: revenue under three OR-ed brand/size/
+    quantity predicate bundles — the disjunctive-pushdown shape (the
+    whole OR tree is still a scan-level predicate after the broadcast
+    part join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    b1 = (
+        (F.col("p_brand") == "Brand#11")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#21")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#31")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#31' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 SPECS = [
     QuerySpec("setop_except_all_orders", setop_except_all_orders,
               SETOP_EXCEPT_ALL_SQL, ("relational", "setop")),
@@ -1330,4 +1675,18 @@ SPECS = [
               PRIORITY_REVENUE_SHARE_SQL, ("relational", "window")),
     QuerySpec("suppliers_per_region", suppliers_per_region,
               SUPPLIERS_PER_REGION_SQL, ("relational", "join")),
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL,
+              ("relational", "agg", "pushdown"), bench=True),
+    QuerySpec("q8_market_share", q8_market_share, Q8_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL,
+              ("relational", "agg", "subquery")),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL, ("relational", "subquery", "window")),
+    QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL,
+              ("relational", "join", "pushdown")),
 ]

@@ -103,6 +103,7 @@ def all_specs() -> list[QuerySpec]:
     """Assemble the full registry (import-light so pytest stays fast),
     ordered so the driver's 50-row gate window covers every family."""
     from bigdata_elephant_spark.plans import (
+        analytics,
         llm_queries,
         relational,
         search_queries,
@@ -110,7 +111,8 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (search_queries, relational, llm_queries, stream_queries):
+    for mod in (search_queries, relational, llm_queries, stream_queries,
+                analytics):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

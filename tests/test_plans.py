@@ -105,3 +105,55 @@ def test_range_join_no_cartesian(spark, sf_dir):
     plan = plan_of(events_range_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate must reach the
+    parquet scan as a PushedFilter; the scan reads only the four
+    needed columns."""
+    plan = plan_of(relational.q6_forecast_revenue(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], pushed[0]
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "l_orderkey" not in m[0] and "l_returnflag" not in m[0]
+
+
+def test_q19_broadcast_and_disjunctive_pushdown(spark, sf_dir):
+    """The OR-bundle must survive as a scan predicate (Or(...) in
+    PushedFilters on the part side or a post-scan filter before the
+    join) and the part dimension must broadcast."""
+    plan = plan_of(relational.q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Or(" in plan or " OR " in plan, plan
+
+
+def test_rolling_features_single_window_exchange(spark, sf_dir):
+    """All three rolling aggregates share one window spec: exactly
+    one user_id hashpartitioning exchange + one Window node."""
+    from bigdata_elephant_spark.plans.analytics import (
+        rolling_user_features,
+    )
+
+    plan = plan_of(rolling_user_features(spark, sf_dir))
+    assert plan.count("Window ") == 1 or plan.count("[Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_funnel_reuses_user_key_shuffles(spark, sf_dir):
+    """Funnel stages aggregate per user before joining: no join may
+    see raw event-sized rows on both sides without a key exchange,
+    and nothing plans as a cartesian product."""
+    from bigdata_elephant_spark.plans.analytics import event_funnel
+
+    plan = plan_of(event_funnel(spark, sf_dir))
+    # only the final 1-row x 1-row count combiners may be join-without
+    # -key (they plan as BroadcastNestedLoopJoin / CartesianProduct);
+    # two crossJoins => at most 2 such nodes
+    keyless = plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "CartesianProduct"
+    )
+    assert keyless <= 2, plan
+    # stage joins themselves are keyed on user_id
+    assert "hashpartitioning(user_id" in plan, plan
