@@ -108,11 +108,12 @@ def all_specs() -> list[QuerySpec]:
         relational,
         search_queries,
         stream_queries,
+        training_data,
     )
 
     specs: list[QuerySpec] = []
     for mod in (search_queries, relational, llm_queries, stream_queries,
-                analytics):
+                analytics, training_data):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
