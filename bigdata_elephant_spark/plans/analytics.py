@@ -283,6 +283,102 @@ WHERE draw_rank <= {STRATUM_N}
 """
 
 
+# -------------------------------------------- merge / CDC semantics
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/merge.py): a derived delta —
+    every 10th order re-priced, plus brand-new keys — upserted into
+    orders. The oracle recomputes the same full-outer preference
+    join."""
+    from bigdata_elephant_spark.operators.merge import merge_upsert
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("__action").alias("action"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+),
+u AS (
+    SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+    FROM t WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+    FROM t WHERE o_orderkey % 1000 = 1
+)
+SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       round(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                  ELSE t.o_totalprice END, 2) AS o_totalprice,
+       CASE WHEN t.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL
+            THEN 'updated'
+            WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+            ELSE 'kept' END AS action
+FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+"""
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (operators/merge.py latest_state): events as a
+    change stream per user, reduced to each user's most recent event;
+    users whose latest event_type is 'error' are treated as deleted
+    (tombstone semantics)."""
+    from bigdata_elephant_spark.operators.merge import latest_state
+
+    e = read_table(spark, sf_dir, "events")
+    cur = latest_state(
+        e,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return cur.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+CDC_LATEST_SQL = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 SPECS = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL,
               ("events", "analytics", "join"), bench=True),
@@ -296,4 +392,8 @@ SPECS = [
               ("relational", "pivot")),
     QuerySpec("stratified_sample_events", stratified_sample_events,
               STRATIFIED_SAMPLE_SQL, ("events", "sampling")),
+    QuerySpec("merge_upsert_orders", merge_upsert_orders,
+              MERGE_UPSERT_SQL, ("relational", "merge", "join")),
+    QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,
+              ("events", "merge", "window")),
 ]
