@@ -102,3 +102,60 @@ def search(
     if doc_meta is not None:
         ranked = ranked.join(F.broadcast(doc_meta), "doc_id", "left")
     return ranked
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """Document length (token count of vocab words) per doc — the sum
+    of a doc's term frequencies, i.e. derived from the index with no
+    corpus re-scan."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def bm25_search(
+    spark: SparkSession,
+    query: str,
+    vocab: DataFrame,
+    postings: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking over the same inverted index the reference
+    builds — the industry-standard upgrade of its raw TF/df scoring
+    (Query.java:113-115): saturating term frequency (k1) and document
+    -length normalization (b), with the classic
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` idf.
+
+    Plan shape is identical to :func:`search` (broadcast query terms,
+    one doc-keyed sum, TakeOrderedAndProject) plus two index-derived
+    broadcasts: per-doc lengths (postings aggregate) and the 1-row
+    avgdl scalar. avgdl is an exact long sum / count, so both engines
+    normalize by the identical double.
+    """
+    q_terms = compile_query(spark, query)
+    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+        "word_id", "q_tf", "df"
+    )
+    n_docs = postings.select("doc_id").distinct().count()
+    dl = doc_lengths(postings)
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    frac = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        postings.join(F.broadcast(q), "word_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("partial", idf * frac * F.col("q_tf"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

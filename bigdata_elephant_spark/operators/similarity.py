@@ -366,6 +366,38 @@ def ivf_topk_indexed(
     )
 
 
+def cell_mean_centroids(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k-means *update* step: per-cell elementwise mean of member
+    vectors, long format ``(cell_id, d, c)`` (long format keeps the
+    output oracle-hashable; ``array_agg`` re-assembles when feeding
+    the next :func:`ivf_assign` round).
+
+    posexplode fans each vector into dim rows, then one partial-
+    aggregated groupBy on (cell, dim) — the standard distributed
+    mean: shuffle volume is cells x dims partials per map partition,
+    not vectors. Composed with :func:`ivf_assign` this is one full
+    Lloyd iteration; loop it (localCheckpoint per round, like
+    dedup.duplicate_groups) for k-means proper.
+    """
+    joined = embeddings.join(assigned, id_col)
+    return (
+        joined.select(
+            "cell_id", F.posexplode(F.col(vec_col)).alias("d", "x")
+        )
+        .groupBy("cell_id", F.col("d").cast("long").alias("d"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double")) / F.count("x"), 6
+            ).alias("c")
+        )
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -571,6 +571,43 @@ LIMIT {KNN_K}
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) iteration on the embeddings: assign
+    every vector to its nearest centroid (broadcast argmin,
+    operators/similarity.py ivf_assign), then recompute per-cell
+    elementwise means (cell_mean_centroids). The oracle replays both
+    steps; looping this pair = distributed k-means."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, IVF_CELLS)
+    assigned = similarity.ivf_assign(emb, cents)
+    return similarity.cell_mean_centroids(emb, assigned)
+
+
+KMEANS_STEP_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+)
+SELECT a.cell_id,
+       CAST(j - 1 AS BIGINT) AS d,
+       round(sum(CAST(e.embedding[j] AS DOUBLE)) / count(*), 6) AS c
+FROM assigned a
+JOIN embeddings e USING (vec_id),
+     unnest(range(1, {EMBED_DIM + 1})) AS t(j)
+GROUP BY 1, 2
+"""
+
+
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1033,6 +1070,8 @@ SPECS = [
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
               ("llm", "similarity")),
+    QuerySpec("kmeans_step", q_kmeans_step, KMEANS_STEP_SQL,
+              ("llm", "similarity", "iterative")),
     QuerySpec("knn_cosine_lsh_multiprobe", q_knn_cosine_lsh_multiprobe,
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,

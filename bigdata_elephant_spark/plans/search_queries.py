@@ -117,6 +117,43 @@ LIMIT {k}
 """
 
 
+def _bm25_oracle(query: str, k: int, k1: float, b: float) -> str:
+    return f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {POSTINGS_CTE},
+{_qterms_values(query)},
+dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1
+),
+stats AS (
+    SELECT CAST(sum(dl) AS DOUBLE) / count(dl) AS avgdl FROM dl
+),
+ndocs AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM postings
+),
+idf AS (
+    SELECT word_id, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+    FROM vocab, ndocs
+)
+SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           round(sum(i.idf
+                     * ((p.tf * ({k1} + 1.0))
+                        / (p.tf + {k1} * (1.0 - {b}
+                                          + {b} * (d.dl / s.avgdl))))
+                     * q.q_tf), 6) AS score
+    FROM postings p
+    JOIN vocab v USING (word_id)
+    JOIN qterms q USING (word)
+    JOIN idf i USING (word_id)
+    JOIN dl d ON d.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY p.doc_id
+)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 VOCAB_SQL = f"""
 WITH {TOKS_CTE}, {VOCAB_CTE}
 SELECT word, word_id, df FROM vocab
@@ -171,6 +208,22 @@ def _search_q(scoring: str):
     return run
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_elephant_spark.operators.search import bm25_search
+
+    corpus = _corpus(spark, sf_dir)
+    vocab = persist_tracked(build_vocabulary(corpus))
+    postings = persist_tracked(build_index(corpus, vocab))
+    return bm25_search(
+        spark, DEFAULT_QUERY, vocab, postings, k=DEFAULT_K,
+        k1=BM25_K1, b=BM25_B,
+    ).select("doc_id", "score")
+
+
 # The reference's hardcoded default query and K (Query.java:27,29) —
 # registered verbatim so its out-of-the-box behavior has an oracle.
 REFERENCE_DEFAULT_QUERY = "the good person"
@@ -210,6 +263,12 @@ SPECS = [
         "search_smooth",
         _search_q("smooth"),
         _search_oracle(DEFAULT_QUERY, DEFAULT_K, "smooth"),
+        ("search", "topk"),
+    ),
+    QuerySpec(
+        "search_bm25",
+        _search_bm25,
+        _bm25_oracle(DEFAULT_QUERY, DEFAULT_K, BM25_K1, BM25_B),
         ("search", "topk"),
     ),
 ]
