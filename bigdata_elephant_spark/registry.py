@@ -83,19 +83,21 @@ GATE_PRIORITY = (
     "doc_meta",
     "search_reference",
     "search_smooth",
-    # one representative per relational sub-family
-    "q1_pricing_summary",        # partial+final agg
-    "q3_shipping_priority",      # join + topk
-    "q5_region_revenue",         # SQL front, dim chain
-    "q18_large_orders",          # agg-then-join
-    "q10_returned_items",        # broadcast joins + topk
-    "top_customers",             # global topk
-    "asof_events_orders",        # as-of join
-    "events_range_join",         # range join
-    "gap_fill_hourly_values",    # gap fill / hypertable
-    "window_running_sum",        # window frames
-    "grouping_sets_revenue",     # grouping sets
-    "priority_revenue_share",    # window over aggregate
+    # families introduced in round 2 — first-ever driver rows
+    # (the displaced relational representatives all hold green r01
+    # rows and stay under the driver-faithful local gate)
+    "doc_chunks",                # chunking
+    "pack_sequences",            # chunking + shard window
+    "shuffle_assignments",       # deterministic sampling
+    "redact_pii",                # scrubbing
+    "merge_upsert_orders",       # MERGE semantics
+    "cdc_latest_state",          # CDC compaction
+    "event_funnel",              # sequential analytics
+    "retention_cohorts",         # cohort analytics
+    "rolling_user_features",     # RANGE-frame window
+    "stratified_sample_events",  # per-stratum sampling
+    "kmeans_step",               # iterative ML primitive
+    "asof_events_orders",        # temporal: as-of join flagship
 )
 
 
