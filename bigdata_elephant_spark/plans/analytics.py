@@ -283,6 +283,73 @@ WHERE draw_rank <= {STRATUM_N}
 """
 
 
+# --------------------------------------------------- fuzzy matching
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs within levenshtein
+    distance 2, candidate-blocked on (nation, name length) so the
+    quadratic comparison runs only inside blocks — the standard
+    record-linkage shape (blocking keys cut n² to Σ block²; at 100 TB
+    add more discriminating keys, e.g. name prefix)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.length("c_name").alias("_len"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    return (
+        a.join(
+            b,
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b"))
+            & (F.col("_len_a") == F.col("_len_b"))
+            & (F.col("c_custkey_a") < F.col("c_custkey_b")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("c_name_a"), F.col("c_name_b"))
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select(
+            F.col("c_custkey_a").alias("key_a"),
+            F.col("c_custkey_b").alias("key_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+FUZZY_PAIRS_SQL = f"""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND length(a.c_name) = length(b.c_name)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+def props_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: parse the JSON props column to a map
+    and explode its keys — the schema-on-read shape for ragged event
+    payloads (map type, not fixed columns)."""
+    e = _events(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+PROPS_KEY_COUNTS_SQL = """
+SELECT key, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY 1
+"""
+
+
 # -------------------------------------------- merge / CDC semantics
 
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,4 +463,8 @@ SPECS = [
               MERGE_UPSERT_SQL, ("relational", "merge", "join")),
     QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,
               ("events", "merge", "window")),
+    QuerySpec("fuzzy_customer_pairs", fuzzy_customer_pairs,
+              FUZZY_PAIRS_SQL, ("relational", "fuzzy", "join")),
+    QuerySpec("props_key_counts", props_key_counts,
+              PROPS_KEY_COUNTS_SQL, ("events", "json")),
 ]

@@ -1591,6 +1591,90 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 """
 
 
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth/cume_dist) sharing one
+    window spec — a single sort+Window pass; last_value needs the
+    full-partition frame or it degenerates to the current row."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.last_value("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+WINDOW_VALUE_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey) OVER wf AS last_ok,
+       nth_value(o_orderkey, 2) OVER wf AS second_ok,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+AGING_REF_DATE = "2001-01-01"
+
+
+def order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: day diffs against a reference date,
+    end-of-month-clamped add_months due dates, age bucketing — one
+    scan, one aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.to_date(F.lit(AGING_REF_DATE)), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age < 365, "lt_1y")
+        .when(age < 730, "1y_2y")
+        .when(age < 1460, "2y_4y")
+        .otherwise("ge_4y")
+    )
+    return (
+        o.select(
+            bucket.alias("age_bucket"),
+            age.cast("long").alias("age_days"),
+            F.add_months(F.to_date("o_orderdate"), 3).alias("due"),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("age_days").alias("max_age"),
+            F.date_format(F.max("due"), "yyyy-MM-dd").alias("max_due"),
+        )
+    )
+
+
+ORDER_AGING_SQL = f"""
+SELECT age_bucket, count(*) AS n,
+       CAST(max(age_days) AS BIGINT) AS max_age,
+       strftime(max(due), '%Y-%m-%d') AS max_due
+FROM (
+    SELECT CASE WHEN age < 365 THEN 'lt_1y'
+                WHEN age < 730 THEN '1y_2y'
+                WHEN age < 1460 THEN '2y_4y'
+                ELSE 'ge_4y' END AS age_bucket,
+           age AS age_days,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS due
+    FROM (
+        SELECT o_orderdate,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '{AGING_REF_DATE}') AS age
+        FROM orders
+    )
+)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("setop_except_all_orders", setop_except_all_orders,
               SETOP_EXCEPT_ALL_SQL, ("relational", "setop")),
@@ -1689,4 +1773,8 @@ SPECS = [
               Q17_SQL, ("relational", "subquery", "window")),
     QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL,
               ("relational", "join", "pushdown")),
+    QuerySpec("window_value_funcs", window_value_funcs,
+              WINDOW_VALUE_FUNCS_SQL, ("relational", "window")),
+    QuerySpec("order_aging", order_aging, ORDER_AGING_SQL,
+              ("relational", "scalar", "date")),
 ]
