@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -231,4 +232,132 @@ def media_summary(df: DataFrame) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("nb").alias("total_bytes"),
         )
+    )
+
+
+# ------------------------------------------------- real PPM decoding
+#
+# The general decode_media stub stands in for PIL/ffmpeg, but netpbm
+# images (P5 grayscale / P6 RGB) need nothing beyond numpy — so this
+# is a REAL decoder: header parsing (whitespace + '#' comments,
+# arbitrary token splits), buffer reshape, nearest-neighbor resize.
+# The synthetic payload generator writes valid P6 files whose pixels
+# follow a closed-form formula of (doc_id, index), which makes the
+# whole byte->parse->decode->aggregate path verifiable by a SQL
+# oracle computing the same formula — the decoder itself is under
+# hash-match test, not just the plumbing.
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary netpbm -> (h, w, channels) uint8 array.
+
+    Supports P6 (RGB) and P5 (grayscale), '#' comments anywhere in
+    the header, and arbitrary whitespace between header tokens."""
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {raw[:2]!r}")
+    channels = 3 if raw[:2] == b"P6" else 1
+    # tokenize the header: magic, width, height, maxval — comments
+    # run '#' to end-of-line; a single whitespace byte ends the
+    # header after maxval, then pixel data begins.
+    tokens: list[bytes] = []
+    i = 2
+    tok = b""
+    while len(tokens) < 3:
+        ch = raw[i : i + 1]
+        i += 1
+        if ch == b"#":
+            while raw[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif ch.isspace():
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += ch
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    data = np.frombuffer(raw, dtype=np.uint8, count=w * h * channels,
+                         offset=i)
+    return data.reshape(h, w, channels)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resize via index mapping (pure numpy)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def synth_ppm_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic valid P6 payloads: width = id%16+8, height =
+    id%8+8, flat pixel p = (id*31 + p*7) % 256 — closed-form, so an
+    oracle can recompute any downstream statistic exactly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                w = int(doc_id) % 16 + 8
+                h = int(doc_id) % 8 + 8
+                p = np.arange(w * h * 3, dtype=np.int64)
+                px = ((int(doc_id) * 31 + p * 7) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(px.reshape(h, w, 3)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def ppm_channel_stats(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode each PPM payload (really) and emit per-channel means.
+
+    float64 sums of <2^53 integer pixel values are exact, so the
+    means are order-independent and oracle-comparable bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_r", "mean_g",
+                     "mean_b")}
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                px = decode_ppm(bytes(payload))
+                h, w, _ = px.shape
+                means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=PPM_STATS_SCHEMA
     )

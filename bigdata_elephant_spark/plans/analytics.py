@@ -283,6 +283,47 @@ WHERE draw_rank <= {STRATUM_N}
 """
 
 
+# ------------------------------------------------ skew-safe rollup
+
+SKEW_SALTS = 16
+
+
+def skew_safe_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py technique)
+    under the oracle gate: per event_type, exact distinct users and
+    exact decimal value sum, computed via (key, salt) partials so a
+    hot key spreads over SKEW_SALTS reducers. Salting by
+    hash(user_id) keeps count-distinct exact (equal users share a
+    salt); the decimal sum is salt-order-independent by construction.
+    The oracle is the *unsalted* aggregation — equality proves the
+    technique lossless."""
+    e = _events(spark, sf_dir)
+    salted = e.withColumn(
+        "__salt", F.pmod(F.hash("user_id"), F.lit(SKEW_SALTS))
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count_distinct("user_id").alias("_pd"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("_ps"),
+        F.count("*").alias("_pn"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_pd").alias("n_users"),
+        F.round(F.sum("_ps"), 4).cast("double").alias("sum_value"),
+        F.sum("_pn").alias("n_events"),
+    )
+
+
+SKEW_SAFE_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS sum_value,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------- fuzzy matching
 
 FUZZY_MAX_DIST = 2
@@ -467,4 +508,6 @@ SPECS = [
               FUZZY_PAIRS_SQL, ("relational", "fuzzy", "join")),
     QuerySpec("props_key_counts", props_key_counts,
               PROPS_KEY_COUNTS_SQL, ("events", "json")),
+    QuerySpec("skew_safe_user_stats", skew_safe_user_stats,
+              SKEW_SAFE_SQL, ("events", "skew", "agg")),
 ]

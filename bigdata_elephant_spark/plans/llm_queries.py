@@ -634,6 +634,54 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under the oracle gate: valid binary P6
+    payloads are synthesized from a closed-form pixel formula
+    (operators/multimodal.py synth_ppm_payloads), then actually
+    *parsed and decoded* (header tokenizer + buffer reshape,
+    ppm_channel_stats) into per-channel means. The oracle recomputes
+    the same means from the formula — a wrong header parse, pixel
+    order, or channel split hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_ppm_payloads(docs)
+    stats = multimodal.ppm_channel_stats(payloads)
+    return stats.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+MEDIA_PPM_STATS_SQL = """
+WITH dims AS (
+    SELECT doc_id,
+           CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 8 + 8 AS INTEGER) AS height
+    FROM documents
+),
+px AS (
+    SELECT doc_id, width, height, unnest(range(0, width * height)) AS k
+    FROM dims
+)
+SELECT doc_id, width, height,
+       round(CAST(sum((doc_id * 31 + (3 * k + 0) * 7) % 256) AS DOUBLE)
+             / (width * height), 6) AS mean_r,
+       round(CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS DOUBLE)
+             / (width * height), 6) AS mean_g,
+       round(CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS DOUBLE)
+             / (width * height), 6) AS mean_b
+FROM px
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------ text stats
 
 _STOPS = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -1100,6 +1148,8 @@ SPECS = [
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
               ("llm", "text")),
     QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,
+              ("llm", "multimodal")),
+    QuerySpec("media_ppm_stats", q_media_ppm_stats, MEDIA_PPM_STATS_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),

@@ -89,7 +89,7 @@ GATE_PRIORITY = (
     "doc_chunks",                # chunking
     "pack_sequences",            # chunking + shard window
     "shuffle_assignments",       # deterministic sampling
-    "redact_pii",                # scrubbing
+    "media_ppm_stats",           # REAL image decode under the gate
     "merge_upsert_orders",       # MERGE semantics
     "cdc_latest_state",          # CDC compaction
     "event_funnel",              # sequential analytics

@@ -92,3 +92,63 @@ def test_resize_media_shapes(spark):
     assert bytes(got[2]["media"]) == b"x" * 64        # truncated
     assert bytes(got[3]["media"]) == b"\x00" * 64     # empty -> zeros
     assert got[1]["width"] == 8 and got[1]["height"] == 8
+
+
+# ------------------------------------------------- real PPM decoder
+
+
+def test_ppm_roundtrip_and_header_variants():
+    import numpy as np
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # comments + arbitrary whitespace in the header
+    body = px.tobytes()
+    raw = b"P6 # a comment\n# another\n 7\t5 \n255\n" + body
+    assert (decode_ppm(raw) == px).all()
+    # grayscale P5
+    g = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    raw5 = b"P5\n6 4\n255\n" + g.tobytes()
+    assert (decode_ppm(raw5) == g).all()
+    # nearest-neighbor resize: exact index-map semantics
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+    assert (small[1, 2] == px[(1 * 5) // 2, (2 * 7) // 3]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_ppm_stats_pipeline(spark):
+    """Synthesized payloads are REAL P6 files; stats come from an
+    actual parse+decode, and match the closed-form expectation."""
+    from bigdata_elephant_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_channel_stats,
+        synth_ppm_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 5, 11)], "doc_id long"
+    )
+    payloads = {r["doc_id"]: bytes(r["media"])
+                for r in synth_ppm_payloads(docs).collect()}
+    px5 = decode_ppm(payloads[5])
+    assert px5.shape == (5 % 8 + 8, 5 % 16 + 8, 3)
+    stats = {r["doc_id"]: r
+             for r in ppm_channel_stats(synth_ppm_payloads(docs)).collect()}
+    import numpy as np
+
+    expect = px5.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    assert stats[5]["mean_r"] == expect[0]
+    assert stats[5]["mean_g"] == expect[1]
+    assert stats[5]["mean_b"] == expect[2]
