@@ -398,6 +398,49 @@ def cell_mean_centroids(
     )
 
 
+def _centroids_from_long(cents_long: DataFrame) -> DataFrame:
+    """(cell_id, d, c) long format -> (cell_id, cvec array) for the
+    next assignment round (array rebuilt in dimension order)."""
+    return cents_long.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cvec")
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed k-means (Lloyd): seed with the deterministic
+    lowest-id centroids, then ``iterations`` rounds of broadcast
+    argmin assignment + per-cell elementwise means. Centroids are
+    rounded to 6 decimals every round so the trajectory replays
+    identically in any engine (the oracle unrolls the same rounds);
+    ``localCheckpoint`` truncates the growing lineage like the other
+    iterative operators. Per round: one broadcast of n_cells vectors
+    + one (cell, dim)-keyed aggregation — no shuffle of the vector
+    table itself. Output: final centroids, long format
+    ``(cell_id, d, c)``.
+
+    Empty cells keep no rows (their centroid drops out) — same
+    convention as the SQL oracle's inner join.
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    out = None
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        out = cell_mean_centroids(
+            embeddings, assigned, id_col, vec_col
+        ).localCheckpoint()
+        cents = _centroids_from_long(out)
+    return out
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -608,6 +608,62 @@ GROUP BY 1, 2
 """
 
 
+KMEANS_ITERS = 3
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means (operators/similarity.py kmeans):
+    KMEANS_ITERS unrolled Lloyd rounds, centroids rounded per round
+    so the whole trajectory is engine-replayable; the oracle unrolls
+    the identical rounds in SQL."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans(emb, n_cells=IVF_CELLS,
+                             iterations=KMEANS_ITERS)
+
+
+def _kmeans_round_ctes(iters: int) -> str:
+    """Round i: assignment a{i} against cents{i}, means m{i} (long),
+    rebuilt list centroids cents{i+1}. cents0 is the raw seed."""
+    l2_seed = _l2_sql("e.embedding", "c.cvec")
+    parts = [f"""
+cents0 AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+)"""]
+    for i in range(iters):
+        # rounded-mean centroid lists are DOUBLE[]; the same fold
+        # works since both sides cast elementwise to double
+        parts.append(f"""
+a{i} AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({l2_seed}, 6), c.cell_id) AS rn
+        FROM embeddings e, cents{i} c
+    ) WHERE rn = 1
+),
+m{i} AS (
+    SELECT a.cell_id,
+           CAST(j - 1 AS BIGINT) AS d,
+           round(sum(CAST(e.embedding[j] AS DOUBLE)) / count(*), 6) AS c
+    FROM a{i} a
+    JOIN embeddings e USING (vec_id),
+         unnest(range(1, {EMBED_DIM + 1})) AS t(j)
+    GROUP BY 1, 2
+),
+cents{i + 1} AS (
+    SELECT cell_id, list(c ORDER BY d) AS cvec FROM m{i} GROUP BY 1
+)""")
+    return ",".join(parts)
+
+
+KMEANS_TRAIN_SQL = f"""
+WITH {_kmeans_round_ctes(KMEANS_ITERS)}
+SELECT cell_id, d, c FROM m{KMEANS_ITERS - 1}
+"""
+
+
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1119,6 +1175,8 @@ SPECS = [
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
               ("llm", "similarity")),
     QuerySpec("kmeans_step", q_kmeans_step, KMEANS_STEP_SQL,
+              ("llm", "similarity", "iterative")),
+    QuerySpec("kmeans_train", q_kmeans_train, KMEANS_TRAIN_SQL,
               ("llm", "similarity", "iterative")),
     QuerySpec("knn_cosine_lsh_multiprobe", q_knn_cosine_lsh_multiprobe,
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),

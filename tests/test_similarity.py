@@ -209,3 +209,44 @@ def test_lsh_recall_planted_cluster(spark):
     assert r_single >= 0.8, f"planted-cluster recall {r_single}"
     assert r_multi >= r_single
     assert r_multi >= 0.9, f"multi-probe recall {r_multi}"
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """3 well-separated planted clusters, seeds drawn one-per-cluster
+    (ids 0..2 are cluster exemplars): after a few Lloyd rounds each
+    centroid sits near its cluster's true mean."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = np.array(
+        [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+         [0.0, 0.0, 10.0, 0.0]]
+    )
+    pts, ids = [], []
+    # ids 0..2 are one point from each cluster -> the lowest-id seeds
+    # start one-per-cluster
+    for c in range(3):
+        pts.append(centers[c] + rng.normal(scale=0.3, size=4))
+        ids.append(c)
+    n = 3
+    for c in range(3):
+        for _ in range(40):
+            pts.append(centers[c] + rng.normal(scale=0.3, size=4))
+            ids.append(n)
+            n += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in zip(ids, pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.kmeans(df, n_cells=3, iterations=4).collect()
+    cents = {}
+    for r in out:
+        cents.setdefault(r["cell_id"], {})[r["d"]] = r["c"]
+    assert len(cents) == 3
+    got = sorted(
+        tuple(c[d] for d in range(4)) for c in cents.values()
+    )
+    want = sorted(tuple(c) for c in centers)
+    for g, w in zip(got, want):
+        dist = sum((a - b) ** 2 for a, b in zip(g, w)) ** 0.5
+        assert dist < 0.5, (g, w)
