@@ -1675,6 +1675,443 @@ GROUP BY 1
 """
 
 
+# ----------------------------------------------------------------
+# Second batch of TPC-H plan-shape analogues. The testdata schema has
+# no partsupp / l_shipmode / l_commitdate / l_receiptdate / c_phone,
+# so Q2/Q4/Q11/Q12/Q16/Q20/Q21/Q22 cannot be reproduced literally;
+# each query below re-creates the original's *plan shape* — the part
+# that matters for a query engine — on the columns that exist:
+#   Q2  decorrelated per-group MIN subquery + join-back on the min
+#   Q4  EXISTS semi-join with a cross-table predicate, priority count
+#   Q11 group aggregate HAVING > fraction-of-global scalar subquery
+#   Q12 fact-fact join + CASE-sum pivot over a derived dimension
+#   Q16 distinct-count aggregate behind a NOT-IN anti-join
+#   Q20 nested aggregate → threshold filter → semi-join chain
+#   Q21 EXISTS + NOT-EXISTS self-joins, decorrelated to one pass
+#   Q22 scalar AVG subquery + anti-join + group aggregate
+# (`lineitem` stands in for partsupp as the part↔supplier bridge.)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: for each PROMO part, the EUROPE supplier
+    offering it at the minimum observed unit price. The correlated
+    MIN subquery is decorrelated into one per-(part,supplier)
+    aggregate, a per-part min, and an equality join-back — the
+    standard rewrite; ties (shared min) surface on both engines.
+    Unit price is a per-row double division rounded to 6 decimals
+    *before* MIN, so both engines take the min of identical doubles
+    and the join-back equality is exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & F.col("p_size").between(10, 30)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    costs = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(elig), l.l_suppkey == elig.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).alias("cost"))
+    )
+    mins = costs.groupBy("p_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        costs.join(F.broadcast(mins), ["p_partkey"])
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "p_partkey", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("cost"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH elig AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+costs AS (
+    SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+           min(round(l_extendedprice / l_quantity, 6)) AS cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN elig ON l_suppkey = s_suppkey
+    WHERE p_type = 'PROMO' AND p_size BETWEEN 10 AND 30
+    GROUP BY 1, 2, 3, 4, 5
+),
+mins AS (
+    SELECT p_partkey, min(cost) AS min_cost FROM costs GROUP BY 1
+)
+SELECT c.p_partkey, c.s_name, c.n_name,
+       round(c.s_acctbal, 2) AS acctbal, c.cost
+FROM costs c JOIN mins m
+  ON c.p_partkey = m.p_partkey AND c.cost = m.min_cost
+ORDER BY acctbal DESC, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+"""
+
+
+def q4_priority_timeliness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: orders placed in 1997Q3 that had at least
+    one line shipped more than 60 days after the order date, counted
+    per priority. The EXISTS becomes a left-semi join whose condition
+    references both sides (key equality + the lateness inequality) —
+    Catalyst keeps the equi-part as the join key and evaluates the
+    inequality as a join residual, so the fact table still shuffles
+    only on orderkey."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: parts whose NATION_3-supplied revenue
+    exceeds 1/1000 of that nation's total — a grouped aggregate
+    filtered against a global scalar aggregate. The threshold
+    comparison is done as ``value * 1000 > total`` in exact decimal
+    (both sides are decimal sums of identical inputs), so no float
+    boundary can flip membership; the fraction never becomes an
+    inexact multiplier."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    j = l.join(
+        F.broadcast(
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_suppkey")
+        ),
+        l.l_suppkey == F.col("s_suppkey"),
+    )
+    vals = j.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).alias("_val")
+    )
+    total = vals.agg(F.sum("_val").alias("_total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") * 1000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_val"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH vals AS (
+    SELECT l_partkey AS partkey, sum({_DISC_PRICE_SQL}) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS value
+FROM vals
+WHERE val * 1000 > (SELECT sum(val) FROM vals)
+ORDER BY value DESC, partkey
+"""
+
+
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: 1998 shipments bucketed by order-to-ship
+    delay (the derived dimension standing in for l_shipmode), with
+    high- vs low-priority CASE-sum counts — the conditional-pivot
+    aggregate over a fact-fact join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast")
+        .when(delay < 60, "normal")
+        .otherwise("slow")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(bucket.alias("delay_bucket"), hi.alias("_hi"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("high_cnt"),
+            F.sum(F.when(F.col("_hi"), 0).otherwise(1)).alias("low_cnt"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN delay < 30 THEN 'fast'
+            WHEN delay < 60 THEN 'normal'
+            ELSE 'slow' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+FROM (
+    SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(l_shipdate AS DATE)) AS delay,
+           o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding suppliers with a
+    negative balance via NOT IN — an anti-join feeding a
+    distinct-count aggregate. The anti-join runs first so excluded
+    suppliers never reach the shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").between(1, 30)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size BETWEEN 1 AND 30
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers who concentrated more than 20%
+    of their all-time small-part volume into 1998 — a nested
+    aggregate (per-supplier conditional + total sums over a filtered
+    part join) whose threshold survivors semi-join back to the
+    supplier dimension. The 20% comparison is ``q98 * 5 > qall`` in
+    exact decimal."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    in98 = (
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in98, money("l_quantity")).otherwise(zero))
+            .alias("q98"),
+            F.sum(money("l_quantity")).alias("qall"),
+        )
+        .filter(F.col("q98") * 5 > F.col("qall"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(agg, s.s_suppkey == agg.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH agg AS (
+    SELECT l_suppkey,
+           sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                     AND l_shipdate < TIMESTAMP '1999-01-01'
+                    THEN CAST(l_quantity AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS q98,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) AS qall
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM agg
+              WHERE agg.l_suppkey = s_suppkey AND q98 * 5 > qall)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers who were the *sole* late shipper
+    (ship > order date + 60 days) on a finished multi-supplier order.
+    The original's EXISTS + NOT-EXISTS self-joins are decorrelated
+    into one per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back to the late lines — one fact-table pass
+    instead of three correlated rescans. The DuckDB oracle runs the
+    textbook correlated form, so the rewrite's equivalence is checked
+    every round."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    stats = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    culprits = (
+        j.filter("late")
+        .join(stats, ["l_orderkey"])
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: above-average-balance customers in a
+    nation subset with no order since 2000 — scalar AVG subquery
+    (exact decimal sum / count, so both engines compare the identical
+    double) + anti-join + group aggregate. c_nationkey stands in for
+    the phone country code."""
+    keys = [1, 3, 5, 7, 9, 11]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count("*"))
+            .alias("_avg_bal")
+        )
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_bal
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+  AND c_acctbal > (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*)
+      FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SPECS = [
     QuerySpec("setop_except_all_orders", setop_except_all_orders,
               SETOP_EXCEPT_ALL_SQL, ("relational", "setop")),
@@ -1777,4 +2214,20 @@ SPECS = [
               WINDOW_VALUE_FUNCS_SQL, ("relational", "window")),
     QuerySpec("order_aging", order_aging, ORDER_AGING_SQL,
               ("relational", "scalar", "date")),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
+              ("relational", "subquery", "join")),
+    QuerySpec("q4_priority_timeliness", q4_priority_timeliness, Q4_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q11_important_parts", q11_important_parts, Q11_SQL,
+              ("relational", "subquery", "agg")),
+    QuerySpec("q12_ship_delay_priority", q12_ship_delay_priority, Q12_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q16_supplier_variety", q16_supplier_variety, Q16_SQL,
+              ("relational", "join", "agg")),
+    QuerySpec("q20_excess_shipments", q20_excess_shipments, Q20_SQL,
+              ("relational", "subquery", "join")),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
+              ("relational", "subquery", "join"), bench=True),
+    QuerySpec("q22_dormant_customers", q22_dormant_customers, Q22_SQL,
+              ("relational", "subquery", "agg")),
 ]
