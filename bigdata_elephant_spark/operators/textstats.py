@@ -228,3 +228,122 @@ def doc_fingerprints(
         F.coalesce(F.array_min(hashes), F.lit(-1)).alias("fp_min"),
         F.coalesce(F.array_max(hashes), F.lit(-1)).alias("fp_max"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.55,
+    max_top_word_frac: float = 0.12,
+    max_top_bigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", table A1): per-document duplicate-word
+    fraction, most-frequent-word share, most-frequent-bigram share,
+    and the resulting keep/drop flag.
+
+    Shape: explode -> per-(doc,gram) count -> per-doc aggregate, for
+    words and bigrams, joined on doc_id. Two shuffles keyed on doc_id
+    (bounded by corpus token count, no quadratic term), all built-in
+    expressions — this is the form that survives 100 TB, unlike the
+    per-row ``transform × filter`` array scan which is O(distinct ·
+    len) per document.
+
+    Flags compare 6-decimal-rounded ratios of exact integer counts,
+    so both engines compare identical doubles against the thresholds.
+    """
+    toks = df.select(id_col, tokens_array(text_col).alias("__toks"))
+    words = toks.select(id_col, F.explode("__toks").alias("w"))
+    wstats = (
+        words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word_cnt"),
+        )
+    )
+    # bigram array: zip of toks[:-1] with toks[1:] (empty when < 2)
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))"),
+                F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bgstats = (
+        bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_cnt"),
+        )
+    )
+    j = (
+        toks.select(id_col)
+        .join(wstats, [id_col], "left")
+        .join(bgstats, [id_col], "left")
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    dup_frac = F.round(
+        (n_tok - F.coalesce(F.col("n_distinct"), F.lit(0)))
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    topw_frac = F.round(
+        F.coalesce(F.col("top_word_cnt"), F.lit(0))
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    topb_frac = F.round(
+        F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+        6,
+    )
+    return j.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        topw_frac.alias("top_word_frac"),
+        topb_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac < max_dup_word_frac)
+            & (topw_frac < max_top_word_frac)
+            & (topb_frac < max_top_bigram_frac)
+        ).alias("quality_pass"),
+    )
+
+
+def corpus_ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text",
+    id_col: str = "doc_id", top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table (top_k most frequent).
+
+    The canonical scaled word-count: explode n-grams, one partially-
+    aggregated groupBy on the gram, TakeOrderedAndProject for the
+    top-k — no global sort, map-side combine does most of the work.
+    """
+    toks = df.select(tokens_array(text_col).alias("__toks"))
+    if n == 1:
+        grams = toks.select(F.explode("__toks").alias("gram"))
+    else:
+        cols = [
+            F.expr(
+                f"slice(__toks, {i + 1}, "
+                f"greatest(size(__toks) - {n - 1}, 0))"
+            )
+            for i in range(n)
+        ]
+        arr = cols[0]
+        for c in cols[1:]:
+            arr = F.zip_with(arr, c, lambda a, b: F.concat_ws(" ", a, b))
+        grams = toks.select(F.explode(arr).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(top_k)
+    )

@@ -487,6 +487,53 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the top-20 hottest grouping keys with
+    their share of all rows and their skew multiplier (key count ÷
+    mean key count). This is the query you run *before* picking a
+    partitioning / salting strategy — a skew_x near 1 means uniform
+    keys, a large skew_x says the key needs salting (see
+    operators/skew.py for the mitigation).
+
+    One partially-aggregated groupBy + a broadcast of the 1-row
+    total; top-k is TakeOrderedAndProject. Ratios divide exact
+    integer counts, identical cross-engine."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("_tot"), F.count("*").alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("_nkeys") / F.col("_tot"), 6
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+
+
+HEAVY_HITTER_SQL = """
+WITH counts AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+),
+tot AS (
+    SELECT sum(cnt) AS t, count(*) AS nkeys FROM counts
+)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / t, 6) AS share,
+       round(cnt * nkeys / t, 6) AS skew_x
+FROM counts, tot
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL,
               ("events", "analytics", "join"), bench=True),
@@ -510,4 +557,6 @@ SPECS = [
               PROPS_KEY_COUNTS_SQL, ("events", "json")),
     QuerySpec("skew_safe_user_stats", skew_safe_user_stats,
               SKEW_SAFE_SQL, ("events", "skew", "agg")),
+    QuerySpec("heavy_hitter_keys", heavy_hitter_keys,
+              HEAVY_HITTER_SQL, ("events", "skew", "agg")),
 ]

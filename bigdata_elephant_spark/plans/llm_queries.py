@@ -1151,6 +1151,66 @@ FROM tris
 """
 
 
+# ---------------------------------------------- repetition quality
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.gopher_repetition(_docs(spark, sf_dir))
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (SELECT doc_id, unnest(toks) AS w FROM doc_toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS topw
+       FROM wc GROUP BY 1),
+bgs AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM doc_toks),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(ws.n, 0) AS BIGINT) AS n_tokens,
+       round((coalesce(ws.n, 0) - coalesce(ws.d, 0))
+             / greatest(coalesce(ws.n, 0), 1), 6) AS dup_word_frac,
+       round(coalesce(ws.topw, 0)
+             / greatest(coalesce(ws.n, 0), 1), 6) AS top_word_frac,
+       round(coalesce(bs.topb, 0)
+             / greatest(coalesce(bs.nb, 0), 1), 6) AS top_bigram_frac,
+       (round((coalesce(ws.n, 0) - coalesce(ws.d, 0))
+              / greatest(coalesce(ws.n, 0), 1), 6) < 0.55
+        AND round(coalesce(ws.topw, 0)
+                  / greatest(coalesce(ws.n, 0), 1), 6) < 0.12
+        AND round(coalesce(bs.topb, 0)
+                  / greatest(coalesce(bs.nb, 0), 1), 6) < 0.10)
+           AS quality_pass
+FROM doc_toks t
+LEFT JOIN ws ON t.doc_id = ws.doc_id
+LEFT JOIN bs ON t.doc_id = bs.doc_id
+"""
+
+
+def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.corpus_ngram_counts(_docs(spark, sf_dir), n=2)
+
+
+CORPUS_BIGRAMS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+bgs AS (
+    SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM doc_toks)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM bgs GROUP BY 1
+ORDER BY cnt DESC, gram
+LIMIT 50
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
@@ -1203,6 +1263,10 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("pandas_token_counts", q_pandas_token_counts,
               PANDAS_TOKEN_COUNTS_SQL, ("llm", "text", "pandas_udf")),
+    QuerySpec("gopher_repetition", q_gopher_repetition,
+              GOPHER_REPETITION_SQL, ("llm", "text", "quality")),
+    QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,
+              ("llm", "text")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
               ("llm", "text")),
     QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,

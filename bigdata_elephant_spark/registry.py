@@ -50,8 +50,9 @@ GATE_PRIORITY = (
     # that would otherwise never get a driver row.
     "dedup_groups",
     "pagerank_dupgraph",
-    "simhash_signatures",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs",       # covers the simhash family (pairs
+                                 # build on simhash_signatures)
+    "gopher_repetition",         # repetition-quality filter family
     "ngram_jaccard_pairs",
     "knn_cosine",
     "knn_cosine_lsh",

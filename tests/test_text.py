@@ -109,3 +109,68 @@ def test_lang_id_profiles_deterministic_tiebreak(spark):
     rows = lang_id_profiles(docs).collect()
     assert rows[0]["pred_lang"] == "en"
     assert rows[0]["score_en"] == rows[0]["score_fr"] > 0
+
+
+# ------------------------------------------- gopher repetition edges
+
+def test_gopher_repetition_edges(spark):
+    """Empty doc, all-filtered doc, single-token doc, and a heavily
+    repeated doc: every input row must appear in the output (left
+    joins, no explode-drop), with sane fractions and flags."""
+    from bigdata_elephant_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                       # empty
+            (2, "1234 aaaa !!!"),          # every token filtered
+            (3, "word"),                   # one token, no bigrams
+            (4, "spam spam spam spam"),    # max repetition
+            # 15 tokens: top_bigram_frac 1/14 stays under the 0.10
+            # flag threshold (a doc of n unique tokens scores 1/(n-1))
+            (5, "one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen fifteen"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for d in (1, 2):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["dup_word_frac"] == 0.0
+        assert rows[d]["quality_pass"]  # vacuous pass, no tokens
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["top_word_frac"] == 1.0
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[4]["dup_word_frac"] == 0.75
+    assert rows[4]["top_word_frac"] == 1.0
+    assert rows[4]["top_bigram_frac"] == 1.0
+    assert not rows[4]["quality_pass"]
+    assert rows[5]["dup_word_frac"] == 0.0
+    assert rows[5]["quality_pass"]
+
+
+def test_corpus_ngram_counts_unigram_and_trigram(spark):
+    from bigdata_elephant_spark.operators.textstats import (
+        corpus_ngram_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    uni = {
+        r["gram"]: r["cnt"]
+        for r in corpus_ngram_counts(df, n=1).collect()
+    }
+    assert uni == {"alpha": 3, "beta": 3, "gamma": 1}
+    tri = {
+        r["gram"]: r["cnt"]
+        for r in corpus_ngram_counts(df, n=3).collect()
+    }
+    assert tri == {
+        "alpha beta alpha": 1,
+        "beta alpha beta": 1,
+        "alpha beta gamma": 1,
+    }
