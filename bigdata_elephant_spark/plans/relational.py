@@ -1721,9 +1721,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(unit).alias("cost"))
     )
-    mins = costs.groupBy("p_partkey").agg(F.min("cost").alias("min_cost"))
+    # Per-part min via a window, not a groupBy + self-join: the self-
+    # join form re-executes the whole costs subtree (two lineitem
+    # scans — visible as a duplicated plan branch); the window reuses
+    # the aggregate output with one extra partkey shuffle of the
+    # already part×supplier-sized data.
+    w_part = Window.partitionBy("p_partkey")
     return (
-        costs.join(F.broadcast(mins), ["p_partkey"])
+        costs.withColumn("min_cost", F.min("cost").over(w_part))
         .filter(F.col("cost") == F.col("min_cost"))
         .select(
             "p_partkey", "s_name", "n_name",
