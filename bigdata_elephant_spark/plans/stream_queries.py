@@ -167,6 +167,38 @@ GROUP BY user_id
 """
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution).
+    Two independent streaming scans of the landing dir, inner-joined
+    on user + a bounded time range; finite input ⇒ equals the batch
+    self-join the oracle runs."""
+    clicks = ev.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ev.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ev.click_purchase_attribution(clicks, purchases)
+    return ev.run_stream_to_memory(
+        joined, f"stream_interval_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 SPECS = [
     QuerySpec("events_stream_tumbling", q_stream_tumbling,
               STREAM_TUMBLING_SQL, ("streaming",), bench=True),
@@ -180,4 +212,6 @@ SPECS = [
               STREAM_ENRICH_SQL, ("streaming", "join")),
     QuerySpec("events_stream_distinct", q_stream_distinct,
               STREAM_DISTINCT_SQL, ("streaming", "dedup")),
+    QuerySpec("events_stream_interval_join", q_stream_interval_join,
+              STREAM_INTERVAL_JOIN_SQL, ("streaming", "join")),
 ]

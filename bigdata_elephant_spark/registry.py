@@ -69,7 +69,8 @@ GATE_PRIORITY = (
     # streaming
     "events_stream_tumbling",
     "events_stream_sessions",
-    "events_stream_sliding",
+    "events_stream_interval_join",  # stream-stream join (sliding is
+                                    # the displaced tumbling variant)
     "events_stream_anomalies",
     "events_stream_enrich",
     "events_stream_distinct",

@@ -224,6 +224,58 @@ def enrich_with_users(
     )
 
 
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks in the preceding ``lookback`` window.
+
+    Both sides carry event-time watermarks and the join condition
+    bounds click_ts to [purchase_ts - lookback, purchase_ts], so the
+    state store provably evicts: a buffered click can only match
+    purchases arriving within lookback + watermark of it. Without
+    the range bound Spark must buffer both streams forever — the
+    condition is the scale contract, not an optimization. Inner
+    stream-stream joins emit in append mode only.
+
+    Works identically on batch frames (no watermark applied), which
+    is what the DuckDB oracle replays."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        # second-granularity gap; timestamps cast to epoch seconds
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"))
+        .alias("gap_s"),
+    )
+
+
 ANOMALY_OUT_SCHEMA = (
     "user_id long, n_events long, n_flagged long"
 )

@@ -201,3 +201,32 @@ def test_kafka_reader_wiring(spark, sf_dir):
         with pytest.raises(Exception) as ei:
             ev.read_events_kafka(spark, "broker:9092", "events")
         assert "kafka" in str(ei.value).lower()
+
+
+def test_interval_join_stream_equals_batch_across_batches(spark, sf_dir):
+    """Stream-stream interval join with each side split into 3 time-
+    sliced micro-batches: a click buffered in the state store must
+    still match a purchase arriving in a LATER trigger (and vice
+    versa, purchases wait for late clicks up to the watermark).
+    Result must equal the batch self-join."""
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    batch = ev.click_purchase_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    stream = ev.click_purchase_attribution(
+        ev.read_events_stream(spark, sf_dir, n_chunks=3).filter(
+            F.col("event_type") == "click"
+        ),
+        ev.read_events_stream(spark, sf_dir, n_chunks=3).filter(
+            F.col("event_type") == "purchase"
+        ),
+    )
+    got = ev.run_stream_to_memory(
+        stream, f"ivj_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    cols = ["click_id", "purchase_id", "user_id", "gap_s"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(got, cols)) > 0
