@@ -487,6 +487,58 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value statistics with the outlier tails cut at
+    exact percentile ranks (keep 1% ≤ pr ≤ 99%): the trimmed mean a
+    feature pipeline wants when sensor glitches poison plain AVG.
+
+    percent_rank is (rank-1)/(n-1) on identical orderings — exact
+    rationals, so the trim boundary cannot flip rows cross-engine
+    (unlike approx_percentile, whose sketch is engine-specific). One
+    sort-window per type partition + one aggregate; at 100 TB the
+    window shuffles on event_type — low-cardinality, so a salted
+    two-level variant (operators/skew.py) would pre-aggregate if
+    types are few and hot."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", "value", F.percent_rank().over(w).alias("pr")
+    )
+    return (
+        ranked.filter((F.col("pr") >= 0.01) & (F.col("pr") <= 0.99))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("trimmed_avg"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TRIMMED_VALUE_STATS_SQL = """
+WITH ranked AS (
+    SELECT event_type, value,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value) AS pr
+    FROM events
+)
+SELECT event_type, count(*) AS n_kept,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS trimmed_avg,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM ranked
+WHERE pr >= 0.01 AND pr <= 0.99
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew diagnosis: the top-20 hottest grouping keys with
     their share of all rows and their skew multiplier (key count ÷
@@ -559,4 +611,6 @@ SPECS = [
               SKEW_SAFE_SQL, ("events", "skew", "agg")),
     QuerySpec("heavy_hitter_keys", heavy_hitter_keys,
               HEAVY_HITTER_SQL, ("events", "skew", "agg")),
+    QuerySpec("trimmed_value_stats", trimmed_value_stats,
+              TRIMMED_VALUE_STATS_SQL, ("events", "agg", "window")),
 ]

@@ -283,6 +283,52 @@ SELECT node, round(rank, 6) AS rank FROM pr{PR_ITERS}
 """
 
 
+def q_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the near-duplicate pair graph: a node in
+    many triangles sits in a densely inter-similar cluster (template
+    boilerplate), vs. a chain of pairwise-similar revisions — the
+    signal that distinguishes 'delete all but one' from 'keep the
+    chain'. Compact-forward two-join algorithm (operators/graph.py)."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.graph import triangle_counts
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    return triangle_counts(pairs.select("doc_a", "doc_b"))
+
+
+DUPGRAPH_TRIANGLES_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM cand p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+),
+tri AS (
+    SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+    FROM good e1
+    JOIN good e2 ON e1.doc_b = e2.doc_a
+    WHERE EXISTS (SELECT 1 FROM good e3
+                  WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+),
+corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -1222,6 +1268,8 @@ SPECS = [
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
               ("llm", "dedup", "iterative"), bench=True),
+    QuerySpec("dupgraph_triangles", q_dupgraph_triangles,
+              DUPGRAPH_TRIANGLES_SQL, ("llm", "graph")),
     QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
               ("llm", "graph", "iterative"), bench=True),
     QuerySpec("simhash_signatures", q_simhash_signatures,

@@ -27,3 +27,16 @@ def test_pagerank_star_center_dominates(spark):
     hub = ranks.pop(1)
     assert all(hub > v for v in ranks.values())
     assert sum(ranks.values()) + hub == pytest.approx(1.0, abs=1e-4)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    edge 4-5 (no triangle) plus an isolated edge 6-7."""
+    from bigdata_elephant_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
