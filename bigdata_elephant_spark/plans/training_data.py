@@ -118,6 +118,137 @@ FROM keyed
 """
 
 
+# --------------------------------------------- end-to-end assembly
+
+ASSEMBLE_CAPACITY = 512
+ASSEMBLE_SHARDS = 8
+# chunk_id < 1000 for any doc here (k = (len-overlap-1)//stride + 1),
+# so ckey = doc_id*1000 + chunk_id is collision-free and orderable.
+CKEY_MULT = 1000
+
+
+def q_assemble_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus→tensors path as ONE lazy plan: quality filter
+    + exact-dedup survivorship + reproducible hash sample (curate),
+    overlapping chunking of the survivors, then per-shard sequence
+    packing of the chunks. Every stage is the same operator the
+    standalone registry query runs — this entry proves they compose.
+
+    Shuffles: one by text-hash (dedup window), one by doc_id (the
+    survivor join), one by shard (packing window) — each keyed on a
+    different column because each stage groups by a different thing;
+    no stage adds a shuffle beyond its own key. At 100 TB the
+    survivor join is the big one and it is an equi-join on the
+    already-partitioned doc_id."""
+    from bigdata_elephant_spark.operators import chunking
+    from bigdata_elephant_spark.plans.llm_queries import (
+        CURATE_MIN_TOKENS,
+        CURATE_MAX_TOKENS,
+        CURATE_SAMPLE,
+    )
+    from bigdata_elephant_spark.functions.text import tokens_array
+    from bigdata_elephant_spark.operators.sampling import hash_sample
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_array("text")).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    curated = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(
+            F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+        )
+        .select("doc_id")
+    )
+    survivors = docs.join(hash_sample(curated, "doc_id", CURATE_SAMPLE),
+                          "doc_id")
+    chunks = chunking.chunk_documents(
+        survivors, chunk_size=CHUNK_SIZE, overlap=OVERLAP
+    )
+    keyed = chunks.select(
+        (F.col("doc_id") * CKEY_MULT + F.col("chunk_id")).alias("ckey"),
+        "chunk",
+    )
+    packed = chunking.pack_sequences(
+        keyed,
+        capacity=ASSEMBLE_CAPACITY,
+        n_shards=ASSEMBLE_SHARDS,
+        id_col="ckey",
+        text_col="chunk",
+    )
+    return packed.select(
+        F.expr(f"ckey div {CKEY_MULT}").alias("doc_id"),
+        (F.col("ckey") % CKEY_MULT).alias("chunk_id"),
+        "shard",
+        "bin_in_shard",
+        "n_tok",
+    )
+
+
+def _assemble_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        DOC_TOKS_CTE,
+        CURATE_MIN_TOKENS,
+        CURATE_MAX_TOKENS,
+        CURATE_SAMPLE,
+    )
+    from bigdata_elephant_spark.functions.hashing import h32_sql_duckdb
+
+    h = h32_sql_duckdb("CAST(s.doc_id AS VARCHAR)")
+    return f"""
+WITH {DOC_TOKS_CTE},
+stats AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM doc_toks
+),
+canon AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+surv AS (
+    SELECT s.doc_id
+    FROM stats s JOIN canon c USING (doc_id)
+    WHERE s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+      AND ({h} % 10000) < {int(CURATE_SAMPLE * 10000)}
+),
+chunks AS (
+    SELECT d.doc_id, CAST(j AS BIGINT) AS chunk_id,
+           substring(d.text, 1 + j * {STRIDE}, {CHUNK_SIZE}) AS chunk
+    FROM documents d
+    JOIN surv USING (doc_id),
+         unnest(range(0, (greatest(length(d.text) - {OVERLAP}, 1) - 1)
+                         // {STRIDE} + 1)) AS t(j)
+),
+keyed AS (
+    SELECT doc_id, chunk_id,
+           doc_id * {CKEY_MULT} + chunk_id AS ckey,
+           (doc_id * {CKEY_MULT} + chunk_id) % {ASSEMBLE_SHARDS} AS shard,
+           CASE WHEN trim(chunk) = '' THEN 0
+                ELSE len(string_split_regex(trim(chunk), '\\s+'))
+           END AS n_tok
+    FROM chunks
+),
+c AS (
+    SELECT doc_id, chunk_id, shard, n_tok,
+           sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY ckey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS cum_before
+    FROM keyed
+)
+SELECT doc_id, chunk_id, CAST(shard AS BIGINT) AS shard,
+       CAST(cum_before // {ASSEMBLE_CAPACITY} AS BIGINT) AS bin_in_shard,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM c
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.redact_pii(_docs(spark, sf_dir))
 
@@ -144,4 +275,7 @@ SPECS = [
               SHUFFLE_ASSIGNMENTS_SQL, ("llm", "sampling")),
     QuerySpec("redact_pii", q_redact_pii, REDACT_PII_SQL,
               ("llm", "text")),
+    QuerySpec("assemble_training_corpus", q_assemble_training_corpus,
+              _assemble_sql(), ("llm", "pipeline", "chunking"),
+              bench=True),
 ]

@@ -57,7 +57,9 @@ GATE_PRIORITY = (
     "knn_cosine",
     "knn_cosine_lsh",
     "knn_ivf",
-    "doc_embedding_join",
+    "assemble_training_corpus",   # end-to-end curate→chunk→pack
+                                  # (displaces doc_embedding_join, a
+                                  # plain broadcast-join shape)
     "near_dup_embeddings",
     "near_dup_embeddings_lsh",
     "text_stats",
