@@ -1197,6 +1197,148 @@ FROM tris
 """
 
 
+# ------------------------------------------- decontamination / LM
+
+DECON_TRAIN_FRAC = 0.8
+DECON_FLAG_OVERLAP = 0.8
+
+
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the audit every benchmark
+    split needs: hash-split the corpus (the same deterministic bucket
+    function the sampling operators use, so the split is reproducible
+    on any engine), then measure what fraction of each eval doc's
+    3-gram shingles also appear anywhere in train. overlap ≥ 0.8
+    flags leaked near-duplicates; background trigram collisions on
+    this corpus sit near 0.5.
+
+    Shape: shingle explode both sides; the train side collapses to
+    DISTINCT shingles (the contamination index — at 100 TB this is
+    the thing you materialize, bucketed by shingle hash); eval joins
+    it per-shingle with a LEFT join and aggregates per doc. Join keys
+    are shingles — Zipf-headed, but the train side is distinct so the
+    hot key fan-out is 1×eval-side only."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.sampling import sample_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = sample_bucket("doc_id")
+    lo = int(DECON_TRAIN_FRAC * 10000)
+    sh = dedup.doc_shingles(docs)
+    train_sh = (
+        sh.filter(bucket < lo).select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    eval_sh = sh.filter(bucket >= lo).distinct()
+    return (
+        eval_sh.join(train_sh, ["shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+            .alias("overlap_frac"),
+            (
+                F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+                >= DECON_FLAG_OVERLAP
+            ).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_H = h32_sql_duckdb("CAST(doc_id AS VARCHAR)")
+
+DECONTAMINATE_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+train_sh AS (
+    SELECT DISTINCT shingle FROM doc_shingles
+    WHERE ({_DECON_H} % 10000) < {int(DECON_TRAIN_FRAC * 10000)}
+),
+ev AS (
+    SELECT DISTINCT doc_id, shingle FROM doc_shingles
+    WHERE ({_DECON_H} % 10000) >= {int(DECON_TRAIN_FRAC * 10000)}
+),
+st AS (
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared
+    FROM ev e LEFT JOIN train_sh t USING (shingle)
+    GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_shared,
+       round(n_shared / n_shingles, 6) AS overlap_frac,
+       round(n_shared / n_shingles, 6) >= {DECON_FLAG_OVERLAP}
+           AS contaminated
+FROM st ORDER BY doc_id
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: each doc's mean token
+    surprisal −ln p(w) under the corpus's own unigram distribution —
+    low = boilerplate of common tokens, high = rare-token noise; the
+    cheap perplexity proxy used to band corpora before an expensive
+    LM scorer.
+
+    Cross-engine float discipline: ln() runs only on the vocabulary-
+    sized frequency table and is rounded to 6 decimals THERE, then
+    cast to exact decimal — so the per-doc summation (the order-
+    nondeterministic part) is an exact decimal sum of identical
+    addends on both engines. Two passes over tokens (freq build +
+    score join); the freq table broadcasts."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(dedup.tokens_array("text")).alias("w")
+    )
+    freqs = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freqs.agg(F.sum("c").alias("t"))
+    s = (
+        freqs.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(F.log(F.col("t")) - F.log(F.col("c")), 6)
+            .cast("decimal(18,6)")
+            .alias("s_w"),
+        )
+    )
+    return (
+        words.join(F.broadcast(s), ["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("s_w").cast("double") / F.count("*"), 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (SELECT doc_id, unnest(toks) AS w FROM doc_toks),
+freqs AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM freqs),
+s AS (
+    SELECT w, CAST(round(ln(t) - ln(c), 6) AS DECIMAL(18,6)) AS s_w
+    FROM freqs, tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(s_w) AS DOUBLE) / count(*), 6) AS avg_surprisal
+FROM words JOIN s USING (w)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------- repetition quality
 
 
@@ -1311,6 +1453,10 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("pandas_token_counts", q_pandas_token_counts,
               PANDAS_TOKEN_COUNTS_SQL, ("llm", "text", "pandas_udf")),
+    QuerySpec("decontaminate_eval", q_decontaminate_eval,
+              DECONTAMINATE_SQL, ("llm", "dedup", "quality")),
+    QuerySpec("unigram_surprisal", q_unigram_surprisal,
+              UNIGRAM_SURPRISAL_SQL, ("llm", "text", "quality")),
     QuerySpec("gopher_repetition", q_gopher_repetition,
               GOPHER_REPETITION_SQL, ("llm", "text", "quality")),
     QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,

@@ -60,7 +60,9 @@ GATE_PRIORITY = (
     "assemble_training_corpus",   # end-to-end curate→chunk→pack
                                   # (displaces doc_embedding_join, a
                                   # plain broadcast-join shape)
-    "near_dup_embeddings",
+    "decontaminate_eval",        # train/eval leakage audit (displaces
+                                 # near_dup_embeddings, the exact
+                                 # verifier variant of the LSH path)
     "near_dup_embeddings_lsh",
     "text_stats",
     "lang_id",
