@@ -168,18 +168,37 @@ def asof_join(
     right_on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join (left join semantics).
+    """As-of join (left join semantics), single-shuffle union+window
+    construction in both directions.
+
+    ``direction="backward"`` (default): latest right row with
+    ``right_ts <= left_ts``. ``direction="forward"``: earliest right
+    row with ``right_ts >= left_ts`` — same plan with the window
+    ordering reversed (right still sorts before left at equal ts, so
+    equality matches inclusively in both directions). No L×R
+    inequality-join blowup in either mode.
+
+    ``tolerance_s`` bounds the match age in seconds (pandas
+    merge_asof semantics): a carried right row further than the
+    tolerance from ``left_ts`` is nulled out. The matched right
+    timestamp rides along as one more carried column, so the bound is
+    one filter expression — no extra join, and at scale the window
+    state is unchanged.
 
     Returns every ``left`` column plus every non-key ``right`` column
-    (null when the key has no right row at or before ``left_ts``).
+    (null when the key has no qualifying right row).
     """
+    assert direction in ("backward", "forward"), direction
     right_vals = [
         c for c in right.columns if c not in (right_on, right_ts)
     ]
     overlap = set(right_vals) & set(left.columns)
     assert not overlap, f"rename right columns first: {overlap}"
 
+    _RTS = "__asof_rts"
     l_tagged = left.select(
         F.col(left_on).alias(_KEY),
         F.col(left_ts).alias(_TS),
@@ -187,6 +206,7 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c)
           for c in right_vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(_RTS),
     )
     r_tagged = right.select(
         F.col(right_on).alias(_KEY),
@@ -195,22 +215,44 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
         *[F.col(c) for c in right_vals],
+        F.col(right_ts).alias(_RTS),
     )
     u = l_tagged.unionByName(r_tagged)
 
     # right (side=0) sorts before left (side=1) at equal ts => the
-    # carry-forward includes a right row with right_ts == left_ts.
+    # carry includes a right row with right_ts == left_ts in both
+    # directions; forward just walks the timeline in reverse.
+    ts_order = (
+        F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    )
     w = (
         Window.partitionBy(_KEY)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = right_vals + [_RTS]
     filled = u.select(
         *[F.col(c) for c in left.columns],
         F.col(_SIDE),
+        F.col(_TS),
         *[
             F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_vals
+            for c in carried
         ],
-    )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    ).filter(F.col(_SIDE) == 1)
+    if tolerance_s is not None:
+        age = (
+            F.col(_TS).cast("long") - F.col(_RTS).cast("long")
+            if direction == "backward"
+            else F.col(_RTS).cast("long") - F.col(_TS).cast("long")
+        )
+        ok = F.col(_RTS).isNotNull() & (age <= tolerance_s)
+        filled = filled.select(
+            *[F.col(c) for c in left.columns],
+            F.col(_SIDE),
+            F.col(_TS),
+            *[
+                F.when(ok, F.col(c)).alias(c) for c in carried
+            ],
+        )
+    return filled.drop(_SIDE, _TS, _RTS)

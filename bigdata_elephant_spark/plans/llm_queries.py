@@ -1197,6 +1197,55 @@ FROM tris
 """
 
 
+# ------------------------------------------------- dedup reporting
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) duplication report: corpus health dashboard
+    numbers — doc counts, distinct normalized texts, and the dup rate
+    — in one grouped aggregate over the same normalization the exact
+    dedup uses (so the report's numbers reconcile with dedup_exact's
+    survivors). count_distinct is two-phase partial-aggregated; the
+    dup-rate division is exact-int → identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    return (
+        docs.select("lang", "source", norm.alias("__h"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("__h").alias("n_unique"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+DEDUP_REPORT_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)),
+                                              '\\s+', ' ', 'g')))
+            AS BIGINT) AS n_unique,
+       round((count(*) - count(DISTINCT md5(regexp_replace(
+                  trim(lower(text)), '\\s+', ' ', 'g'))))
+             / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------- decontamination / LM
 
 DECON_TRAIN_FRAC = 0.8
@@ -1453,6 +1502,8 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("pandas_token_counts", q_pandas_token_counts,
               PANDAS_TOKEN_COUNTS_SQL, ("llm", "text", "pandas_udf")),
+    QuerySpec("dedup_report", q_dedup_report, DEDUP_REPORT_SQL,
+              ("llm", "dedup", "profiling")),
     QuerySpec("decontaminate_eval", q_decontaminate_eval,
               DECONTAMINATE_SQL, ("llm", "dedup", "quality")),
     QuerySpec("unigram_surprisal", q_unigram_surprisal,

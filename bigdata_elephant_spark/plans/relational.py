@@ -696,6 +696,74 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+ASOF_FWD_TOL_S = 6 * 3600
+
+
+def asof_error_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each error event joined to the
+    same user's next purchase at-or-after it, nulled when the gap
+    exceeds 6 hours (pandas merge_asof semantics). Same single-
+    shuffle union+window operator as the backward flagship, with the
+    window walked in reverse; the tolerance is one filter on the
+    carried right timestamp — no extra join. Oracle: DuckDB's native
+    forward ASOF (`<=`) plus an explicit CASE mask."""
+    from bigdata_elephant_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+        # second copy rides as a carried value column so the caller
+        # can compute the gap after the operator drops its internals
+        F.col("ts").alias("p_ts_out"),
+    )
+    r = temporal.dedupe_right(purchases, "p_user", "p_ts", "p_event")
+    out = temporal.asof_join(
+        errors, r, "user_id", "p_user", "ts", "p_ts",
+        direction="forward", tolerance_s=ASOF_FWD_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "p_event",
+        (F.col("p_ts_out").cast("long") - F.col("ts").cast("long"))
+        .alias("gap_s"),
+    )
+
+
+ASOF_ERROR_NEXT_PURCHASE_SQL = f"""
+WITH l AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+r2 AS (
+    SELECT p_user, p_ts, p_event FROM (
+        SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+j AS (
+    SELECT l.event_id, l.user_id, l.ts, r2.p_event, r2.p_ts
+    FROM l ASOF LEFT JOIN r2
+      ON l.user_id = r2.p_user AND l.ts <= r2.p_ts
+)
+SELECT event_id, user_id,
+       CASE WHEN p_ts IS NOT NULL
+             AND date_diff('second', ts, p_ts) <= {ASOF_FWD_TOL_S}
+            THEN p_event END AS p_event,
+       CASE WHEN p_ts IS NOT NULL
+             AND date_diff('second', ts, p_ts) <= {ASOF_FWD_TOL_S}
+            THEN CAST(date_diff('second', ts, p_ts) AS BIGINT)
+       END AS gap_s
+FROM j
+"""
+
+
 # ------------------------------------------------- percentiles / sets
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,6 +2225,8 @@ SPECS = [
     QuerySpec("asof_events_orders", asof_events_orders,
               ASOF_EVENTS_ORDERS_SQL, ("relational", "temporal"),
               bench=True),
+    QuerySpec("asof_error_next_purchase", asof_error_next_purchase,
+              ASOF_ERROR_NEXT_PURCHASE_SQL, ("relational", "temporal")),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               ("relational", "agg"), bench=True),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,

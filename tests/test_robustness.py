@@ -110,3 +110,55 @@ def test_asof_random_matches_bruteforce(spark, n_left, n_right, data):
         ]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_left=st.integers(1, 12),
+    n_right=st.integers(0, 12),
+    tol=st.one_of(st.none(), st.integers(0, 120)),
+    data=st.data(),
+)
+def test_asof_forward_tolerance_matches_bruteforce(
+    spark, n_left, n_right, tol, data
+):
+    """Forward direction + optional tolerance (minutes as seconds)
+    against a brute-force min-following-candidate reference."""
+    t0 = datetime(2024, 1, 1)
+    lefts = [
+        (i, data.draw(st.integers(0, 2)),
+         t0 + timedelta(minutes=data.draw(st.integers(0, 500))))
+        for i in range(n_left)
+    ]
+    rights = {}
+    for j in range(n_right):
+        k = data.draw(st.integers(0, 2))
+        ts = t0 + timedelta(minutes=data.draw(st.integers(0, 500)))
+        rights[(k, ts)] = f"p{j}"
+    right_rows = [(k, ts, p) for (k, ts), p in rights.items()]
+    left_df = spark.createDataFrame(
+        lefts, "event_id long, k long, ts timestamp"
+    )
+    right_df = spark.createDataFrame(
+        right_rows or [(99, t0, "none")],
+        "rk long, rts timestamp, payload string",
+    )
+    if not right_rows:
+        right_df = right_df.filter(F.lit(False))
+    tol_s = None if tol is None else tol * 60
+    got = {
+        r["event_id"]: r["payload"]
+        for r in temporal.asof_join(
+            left_df, right_df, "k", "rk", "ts", "rts",
+            direction="forward", tolerance_s=tol_s,
+        ).collect()
+    }
+    for (i, k, ts) in lefts:
+        cands = [
+            (rts, p) for (rk, rts), p in rights.items()
+            if rk == k and rts >= ts
+            and (tol_s is None
+                 or (rts - ts).total_seconds() <= tol_s)
+        ]
+        expect = min(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts, tol_s)
