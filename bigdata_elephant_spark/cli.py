@@ -1,0 +1,187 @@
+"""Staged command-line driver — the reference's job surface, on Spark.
+
+The reference is operated as three chained Hadoop jobs writing HDFS
+artifacts (``Vocabulary.java:133-146`` → vocab dir, ``Indexer.java`` +
+``ParseDocument.java:91`` → index/meta dirs, ``Query.java`` → ranked
+output read back by the caller). This CLI reproduces that *user
+workflow* — build once, query many times over the saved artifacts —
+with parquet directories as the artifact format:
+
+    python -m bigdata_elephant_spark vocab  --corpus D --out V
+    python -m bigdata_elephant_spark index  --corpus D --vocab V --out I
+    python -m bigdata_elephant_spark meta   --corpus D --out M
+    python -m bigdata_elephant_spark query  --vocab V --index I \
+        [--meta M] [-k 10] [--scoring reference|smooth|bm25] "the query"
+    python -m bigdata_elephant_spark search --corpus D "the query"
+
+``search`` is the one-shot convenience (all stages inline, nothing
+persisted) for ad-hoc use; the staged path is the production shape —
+at 100 TB the index build is the expensive scan and each query then
+touches only the (much smaller) postings artifact, exactly like the
+reference's flow. Corpus inputs may be WikiExtractor JSON-lines
+(``.json``/``.jsonl``, with optional ``--glob`` shard pruning) or a
+parquet table with ``(doc_id, text, ...)`` columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_elephant_spark.operators.index import (
+    build_index,
+    parse_documents,
+)
+from bigdata_elephant_spark.operators.search import (
+    bm25_search,
+    search,
+)
+from bigdata_elephant_spark.operators.vocab import build_vocabulary
+from bigdata_elephant_spark.session import get_spark
+from bigdata_elephant_spark.sources.corpus import read_corpus
+
+
+def _load_corpus(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    if path.rstrip("/").endswith((".json", ".jsonl")) or (
+        glob and glob.endswith((".json", ".jsonl"))
+    ):
+        return read_corpus(spark, path, glob=glob)
+    df = spark.read.parquet(path)
+    assert "doc_id" in df.columns and "text" in df.columns, (
+        f"parquet corpus needs (doc_id, text), got {df.columns}"
+    )
+    return df
+
+
+def _meta_cols(corpus: DataFrame) -> tuple[str, ...]:
+    return tuple(c for c in corpus.columns if c != "text")
+
+
+def _with_meta(ranked: DataFrame, meta: DataFrame | None) -> DataFrame:
+    if meta is None:
+        return ranked
+    from pyspark.sql import functions as F
+
+    return ranked.join(F.broadcast(meta), "doc_id", "left")
+
+
+def _write(df: DataFrame, out: str) -> None:
+    df.write.mode("overwrite").parquet(out)
+
+
+def _print_rows(df: DataFrame, file) -> None:
+    cols = df.columns
+    print("\t".join(cols), file=file)
+    for row in df.collect():
+        print(
+            "\t".join("" if row[c] is None else str(row[c]) for c in cols),
+            file=file,
+        )
+
+
+def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+    p = argparse.ArgumentParser(prog="bigdata_elephant_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def corpus_args(sp):
+        sp.add_argument("--corpus", required=True)
+        sp.add_argument("--glob", default=None)
+
+    sp = sub.add_parser("vocab", help="build vocabulary artifact")
+    corpus_args(sp)
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("index", help="build postings artifact")
+    corpus_args(sp)
+    sp.add_argument("--vocab", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("meta", help="build doc-metadata artifact")
+    corpus_args(sp)
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("query", help="rank docs over saved artifacts")
+    sp.add_argument("--vocab", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--meta", default=None)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument(
+        "--scoring", default="reference",
+        choices=("reference", "smooth", "bm25"),
+    )
+    sp.add_argument("--n-docs", type=int, default=None,
+                    help="corpus size (smooth scoring); inferred from "
+                         "the postings when omitted")
+    sp.add_argument("text")
+
+    sp = sub.add_parser("search", help="one-shot inline search")
+    corpus_args(sp)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument(
+        "--scoring", default="reference",
+        choices=("reference", "smooth", "bm25"),
+    )
+    sp.add_argument("text")
+
+    args = p.parse_args(argv)
+    spark = spark or get_spark("elephant-cli")
+    out = out or sys.stdout
+
+    if args.cmd == "vocab":
+        _write(
+            build_vocabulary(_load_corpus(spark, args.corpus, args.glob)),
+            args.out,
+        )
+    elif args.cmd == "index":
+        corpus = _load_corpus(spark, args.corpus, args.glob)
+        vocab = spark.read.parquet(args.vocab)
+        _write(build_index(corpus, vocab), args.out)
+    elif args.cmd == "meta":
+        corpus = _load_corpus(spark, args.corpus, args.glob)
+        _write(
+            parse_documents(corpus, cols=_meta_cols(corpus)), args.out
+        )
+    elif args.cmd == "query":
+        vocab = spark.read.parquet(args.vocab)
+        postings = spark.read.parquet(args.index)
+        meta = spark.read.parquet(args.meta) if args.meta else None
+        if args.scoring == "bm25":
+            ranked = _with_meta(bm25_search(
+                spark, args.text, vocab, postings, k=args.k
+            ), meta)
+        else:
+            n_docs = args.n_docs
+            if args.scoring == "smooth" and n_docs is None:
+                n_docs = (
+                    postings.select("doc_id").distinct().count()
+                )
+            ranked = search(
+                spark, args.text, vocab, postings, doc_meta=meta,
+                k=args.k, scoring=args.scoring, n_docs=n_docs,
+            )
+        _print_rows(ranked, out)
+    elif args.cmd == "search":
+        corpus = _load_corpus(spark, args.corpus, args.glob)
+        vocab = build_vocabulary(corpus)
+        postings = build_index(corpus, vocab)
+        meta = parse_documents(corpus, cols=_meta_cols(corpus))
+        if args.scoring == "bm25":
+            ranked = _with_meta(bm25_search(
+                spark, args.text, vocab, postings, k=args.k
+            ), meta)
+        else:
+            ranked = search(
+                spark, args.text, vocab, postings, doc_meta=meta,
+                k=args.k, scoring=args.scoring,
+                n_docs=corpus.count() if args.scoring == "smooth" else None,
+            )
+        _print_rows(ranked, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

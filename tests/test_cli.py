@@ -1,0 +1,55 @@
+"""CLI: the reference's staged job workflow (build artifacts, query
+them) must produce the same ranking as the inline pipeline."""
+
+from __future__ import annotations
+
+import io
+
+from bigdata_elephant_spark.cli import main
+
+
+def _run(spark, argv):
+    buf = io.StringIO()
+    assert main(argv, spark=spark, out=buf) == 0
+    return buf.getvalue()
+
+
+def _parse(out: str) -> list[dict]:
+    lines = [ln for ln in out.splitlines() if ln]
+    header = lines[0].split("\t")
+    return [dict(zip(header, ln.split("\t"))) for ln in lines[1:]]
+
+
+def test_staged_equals_inline(spark, sf_dir, tmp_path):
+    corpus = f"{sf_dir}/documents.parquet"
+    v, i, m = str(tmp_path / "v"), str(tmp_path / "i"), str(tmp_path / "m")
+    _run(spark, ["vocab", "--corpus", corpus, "--out", v])
+    _run(spark, ["index", "--corpus", corpus, "--vocab", v, "--out", i])
+    _run(spark, ["meta", "--corpus", corpus, "--out", m])
+
+    q = "the good person"
+    staged = _parse(_run(spark, [
+        "query", "--vocab", v, "--index", i, "--meta", m, "-k", "5", q,
+    ]))
+    inline = _parse(_run(spark, [
+        "search", "--corpus", corpus, "-k", "5", q,
+    ]))
+    assert len(staged) == 5
+    assert [r["doc_id"] for r in staged] == [r["doc_id"] for r in inline]
+    assert [r["score"] for r in staged] == [r["score"] for r in inline]
+    # metadata joined in on both paths
+    assert all("lang" in r and r["lang"] for r in staged)
+
+
+def test_query_all_scoring_modes(spark, sf_dir, tmp_path):
+    corpus = f"{sf_dir}/documents.parquet"
+    v, i = str(tmp_path / "v"), str(tmp_path / "i")
+    _run(spark, ["vocab", "--corpus", corpus, "--out", v])
+    _run(spark, ["index", "--corpus", corpus, "--vocab", v, "--out", i])
+    for mode in ("reference", "smooth", "bm25"):
+        rows = _parse(_run(spark, [
+            "query", "--vocab", v, "--index", i, "-k", "3",
+            "--scoring", mode, "spark table join",
+        ]))
+        assert len(rows) == 3, mode
+        assert all(r["doc_id"] for r in rows)
