@@ -435,3 +435,72 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Shingle-containment dedup (ExactSubstr-lite): pairs where doc
+    A's entire shingle set appears in doc B — the "document embedded
+    in a larger document" case that symmetric-similarity dedup
+    under-scores (a 100-token doc inside a 10,000-token doc has tiny
+    Jaccard but is still a pure duplicate).
+
+    Blocking lemma: if shingles(A) ⊆ shingles(B), then A's *minimum*
+    shingle hash is one of B's shingle hashes. So candidates = join
+    A.min-hash against B's exploded distinct shingle hashes — a
+    necessary (hence complete) condition, one equi-join, no all-pairs
+    term. Verification then counts |A ∩ B| exactly and keeps pairs
+    with |A ∩ B| = |A|. Work is candidates × |A|, with candidates
+    bucketed by the min-hash value; ``min_shingles`` drops trivially
+    small docs whose min-hash buckets would be hot.
+
+    Set-containment on shingles, not substring equality: A's text
+    reordered inside B still matches — documented semantics, and the
+    oracle replays exactly the same definition. Output:
+    ``(doc_a, doc_b, n_a, n_shared)`` with A the contained doc
+    (|A| < |B|, or |A| = |B| and doc_a < doc_b so identical sets
+    report once).
+    """
+    sh = doc_shingles(df, text_col, id_col, n=shingle_n).select(
+        id_col, h32(F.col("shingle")).alias("h")
+    ).distinct()
+    stats = sh.groupBy(id_col).agg(
+        F.count("*").alias("n_sh"), F.min("h").alias("min_h")
+    ).filter(F.col("n_sh") >= min_shingles)
+    a = stats.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        "min_h",
+    )
+    b_sh = sh.select(F.col(id_col).alias("doc_b"), F.col("h"))
+    cand = a.join(
+        b_sh, (F.col("min_h") == F.col("h"))
+        & (F.col("doc_a") != F.col("doc_b")),
+    ).select("doc_a", "doc_b", "n_a")
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("h"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("h"))
+    shared = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    nb = stats.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.filter(F.col("n_shared") == F.col("n_a"))
+        .join(nb, "doc_b")
+        .filter(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select("doc_a", "doc_b", "n_a", "n_shared")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1197,6 +1197,49 @@ FROM tris
 """
 
 
+# --------------------------------------------- containment dedup
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment dedup (operators/dedup.py): docs whose
+    whole shingle set lives inside another doc — the embedded-
+    duplicate case symmetric Jaccard under-scores. Complete blocking
+    via the min-shingle-hash lemma; exact intersection verify."""
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+sh AS (
+    SELECT DISTINCT doc_id, {h32_sql_duckdb("shingle")} AS h
+    FROM doc_shingles
+),
+stats AS (
+    SELECT doc_id, count(*) AS n_sh, min(h) AS min_h
+    FROM sh GROUP BY 1 HAVING count(*) >= 5
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a
+    FROM stats a JOIN sh b
+      ON a.min_h = b.h AND a.doc_id <> b.doc_id
+),
+shared AS (
+    SELECT c.doc_a, c.doc_b, c.n_a, count(*) AS n_shared
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+    GROUP BY 1, 2, 3
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.n_a AS BIGINT) AS n_a,
+       CAST(s.n_shared AS BIGINT) AS n_shared
+FROM shared s JOIN stats nb ON nb.doc_id = s.doc_b
+WHERE s.n_shared = s.n_a
+  AND (s.n_a < nb.n_sh OR (s.n_a = nb.n_sh AND s.doc_a < s.doc_b))
+ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------- dedup reporting
 
 
@@ -1502,6 +1545,8 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("pandas_token_counts", q_pandas_token_counts,
               PANDAS_TOKEN_COUNTS_SQL, ("llm", "text", "pandas_udf")),
+    QuerySpec("containment_pairs", q_containment_pairs,
+              CONTAINMENT_PAIRS_SQL, ("llm", "dedup")),
     QuerySpec("dedup_report", q_dedup_report, DEDUP_REPORT_SQL,
               ("llm", "dedup", "profiling")),
     QuerySpec("decontaminate_eval", q_decontaminate_eval,

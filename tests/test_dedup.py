@@ -150,3 +150,26 @@ def test_ngram_jaccard_max_df_is_conservative(spark, sf_dir):
         ).collect()
     }
     assert uncapped_equiv == full
+
+
+def test_containment_pairs_synthetic(spark):
+    """A is a strict prefix of B (shingle set ⊆); C shares no
+    shingles; D == A's text exactly (equal sets report once,
+    lower id first)."""
+    from bigdata_elephant_spark.operators.dedup import containment_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = a + " iota kappa lambda mu nu xi omicron pi rho sigma"
+    c = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, a)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(df, min_shingles=3).collect()
+    }
+    assert (1, 2) in pairs          # A inside B
+    assert (4, 2) in pairs          # D (=A) inside B
+    assert (1, 4) in pairs          # equal sets, lower id first
+    assert (4, 1) not in pairs
+    assert all(3 not in p for p in pairs)

@@ -157,3 +157,50 @@ def test_funnel_reuses_user_key_shuffles(spark, sf_dir):
     assert keyless <= 2, plan
     # stage joins themselves are keyed on user_id
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_q2_single_lineitem_scan(spark, sf_dir):
+    """The correlated-min decorrelation must NOT re-execute the costs
+    subtree (the groupBy+self-join form scans lineitem twice); the
+    window form keeps it to one scan."""
+    df = relational.q2_min_cost_supplier(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem") == 1, plan.count("lineitem")
+
+
+def test_q21_decorrelated_no_correlated_rescan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS rewrite is one per-order aggregate
+    joined back — the plan must contain no nested-loop (per-row
+    rescan) join."""
+    df = relational.q21_waiting_suppliers(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assemble_pipeline_shuffle_budget(spark, sf_dir):
+    """curate→chunk→pack as one plan: exchanges only on the three
+    stage keys (text-hash window, doc_id join, shard window) plus
+    AQE coalescing — no accidental extra shuffle."""
+    from bigdata_elephant_spark.plans.training_data import (
+        q_assemble_training_corpus,
+    )
+
+    plan = plan_of(q_assemble_training_corpus(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 4, f"{n_exchanges} hash exchanges: {plan}"
+
+
+def test_decontaminate_train_side_distinct_before_join(spark, sf_dir):
+    """The contamination index must collapse to DISTINCT shingles
+    before the eval join (otherwise hot shingles fan out by
+    train-count × eval-count)."""
+    from bigdata_elephant_spark.plans.llm_queries import (
+        q_decontaminate_eval,
+    )
+
+    plan = optimized_of(q_decontaminate_eval(spark, sf_dir))
+    join_pos = plan.find("Join LeftOuter")
+    assert join_pos != -1
+    agg_pos = plan.find("Aggregate", join_pos)
+    assert agg_pos != -1, "no distinct/aggregate under the left join"
