@@ -36,7 +36,12 @@ def pagerank(
     rank_0 = 1/N;
     rank_{i+1}(v) = (1-d)/N + d * Σ_{u→v} rank_i(u) / outdeg(u).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE before it fans out into nodes,
+    # outdeg and w — edges typically arrive as an expensive pipeline
+    # (LSH pair mining) that would otherwise re-execute per branch.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -43,6 +43,29 @@ def hash_sample(
     return df.filter((b >= lo) & (b < hi))
 
 
+def weighted_sample_keys(
+    key: Column | str, weight: Column | str
+) -> Column:
+    """A-ES weighted-reservoir key: rows ranked by
+    ``ln(u) / w`` (descending) where ``u = (h32(key)+1) / 2^32`` is a
+    hash-derived uniform in (0, 1] — the top-k form a weighted sample
+    without replacement with inclusion probability proportional to
+    ``w`` (Efraimidis-Spirakis, via the equivalent ``u^(1/w)`` key).
+
+    Deterministic (same key -> same u everywhere) and single-pass:
+    the top-k is a ``TakeOrderedAndProject`` — per-partition heaps,
+    no global sort shuffle. Engine note: ``ln`` differs between JVM
+    and DuckDB libm at ~5e-9 relative, which can only flip sample
+    membership if the k-th and (k+1)-th keys are within that — order
+    statistics of a continuous key are vastly farther apart, so the
+    oracle replay is stable (and the key itself is never emitted).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    u = (h32(kc.cast("string")) + F.lit(1)) / F.lit(4_294_967_296.0)
+    return F.log(u) / wc
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: str,

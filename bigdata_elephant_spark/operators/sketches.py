@@ -1,0 +1,233 @@
+"""Mergeable distinct-count sketches — the 100 TB substitute for
+exact ``count_distinct``.
+
+Exact distinct shuffles every distinct value; a sketch shuffles a
+CONSTANT-size register state per group, merges associatively (so
+map-side partial aggregation applies), and answers within a known
+error. Spark ships HLL++ (``approx_count_distinct``) — use that in
+production. These implementations exist because the registry's
+correctness gate replays every query in DuckDB: the sketch state is
+built from the engine-portable :func:`~bigdata_elephant_spark.
+functions.hashing.h32` hash (md5 prefix), so Spark and the oracle
+compute **bit-identical** registers and estimates, which an
+engine-internal HLL can never do. Same algorithms, deterministic
+replay.
+
+Two sketches:
+
+- **KMV (k minimum values)**: keep the k smallest distinct 32-bit
+  hashes; if fewer than k exist the sketch is exact, else
+  ``est = (k-1) * 2^32 / h_(k)``. Merge = union + re-take k smallest.
+- **HLL (m=64 registers)**: bucket = low 6 hash bits, register =
+  max over the bucket of ``1 + leading-zeros`` of the remaining 26
+  bits (computed exactly via ``length(bin(x))`` — integer string
+  length, no floating log). Merge = elementwise register max.
+
+Float determinism: the harmonic mean is computed as an INTEGER sum
+of ``2^(27 - register)`` (order-independent, exact in int64),
+followed by one literal-constant division — no float reduction whose
+summation order could differ between engines. The small-range
+correction needs ``ln``, which differs between JVM and DuckDB libm
+at ~5e-9 relative — so ``64 * ln(64/zeros)`` is pre-computed in
+Python for every possible ``zeros`` value and emitted as a CASE over
+decimal literals that both engines parse to the same double.
+
+Reference parity note: the reference engine has no sketches (its
+distinct counting is the exact Vocabulary job, `Vocabulary.java:
+58-109`); this module is part of the north-star scale surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.hashing import h32, h32_sql_duckdb
+
+TWO32 = 4_294_967_296  # hash domain size
+HLL_M = 64             # registers (b = 6 bucket bits, 26 rank bits)
+HLL_MAX_RANK = 27      # rem == 0 -> all 26 bits zero -> rank 27
+_POW2_27 = 134_217_728
+# alpha_64 * m^2 * 2^27 as one exact-decimal literal: the whole
+# numerator of the raw estimate is a single constant, so the only
+# float op that depends on data is one division.
+HLL_ALPHA_64 = 0.709
+_HLL_NUM = repr(HLL_ALPHA_64 * HLL_M * HLL_M * _POW2_27)
+
+
+def kmv_state(
+    df: DataFrame, key: Column | str, group: str, k: int
+) -> DataFrame:
+    """Per-``group`` KMV state: ``(group, hk, n_in)`` where ``hk`` is
+    the largest of the <= k smallest distinct hashes and ``n_in`` how
+    many were kept.
+
+    One shuffle (distinct on (group, h)) + one group-keyed window.
+    At 100 TB, pre-filter ``h < k * c * 2^32 / n_lower_bound`` before
+    the distinct to keep per-group state near k rows instead of
+    shuffling every distinct hash; the estimate is unchanged whenever
+    the true k-th minimum survives the filter.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    hashes = df.select(
+        F.col(group), h32(c.cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(group)
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n_in"))
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int) -> DataFrame:
+    """``(group, est_distinct)`` from a KMV state — exact when the
+    group held fewer than k distinct hashes."""
+    numk = repr(float((k - 1) * TWO32))
+    return state.select(
+        state.columns[0],
+        F.when(F.col("n_in") < k, F.col("n_in").cast("double"))
+        .otherwise(F.round(F.lit(float(numk)) / F.col("hk"), 6))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_sql_duckdb(key_expr: str, group: str, table: str, k: int) -> str:
+    """DuckDB CTE text replaying :func:`kmv_state`+:func:`kmv_estimate`."""
+    h = h32_sql_duckdb(f"CAST({key_expr} AS VARCHAR)")
+    numk = repr(float((k - 1) * TWO32))
+    return f"""
+kmv_h AS (
+    SELECT DISTINCT {group}, {h} AS h FROM {table}
+),
+kmv_top AS (
+    SELECT {group}, h,
+           row_number() OVER (PARTITION BY {group} ORDER BY h) AS rn
+    FROM kmv_h
+),
+kmv_state AS (
+    SELECT {group}, max(h) AS hk, count(*) AS n_in
+    FROM kmv_top WHERE rn <= {k} GROUP BY {group}
+),
+kmv_est AS (
+    SELECT {group},
+           CASE WHEN n_in < {k} THEN CAST(n_in AS DOUBLE)
+                ELSE round({numk} / hk, 6) END AS est_distinct
+    FROM kmv_state
+)"""
+
+
+def hll_rank() -> Column:
+    """Register rank of hash column ``h``: 1 + leading zeros of the
+    26 bits above the bucket bits — exact integer math via the
+    length of the minimal binary string (both engines agree on
+    ``bin``)."""
+    rem = F.expr(f"shiftright(h, 6)")  # 26-bit remainder
+    return (
+        F.when(rem == 0, F.lit(HLL_MAX_RANK))
+        .otherwise(F.lit(HLL_MAX_RANK) - F.length(F.expr("bin(shiftright(h, 6))")))
+        .alias("r")
+    )
+
+
+def hll_registers(
+    df: DataFrame, key: Column | str, group: str
+) -> DataFrame:
+    """``(group, bucket, r)`` register table — one map-side-combined
+    shuffle keyed on (group, bucket); at most m rows per group
+    survive, whatever the input size."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.col(group), h32(c.cast("string")).alias("h"))
+        .withColumn("bucket", F.expr(f"h & {HLL_M - 1}"))
+        .withColumn("r", hll_rank())
+        .groupBy(group, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def _correction_case_sql() -> str:
+    """``64 * ln(64/zeros)`` for every possible zeros in [1, 64],
+    pre-evaluated to literals so no engine ever runs ``ln``."""
+    arms = " ".join(
+        f"WHEN {z} THEN {HLL_M * math.log(HLL_M / z)!r}"
+        for z in range(1, HLL_M + 1)
+    )
+    return f"CASE zeros {arms} END"
+
+
+def hll_estimate(registers: DataFrame, group: str) -> DataFrame:
+    """``(group, est_distinct, zeros)`` from a register table.
+
+    Harmonic-mean denominator as an exact int64 sum (absent buckets
+    contribute 2^27 apiece); raw estimate = one constant/int
+    division; linear-counting correction below 2.5*m via the literal
+    table. Every float op is order-independent, so the oracle replay
+    is bit-identical.
+    """
+    agg = registers.groupBy(group).agg(
+        F.sum(
+            F.expr(f"cast(pow(2, {HLL_MAX_RANK} - r) as bigint)")
+        ).alias("isum_present"),
+        F.count("*").alias("n_present"),
+    )
+    return (
+        agg.withColumn("zeros", F.lit(HLL_M) - F.col("n_present"))
+        .withColumn(
+            "isum",
+            F.col("isum_present") + F.col("zeros") * F.lit(_POW2_27),
+        )
+        .withColumn("raw", F.lit(float(_HLL_NUM)) / F.col("isum"))
+        .select(
+            group,
+            F.round(
+                F.when(
+                    (F.col("raw") <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+                    F.expr(_correction_case_sql()),
+                ).otherwise(F.col("raw")),
+                6,
+            ).alias("est_distinct"),
+            F.col("zeros").cast("long").alias("zeros"),
+        )
+    )
+
+
+def hll_sql_duckdb(key_expr: str, group: str, table: str) -> str:
+    """DuckDB CTE text replaying registers+estimate, including an
+    ``hll_regs`` CTE that downstream SQL can re-aggregate to prove
+    mergeability (elementwise max)."""
+    h = h32_sql_duckdb(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+hll_h AS (
+    SELECT {group}, {h} AS h FROM {table}
+),
+hll_regs AS (
+    SELECT {group}, h & {HLL_M - 1} AS bucket,
+           max(CASE WHEN h >> 6 = 0 THEN {HLL_MAX_RANK}
+                    ELSE {HLL_MAX_RANK} - length(bin(h >> 6)) END) AS r
+    FROM hll_h GROUP BY 1, 2
+)"""
+
+
+def hll_estimate_sql_duckdb(regs_cte: str, group: str) -> str:
+    """Estimate SQL over a ``(group, bucket, r)`` CTE."""
+    case = _correction_case_sql()
+    return f"""
+SELECT {group},
+       round(CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                  THEN {case}
+                  ELSE raw END, 6) AS est_distinct,
+       CAST(zeros AS BIGINT) AS zeros
+FROM (
+    SELECT {group}, zeros,
+           {_HLL_NUM} / (isum_present + zeros * {_POW2_27}) AS raw
+    FROM (
+        SELECT {group},
+               sum(CAST(pow(2, {HLL_MAX_RANK} - r) AS BIGINT)) AS isum_present,
+               {HLL_M} - count(*) AS zeros
+        FROM {regs_cte} GROUP BY {group}
+    )
+)"""

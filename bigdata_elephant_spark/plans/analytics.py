@@ -586,7 +586,89 @@ LIMIT 20
 """
 
 
+# ----------------------------- incremental aggregate maintenance
+
+INCR_CUTOFF = "2024-01-21 00:00:00"
+
+
+def incremental_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance without a rescan: a daily
+    revenue aggregate kept as mergeable state (count + exact-decimal
+    sum), updated by aggregating ONLY the new batch and full-outer
+    merging the two state tables on the group key.
+
+    At 100 TB this is the difference between an O(batch) nightly job
+    and an O(history) one: the base state is day-partitioned, the
+    delta touches only the days present in the batch, and the merge
+    is a partition-pruned join. COUNT/SUM merge by addition (AVG =
+    merged sum / merged count); MIN/MAX merge by min/max; distinct
+    needs a sketch (see `operators/sketches.py`) — the standard
+    algebraic/holistic split.
+
+    The oracle recomputes the aggregate from ALL events in one pass —
+    the parity check IS the proof that incremental merge ==
+    recompute (decimal sums are associative; float sums would not
+    replay exactly).
+    """
+    e = _events(spark, sf_dir)
+    from bigdata_elephant_spark.functions.numeric import money
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(money("value")).alias("s"),
+        )
+
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    base = state(e.filter(F.col("ts") < cutoff))
+    delta = state(e.filter(F.col("ts") >= cutoff))
+    zero = F.lit(0).cast("decimal(22,2)")
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), "day", "full_outer")
+        .select(
+            "day",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("b.s"), zero)
+                + F.coalesce(F.col("d.s"), zero)
+            ).alias("s"),
+        )
+    )
+    return merged.select(
+        "day",
+        "n",
+        F.round(F.col("s"), 2).cast("double").alias("sum_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "avg_value"
+        ),
+    ).orderBy("day")
+
+
+INCREMENTAL_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("incremental_daily_revenue", incremental_daily_revenue,
+              INCREMENTAL_DAILY_SQL, ("events", "merge", "agg")),
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL,
               ("events", "analytics", "join"), bench=True),
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL,

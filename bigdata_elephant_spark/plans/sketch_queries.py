@@ -1,0 +1,371 @@
+"""Sketch + data-layout queries: constant-state approximation and
+write-side clustering, oracle-replayed bit-for-bit.
+
+These are the operators that only START to matter at 100 TB:
+- distinct-count sketches replace the exact-distinct shuffle with a
+  mergeable constant-size state (`operators/sketches.py`);
+- Z-order + zone maps replace "read everything" with "skip most
+  files" (`operators/layout.py`);
+- hash-keyed weighted reservoir sampling draws a size-k
+  importance sample in one pass with no global sort
+  (`operators/sampling.py::weighted_sample_keys`).
+
+Every query emits only integers and floats produced by
+order-independent op chains, so the DuckDB oracle matches exactly
+(see the float-determinism notes in the operator modules — no
+engine-side ``ln``/``log`` ever reaches an output column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.operators.layout import (
+    scale_to_bits,
+    scale_to_bits_sql,
+    zone_map,
+    zvalue,
+    zvalue_sql_duckdb,
+)
+from bigdata_elephant_spark.functions.hashing import h32
+from bigdata_elephant_spark.operators.sampling import weighted_sample_keys
+from bigdata_elephant_spark.operators.sketches import (
+    HLL_M,
+    hll_estimate,
+    hll_estimate_sql_duckdb,
+    hll_registers,
+    hll_sql_duckdb,
+    kmv_estimate,
+    kmv_sql_duckdb,
+    kmv_state,
+)
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+KMV_K = 32
+SAMPLE_K = 100
+ZTILES = 64
+
+
+def _with_rel_err(joined: DataFrame) -> DataFrame:
+    return joined.withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("n_exact"))
+            / F.col("n_exact"),
+            6,
+        ),
+    )
+
+
+# -------------------------------------------------------------- KMV
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type + merged-global ('ALL') KMV distinct-user
+    estimates next to the exact counts. The 'ALL' row is computed by
+    MERGING the per-group kept minima (union -> k smallest), not by
+    re-scanning — the property that makes the sketch a two-phase
+    aggregate at scale."""
+    e = read_table(spark, sf_dir, "events")
+    per_group = kmv_state(e, "user_id", "event_type", KMV_K)
+    # Merge path: the k smallest of the union of per-group minima.
+    hashes = e.select(
+        "event_type", h32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    merged = (
+        kept.select("h").distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n_in"))
+        .withColumn("event_type", F.lit("ALL"))
+        .select("event_type", "hk", "n_in")
+    )
+    states = per_group.unionByName(merged)
+    ests = kmv_estimate(states, KMV_K)
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .unionByName(
+            e.agg(F.count_distinct("user_id").alias("n_exact"))
+            .withColumn("event_type", F.lit("ALL"))
+            .select("event_type", "n_exact")
+        )
+    )
+    return _with_rel_err(ests.join(exact, "event_type")).orderBy(
+        "event_type"
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH {kmv_sql_duckdb("user_id", "event_type", "events", KMV_K).lstrip()},
+kmv_merged AS (
+    SELECT 'ALL' AS event_type, max(h) AS hk, count(*) AS n_in
+    FROM (
+        SELECT DISTINCT h FROM kmv_top WHERE rn <= {KMV_K}
+        ORDER BY h LIMIT {KMV_K}
+    )
+),
+states AS (
+    SELECT * FROM kmv_state UNION ALL SELECT * FROM kmv_merged
+),
+ests AS (
+    SELECT event_type,
+           CASE WHEN n_in < {KMV_K} THEN CAST(n_in AS DOUBLE)
+                ELSE round({(KMV_K - 1) * 4_294_967_296.0!r} / hk, 6)
+           END AS est_distinct
+    FROM states
+),
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id) FROM events
+)
+SELECT event_type, est_distinct, CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
+FROM ests JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------------- HLL
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type + merged-global HLL estimates. The 'ALL' row
+    re-aggregates the per-group REGISTER tables (elementwise max) —
+    sketch states merge, raw data is scanned once."""
+    e = read_table(spark, sf_dir, "events")
+    regs = hll_registers(e, "user_id", "event_type")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .withColumn("event_type", F.lit("ALL"))
+        .select("event_type", "bucket", "r")
+    )
+    ests = hll_estimate(regs.unionByName(merged), "event_type")
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .unionByName(
+            e.agg(F.count_distinct("user_id").alias("n_exact"))
+            .withColumn("event_type", F.lit("ALL"))
+            .select("event_type", "n_exact")
+        )
+    )
+    return _with_rel_err(ests.join(exact, "event_type")).orderBy(
+        "event_type"
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH {hll_sql_duckdb("user_id", "event_type", "events").lstrip()},
+hll_all AS (
+    SELECT 'ALL' AS event_type, bucket, max(r) AS r
+    FROM hll_regs GROUP BY 2
+),
+regs AS (
+    SELECT * FROM hll_regs UNION ALL SELECT * FROM hll_all
+),
+ests AS ({hll_estimate_sql_duckdb("regs", "event_type")}
+),
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id) FROM events
+)
+SELECT event_type, est_distinct, zeros,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
+FROM ests JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------- Z-order
+
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map table of orders laid out in Z-order over
+    (o_custkey, price bucket): 64 model files, each with
+    min/max of BOTH dimensions — the stats a 100 TB scan consults to
+    skip files on either predicate. Both dims are min-max scaled to
+    the same 16-bit grid first (the tiny min/max row is a broadcast)
+    so neither dominates the interleave. Production write:
+    ``repartitionByRange(n, z).sortWithinPartitions(z)``; ntile here
+    gives the oracle a deterministic file assignment."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") / F.lit(10.0))
+        .cast("long")
+        .alias("pb"),
+    )
+    mm = base.agg(
+        F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+        F.min("pb").alias("pb_min"), F.max("pb").alias("pb_max"),
+    )
+    zed = base.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        scale_to_bits(
+            F.col("ck"), F.col("ck_min"), F.col("ck_max")
+        ).alias("x"),
+        scale_to_bits(
+            F.col("pb"), F.col("pb_min"), F.col("pb_max")
+        ).alias("y"),
+    ).withColumn("z", zvalue(F.col("x"), F.col("y")))
+    w = Window.orderBy("z", "o_orderkey")
+    tiled = zed.withColumn("file_id", F.ntile(ZTILES).over(w))
+    return zone_map(tiled, "file_id", ["x", "y"]).orderBy("file_id")
+
+
+ZORDER_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey AS ck,
+           CAST(floor(o_totalprice / 10.0) AS BIGINT) AS pb
+    FROM orders
+),
+mm AS (
+    SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+           min(pb) AS pb_min, max(pb) AS pb_max
+    FROM base
+),
+zed AS (
+    SELECT o_orderkey,
+           {scale_to_bits_sql("ck", "ck_min", "ck_max")} AS x,
+           {scale_to_bits_sql("pb", "pb_min", "pb_max")} AS y
+    FROM base, mm
+),
+ztiled AS (
+    SELECT x, y,
+           ntile({ZTILES}) OVER (
+               ORDER BY {zvalue_sql_duckdb("x", "y")}, o_orderkey
+           ) AS file_id
+    FROM zed
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM ztiled GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- weighted sample
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample: SAMPLE_K orders
+    drawn with probability proportional to o_totalprice. One pass,
+    top-k by the A-ES key = TakeOrderedAndProject (per-partition
+    heaps), no global sort; reproducible across engines and cluster
+    layouts because the randomness is a content hash."""
+    o = read_table(spark, sf_dir, "orders")
+    key = weighted_sample_keys("o_orderkey", "o_totalprice")
+    return (
+        o.withColumn("k", key)
+        .orderBy(F.desc("k"), "o_orderkey")
+        .limit(SAMPLE_K)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               + 1) / 4294967296.0) / o_totalprice AS k
+    FROM orders
+),
+top AS (
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM keyed ORDER BY k DESC, o_orderkey LIMIT {SAMPLE_K}
+)
+SELECT * FROM top ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------- compaction planner
+
+COMPACT_TARGET_ROWS = 512
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the OPTIMIZE half of lakehouse
+    table maintenance. The input models a file listing (one "file"
+    per o_custkey ingest, with its row count); the planner packs
+    files in id order into output groups of ~COMPACT_TARGET_ROWS
+    rows via a running-sum bin assignment, and emits one row per
+    planned output file.
+
+    Scale shape: the plan runs over file METADATA (count ~ files,
+    not rows — a million-file table is a million-row plan job; the
+    window is a single metadata-sized sort, and the rewrite itself
+    is then one distributed job partitioned by group_id). Keeping
+    id-adjacent files together preserves any existing clustering."""
+    o = read_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_custkey").alias("file_id")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w = (
+        Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = files.withColumn(
+        "group_id",
+        F.floor(
+            (F.sum("n_rows").over(w) - F.col("n_rows"))
+            / F.lit(COMPACT_TARGET_ROWS)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("group_id")
+    )
+
+
+COMPACTION_SQL = f"""
+WITH files AS (
+    SELECT o_custkey AS file_id, count(*) AS n_rows
+    FROM orders GROUP BY 1
+),
+packed AS (
+    SELECT file_id, n_rows,
+           CAST(floor(
+               (sum(n_rows) OVER (ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_rows) / {COMPACT_TARGET_ROWS}
+           ) AS BIGINT) AS group_id
+    FROM files
+)
+SELECT group_id, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM packed GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("compaction_plan", compaction_plan, COMPACTION_SQL,
+              ("relational", "layout", "merge")),
+    QuerySpec("hll_distinct_users", hll_distinct_users,
+              HLL_DISTINCT_SQL, ("llm", "sketch", "agg"), bench=True),
+    QuerySpec("kmv_distinct_users", kmv_distinct_users,
+              KMV_DISTINCT_SQL, ("llm", "sketch", "agg")),
+    QuerySpec("zorder_orders_layout", zorder_orders_layout,
+              ZORDER_SQL, ("relational", "layout", "pushdown"),
+              bench=True),
+    QuerySpec("weighted_sample_orders", weighted_sample_orders,
+              WEIGHTED_SAMPLE_SQL, ("llm", "sampling", "layout")),
+]

@@ -66,7 +66,8 @@ GATE_PRIORITY = (
     "near_dup_embeddings_lsh",
     "text_stats",
     "lang_id",
-    "token_counts",
+    "hll_distinct_users",        # mergeable-sketch family (displaces
+                                 # token_counts; text keeps 3 rows)
     "doc_fingerprints",
     "multimodal_bytes",
     "media_features",
@@ -89,7 +90,10 @@ GATE_PRIORITY = (
     "postings_build",
     "doc_meta",
     "search_reference",
-    "search_smooth",
+    "zorder_orders_layout",      # Z-order/zone-map layout family
+                                 # (displaces search_smooth, the O12
+                                 # scoring variant of search_reference
+                                 # — green r01 row retained)
     # families introduced in round 2 — first-ever driver rows
     # (the displaced relational representatives all hold green r01
     # rows and stay under the driver-faithful local gate)
@@ -121,13 +125,14 @@ def all_specs() -> list[QuerySpec]:
         llm_queries,
         relational,
         search_queries,
+        sketch_queries,
         stream_queries,
         training_data,
     )
 
     specs: list[QuerySpec] = []
     for mod in (search_queries, relational, llm_queries, stream_queries,
-                analytics, training_data):
+                analytics, training_data, sketch_queries):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

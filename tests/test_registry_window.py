@@ -16,7 +16,7 @@ WINDOW = 50
 REQUIRED_TAGS = {
     "search", "relational", "llm", "streaming", "dedup", "similarity",
     "text", "multimodal", "graph", "temporal", "window", "agg", "join",
-    "topk", "stateful",
+    "topk", "stateful", "sketch", "layout",
 }
 
 

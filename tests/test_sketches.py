@@ -52,3 +52,108 @@ def test_sketches_merge_across_groups(spark):
     ).first()[0]
     assert merged <= exact * 1.06
     assert abs(approx_global - exact) / exact < 0.06
+
+
+# ----------------------------------------------------------------
+# Deterministic (oracle-replayable) sketches: operators/sketches.py
+
+
+def test_hll_registers_merge_exactly(spark):
+    """Merging per-group register tables by elementwise max must
+    equal the registers built from the whole table in one pass —
+    EXACT state equality, the associativity that lets partial
+    sketches combine across 1000 executors."""
+    from bigdata_elephant_spark.operators.sketches import hll_registers
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF, "events")
+    per_group = hll_registers(e, "user_id", "event_type")
+    merged = {
+        (r["bucket"]): r["r"]
+        for r in per_group.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    whole = e.withColumn("g", F.lit("all"))
+    direct = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(whole, "user_id", "g").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_bound(spark):
+    """m=64 registers -> relative error ~1.04/sqrt(64) = 13%; assert
+    3x that as a hard ceiling on real data."""
+    from bigdata_elephant_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.01", "events")
+    regs = hll_registers(e, "user_id", "event_type")
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(regs, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.39, (g, est[g], n)
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    """Below k distinct values KMV is exact; above, the estimate
+    stays within a loose 50% band (k=32 -> sigma ~ 18%)."""
+    from bigdata_elephant_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_state,
+    )
+    from pyspark.sql import functions as F
+
+    small = read_table(spark, "/root/testdata/sf0.001", "events")  # 15 users < k
+    st = kmv_state(small, "user_id", "event_type", 32)
+    for r in kmv_estimate(st, 32).collect():
+        assert r["est_distinct"] == 15.0
+    big = read_table(spark, "/root/testdata/sf0.01", "events")
+    st = kmv_state(big, "user_id", "event_type", 32)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in big.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in kmv_estimate(st, 32).collect():
+        n = exact[r["event_type"]]
+        assert abs(r["est_distinct"] - n) / n < 0.5
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Inclusion probability must rise with weight: the sampled
+    orders' mean o_totalprice sits far above the population mean,
+    and the draw is deterministic across invocations."""
+    from bigdata_elephant_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, "/root/testdata/sf0.01", "orders")
+    key = weighted_sample_keys("o_orderkey", "o_totalprice")
+    pick = (
+        o.withColumn("k", key)
+        .orderBy(F.desc("k"), "o_orderkey")
+        .limit(200)
+    )
+    got1 = sorted(r["o_orderkey"] for r in pick.collect())
+    got2 = sorted(r["o_orderkey"] for r in pick.collect())
+    assert got1 == got2
+    # Inclusion prob ~ w, so E[sampled w] -> E[w^2]/E[w]; for the
+    # near-uniform price distribution that is ~1.33x the mean.
+    mean_s = pick.agg(F.avg("o_totalprice")).first()[0]
+    mean_p = o.agg(F.avg("o_totalprice")).first()[0]
+    assert mean_s > 1.25 * mean_p, (mean_s, mean_p)
