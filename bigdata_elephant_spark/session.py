@@ -67,6 +67,10 @@ def get_spark(
         # testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark
         # rejects by default; read as long and convert in read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # and TIMESTAMP(MICROS) isAdjustedToUTC=false must read as
+        # TimestampType (not NTZ): watermarks require it, and UTC
+        # session tz makes the values match the naive oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed sinks) land outside the repo
         .config("spark.sql.warehouse.dir", "/tmp/elephant-warehouse")

@@ -88,6 +88,14 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     makes the engine session-agnostic."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Testdata timestamps are parquet TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false, which Spark 4 surfaces as TIMESTAMP_NTZ
+    # by default. NTZ breaks withWatermark (streaming requires
+    # TimestampType) and diverges from the engine contract everywhere
+    # else, so read them as TimestampType; with the session pinned to
+    # UTC the wall-clock values are identical to DuckDB's naive
+    # timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
