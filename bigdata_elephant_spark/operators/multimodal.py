@@ -361,3 +361,132 @@ def ppm_channel_stats(
     return df.select(id_col, media_col).mapInPandas(
         batches, schema=PPM_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------- perceptual hash
+#
+# Average-hash (aHash) image near-duplicate detection over the real
+# PPM decode path: resize to 8x8 (nearest-neighbor), integer
+# grayscale, bit k = [64*gray_k > sum(gray)] (the integer-exact form
+# of gray_k > mean — no float mean, so both engines agree
+# bit-for-bit). The 64 bits are packed as two unsigned 32-bit halves
+# stored in bigints (h_hi = bits 32..63, h_lo = bits 0..31) so no
+# sign-bit ambiguity crosses engines.
+#
+# Pair mining is banded, not all-pairs: 4 x 16-bit bands; by
+# pigeonhole, two hashes within Hamming distance 3 share at least one
+# identical band, so a band-equality self-join finds every true pair
+# (thr <= 3) while the quadratic work is confined to band buckets —
+# the same blocking shape as MinHash LSH (dedup.py) and the scale
+# contract at 100 TB of images. Verification is exact xor+popcount
+# JVM-side.
+
+AHASH_GRID = 8  # 8x8 = 64-bit hash
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h_hi", LongType()),
+        StructField("h_lo", LongType()),
+    ]
+)
+
+
+def ahash_64(px: np.ndarray) -> tuple[int, int]:
+    """(h, w, 3) uint8 -> (hi32, lo32) average-hash halves."""
+    small = resize_nearest(px, AHASH_GRID, AHASH_GRID)
+    gray = small.astype(np.int64).sum(axis=2) // 3  # integer gray
+    flat = gray.reshape(-1)
+    total = int(flat.sum())
+    bits = (64 * flat > total).astype(np.int64)
+    val = 0
+    for k in range(64):
+        val |= int(bits[k]) << k
+    return (val >> 32) & 0xFFFFFFFF, val & 0xFFFFFFFF
+
+
+def ahash_hashes(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode each PPM payload and emit its 64-bit average-hash as
+    two 32-bit halves (Arrow-batched mapInPandas; one corpus pass)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                px = decode_ppm(bytes(payload))
+                if px.shape[2] == 1:  # P5 grayscale -> 3 channels
+                    px = np.repeat(px, 3, axis=2)
+                hi, lo = ahash_64(px)
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(hashes: DataFrame, thr: int = 3) -> DataFrame:
+    """Banded Hamming self-join over aHash values.
+
+    ``thr`` must be <= 3 for the 4-band pigeonhole guarantee (up to 3
+    differing bits leave >= 1 of 4 bands intact). Returns distinct
+    ``(doc_a, doc_b, hamming)`` with doc_a < doc_b — exact semantics,
+    banding is pure candidate pruning.
+    """
+    assert 0 <= thr <= 3, "4-band blocking is only complete for thr <= 3"
+    bands = hashes.select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("h_hi" if b >= 2 else "h_lo"),
+                            16 * (b % 2),
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "h_hi", "h_lo", "bk.band", "bk.val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("h_lo").alias("lo_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("h_lo").alias("lo_b"),
+        "band",
+        "val",
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+            ).cast("long")
+            + F.bit_count(
+                F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= thr)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+    return pairs

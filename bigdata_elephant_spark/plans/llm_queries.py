@@ -761,6 +761,79 @@ def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL decoded pixels:
+    synthesize valid P6 payloads (closed-form pixels), decode, 8x8
+    nearest-neighbor resize, integer-gray average-hash (bit k =
+    [64*gray_k > sum gray], the integer-exact mean compare), packed
+    as two 32-bit halves; pairs mined with a 4x16-bit band
+    self-join (pigeonhole-complete for Hamming <= 3) and verified
+    with exact xor+popcount. The oracle replays the identical
+    pipeline from the pixel formula in SQL — resize index map,
+    grayscale, threshold, packing, and the full quadratic pair join
+    (banding is pure pruning, so results must match exactly)."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_ppm_payloads(docs)
+    hashes = multimodal.ahash_hashes(payloads)
+    return multimodal.phash_near_dup_pairs(hashes, thr=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# Oracle replay: dims/resize/gray/bits from the closed-form pixel
+# formula (see synth_ppm_payloads), then an exact quadratic Hamming
+# join — equivalent to the banded Spark plan for thr <= 3.
+MEDIA_PHASH_SQL = """
+WITH dims AS (
+    SELECT doc_id,
+           doc_id % 16 + 8 AS w,
+           doc_id % 8 + 8  AS h
+    FROM documents
+),
+cells AS (
+    SELECT doc_id, w, h, unnest(range(0, 64)) AS k
+    FROM dims
+),
+gray AS (
+    SELECT doc_id, k,
+           (  (doc_id * 31 + (3 * (((k // 8) * h // 8) * w
+                                   + ((k % 8) * w // 8)) + 0) * 7) % 256
+            + (doc_id * 31 + (3 * (((k // 8) * h // 8) * w
+                                   + ((k % 8) * w // 8)) + 1) * 7) % 256
+            + (doc_id * 31 + (3 * (((k // 8) * h // 8) * w
+                                   + ((k % 8) * w // 8)) + 2) * 7) % 256
+           ) // 3 AS g
+    FROM cells
+),
+bits AS (
+    SELECT doc_id, k,
+           CASE WHEN 64 * g > sum(g) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS b
+    FROM gray
+),
+hashes AS (
+    SELECT doc_id,
+           sum(CASE WHEN k >= 32
+                    THEN CAST(b AS BIGINT) << (k - 32) ELSE 0 END) AS h_hi,
+           sum(CASE WHEN k < 32
+                    THEN CAST(b AS BIGINT) << k ELSE 0 END)        AS h_lo
+    FROM bits
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_hi, b.h_hi))
+      + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 MEDIA_PPM_STATS_SQL = """
 WITH dims AS (
     SELECT doc_id,
@@ -1563,6 +1636,8 @@ SPECS = [
               ("llm", "multimodal")),
     QuerySpec("media_ppm_stats", q_media_ppm_stats, MEDIA_PPM_STATS_SQL,
               ("llm", "multimodal")),
+    QuerySpec("media_phash_dupes", q_media_phash_dupes, MEDIA_PHASH_SQL,
+              ("llm", "multimodal", "dedup")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_features", q_media_features, None,

@@ -152,3 +152,50 @@ def test_ppm_stats_pipeline(spark):
     assert stats[5]["mean_r"] == expect[0]
     assert stats[5]["mean_g"] == expect[1]
     assert stats[5]["mean_b"] == expect[2]
+
+
+def test_ahash_known_duplicates_and_band_completeness(spark):
+    """Average-hash pipeline: (1) payloads are fully determined by
+    doc_id mod 256 (w: mod 16, h: mod 8, pixels: mod 256), so docs
+    256 apart are byte-identical images -> hamming 0; (2) the banded
+    pair join returns exactly the pairs a brute-force quadratic
+    Hamming scan finds (4x16-bit pigeonhole completeness, thr=3)."""
+    import numpy as np
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        ahash_64,
+        ahash_hashes,
+        decode_ppm,
+        phash_near_dup_pairs,
+        synth_ppm_payloads,
+    )
+
+    ids = list(range(40)) + [256, 257, 300]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    payloads = synth_ppm_payloads(docs)
+    hashes = ahash_hashes(payloads)
+    rows = {r["doc_id"]: (r["h_hi"], r["h_lo"]) for r in hashes.collect()}
+    # determinism vs a local decode of the same payload
+    pay = {r["doc_id"]: bytes(r["media"]) for r in payloads.collect()}
+    assert rows[5] == ahash_64(decode_ppm(pay[5]))
+    # identical image 256 apart => identical hash halves
+    assert rows[0] == rows[256]
+    assert rows[1] == rows[257]
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in phash_near_dup_pairs(hashes, thr=3).collect()}
+    assert got[(0, 256)] == 0 and got[(1, 257)] == 0
+
+    def ham(a, b):
+        (ha, la), (hb, lb) = rows[a], rows[b]
+        return bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+
+    expect = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(a, b) <= 3
+    }
+    # brute force compares unordered pairs; normalize orientation
+    expect = {(min(a, b), max(a, b)): h for (a, b), h in expect.items()}
+    assert got == expect
