@@ -56,7 +56,11 @@ GATE_PRIORITY = (
     "ngram_jaccard_pairs",
     "knn_cosine",
     "knn_cosine_lsh",
-    "knn_ivf",
+    "media_phash_dupes",         # image aHash near-dup (real decode;
+                                 # takes knn_ivf's slot — knn_ivf and
+                                 # knn_ivf_indexed share one oracle,
+                                 # the indexed variant keeps the
+                                 # family's driver row)
     "assemble_training_corpus",   # end-to-end curate→chunk→pack
                                   # (displaces doc_embedding_join, a
                                   # plain broadcast-join shape)
