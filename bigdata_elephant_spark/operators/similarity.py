@@ -441,6 +441,188 @@ def kmeans(
     return out
 
 
+# -------------------------------------------- product quantization
+#
+# PQ completes the ANN quartet (brute force / LSH / IVF / PQ): each
+# vector is compressed to n_sub small codes (here 4 bytes for a
+# 64-dim float vector — a 64x memory cut), queries score candidates
+# through a tiny per-query lookup table (ADC), and only a short list
+# survives to exact re-ranking. At 100 TB the codes table is the only
+# thing the ADC scan touches — the full vectors are read for just
+# ~C rows at re-rank time (a point-lookup join), which is what makes
+# billion-vector search tractable.
+#
+# Determinism contract (same as IVF): codebooks are the lowest-id
+# vectors' slices (no RNG, engine-replayable), encode distances are
+# rounded to 6 decimals with ties to the lowest code id, and the ADC
+# sum runs in exact decimal so addend order can never flip the
+# shortlist cut.
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace codebooks ``(sub, code_id, cvec)``:
+    the ``n_codes`` lowest-id vectors, sliced into ``n_sub``
+    contiguous ``sub_dim``-wide pieces (a production index swaps in
+    per-subspace k-means — every downstream shape is unchanged)."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                    "cvec"
+                ),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    return (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code_id"), F.explode(slices).alias("s"))
+        .select("s.sub", "code_id", "s.cvec")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, sub, code)``: nearest codebook entry per subspace
+    by (rounded) squared L2, ties to the lowest code id. One
+    broadcast of the codebooks + one partial-aggregated argmin — the
+    vectors shuffle only their ids, exactly like :func:`ivf_assign`.
+    This is the write-side compression pass; its output is the codes
+    table a production system persists (and re-scores queries from)
+    instead of the raw vectors."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                    "svec"
+                ),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    vec_slices = embeddings.select(
+        id_col, F.explode(slices).alias("s")
+    ).select(id_col, "s.sub", "s.svec")
+    scored = vec_slices.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        F.struct(
+            F.round(_l2sq(F.col("svec"), F.col("cvec")), 6).alias("d"),
+            F.col("code_id").alias("c"),
+        ).alias("dc"),
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min("dc").getField("c").alias("code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-ranking.
+
+    1. Build the per-query lookup table: the query's slice dotted
+       with every codebook entry — ``n_sub * n_codes`` doubles, tiny,
+       broadcast (asymmetric distance computation: the query stays
+       exact, only the database side is quantized).
+    2. Approximate score per vector = sum of its codes' LUT entries;
+       the sum runs in exact ``decimal(18,6)`` (addend order can
+       never flip the shortlist boundary across engines/partitions).
+    3. Shortlist the top ``shortlist`` by (adc desc, id) — a
+       TakeOrderedAndProject over the codes table only.
+    4. Exact cosine re-rank of the shortlist against the raw vectors
+       (a point-lookup join at scale), final top-k.
+    """
+    cbooks = pq_codebooks(
+        embeddings, n_sub, sub_dim, n_codes, id_col, vec_col
+    )
+    codes = pq_encode(
+        embeddings, cbooks, n_sub, sub_dim, id_col, vec_col
+    )
+    q_slices = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.slice(
+                                F.col(vec_col), s * sub_dim + 1, sub_dim
+                            ).alias("qvec"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.sub", "s.qvec")
+    )
+    lut = cbooks.join(F.broadcast(q_slices), "sub").select(
+        "sub",
+        "code_id",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
+        .cast("decimal(18,6)")
+        .alias("pd"),
+    )
+    short = (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["code_id"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("pd").alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    return (
+        embeddings.join(short, id_col)
+        .select(
+            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

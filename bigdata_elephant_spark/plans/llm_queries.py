@@ -446,6 +446,85 @@ LIMIT {KNN_K}
 """
 
 
+PQ_SUB, PQ_SUB_DIM, PQ_CODES, PQ_SHORTLIST = 4, 16, 16, 50
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebooks (lowest-id slices) ->
+    4-code compression of every vector -> per-query LUT (ADC) ->
+    decimal-exact approximate scores -> top-50 shortlist -> exact
+    cosine re-rank -> top-10. The oracle replays codebook build,
+    encoding (rounded distances, ties to lowest code), the decimal
+    ADC sum, the shortlist cut, and the re-rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, KNN_QUERY_VEC_ID, n_sub=PQ_SUB, sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES, shortlist=PQ_SHORTLIST, k=KNN_K,
+    )
+
+
+def _sub_fold_sql(expr: str, lo: str, hi: str) -> str:
+    """Left fold of ``expr`` (a function of index i) over [lo, hi)."""
+    return (
+        f"list_reduce(list_transform(range({lo}, {hi}), i -> {expr}), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_PQ_L2 = _sub_fold_sql(
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))",
+    f"c.sub * {PQ_SUB_DIM} + 1",
+    f"c.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
+)
+
+_PQ_QDOT = _sub_fold_sql(
+    "CAST(c.cvec[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)",
+    f"c.sub * {PQ_SUB_DIM} + 1",
+    f"c.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
+)
+
+KNN_PQ_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {KNN_QUERY_VEC_ID}),
+codebooks AS (
+    SELECT s.sub, e.vec_id AS code_id, e.embedding AS cvec
+    FROM embeddings e,
+         (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+    WHERE e.vec_id < {PQ_CODES}
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, c.sub, c.code_id AS code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, c.sub
+                   ORDER BY round({_PQ_L2}, 6), c.code_id) AS rn
+        FROM embeddings e, codebooks c
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT c.sub, c.code_id,
+           CAST(round({_PQ_QDOT}, 6) AS DECIMAL(18,6)) AS pd
+    FROM codebooks c, q
+),
+short AS (
+    SELECT enc.vec_id
+    FROM enc JOIN lut ON lut.sub = enc.sub AND lut.code_id = enc.code
+    WHERE enc.vec_id <> {KNN_QUERY_VEC_ID}
+    GROUP BY enc.vec_id
+    ORDER BY sum(pd) DESC, enc.vec_id
+    LIMIT {PQ_SHORTLIST}
+)
+SELECT e.vec_id,
+       round({_dot_sql('e.embedding', 'q.qv')}
+             / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {KNN_K}
+"""
+
+
 def _plane_sql(p: list[float]) -> str:
     return "([" + ", ".join(repr(v) for v in p) + "]::DOUBLE[])"
 
@@ -1595,6 +1674,8 @@ SPECS = [
               ("llm", "similarity", "iterative")),
     QuerySpec("knn_cosine_lsh_multiprobe", q_knn_cosine_lsh_multiprobe,
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
+    QuerySpec("knn_pq", q_knn_pq, KNN_PQ_SQL,
+              ("llm", "similarity", "index")),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
