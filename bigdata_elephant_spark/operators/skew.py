@@ -48,6 +48,40 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt-and-replicate.
+
+    For a big-big shuffle join where one side's hot key floods a
+    single reducer and the other side is too large to broadcast but
+    small enough to replicate ``n_salts``-fold: the skewed side gets
+    a random salt in [0, n_salts), the other side is replicated once
+    per salt value (an ``explode`` of a literal range — no extra
+    shuffle of the big side), and the join key becomes
+    ``(key, salt)``. The hot key's rows now spread over ``n_salts``
+    reducers. Row-level semantics are identical to ``big.join(small,
+    key)`` — the salt is an internal partitioning trick, dropped on
+    output.
+
+    This is the manual fallback for the cases AQE skew splitting
+    can't handle (e.g. a skewed *outer* side that AQE won't split, or
+    pre-AQE engines); prefer AQE where it applies.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
 def salted_count_distinct(
     df: DataFrame,
     keys: Sequence[str],

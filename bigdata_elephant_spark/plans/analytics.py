@@ -324,6 +324,40 @@ GROUP BY 1
 """
 
 
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate skew join (operators/skew.py salted_join)
+    under the oracle gate: events (the skewed fact — a hot user_id
+    floods one reducer in a plain shuffle join) joined to customer
+    with the customer side replicated 8x on an explicit salt, then
+    rolled up per (mktsegment, event_type). The oracle is the plain
+    unsalted join + group — equality proves the salt is a pure
+    partitioning trick with identical row-level semantics."""
+    from bigdata_elephant_spark.operators.skew import salted_join
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("c_custkey"), "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(e, c, "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("v"), 4).cast("double").alias("sum_value"),
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------- fuzzy matching
 
 FUZZY_MAX_DIST = 2
@@ -693,6 +727,8 @@ SPECS = [
               SKEW_SAFE_SQL, ("events", "skew", "agg")),
     QuerySpec("heavy_hitter_keys", heavy_hitter_keys,
               HEAVY_HITTER_SQL, ("events", "skew", "agg")),
+    QuerySpec("skew_salted_join_events", skew_salted_join_events,
+              SKEW_SALTED_JOIN_SQL, ("events", "skew", "join")),
     QuerySpec("trimmed_value_stats", trimmed_value_stats,
               TRIMMED_VALUE_STATS_SQL, ("events", "agg", "window")),
 ]

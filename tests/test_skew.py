@@ -63,3 +63,30 @@ def test_salted_avg_via_sum_count(spark, sf_dir):
         ).collect()
     }
     assert got == direct
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-for-row identical to the plain join
+    (the salt is an internal partitioning trick), including rows
+    whose key has no match (dropped for inner joins)."""
+    events = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_id", "event_type"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = events.join(customer, "c_custkey").groupBy(
+        "c_mktsegment", "event_type"
+    ).count()
+    salted = skew.salted_join(events, customer, "c_custkey", n_salts=8)
+    got = salted.groupBy("c_mktsegment", "event_type").count()
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+    # row-level identity, not just aggregate identity
+    assert salted.count() == events.join(customer, "c_custkey").count()
+    a = {tuple(r) for r in salted.select(
+        "c_custkey", "event_id", "c_mktsegment").collect()}
+    b = {tuple(r) for r in events.join(customer, "c_custkey").select(
+        "c_custkey", "event_id", "c_mktsegment").collect()}
+    assert a == b
