@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,64 @@ def pruned_fraction(
         1 for z in zones if not (z[max_col] < lo or z[min_col] > hi)
     )
     return (n - overlap) / n if n else 0.0
+
+
+# ------------------------------------------------- file compaction
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    unit_col: str = "unit",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Assign write units (files/partitions) to output bins by
+    cumulative size: unit i lands in bin ``floor(cum_bytes_before_i /
+    target_bytes)`` in ``unit_col`` order — the same fixed-width
+    splitting ``spark.sql.files.maxPartitionBytes`` applies to scan
+    splits, here used as the *compaction* plan that rewrites a
+    small-files directory into ~``ceil(total/target)`` outputs.
+
+    The manifest is metadata (one row per file/partition — at 100 TB
+    maybe 10^6 rows), so the single-partition ordering window is
+    cheap by construction; the data movement it plans is executed by
+    :func:`compact_to_target` with a shuffle keyed on the bin id.
+    """
+    w = (
+        Window.orderBy(unit_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer division ("div"), not floor(double /): exact for any
+    # byte total (see range_join_counts for the same hazard)
+    return manifest.select(
+        unit_col,
+        bytes_col,
+        (F.sum(bytes_col).over(w) - F.col(bytes_col))
+        .cast("long")
+        .alias("_cum_before"),
+    ).select(
+        unit_col,
+        bytes_col,
+        F.expr(f"_cum_before div {int(target_bytes)}").alias("bin"),
+    )
+
+
+def compact_to_target(
+    df: DataFrame,
+    plan: DataFrame,
+    path: str,
+    unit_col: str = "unit",
+) -> None:
+    """Execute a :func:`compaction_plan`: tag each row with its
+    unit's bin (broadcast join on the metadata-sized plan), then
+    write one file per bin — ``repartition(bin)`` + dynamic
+    partition overwrite, so re-running a failed compaction rewrites
+    the same bins idempotently."""
+    binned = df.join(F.broadcast(plan.select(unit_col, "bin")), unit_col)
+    n_bins = plan.agg(F.max("bin")).first()[0] + 1
+    (
+        binned.repartition(int(n_bins), "bin")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bin")
+        .parquet(path)
+    )

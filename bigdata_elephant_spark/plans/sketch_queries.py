@@ -308,21 +308,15 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is a single metadata-sized sort, and the rewrite itself
     is then one distributed job partitioned by group_id). Keeping
     id-adjacent files together preserves any existing clustering."""
+    from bigdata_elephant_spark.operators import layout
+
     o = read_table(spark, sf_dir, "orders")
     files = o.groupBy(F.col("o_custkey").alias("file_id")).agg(
         F.count("*").alias("n_rows")
     )
-    w = (
-        Window.orderBy("file_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = files.withColumn(
-        "group_id",
-        F.floor(
-            (F.sum("n_rows").over(w) - F.col("n_rows"))
-            / F.lit(COMPACT_TARGET_ROWS)
-        ).cast("long"),
-    )
+    packed = layout.compaction_plan(
+        files, COMPACT_TARGET_ROWS, unit_col="file_id", bytes_col="n_rows"
+    ).withColumnRenamed("bin", "group_id")
     return (
         packed.groupBy("group_id")
         .agg(
@@ -342,11 +336,11 @@ WITH files AS (
 ),
 packed AS (
     SELECT file_id, n_rows,
-           CAST(floor(
+           CAST(
                (sum(n_rows) OVER (ORDER BY file_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_rows) / {COMPACT_TARGET_ROWS}
-           ) AS BIGINT) AS group_id
+                - n_rows) // {COMPACT_TARGET_ROWS}
+           AS BIGINT) AS group_id
     FROM files
 )
 SELECT group_id, CAST(count(*) AS BIGINT) AS n_files,

@@ -96,3 +96,42 @@ def test_zorder_prunes_both_dimensions(spark):
     y_lo, y_hi = 0, 6552
     prune_z_y = pruned_fraction(z_zones, "min_y", "max_y", y_lo, y_hi)
     assert prune_z_y > 0.5, prune_z_y
+
+
+def test_compaction_plan_and_rewrite(spark, tmp_path):
+    """compaction_plan packs units in order by running size;
+    compact_to_target really rewrites the data into one file per
+    bin, preserving every row."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import layout
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    manifest = o.groupBy(F.col("o_custkey").alias("unit")).agg(
+        F.count("*").alias("bytes")
+    )
+    target = 40
+    plan = layout.compaction_plan(manifest, target)
+    rows = {r["unit"]: r for r in plan.collect()}
+    # replay the packing driver-side and compare bin ids exactly
+    cum = 0
+    for unit in sorted(rows):
+        assert rows[unit]["bin"] == cum // target, unit
+        cum += rows[unit]["bytes"]
+    n_bins = max(r["bin"] for r in rows.values()) + 1
+
+    out = str(tmp_path / "compacted")
+    layout.compact_to_target(
+        o.withColumn("unit", F.col("o_custkey")), plan, out
+    )
+    files = glob.glob(f"{out}/bin=*/*.parquet")
+    assert len(files) == n_bins  # one file per planned bin
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    assert (
+        back.select("o_orderkey").exceptAll(o.select("o_orderkey")).count()
+        == 0
+    )
