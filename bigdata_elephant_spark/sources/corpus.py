@@ -77,6 +77,73 @@ def read_corpus(
     return out
 
 
+def read_corpus_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV corpus ingest with a quarantine lane.
+
+    Returns ``(good, quarantined)``: well-formed rows land in the
+    same ``(doc_id long, url, title, text)`` frame every downstream
+    operator takes (source-agnostic pipelines — swap the reader, keep
+    the plan); malformed lines (wrong column count, unparsable id)
+    are CAPTURED, not dropped and not fatal — at 10^11 records a bad
+    shard must neither kill the 10-hour job (FAILFAST) nor vanish
+    silently (plain PERMISSIVE). Both outputs are lazy projections of
+    ONE scan; writing the quarantine frame to a side table gives the
+    ingest an auditable dead-letter queue.
+
+    ``multiLine`` stays off: multiline CSV records make files
+    unsplittable (one reader per file, no intra-file parallelism) —
+    corpus text with newlines belongs in JSON-lines or parquet, and
+    embedded ``\\n`` inside *quoted* fields is rejected into the
+    quarantine rather than silently merging records.
+
+    Implementation note: this parses via ``text`` + ``from_csv``
+    (per-row, full schema) rather than ``spark.read.csv`` with a
+    corrupt-record column. The csv reader re-parses only the columns
+    each downstream plan references, so whether a short row counts
+    as corrupt DEPENDS ON THE QUERY's column pruning — a row can be
+    dropped from the good lane and never reach the quarantine (the
+    Spark docs' referenced-columns caveat; reproduced in
+    tests/test_sources.py). ``from_csv`` runs inside the projection
+    with the full schema, so both lanes see one consistent parse of
+    one scan.
+    """
+    fields = "id string, url string, title string, text string"
+    lines = spark.read.text(path)
+    if header:
+        header_line = sep.join(("id", "url", "title", "text"))
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        "value",
+        F.from_csv(
+            "value",
+            fields + ", _corrupt string",
+            {
+                "sep": sep,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+            },
+        ).alias("r"),
+    ).select(
+        "value",
+        "r.*",
+        F.expr("try_cast(r.id AS BIGINT)").alias("doc_id"),
+    )
+    ok = F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
+    good = parsed.filter(ok).select("doc_id", "url", "title", "text")
+    quarantined = parsed.filter(~ok).select(
+        F.col("value").alias("raw"),
+        F.when(F.col("_corrupt").isNotNull(), F.lit("malformed_line"))
+        .otherwise(F.lit("bad_id"))
+        .alias("reason"),
+    )
+    return good, quarantined
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Set the dynamic SQL confs every query depends on, on whatever
     session we were handed. The driver harness builds its OWN

@@ -63,3 +63,30 @@ def test_read_corpus_failfast_raises(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         read_corpus(spark, str(tmp_path), mode="FAILFAST").collect()
+
+
+def test_read_corpus_csv_quarantine(spark, tmp_path):
+    """One scan, two lanes: good rows get the standard corpus frame;
+    short lines and unparsable ids land in the quarantine with a
+    reason instead of vanishing (plain PERMISSIVE) or killing the
+    job (FAILFAST)."""
+    from bigdata_elephant_spark.sources.corpus import read_corpus_csv
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "id,url,title,text\n"
+        "1,u1,t1,hello world\n"
+        "oops-not-an-id,u2,t2,text\n"
+        "2,u3,t3,more text\n"
+        "3,only-two-fields\n"
+    )
+    good, quarantined = read_corpus_csv(spark, str(p))
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "hello world", 2: "more text"}
+    q = {r["reason"] for r in quarantined.collect()}
+    assert quarantined.count() == 2
+    assert q == {"bad_id", "malformed_line"}
+    # same downstream contract as the JSON reader
+    assert [f.name for f in good.schema.fields] == [
+        "doc_id", "url", "title", "text",
+    ]
