@@ -231,3 +231,88 @@ FROM (
         FROM {regs_cte} GROUP BY {group}
     )
 )"""
+
+
+# ------------------------------------------------ count-min sketch
+
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 256  # counters per row
+
+
+def cms_counts(
+    df: DataFrame, key: Column | str, group: str | None = None
+) -> DataFrame:
+    """Count-min sketch state: ``(d, col, cnt)`` (plus ``group`` when
+    given) — depth x width counters, each key hashed once per depth
+    row with a depth-salted :func:`h32`.
+
+    The frequency analogue of the HLL/KMV distinct sketches: exact
+    per-key counting shuffles every key; the sketch shuffles into a
+    CONSTANT ``CMS_DEPTH * CMS_WIDTH`` cells per group, counts merge
+    by cell-wise addition (map-side combine applies, per-source
+    sketches sum to the global sketch), and point estimates
+    overcount only (min over depth rows bounds collision noise at
+    ~e*n/width with probability 1 - e^-depth).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("d")
+    cols = ([F.col(group)] if group else []) + [
+        c.cast("string").alias("_k")
+    ]
+    exploded = df.select(*cols, depths)
+    cell = F.pmod(
+        h32(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("_k"))),
+        F.lit(CMS_WIDTH),
+    ).alias("col")
+    keys = ([group] if group else []) + ["d", "col"]
+    return exploded.select(*([group] if group else []), "d", cell).groupBy(
+        *keys
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """``(key, est)`` for each row of ``keys``: min over the depth
+    rows of the key's counter. ``keys`` is metadata-sized (the keys
+    you are asking about), so the ``CMS_DEPTH``-fold expansion and
+    the join against the constant-size sketch are both broadcast
+    territory."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias(
+            "d"
+        ),
+    ).select(
+        key_col,
+        "d",
+        F.pmod(
+            h32(
+                F.concat(
+                    F.col("d").cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ).alias("col"),
+    )
+    return probes.join(F.broadcast(sketch), ["d", "col"]).groupBy(
+        key_col
+    ).agg(F.min("cnt").alias("est"))
+
+
+def cms_sql_duckdb(key_expr: str, table: str) -> str:
+    """DuckDB CTE text computing the same ``(d, col, cnt)`` sketch."""
+    from bigdata_elephant_spark.functions.hashing import h32_sql_duckdb
+
+    h = h32_sql_duckdb(
+        f"(CAST(dd.d AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    )
+    return f"""
+    SELECT dd.d, {h} % {CMS_WIDTH} AS col, count(*) AS cnt
+    FROM {table}, (SELECT unnest(range(0, {CMS_DEPTH})) AS d) dd
+    GROUP BY 1, 2
+"""

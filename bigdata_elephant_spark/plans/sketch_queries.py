@@ -28,10 +28,15 @@ from bigdata_elephant_spark.operators.layout import (
     zvalue,
     zvalue_sql_duckdb,
 )
-from bigdata_elephant_spark.functions.hashing import h32
+from bigdata_elephant_spark.functions.hashing import h32, h32_sql_duckdb
 from bigdata_elephant_spark.operators.sampling import weighted_sample_keys
 from bigdata_elephant_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
     HLL_M,
+    cms_counts,
+    cms_point_estimate,
+    cms_sql_duckdb,
     hll_estimate,
     hll_estimate_sql_duckdb,
     hll_registers,
@@ -185,6 +190,62 @@ SELECT event_type, est_distinct, zeros,
        round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
 FROM ests JOIN exact USING (event_type)
 ORDER BY event_type
+"""
+
+
+CMS_TOP = 10
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the exact top-10 hottest
+    user_ids: one constant-size (depth x width) counter table built
+    in a single scan, probed for the heavy keys. ``est >= n_exact``
+    always (CMS never undercounts); the oracle rebuilds the identical
+    sketch from the depth-salted md5 hash, so estimates — collisions
+    included — match bit-for-bit."""
+    e = read_table(spark, sf_dir, "events")
+    sketch = cms_counts(e, "user_id")
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(CMS_TOP)
+    )
+    return (
+        cms_point_estimate(sketch, top, "user_id")
+        .join(top, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "est",
+            (F.col("est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CMS_HEAVY_SQL = f"""
+WITH sketch AS ({cms_sql_duckdb("e.user_id", "events e")}),
+top AS (
+    SELECT user_id, count(*) AS n_exact
+    FROM events GROUP BY 1
+    ORDER BY n_exact DESC, user_id
+    LIMIT {CMS_TOP}
+),
+probes AS (
+    SELECT t.user_id, t.n_exact, dd.d,
+           {h32_sql_duckdb(
+               "(CAST(dd.d AS VARCHAR) || ':' "
+               "|| CAST(t.user_id AS VARCHAR))"
+           )} % {CMS_WIDTH} AS col
+    FROM top t, (SELECT unnest(range(0, {CMS_DEPTH})) AS d) dd
+)
+SELECT p.user_id, p.n_exact,
+       min(s.cnt)              AS est,
+       min(s.cnt) - p.n_exact  AS overcount
+FROM probes p JOIN sketch s ON s.d = p.d AND s.col = p.col
+GROUP BY 1, 2
+ORDER BY user_id
 """
 
 
@@ -357,6 +418,8 @@ SPECS = [
               HLL_DISTINCT_SQL, ("llm", "sketch", "agg"), bench=True),
     QuerySpec("kmv_distinct_users", kmv_distinct_users,
               KMV_DISTINCT_SQL, ("llm", "sketch", "agg")),
+    QuerySpec("cms_heavy_hitters", cms_heavy_hitters,
+              CMS_HEAVY_SQL, ("llm", "sketch", "skew")),
     QuerySpec("zorder_orders_layout", zorder_orders_layout,
               ZORDER_SQL, ("relational", "layout", "pushdown"),
               bench=True),

@@ -157,3 +157,32 @@ def test_weighted_sample_favors_heavy_rows(spark):
     mean_s = pick.agg(F.avg("o_totalprice")).first()[0]
     mean_p = o.agg(F.avg("o_totalprice")).first()[0]
     assert mean_s > 1.25 * mean_p, (mean_s, mean_p)
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    """CMS point estimates are >= exact counts for every key (not
+    just heavy ones), and per-group sketches summed cell-wise equal
+    the global sketch (the mergeable-state property that makes it a
+    two-phase aggregate at scale)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.sketches import (
+        cms_counts,
+        cms_point_estimate,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    sketch = cms_counts(e, "user_id")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    est = cms_point_estimate(sketch, exact, "user_id")
+    joined = est.join(exact, "user_id")
+    assert joined.filter(F.col("est") < F.col("n_exact")).count() == 0
+
+    per_group = cms_counts(e, "user_id", group="event_type")
+    summed = per_group.groupBy("d", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    a = {(r["d"], r["col"]): r["cnt"] for r in summed.collect()}
+    b = {(r["d"], r["col"]): r["cnt"] for r in sketch.collect()}
+    assert a == b
