@@ -82,3 +82,35 @@ def latest_state(
     if op_col is not None:
         ranked = ranked.filter(F.col(op_col) != delete_op)
     return ranked.drop("__rn")
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream into
+    validity intervals.
+
+    Each change row becomes a version with ``valid_from`` = its own
+    order key and ``valid_to`` = the next change's (null for the
+    current version, flagged ``is_current``). One windowed ``lead``
+    per key — the same single-shuffle shape as :func:`latest_state`
+    however deep the history, no self-join (the naive interval build
+    is a per-key inequality self-join that quadratically explodes on
+    hot keys). A point-in-time lookup over the output is then a
+    plain range predicate ``valid_from <= t AND (t < valid_to OR
+    valid_to IS NULL)`` — at scale the table partitions by
+    ``is_current`` so current-state queries never touch history.
+    """
+    assert len(order_cols) >= 1
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    lead0 = F.lead(F.col(order_cols[0])).over(w)
+    return changes.select(
+        *changes.columns,
+        F.col(order_cols[0]).alias("valid_from"),
+        lead0.alias("valid_to"),
+        lead0.isNull().alias("is_current"),
+    )

@@ -521,6 +521,104 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/merge.py scd2_history):
+    each user's event stream becomes versioned validity intervals —
+    valid_from = the change's own timestamp, valid_to = the next
+    change's (null + is_current on the open version). One windowed
+    lead per key, no interval self-join. Timestamps render as UTC
+    strings so the row is engine-hashable."""
+    from bigdata_elephant_spark.operators.merge import scd2_history
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(
+        e, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_USER_SQL = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL) AS is_current
+FROM events
+"""
+
+
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level table reconciliation (operators/reconcile.py): diff
+    orders against a deterministically perturbed copy (keys % 997
+    dropped, % 331 repriced +1.00, % 463 re-keyed high = inserted)
+    and emit (key, status) for every difference. The bucket-
+    fingerprint pass routes only differing buckets into the wide
+    full-outer join; the oracle is the PLAIN full diff — equality
+    proves the pruning lossless."""
+    from bigdata_elephant_spark.operators.reconcile import table_diff
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    kept = o.filter(k % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 331 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    extra = o.filter(k % 463 == 0).withColumn(
+        "o_orderkey", k + 10_000_000
+    )
+    b = kept.unionByName(extra)
+    return table_diff(o, b, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+TABLE_DIFF_SQL = """
+WITH b AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 331 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 997 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 463 = 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'missing_b'
+            WHEN a.o_orderkey IS NULL THEN 'missing_a'
+            WHEN (a.o_custkey      IS DISTINCT FROM b.o_custkey)
+              OR (a.o_orderstatus  IS DISTINCT FROM b.o_orderstatus)
+              OR (a.o_totalprice   IS DISTINCT FROM b.o_totalprice)
+              OR (a.o_orderdate    IS DISTINCT FROM b.o_orderdate)
+              OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+            THEN 'changed' END AS status
+FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE CASE WHEN b.o_orderkey IS NULL THEN 'missing_b'
+           WHEN a.o_orderkey IS NULL THEN 'missing_a'
+           WHEN (a.o_custkey      IS DISTINCT FROM b.o_custkey)
+             OR (a.o_orderstatus  IS DISTINCT FROM b.o_orderstatus)
+             OR (a.o_totalprice   IS DISTINCT FROM b.o_totalprice)
+             OR (a.o_orderdate    IS DISTINCT FROM b.o_orderdate)
+             OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+           THEN 'changed' END IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
 def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type value statistics with the outlier tails cut at
     exact percentile ranks (keep 1% ≤ pr ≤ 99%): the trimmed mean a
@@ -717,6 +815,10 @@ SPECS = [
               STRATIFIED_SAMPLE_SQL, ("events", "sampling")),
     QuerySpec("merge_upsert_orders", merge_upsert_orders,
               MERGE_UPSERT_SQL, ("relational", "merge", "join")),
+    QuerySpec("scd2_user_history", scd2_user_history, SCD2_USER_SQL,
+              ("events", "window", "merge")),
+    QuerySpec("table_diff_orders", table_diff_orders, TABLE_DIFF_SQL,
+              ("relational", "merge", "join")),
     QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,
               ("events", "merge", "window")),
     QuerySpec("fuzzy_customer_pairs", fuzzy_customer_pairs,

@@ -43,3 +43,74 @@ def test_latest_state_tombstones(spark):
     assert set(out) == {1, 3}
     assert out[1]["v"] == 2.0
     assert out[3]["v"] == 7.0
+
+
+def test_scd2_intervals_chain(spark):
+    """Versions chain: valid_to of version n == valid_from of n+1,
+    exactly one open (is_current) version per key."""
+    from bigdata_elephant_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, 10, 100, "a"), (1, 20, 101, "b"), (1, 30, 102, "c"),
+        (2, 15, 103, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, state string"
+    )
+    hist = scd2_history(df, ["user_id"], ["ts", "event_id"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_table_diff_finds_planted_differences(spark):
+    """Identical tables diff to empty; planted drop/change/insert
+    come back with the right statuses (and nothing else)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.reconcile import table_diff
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    assert table_diff(o, o, ["o_orderkey"]).count() == 0
+
+    b = (
+        o.filter(F.col("o_orderkey") != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") == 32, F.col("o_totalprice") + 5.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") == 70).withColumn(
+                "o_orderkey", F.lit(99_999_999).cast("long")
+            )
+        )
+    )
+    got = {
+        r["o_orderkey"]: r["status"]
+        for r in table_diff(o, b, ["o_orderkey"]).collect()
+    }
+    assert got == {7: "missing_b", 32: "changed", 99_999_999: "missing_a"}
+
+
+def test_table_diff_null_vs_empty_not_confused(spark):
+    """The signature sentinels nulls: (NULL) and ('') are different
+    rows, ('x', NULL) and (NULL, 'x') are different rows."""
+    from bigdata_elephant_spark.operators.reconcile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, None, "x"), (2, "", "y")], "k long, u string, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "", "x"), (2, None, "y")], "k long, u string, v string"
+    )
+    got = {r["k"]: r["status"] for r in table_diff(a, b, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
