@@ -358,6 +358,51 @@ GROUP BY 1, 2
 """
 
 
+COPURCHASE_TOP = 20
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    ordered together. Baskets dedup to distinct (order, part) FIRST
+    — the self-join fan-out is then Σ basket², bounded by basket
+    size, not line count (a 100-line order with 3 distinct parts
+    contributes 3 pairs, not 4950); at 100 TB the next lever is
+    capping pathological baskets, same as the hot-shingle cap in
+    ngram_jaccard_pairs. One shuffle keys the join on the order, one
+    aggregates pair support."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(COPURCHASE_TOP)
+    )
+
+
+COPURCHASE_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS support
+FROM baskets a JOIN baskets b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT {COPURCHASE_TOP}
+"""
+
+
 # --------------------------------------------------- fuzzy matching
 
 FUZZY_MAX_DIST = 2
@@ -819,6 +864,8 @@ SPECS = [
               ("events", "window", "merge")),
     QuerySpec("table_diff_orders", table_diff_orders, TABLE_DIFF_SQL,
               ("relational", "merge", "join")),
+    QuerySpec("copurchase_part_pairs", copurchase_part_pairs,
+              COPURCHASE_SQL, ("relational", "join", "topk")),
     QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,
               ("events", "merge", "window")),
     QuerySpec("fuzzy_customer_pairs", fuzzy_customer_pairs,

@@ -144,6 +144,25 @@ def read_corpus_csv(
     return good, quarantined
 
 
+def read_parquet_evolved(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files span schema generations.
+
+    ``mergeSchema`` unions the per-file schemas (an old file missing
+    a later-added column yields nulls for it) instead of trusting one
+    random footer — the default reads a single file's schema, so a
+    scan can silently drop columns that only newer files carry.
+    Schema merging reads FOOTERS, not data: cost is one metadata pass
+    over the file listing, and predicate pushdown / column pruning
+    still apply per file (a pruned column simply reads as null from
+    generations that lack it). Widening type changes (int -> long)
+    merge; incompatible ones fail loudly at plan time — the behavior
+    an evolving 100 TB ingest wants."""
+    src = f"{path.rstrip('/')}/{glob}" if glob else path
+    return spark.read.option("mergeSchema", True).parquet(src)
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Set the dynamic SQL confs every query depends on, on whatever
     session we were handed. The driver harness builds its OWN

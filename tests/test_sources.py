@@ -90,3 +90,30 @@ def test_read_corpus_csv_quarantine(spark, tmp_path):
     assert [f.name for f in good.schema.fields] == [
         "doc_id", "url", "title", "text",
     ]
+
+
+def test_read_parquet_evolved_merges_generations(spark, tmp_path):
+    """Old files null-fill later-added columns; the union schema
+    covers every generation; filters still push down."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.sources.corpus import read_parquet_evolved
+
+    gen1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    gen2 = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    gen1.write.parquet(str(tmp_path / "t"), mode="append")
+    gen2.write.parquet(str(tmp_path / "t"), mode="append")
+
+    df = read_parquet_evolved(spark, str(tmp_path / "t"))
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "en", 4: "fr"}
+    # pruning/pushdown still reach the scan across generations
+    plan = df.filter(F.col("doc_id") == 3).select("lang")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,3)]" in plan
