@@ -230,3 +230,83 @@ def test_interval_join_stream_equals_batch_across_batches(spark, sf_dir):
     cols = ["click_id", "purchase_id", "user_id", "gap_s"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert len(_rows(got, cols)) > 0
+
+
+def test_watermark_drops_late_data_behaviorally(spark, sf_dir, tmp_path):
+    """Not just 'the watermark is in the plan': stage the stream so
+    old rows arrive AFTER the watermark has advanced past their
+    windows, and assert append-mode output equals the on-time-only
+    aggregation (finalized windows), with the late rows really gone.
+
+    Trigger 1 delivers the newest slice of the data (watermark jumps
+    to max_ts - delay), trigger 2 a sentinel on-time row, trigger 3
+    day-one rows — every one of those is now behind the watermark, so
+    state for their windows is never created and they influence
+    nothing. This is the state-bound contract that lets a windowed
+    aggregation run forever at 100 TB/day: arbitrarily old replays
+    cannot resurrect state.
+
+    The sentinel middle batch matters: the late-event filter uses the
+    watermark as of the PREVIOUS COMMITTED batch, one batch behind
+    the eviction boundary (verified empirically on this Spark build —
+    late rows arriving in the very next trigger after the watermark
+    jump are still merged, and their already-expired windows emit
+    immediately). Real pipelines see the same thing: the watermark
+    protects state only after it has committed."""
+    import datetime
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    raw = read_table(spark, sf_dir, "events")
+    lo, hi = raw.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    delay = datetime.timedelta(hours=2)
+    wm = hi - delay  # final watermark
+    late_cut = lo + datetime.timedelta(days=1)
+    assert late_cut + delay < wm, "testdata spans too little time"
+
+    on_time = raw.filter(F.col("ts") >= F.lit(late_cut))
+    late = raw.filter(F.col("ts") < F.lit(late_cut))
+    assert late.count() > 0
+    # sentinel = the max-ts row(s); chunk 0 = the rest of on-time
+    bulk = on_time.filter(F.col("ts") < F.lit(hi))
+    sentinel = on_time.filter(F.col("ts") == F.lit(hi))
+
+    stage = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(stage)
+    for i, part_df in enumerate((bulk, sentinel, late)):
+        tmp = f"{stage}/_chunk-{i}"
+        part_df.coalesce(1).write.parquet(tmp)
+        (part,) = globmod.glob(f"{tmp}/part-*.parquet")
+        path = f"{stage}/chunk-{i:03d}.parquet"
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(f"{stage}/chunk-000.parquet").schema
+    stream = ev.open_events_stream(spark, stage, schema)
+    agg = ev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    got = ev.run_stream_to_memory(
+        agg, f"late_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+    finalized = (
+        ev.tumbling_counts(on_time)
+        .filter(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(wm)
+        )
+    )
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(finalized, cols)
+    # and the late rows would have changed the result had they counted
+    with_late = ev.tumbling_counts(raw).filter(
+        F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(wm)
+    )
+    assert _rows(with_late, cols) != _rows(finalized, cols)
