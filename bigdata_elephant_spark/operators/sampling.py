@@ -81,3 +81,65 @@ def stratified_hash_sample(
             (F.col(strata_col) == stratum) & (b < int(frac * BUCKETS))
         )
     return df.filter(keep)
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    n_out: int,
+    id_col: str,
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture — the data-recipe
+    operator behind "web 60% / books 30% / code 10%" training sets.
+
+    Each stratum's target row count is ``round(n_out * weight)``;
+    strata larger than their target DOWN-sample (a deterministic
+    md5-ordered prefix — same reproducible draw as
+    :func:`stratified_hash_sample`), smaller ones UP-sample by
+    repetition: every doc appears ``target div n`` times and the
+    md5-first ``target mod n`` docs once more — the multi-epoch
+    semantics LLM recipes use for scarce domains, with the epoch
+    spread as even as integer arithmetic allows. Output is one row
+    per (doc, epoch); per-stratum totals hit the target EXACTLY.
+
+    Plan shape: per-stratum counts and the target table are
+    metadata-sized broadcasts; the data passes once through one
+    per-stratum rank window; repetition is a ``sequence`` explode,
+    no self-union per epoch. Strata missing from ``weights`` drop
+    (weight zero).
+    """
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(s, int(round(n_out * w))) for s, w in sorted(weights.items())],
+        f"{stratum_col} string, _target long",
+    )
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    plan = counts.join(targets, stratum_col).select(
+        stratum_col,
+        F.expr("_target div _n").alias("_base"),
+        F.expr("_target % _n").alias("_extra"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    ranked = df.select(
+        id_col, stratum_col, F.row_number().over(w).alias("_rnk")
+    )
+    expanded = ranked.join(F.broadcast(plan), stratum_col).select(
+        id_col,
+        stratum_col,
+        (
+            F.col("_base")
+            + F.when(F.col("_rnk") <= F.col("_extra"), 1).otherwise(0)
+        ).alias("_copies"),
+    )
+    return expanded.filter(F.col("_copies") > 0).select(
+        id_col,
+        stratum_col,
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+        ).alias("epoch"),
+    )

@@ -266,9 +266,66 @@ FROM documents
 """
 
 
+MIXTURE_WEIGHTS = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2,
+                   "zh": 0.2}
+MIXTURE_N = 600
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing (operators/sampling.py
+    mixture_rebalance): documents re-weighted to an equal-share
+    language mixture of 600 rows — English down-samples (md5-ordered
+    prefix), the scarcer languages up-sample by epoch repetition.
+    Per-language totals hit 120 exactly; the oracle replays the
+    rank/div/mod arithmetic."""
+    from bigdata_elephant_spark.operators.sampling import (
+        mixture_rebalance,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_rebalance(
+        docs, "lang", MIXTURE_WEIGHTS, MIXTURE_N, "doc_id"
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', {int(round(MIXTURE_N * w))})"
+    for s, w in sorted(MIXTURE_WEIGHTS.items())
+)
+
+MIXTURE_SQL = f"""
+WITH targets(lang, target_n) AS (VALUES {_MIX_VALUES}),
+counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY 1
+),
+plan AS (
+    SELECT t.lang, t.target_n // c.n AS base, t.target_n % c.n AS extra
+    FROM targets t JOIN counts c USING (lang)
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rnk
+    FROM documents
+),
+expanded AS (
+    SELECT r.doc_id, r.lang,
+           p.base + CASE WHEN r.rnk <= p.extra THEN 1 ELSE 0 END
+               AS copies
+    FROM ranked r JOIN plan p USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+FROM expanded WHERE copies > 0
+"""
+
+
 SPECS = [
     QuerySpec("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
               ("llm", "chunking")),
+    QuerySpec("mixture_rebalance", q_mixture_rebalance, MIXTURE_SQL,
+              ("llm", "sampling", "pipeline")),
     QuerySpec("pack_sequences", q_pack_sequences, PACK_SEQUENCES_SQL,
               ("llm", "chunking", "window")),
     QuerySpec("shuffle_assignments", q_shuffle_assignments,

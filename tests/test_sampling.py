@@ -34,3 +34,40 @@ def test_stratified_hash_sample_respects_fractions(spark, sf_dir):
     )
     langs = {r["lang"] for r in got.select("lang").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_mixture_rebalance_up_and_down(spark):
+    """Down-sampled strata keep a subset (every epoch == 1); up-
+    sampled strata repeat docs with epochs as even as integers allow
+    (copies differ by at most 1 across docs); per-stratum totals hit
+    the target exactly; zero-weight strata drop."""
+    from collections import Counter
+
+    from bigdata_elephant_spark.operators.sampling import (
+        mixture_rebalance,
+    )
+
+    rows = [(i, "big") for i in range(50)] + \
+           [(i + 100, "small") for i in range(7)] + \
+           [(i + 200, "unlisted") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = mixture_rebalance(
+        df, "stratum", {"big": 0.5, "small": 0.5}, 40, "doc_id"
+    ).collect()
+    by_stratum = Counter(r["stratum"] for r in out)
+    assert by_stratum == {"big": 20, "small": 20}
+    big_docs = Counter(
+        r["doc_id"] for r in out if r["stratum"] == "big"
+    )
+    assert set(big_docs.values()) == {1}  # pure subset, no repeats
+    small_docs = Counter(
+        r["doc_id"] for r in out if r["stratum"] == "small"
+    )
+    # 20 rows over 7 docs: 6 docs x 3 epochs + 1 doc x 2 epochs
+    assert sorted(small_docs.values()) == [2, 3, 3, 3, 3, 3, 3]
+    for doc, n in small_docs.items():
+        epochs = sorted(
+            r["epoch"] for r in out
+            if r["stratum"] == "small" and r["doc_id"] == doc
+        )
+        assert epochs == list(range(1, n + 1))
