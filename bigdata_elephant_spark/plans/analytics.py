@@ -863,7 +863,7 @@ SPECS = [
     QuerySpec("scd2_user_history", scd2_user_history, SCD2_USER_SQL,
               ("events", "window", "merge")),
     QuerySpec("table_diff_orders", table_diff_orders, TABLE_DIFF_SQL,
-              ("relational", "merge", "join")),
+              ("relational", "merge", "join"), bench=True),
     QuerySpec("copurchase_part_pairs", copurchase_part_pairs,
               COPURCHASE_SQL, ("relational", "join", "topk")),
     QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,

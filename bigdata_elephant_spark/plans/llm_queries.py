@@ -1675,7 +1675,7 @@ SPECS = [
     QuerySpec("knn_cosine_lsh_multiprobe", q_knn_cosine_lsh_multiprobe,
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
     QuerySpec("knn_pq", q_knn_pq, KNN_PQ_SQL,
-              ("llm", "similarity", "index")),
+              ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
@@ -1718,7 +1718,7 @@ SPECS = [
     QuerySpec("media_ppm_stats", q_media_ppm_stats, MEDIA_PPM_STATS_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_phash_dupes", q_media_phash_dupes, MEDIA_PHASH_SQL,
-              ("llm", "multimodal", "dedup")),
+              ("llm", "multimodal", "dedup"), bench=True),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_features", q_media_features, None,
