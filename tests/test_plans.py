@@ -204,3 +204,50 @@ def test_decontaminate_train_side_distinct_before_join(spark, sf_dir):
     assert join_pos != -1
     agg_pos = plan.find("Aggregate", join_pos)
     assert agg_pos != -1, "no distinct/aggregate under the left join"
+
+
+def test_pq_plan_broadcast_lut_and_two_topk(spark, sf_dir):
+    """PQ-ADC: the LUT and shortlist joins broadcast (both metadata-
+    sized), both cuts plan as TakeOrderedAndProject (per-partition
+    heaps), and nothing plans a real cartesian product."""
+    from bigdata_elephant_spark.plans.llm_queries import q_knn_pq
+
+    plan = plan_of(q_knn_pq(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2  # top-50, top-10
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_band_join_is_equi_join(spark, sf_dir):
+    """aHash pair mining must join on (band, val) — never an all-
+    pairs product; the Hamming verify rides the join condition."""
+    from bigdata_elephant_spark.plans.llm_queries import (
+        q_media_phash_dupes,
+    )
+
+    plan = plan_of(q_media_phash_dupes(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan  # exact verify in the join predicate
+
+
+def test_table_diff_prunes_through_broadcast_buckets(spark, sf_dir):
+    """The wide full-outer drill-down must be fed by broadcast joins
+    on the metadata-sized differing-bucket list."""
+    from bigdata_elephant_spark.plans.analytics import table_diff_orders
+
+    plan = plan_of(table_diff_orders(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # both sides pruned
+    assert "FullOuter" in plan
+
+
+def test_mixture_rebalance_broadcasts_plan_table(spark, sf_dir):
+    """The per-stratum copies plan is metadata-sized and broadcast;
+    the data passes one rank window."""
+    from bigdata_elephant_spark.plans.training_data import (
+        q_mixture_rebalance,
+    )
+
+    plan = plan_of(q_mixture_rebalance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
