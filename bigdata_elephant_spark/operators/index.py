@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_elephant_spark.functions.text import tokenize
+from bigdata_elephant_spark.functions.text import tokenize, tokens_array
 
 
 def parse_documents(
@@ -50,4 +50,80 @@ def build_index(
         matched.groupBy(id_col, "word_id")
         .agg(F.count("*").alias("tf"))
         .select(id_col, "word_id", "tf")
+    )
+
+
+def build_positional_index(
+    corpus: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings ``(doc_id, word_id, pos)`` — the index
+    layout phrase/proximity search needs, which the reference's
+    ``(word, doc, tf)`` postings (Indexer.java:108-140) cannot
+    answer. ``pos`` is the 0-based offset in the FILTERED token
+    stream (the same filter the whole engine uses), so adjacency
+    means "adjacent after normalization" on every engine. Positions
+    multiply postings by average term frequency — the standard
+    positional-index size tradeoff; at 100 TB the layout partitions
+    by word_id exactly like the tf postings."""
+    toks = corpus.select(
+        id_col,
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "word"),
+    )
+    return toks.join(
+        F.broadcast(vocab.select("word", "word_id")), "word", "inner"
+    ).select(id_col, "word_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_search(
+    phrase: str,
+    vocab: DataFrame,
+    positional: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search by positional intersection: docs where the
+    phrase's terms occur at consecutive positions, ranked by
+    occurrence count (ties to the lowest doc id).
+
+    Query compile is driver-side like the reference's Query.java
+    (O11): the phrase tokenizes with the engine's filter, terms
+    resolve to word ids through the (tiny) vocabulary, and a missing
+    term means zero matches by definition. Execution is the classic
+    n-way postings intersection — each term's postings filtered by
+    word_id (a pushed-down predicate on the word_id-partitioned
+    layout), joined on ``(doc, pos - offset)``; all joins share the
+    (doc_id, pos) key."""
+    from bigdata_elephant_spark.functions.text import tokenize_str
+
+    terms = tokenize_str(phrase)
+    empty = positional.sparkSession.createDataFrame(
+        [], f"{id_col} long, n_occurrences long"
+    )
+    if not terms:
+        return empty
+    vocab_rows = {
+        r["word"]: r["word_id"]
+        for r in vocab.filter(
+            F.col("word").isin(list(set(terms)))
+        ).collect()
+    }
+    if any(t not in vocab_rows for t in terms):
+        return empty
+    ids = [vocab_rows[t] for t in terms]
+    matches = positional.filter(F.col("word_id") == ids[0]).select(
+        id_col, "pos"
+    )
+    for i, wid in enumerate(ids[1:], start=1):
+        nxt = positional.filter(F.col("word_id") == wid).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        matches = matches.join(nxt, [id_col, "pos"])
+    return (
+        matches.groupBy(id_col)
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc(id_col))
+        .limit(k)
     )

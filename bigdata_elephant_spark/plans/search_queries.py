@@ -239,8 +239,73 @@ def _search_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "score")
 
 
+PHRASE_QUERY = "hash join"
+PHRASE_K = 10
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a positional index
+    (operators/index.py build_positional_index + phrase_search):
+    docs containing the adjacent token sequence 'hash join', ranked
+    by occurrence count — the proximity capability the reference's
+    tf-only postings cannot answer. The oracle intersects the same
+    1-offset positions over the identical filtered token stream."""
+    from bigdata_elephant_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    positional = build_positional_index(corpus, vocab)
+    return phrase_search(PHRASE_QUERY, vocab, positional, k=PHRASE_K)
+
+
+def _phrase_oracle(terms: list[str], k: int) -> str:
+    # Positions come from generate_subscripts over the FILTERED token
+    # list (list ops are order-preserving), never row_number() OVER ()
+    # on unnested rows, whose order DuckDB does not guarantee.
+    repeat4_w = _REPEAT4_LIKE.replace("word LIKE", "w LIKE")
+    joins = []
+    for i, t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN pos m{i} ON m{i}.doc_id = m0.doc_id "
+            f"AND m{i}.p = m0.p + {i} AND m{i}.word = '{t}'"
+        )
+    return f"""
+WITH doc_toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   '\\s+'),
+               w -> w <> ''
+                    AND NOT regexp_full_match(w, '[0-9]+')
+                    AND NOT ({repeat4_w})) AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(toks) AS word,
+           generate_subscripts(toks, 1) - 1 AS p
+    FROM doc_toks
+)
+SELECT m0.doc_id, count(*) AS n_occurrences
+FROM pos m0 {' '.join(joins)}
+WHERE m0.word = '{terms[0]}'
+GROUP BY 1
+ORDER BY n_occurrences DESC, m0.doc_id
+LIMIT {k}
+"""
+
+
 SPECS = [
     QuerySpec("vocab_build", q_vocab, VOCAB_SQL, ("search", "agg"), bench=True),
+    QuerySpec(
+        "search_phrase",
+        q_search_phrase,
+        _phrase_oracle(tokenize_str(PHRASE_QUERY), PHRASE_K),
+        ("search", "topk", "join"),
+    ),
     QuerySpec(
         "search_default_query",
         _search_default,

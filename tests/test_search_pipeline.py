@@ -157,3 +157,39 @@ def test_bm25_edge_cases_and_ordering(spark, sf_dir):
     rows = out.collect()
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_search_semantics(spark, sf_dir):
+    """Adjacency is real: a planted corpus distinguishes 'spark
+    stream' from the words appearing separately; occurrence counting
+    and the missing-term / empty-phrase zero-match contracts hold."""
+    from bigdata_elephant_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream spark stream"),   # 2 occurrences
+            (2, "spark fast stream"),           # words, not the phrase
+            (3, "stream spark"),                # reversed
+            (4, "the spark stream runs"),       # 1 occurrence
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocabulary(docs)
+    pos = build_positional_index(docs, vocab)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search("Spark, STREAM!", vocab, pos).collect()
+    }
+    assert got == {1: 2, 4: 1}
+    assert phrase_search("spark nosuchword", vocab, pos).count() == 0
+    assert phrase_search("1234 !!", vocab, pos).count() == 0  # filtered
+    # single-term phrase degrades to term lookup with counts
+    single = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search("spark", vocab, pos).collect()
+    }
+    assert single == {1: 2, 2: 1, 3: 1, 4: 1}
