@@ -83,10 +83,16 @@ def phrase_search(
     positional: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact-phrase search by positional intersection: docs where the
-    phrase's terms occur at consecutive positions, ranked by
-    occurrence count (ties to the lowest doc id).
+    """Phrase search by positional intersection: docs where the
+    phrase's terms occur at consecutive positions (``slop=0``, the
+    exact phrase) or within ``slop`` extra positions of their exact
+    slot (Lucene-style proximity: term i may land in
+    ``[p+i, p+i+slop]``, preserving order), ranked by occurrence
+    count (ties to the lowest doc id). A slop match counts once per
+    anchor position of the first term (distinct anchors, not every
+    placement combination).
 
     Query compile is driver-side like the reference's Query.java
     (O11): the phrase tokenizes with the engine's filter, terms
@@ -117,10 +123,24 @@ def phrase_search(
         id_col, "pos"
     )
     for i, wid in enumerate(ids[1:], start=1):
-        nxt = positional.filter(F.col("word_id") == wid).select(
-            id_col, (F.col("pos") - i).alias("pos")
-        )
-        matches = matches.join(nxt, [id_col, "pos"])
+        nxt = positional.filter(F.col("word_id") == wid)
+        if slop == 0:
+            nxt = nxt.select(id_col, (F.col("pos") - i).alias("pos"))
+            matches = matches.join(nxt, [id_col, "pos"])
+        else:
+            nxt = nxt.select(
+                F.col(id_col).alias("_nid"), F.col("pos").alias("_npos")
+            )
+            matches = (
+                matches.join(
+                    nxt,
+                    (F.col(id_col) == F.col("_nid"))
+                    & (F.col("_npos") >= F.col("pos") + i)
+                    & (F.col("_npos") <= F.col("pos") + i + slop),
+                )
+                .select(id_col, "pos")
+                .distinct()  # one match per anchor position
+            )
     return (
         matches.groupBy(id_col)
         .agg(F.count("*").alias("n_occurrences"))

@@ -193,3 +193,37 @@ def test_phrase_search_semantics(spark, sf_dir):
         for r in phrase_search("spark", vocab, pos).collect()
     }
     assert single == {1: 2, 2: 1, 3: 1, 4: 1}
+
+
+def test_phrase_search_slop(spark, sf_dir):
+    """slop=1 tolerates one intervening token, order-preserving;
+    slop=0 remains the exact phrase; each anchor counts once."""
+    from bigdata_elephant_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark fast stream"),    # gap 1 -> slop>=1 only
+            (2, "spark stream"),         # exact
+            (3, "stream then spark"),    # wrong order, never matches
+            (4, "spark very fast stream"),  # gap 2 -> slop>=2 only
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocabulary(docs)
+    pos = build_positional_index(docs, vocab)
+
+    def hits(slop):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(
+                "spark stream", vocab, pos, slop=slop
+            ).collect()
+        }
+
+    assert hits(0) == {2: 1}
+    assert hits(1) == {1: 1, 2: 1}
+    assert hits(2) == {1: 1, 2: 1, 4: 1}
