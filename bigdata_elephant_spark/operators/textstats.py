@@ -347,3 +347,51 @@ def corpus_ngram_counts(
         .orderBy(F.desc("cnt"), "gram")
         .limit(top_k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """One BPE-training merge-step statistic: the corpus's most
+    frequent adjacent symbol pairs within words, weighted by word
+    frequency — the quantity byte-pair-encoding maximizes when it
+    picks the next merge.
+
+    The pair scan runs over the DISTINCT word table (word, n), not
+    the corpus: a 100 TB corpus has a vocabulary-sized distinct-word
+    table (Heaps' law), so each further merge iteration rescans
+    ~megabytes, not terabytes — which is why production BPE trainers
+    precompute exactly this table. Pair explosion is a
+    sequence+transform over character offsets (map-only); one
+    aggregation keyed on the pair.
+    """
+    from bigdata_elephant_spark.functions.text import tokens_array
+
+    words = (
+        df.select(
+            F.explode(tokens_array(F.col(text_col))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("sym_a"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("sym_b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("n", "p.sym_a", "p.sym_b")
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+        .limit(top_n)
+    )

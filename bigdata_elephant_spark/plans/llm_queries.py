@@ -985,6 +985,43 @@ FROM scored
 """
 
 
+BPE_TOP = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistic (operators/textstats.py
+    bpe_pair_counts): the top-20 adjacent character pairs within
+    words, weighted by word frequency, computed over the
+    vocabulary-sized distinct-word table (Heaps' law is what makes
+    iterated BPE training cheap at 100 TB). Oracle replays the pair
+    explosion over character offsets."""
+    return textstats.bpe_pair_counts(
+        _docs(spark, sf_dir), top_n=BPE_TOP
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(toks) AS word FROM doc_toks
+    ) GROUP BY 1
+    HAVING length(word) >= 2
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INTEGER), 1)     AS sym_a,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS sym_b,
+           n
+    FROM words, unnest(range(1, length(word))) AS t(i)
+)
+SELECT sym_a, sym_b, CAST(sum(n) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, sym_a, sym_b
+LIMIT {BPE_TOP}
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -1709,6 +1746,8 @@ SPECS = [
               UNIGRAM_SURPRISAL_SQL, ("llm", "text", "quality")),
     QuerySpec("gopher_repetition", q_gopher_repetition,
               GOPHER_REPETITION_SQL, ("llm", "text", "quality")),
+    QuerySpec("bpe_pair_counts", q_bpe_pair_counts, BPE_PAIR_SQL,
+              ("llm", "text", "topk")),
     QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,
               ("llm", "text")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
