@@ -147,3 +147,24 @@ def phrase_search(
         .orderBy(F.desc("n_occurrences"), F.asc(id_col))
         .limit(k)
     )
+
+
+def update_index(
+    corpus_delta: DataFrame,
+    vocab_updated: DataFrame,
+    old_postings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append-only postings maintenance: index ONLY the delta batch
+    against the updated vocabulary (vocab.update_vocabulary) and
+    union it with the existing postings — the old segment's rows are
+    untouched bytes, which is what makes incremental ingest
+    delta-cost instead of corpus-cost. Word-level results are
+    identical to a full rebuild (unit-proven); only the id
+    assignment of new words differs (append-after-max vs global
+    alphabetical re-rank), which is the price of id stability."""
+    delta = build_index(
+        corpus_delta, vocab_updated, text_col=text_col, id_col=id_col
+    )
+    return old_postings.unionByName(delta)

@@ -102,3 +102,51 @@ def build_vocabulary(
         F.countDistinct(id_col).cast("long").alias("df")
     )
     return assign_dense_ids(counts, "word").select("word", "word_id", "df")
+
+
+def update_vocabulary(
+    old_vocab: DataFrame,
+    corpus_delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally absorb a NEW batch of documents into an existing
+    vocabulary — the build-once engine's missing day-2 operation.
+
+    Existing words KEEP THEIR ids (the property every persisted
+    postings/index artifact depends on — a full rebuild would
+    re-rank alphabetically and silently remap every id); their df
+    grows by the delta's distinct-doc counts. Unseen words append
+    with ids after the current max, alphabetically dense within the
+    batch — the same segment-append discipline Lucene uses. Requires
+    append-only deltas (documents not previously ingested); updating
+    an existing doc needs delete-tombstones first, exactly like the
+    CDC operators.
+
+    Cost is delta-sized, not corpus-sized: one tokenize+agg over the
+    delta, one broadcast-shaped join against the vocabulary, and the
+    max-id lookup is a metadata aggregate of the (small) vocabulary.
+    """
+    tokens = tokenize(corpus_delta, text_col=text_col, id_col=id_col)
+    delta_df = tokens.groupBy("word").agg(
+        F.countDistinct(id_col).cast("long").alias("_ddf")
+    )
+    updated = (
+        old_vocab.join(delta_df, "word", "left")
+        .select(
+            "word",
+            "word_id",
+            (F.col("df") + F.coalesce(F.col("_ddf"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+    )
+    max_id = old_vocab.agg(F.max("word_id")).first()[0]
+    base = -1 if max_id is None else max_id
+    new_words = delta_df.join(old_vocab.select("word"), "word", "left_anti")
+    appended = assign_dense_ids(new_words, "word").select(
+        "word",
+        (F.col("word_id") + base + 1).cast("long").alias("word_id"),
+        F.col("_ddf").alias("df"),
+    )
+    return updated.unionByName(appended)

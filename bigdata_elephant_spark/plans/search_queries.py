@@ -298,8 +298,79 @@ LIMIT {k}
 """
 
 
+VOCAB_SPLIT_DOC = 400
+
+
+def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary maintenance (operators/vocab.py
+    update_vocabulary): build from docs < 400, absorb docs >= 400 as
+    an append-only delta. Existing words keep their ids (the
+    invariant persisted postings depend on; a rebuild would remap
+    them), df grows by the delta counts, unseen words append after
+    the max id. The oracle replays the two-tier id assignment."""
+    from bigdata_elephant_spark.operators.vocab import update_vocabulary
+
+    corpus = read_table(spark, sf_dir, "documents")
+    base = corpus.filter(F.col("doc_id") < VOCAB_SPLIT_DOC)
+    delta = corpus.filter(F.col("doc_id") >= VOCAB_SPLIT_DOC)
+    return update_vocabulary(build_vocabulary(base), delta)
+
+
+def _toks_cte_for(name: str, pred: str) -> str:
+    return f"""{name} AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   '\\s+')) AS word
+        FROM documents WHERE {pred}
+    )
+    WHERE word <> ''
+      AND NOT regexp_full_match(word, '[0-9]+')
+      AND NOT ({_REPEAT4_LIKE})
+)"""
+
+
+VOCAB_INCREMENTAL_SQL = f"""
+WITH {_toks_cte_for("base_toks", f"doc_id < {VOCAB_SPLIT_DOC}")},
+{_toks_cte_for("delta_toks", f"doc_id >= {VOCAB_SPLIT_DOC}")},
+base_vocab AS (
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT)
+               AS word_id,
+           df
+    FROM (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM base_toks GROUP BY 1
+    )
+),
+delta_df AS (
+    SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS ddf
+    FROM delta_toks GROUP BY 1
+),
+updated AS (
+    SELECT b.word, b.word_id, b.df + coalesce(d.ddf, 0) AS df
+    FROM base_vocab b LEFT JOIN delta_df d USING (word)
+),
+new_words AS (
+    SELECT d.word,
+           (SELECT max(word_id) FROM base_vocab)
+               + CAST(row_number() OVER (ORDER BY d.word) AS BIGINT)
+               AS word_id,
+           d.ddf AS df
+    FROM delta_df d
+    WHERE d.word NOT IN (SELECT word FROM base_vocab)
+)
+SELECT word, word_id, df FROM updated
+UNION ALL
+SELECT word, word_id, df FROM new_words
+"""
+
+
 SPECS = [
     QuerySpec("vocab_build", q_vocab, VOCAB_SQL, ("search", "agg"), bench=True),
+    QuerySpec("vocab_incremental_update", q_vocab_incremental,
+              VOCAB_INCREMENTAL_SQL, ("search", "agg", "merge")),
     QuerySpec(
         "search_phrase",
         q_search_phrase,

@@ -227,3 +227,58 @@ def test_phrase_search_slop(spark, sf_dir):
     assert hits(0) == {2: 1}
     assert hits(1) == {1: 1, 2: 1}
     assert hits(2) == {1: 1, 2: 1, 4: 1}
+
+
+def test_incremental_index_equals_rebuild(spark, sf_dir):
+    """Splitting the corpus into base + delta and updating must give
+    word-identical df and (doc, word, tf) postings to a full rebuild,
+    while every base word keeps its original id."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.index import (
+        build_index,
+        update_index,
+    )
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+        update_vocabulary,
+    )
+
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    base = corpus.filter(F.col("doc_id") < 400)
+    delta = corpus.filter(F.col("doc_id") >= 400)
+
+    v_base = build_vocabulary(base)
+    p_base = build_index(base, v_base)
+    v_inc = update_vocabulary(v_base, delta)
+    p_inc = update_index(delta, v_inc, p_base)
+
+    v_full = build_vocabulary(corpus)
+    p_full = build_index(corpus, v_full)
+
+    # df parity by word
+    a = {r["word"]: r["df"] for r in v_inc.collect()}
+    b = {r["word"]: r["df"] for r in v_full.collect()}
+    assert a == b
+    # id stability for base words; appended ids dense after max
+    base_ids = {r["word"]: r["word_id"] for r in v_base.collect()}
+    inc_ids = {r["word"]: r["word_id"] for r in v_inc.collect()}
+    for w, i in base_ids.items():
+        assert inc_ids[w] == i
+    new_ids = sorted(i for w, i in inc_ids.items() if w not in base_ids)
+    assert new_ids == list(
+        range(max(base_ids.values()) + 1,
+              max(base_ids.values()) + 1 + len(new_ids))
+    )
+    # postings parity on (doc, WORD, tf)
+    def by_word(postings, vocab):
+        return {
+            (r["doc_id"], r["word"], r["tf"])
+            for r in postings.join(vocab, "word_id").select(
+                "doc_id", "word", "tf"
+            ).collect()
+        }
+
+    assert by_word(p_inc, v_inc) == by_word(p_full, v_full)
