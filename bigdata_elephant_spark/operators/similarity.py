@@ -441,6 +441,65 @@ def kmeans(
     return out
 
 
+def kmeanspp_seeds(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-point (k-means++-style) seeding:
+    seed 0 is the lowest-id vector; each next seed is the vector
+    maximizing its (rounded) squared L2 distance to the nearest
+    already-chosen seed, ties to the lowest id — the greedy 2-approx
+    of the k-center objective, with the ++ D² sampling made
+    deterministic so any engine replays the identical trajectory.
+
+    Cost: k-1 rounds x (one broadcast of <= k seed vectors + one
+    scan with a running least() over seed distances + one
+    max(struct) argmax agg). Collecting one (id, vector) row per
+    round is index *metadata*, like the IVF probe list. At very
+    large k, k-means|| oversampling cuts the round count; every
+    downstream consumer (ivf_centroids -> assign -> kmeans) takes
+    these seeds unchanged."""
+    rows = embeddings.orderBy(id_col).limit(1).collect()
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"seed_rank long, {id_col} long"
+        )
+    seeds = [(0, rows[0][id_col], rows[0][vec_col])]
+    best = None  # running min distance column, rebuilt per round
+    for r in range(1, k):
+        dists = [
+            F.round(
+                _l2sq(F.col(vec_col), F.array(*[F.lit(float(x))
+                                                for x in vec])),
+                6,
+            )
+            for _, _, vec in seeds
+        ]
+        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        cand = (
+            embeddings.filter(
+                ~F.col(id_col).isin([sid for _, sid, _ in seeds])
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.struct(
+                    d.alias("d"), (-F.col(id_col)).alias("negid")
+                ).alias("dn"),
+            )
+            .orderBy(F.desc("dn"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((r, cand[id_col], cand[vec_col]))
+    return embeddings.sparkSession.createDataFrame(
+        [(r, sid) for r, sid, _ in seeds],
+        f"seed_rank long, {id_col} long",
+    )
+
+
 # -------------------------------------------- product quantization
 #
 # PQ completes the ANN quartet (brute force / LSH / IVF / PQ): each

@@ -446,6 +446,66 @@ LIMIT {KNN_K}
 """
 
 
+KPP_K = 4
+
+
+def q_kmeanspp_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point seeding (similarity.py
+    kmeanspp_seeds): 4 seed vectors, each maximizing distance to the
+    nearest prior seed, ties to the lowest id. The oracle unrolls
+    the same greedy rounds."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeanspp_seeds(emb, KPP_K).orderBy("seed_rank")
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kpp_oracle(k: int) -> str:
+    ctes = [
+        "s0 AS (SELECT vec_id, embedding AS v FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, round({_l2_sql('e.embedding', 's0.v')}, 6)"
+        " AS d FROM embeddings e, s0 "
+        "WHERE e.vec_id NOT IN (SELECT vec_id FROM s0))",
+    ]
+    chosen = ["SELECT vec_id FROM s0"]
+    for r in range(1, k):
+        pick = (
+            f"p{r} AS (SELECT vec_id FROM d{r} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        seed = (
+            f"s{r} AS (SELECT e.vec_id, e.embedding AS v "
+            f"FROM embeddings e JOIN p{r} USING (vec_id))"
+        )
+        ctes += [pick, seed]
+        chosen.append(f"SELECT vec_id FROM s{r}")
+        if r < k - 1:
+            ctes.append(
+                f"d{r + 1} AS (SELECT d{r}.vec_id, "
+                f"least(d{r}.d, round("
+                f"{_l2_sql('e.embedding', f's{r}.v')}, 6)) AS d "
+                f"FROM d{r} JOIN embeddings e USING (vec_id), s{r} "
+                f"WHERE d{r}.vec_id NOT IN (SELECT vec_id FROM s{r}))"
+            )
+    seq = ", ".join(
+        f"({i}, ({q}))" for i, q in enumerate(chosen)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(r AS BIGINT) AS seed_rank, "
+        f"CAST(vid AS BIGINT) AS vec_id "
+        f"FROM (VALUES {seq}) t(r, vid) ORDER BY seed_rank"
+    )
+
+
 PQ_SUB, PQ_SUB_DIM, PQ_CODES, PQ_SHORTLIST = 4, 16, 16, 50
 
 
@@ -1713,6 +1773,8 @@ SPECS = [
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
     QuerySpec("knn_pq", q_knn_pq, KNN_PQ_SQL,
               ("llm", "similarity", "index"), bench=True),
+    QuerySpec("kmeanspp_seeds", q_kmeanspp_seeds, _kpp_oracle(KPP_K),
+              ("llm", "similarity", "iterative")),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,

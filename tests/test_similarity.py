@@ -273,3 +273,34 @@ def test_pq_recall_and_code_shape(spark):
     exact = similarity.cosine_topk(emb, 0, k=10).collect()
     approx = similarity.pq_topk(emb, 0, shortlist=50, k=10).collect()
     assert _recall_at_k(approx, exact) >= 0.5, "PQ recall@10 collapsed"
+
+
+def test_kmeanspp_seeds_spread_beats_lowest_id(spark):
+    """Farthest-point seeds must be (a) distinct, (b) reproducible,
+    and (c) better spread than the lowest-id baseline: their minimum
+    pairwise distance strictly exceeds the lowest-id seeds'."""
+    import itertools
+
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 8
+    seeds = similarity.kmeanspp_seeds(emb, k).collect()
+    ids = [r["vec_id"] for r in sorted(seeds, key=lambda r: r["seed_rank"])]
+    assert len(set(ids)) == k and ids[0] == 0
+    again = [r["vec_id"] for r in sorted(
+        similarity.kmeanspp_seeds(emb, k).collect(),
+        key=lambda r: r["seed_rank"])]
+    assert again == ids
+
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in emb.filter(emb.vec_id < 500).collect()}
+
+    def min_pair_dist(chosen):
+        def l2(a, b):
+            return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+        return min(l2(vecs[a], vecs[b])
+                   for a, b in itertools.combinations(chosen, 2))
+
+    baseline = list(range(k))  # ivf_centroids' lowest-id choice
+    assert min_pair_dist(ids) > min_pair_dist(baseline)
