@@ -127,6 +127,16 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     )
     sp.add_argument("text")
 
+    sp = sub.add_parser(
+        "phrase", help="exact-phrase / proximity search (inline)"
+    )
+    corpus_args(sp)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--slop", type=int, default=0,
+                    help="extra positions each term may drift "
+                         "(0 = exact phrase)")
+    sp.add_argument("text")
+
     args = p.parse_args(argv)
     spark = spark or get_spark("elephant-cli")
     out = out or sys.stdout
@@ -180,6 +190,21 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                 n_docs=corpus.count() if args.scoring == "smooth" else None,
             )
         _print_rows(ranked, out)
+    elif args.cmd == "phrase":
+        from bigdata_elephant_spark.operators.index import (
+            build_positional_index,
+            phrase_search,
+        )
+
+        corpus = _load_corpus(spark, args.corpus, args.glob)
+        vocab = build_vocabulary(corpus)
+        positional = build_positional_index(corpus, vocab)
+        _print_rows(
+            phrase_search(
+                args.text, vocab, positional, k=args.k, slop=args.slop
+            ),
+            out,
+        )
     return 0
 
 

@@ -485,3 +485,31 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def write_events_kafka(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+):
+    """Production sink mirror of :func:`read_events_kafka`: each row
+    serializes to a JSON ``value`` (keyed by ``user_id`` so one
+    user's events stay in one Kafka partition, preserving per-key
+    order for downstream consumers) and streams to the topic with
+    exactly-once-per-checkpoint semantics on the Spark side (the
+    Kafka producer is at-least-once; idempotent consumers or
+    transactional topics close the gap). Requires the
+    spark-sql-kafka package — absent in this container, so covered
+    by the same gated test as the reader."""
+    payload = stream_df.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct(*stream_df.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

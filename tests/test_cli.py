@@ -53,3 +53,31 @@ def test_query_all_scoring_modes(spark, sf_dir, tmp_path):
         ]))
         assert len(rows) == 3, mode
         assert all(r["doc_id"] for r in rows)
+
+
+def test_cli_phrase_search(spark, sf_dir):
+    """The phrase subcommand matches the operator result, slop knob
+    included."""
+    from bigdata_elephant_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = f"{sf_dir}/documents.parquet"
+    out = _parse(_run(spark, [
+        "phrase", "--corpus", corpus, "-k", "5", "hash join",
+    ]))
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs)
+    pos = build_positional_index(docs, vocab)
+    expect = phrase_search("hash join", vocab, pos, k=5).collect()
+    assert [r["doc_id"] for r in out] == [
+        str(r["doc_id"]) for r in expect
+    ]
+    sloppy = _parse(_run(spark, [
+        "phrase", "--corpus", corpus, "-k", "5", "--slop", "2",
+        "hash join",
+    ]))
+    assert len(sloppy) == 5

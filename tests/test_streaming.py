@@ -310,3 +310,22 @@ def test_watermark_drops_late_data_behaviorally(spark, sf_dir, tmp_path):
         <= F.lit(wm)
     )
     assert _rows(with_late, cols) != _rows(finalized, cols)
+
+
+def test_kafka_writer_wiring(spark, sf_dir, tmp_path):
+    """Mirror of the reader test: without the Kafka package the sink
+    must fail at source resolution (proving the wiring is real);
+    with it, the query starts."""
+    stream = ev.read_events_stream(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+    if ev.kafka_available(spark):
+        q = ev.write_events_kafka(stream, "broker:9092", "events", ckpt)
+        q.stop()
+    else:
+        with pytest.raises(Exception) as ei:
+            ev.write_events_kafka(stream, "broker:9092", "events", ckpt)
+        msg = str(ei.value)
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+        )
