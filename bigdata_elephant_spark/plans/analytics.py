@@ -450,6 +450,56 @@ WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 """
 
 
+def entity_resolution_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (fuzzy_customer_pairs) -> transitive closure over the match graph
+    (operators/dedup.py duplicate_groups, min-label propagation) ->
+    canonical id = the lowest custkey of each resolved entity. One
+    row per customer that belongs to a multi-record entity. The
+    composition every master-data pipeline runs: pairs are blocked
+    (never all-pairs), closure cost is rounds <= component diameter,
+    and the canonical choice is deterministic. Oracle replays the
+    closure with a recursive CTE."""
+    from bigdata_elephant_spark.operators.dedup import duplicate_groups
+
+    pairs = fuzzy_customer_pairs(spark, sf_dir).select("key_a", "key_b")
+    return (
+        duplicate_groups(pairs, a_col="key_a", b_col="key_b")
+        .select(
+            F.col("doc_id").alias("c_custkey"),
+            F.col("group_id").alias("canonical_key"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE good AS (
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+),
+e AS (
+    SELECT key_a AS a, key_b AS b FROM good
+    UNION ALL
+    SELECT key_b AS a, key_a AS b FROM good
+),
+reach AS (
+    SELECT a AS node, a AS label FROM e
+    UNION
+    SELECT e.b AS node, r.label FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS c_custkey, min(label) AS canonical_key
+FROM reach GROUP BY node
+ORDER BY c_custkey
+"""
+
+
 def props_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: parse the JSON props column to a map
     and explode its keys — the schema-on-read shape for ragged event
@@ -866,6 +916,8 @@ SPECS = [
               ("relational", "merge", "join"), bench=True),
     QuerySpec("copurchase_part_pairs", copurchase_part_pairs,
               COPURCHASE_SQL, ("relational", "join", "topk")),
+    QuerySpec("entity_resolution_customers", entity_resolution_customers,
+              ENTITY_RESOLUTION_SQL, ("relational", "dedup", "iterative")),
     QuerySpec("cdc_latest_state", cdc_latest_state, CDC_LATEST_SQL,
               ("events", "merge", "window")),
     QuerySpec("fuzzy_customer_pairs", fuzzy_customer_pairs,

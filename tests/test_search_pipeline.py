@@ -282,3 +282,25 @@ def test_incremental_index_equals_rebuild(spark, sf_dir):
         }
 
     assert by_word(p_inc, v_inc) == by_word(p_full, v_full)
+
+
+def test_update_vocabulary_from_empty_base(spark):
+    """Bootstrapping: updating an EMPTY vocabulary equals building
+    from scratch (ids dense from 0)."""
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+        update_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream"), (2, "stream batch")],
+        "doc_id long, text string",
+    )
+    empty = build_vocabulary(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    inc = {(r["word"], r["word_id"], r["df"])
+           for r in update_vocabulary(empty, docs).collect()}
+    full = {(r["word"], r["word_id"], r["df"])
+            for r in build_vocabulary(docs).collect()}
+    assert inc == full
