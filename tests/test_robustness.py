@@ -162,3 +162,66 @@ def test_asof_forward_tolerance_matches_bruteforce(
         ]
         expect = min(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts, tol_s)
+
+
+def test_new_operators_on_empty_inputs(spark):
+    """Degenerate-input sweep for the round-2 operators: empty frames
+    must produce empty (or identity) results, never crash — the
+    guarantee a scheduled 100 TB pipeline needs when one partition
+    of the lake is legitimately empty."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import (
+        layout,
+        multimodal,
+        reconcile,
+        similarity,
+        skew,
+    )
+    from bigdata_elephant_spark.operators.merge import scd2_history
+    from bigdata_elephant_spark.operators.sampling import (
+        mixture_rebalance,
+    )
+    from bigdata_elephant_spark.operators.sketches import (
+        cms_counts,
+        cms_point_estimate,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, media binary")
+    assert multimodal.ahash_hashes(empty_docs).count() == 0
+    hashes = spark.createDataFrame(
+        [], "doc_id long, h_hi long, h_lo long"
+    )
+    assert multimodal.phash_near_dup_pairs(hashes).count() == 0
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert similarity.pq_codebooks(emb).count() == 0
+    assert similarity.kmeanspp_seeds(emb, 4).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts long, event_id long, state string"
+    )
+    assert scd2_history(ev, ["user_id"], ["ts", "event_id"]).count() == 0
+
+    e = spark.createDataFrame([], "k long, v string")
+    assert reconcile.table_diff(e, e, ["k"]).count() == 0
+
+    assert cms_counts(e, "k").count() == 0
+    est = cms_point_estimate(
+        cms_counts(e, "k"), spark.createDataFrame([(1,)], "k long"), "k"
+    )
+    assert est.count() == 0  # no sketch cells -> no estimates
+
+    assert mixture_rebalance(
+        spark.createDataFrame([], "doc_id long, stratum string"),
+        "stratum", {"a": 1.0}, 10, "doc_id",
+    ).count() == 0
+
+    manifest = spark.createDataFrame([], "unit string, bytes long")
+    assert layout.compaction_plan(manifest, 100).count() == 0
+
+    big = spark.createDataFrame([], "k long, x long")
+    small = spark.createDataFrame([], "k long, y long")
+    assert skew.salted_join(big, small, "k").count() == 0
