@@ -225,3 +225,52 @@ def test_new_operators_on_empty_inputs(spark):
     big = spark.createDataFrame([], "k long, x long")
     small = spark.createDataFrame([], "k long, y long")
     assert skew.salted_join(big, small, "k").count() == 0
+
+
+@given(
+    sizes=st.lists(st.integers(1, 12), min_size=1, max_size=4),
+    weights=st.lists(
+        st.integers(1, 5), min_size=1, max_size=4
+    ),
+    n_out=st.integers(1, 60),
+    data=st.data(),
+)
+@SETTINGS
+def test_mixture_rebalance_quota_property(spark, sizes, weights, n_out, data):
+    """For ANY strata sizes / weights / target: per-stratum output
+    hits round(n_out * weight) exactly, per-doc copies are within one
+    of each other inside a stratum, and epochs per doc are dense
+    1..copies."""
+    from collections import Counter
+
+    from bigdata_elephant_spark.operators.sampling import (
+        mixture_rebalance,
+    )
+
+    k = min(len(sizes), len(weights))
+    sizes, weights = sizes[:k], weights[:k]
+    total_w = sum(weights)
+    wmap = {f"s{i}": w / total_w for i, w in enumerate(weights)}
+    rows = [
+        (i * 1000 + j, f"s{i}")
+        for i, n in enumerate(sizes)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = mixture_rebalance(df, "stratum", wmap, n_out, "doc_id").collect()
+
+    per_stratum = Counter(r["stratum"] for r in out)
+    for s, w in wmap.items():
+        assert per_stratum.get(s, 0) == int(round(n_out * w)), (s, wmap)
+    per_doc = Counter((r["stratum"], r["doc_id"]) for r in out)
+    for i, s in enumerate(f"s{i}" for i in range(k)):
+        copies = [per_doc.get((s, i * 1000 + j), 0)
+                  for j in range(sizes[i])]
+        if copies:
+            assert max(copies) - min(copies) <= 1, (s, copies)
+    for (s, doc), n in per_doc.items():
+        epochs = sorted(
+            r["epoch"] for r in out
+            if r["stratum"] == s and r["doc_id"] == doc
+        )
+        assert epochs == list(range(1, n + 1))
