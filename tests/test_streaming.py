@@ -329,3 +329,27 @@ def test_kafka_writer_wiring(spark, sf_dir, tmp_path):
             "DATA_SOURCE_NOT_FOUND" in msg
             or "Failed to find data source" in msg
         )
+
+
+def test_trigger_available_now_drains_and_terminates(spark, sf_dir):
+    """trigger(availableNow=True): the modern batch-drain trigger —
+    processes everything currently in the source (respecting
+    maxFilesPerTrigger rate limits across multiple batches) and then
+    STOPS on its own, which is what scheduled catch-up jobs use
+    instead of a forever-running query. Result equals batch."""
+    batch = ev.tumbling_counts(read_table(spark, sf_dir, "events"))
+    stream = ev.tumbling_counts(
+        ev.read_events_stream(spark, sf_dir, n_chunks=3)
+    )
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not stop"
+    got = spark.table(name)
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
