@@ -490,3 +490,123 @@ def phash_near_dup_pairs(hashes: DataFrame, thr: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ------------------------------------------------------- WAV audio
+#
+# The audio analog of the netpbm path: RIFF/WAV PCM needs nothing
+# beyond struct parsing + numpy, so this decoder is REAL — chunk
+# walking (fmt/data in any order, unknown chunks skipped per spec),
+# 16-bit little-endian PCM, mono. Payloads synthesize from a closed
+# form of (doc_id, sample index) so every downstream statistic is
+# verifiable by a SQL oracle recomputing the formula — the decoder
+# itself sits under the hash-match gate, not just the plumbing.
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    import struct
+
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    hdr = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE"
+    )
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE bytes -> (sample_rate, int16 sample array).
+
+    Walks chunks properly (fmt/data in any order, unknown chunks
+    skipped, word-aligned sizes) — 16-bit PCM mono only."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(raw):
+        cid, size = struct.unpack("<4sI", raw[i : i + 8])
+        body = raw[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, data
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic valid WAV payloads: n = id%500+100 samples at
+    rate 8000 + (id%4)*4000, sample i = (id*37 + i*11) % 4096 - 2048
+    — closed-form, oracle-recomputable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 37 + i * 11) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(s, 8000 + (d % 4) * 4000))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("peak", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Really decode each WAV payload and emit per-clip statistics.
+
+    int64 sums of int16 samples are exact, so the mean is
+    order-independent and oracle-comparable bit-for-bit; duration is
+    exact integer math (n * 1000 div rate)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "sample_rate", "n_samples", "mean_amp",
+                     "peak", "duration_ms")}
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["mean_amp"].append(
+                    round(float(s64.sum()) / len(s), 6)
+                )
+                rows["peak"].append(int(np.abs(s64).max()))
+                rows["duration_ms"].append(len(s) * 1000 // rate)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=WAV_STATS_SCHEMA
+    )

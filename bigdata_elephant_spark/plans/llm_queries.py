@@ -973,6 +973,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding under the oracle gate: valid RIFF/WAV PCM
+    payloads synthesized from a closed-form sample formula
+    (multimodal.py synth_wav_payloads), then actually parsed (chunk
+    walk, fmt/data) and decoded into per-clip statistics. int64 sums
+    of int16 samples are exact, so means match bit-for-bit; the
+    oracle recomputes everything from the formula."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_wav_payloads(docs)
+    return multimodal.wav_sample_stats(payloads)
+
+
+MEDIA_WAV_STATS_SQL = """
+WITH dims AS (
+    SELECT doc_id,
+           doc_id % 500 + 100                         AS n,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate
+    FROM documents
+),
+samples AS (
+    SELECT doc_id, n, rate,
+           (doc_id * 37 + unnest(range(0, n)) * 11) % 4096 - 2048 AS s
+    FROM dims
+)
+SELECT doc_id,
+       rate                         AS sample_rate,
+       CAST(n AS BIGINT)            AS n_samples,
+       round(CAST(sum(s) AS DOUBLE) / n, 6) AS mean_amp,
+       CAST(max(abs(s)) AS BIGINT)  AS peak,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms
+FROM samples
+GROUP BY doc_id, n, rate
+"""
+
+
 MEDIA_PPM_STATS_SQL = """
 WITH dims AS (
     SELECT doc_id,
@@ -1820,6 +1857,8 @@ SPECS = [
               ("llm", "multimodal")),
     QuerySpec("media_phash_dupes", q_media_phash_dupes, MEDIA_PHASH_SQL,
               ("llm", "multimodal", "dedup"), bench=True),
+    QuerySpec("media_wav_stats", q_media_wav_stats, MEDIA_WAV_STATS_SQL,
+              ("llm", "multimodal")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_features", q_media_features, None,

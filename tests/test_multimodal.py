@@ -199,3 +199,73 @@ def test_ahash_known_duplicates_and_band_completeness(spark):
     # brute force compares unordered pairs; normalize orientation
     expect = {(min(a, b), max(a, b)): h for (a, b), h in expect.items()}
     assert got == expect
+
+
+def test_wav_decoder_roundtrip_and_chunk_walk():
+    """encode->decode roundtrips; the chunk walker handles unknown
+    chunks, odd-size word alignment, and fmt after data; non-WAV and
+    unsupported formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([-2048, 0, 1, 2047, -1], dtype=np.int16)
+    rate, back = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and (back == s).all()
+
+    # hand-build: LIST chunk (odd size -> pad), then data, then fmt
+    data = s.tobytes()
+    fmt = struct.pack("<4sI", b"fmt ", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    odd = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad
+    dchunk = struct.pack("<4sI", b"data", len(data)) + data
+    body = odd + dchunk + fmt
+    raw = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    rate2, back2 = decode_wav(raw)
+    assert rate2 == 8000 and (back2 == s).all()
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....nonsense")
+    stereo_fmt = struct.pack("<4sI", b"fmt ", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 8000, 32000, 4, 16
+    )
+    bad = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(stereo_fmt) + len(dchunk), b"WAVE"
+    ) + stereo_fmt + dchunk
+    with _pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_wav_stats_pipeline(spark):
+    """Synthesized payloads are REAL WAV files; stats come from an
+    actual parse+decode and match the closed-form expectation."""
+    import numpy as np
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav_payloads,
+        wav_sample_stats,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 123)], "doc_id long")
+    payloads = {r["doc_id"]: bytes(r["media"])
+                for r in synth_wav_payloads(docs).collect()}
+    rate7, s7 = decode_wav(payloads[7])
+    assert rate7 == 8000 + (7 % 4) * 4000
+    assert len(s7) == 7 % 500 + 100
+    i = np.arange(len(s7))
+    expect = (7 * 37 + i * 11) % 4096 - 2048
+    assert (s7 == expect).all()
+
+    stats = {r["doc_id"]: r
+             for r in wav_sample_stats(synth_wav_payloads(docs)).collect()}
+    assert stats[7]["peak"] == int(np.abs(expect).max())
+    assert stats[7]["mean_amp"] == round(float(expect.sum()) / len(s7), 6)
+    assert stats[7]["duration_ms"] == len(s7) * 1000 // rate7
