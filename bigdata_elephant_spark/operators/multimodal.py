@@ -610,3 +610,139 @@ def wav_sample_stats(
     return df.select(id_col, media_col).mapInPandas(
         batches, schema=WAV_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------------ video clips
+#
+# Completes the real-decoder trio (netpbm image, WAV audio): a video
+# clip is modeled as a container of concatenated binary P6 frames
+# behind a tiny index header ("ELV1" + frame count). Extraction is
+# REAL parsing — each frame's own PPM header is tokenized to learn
+# its dimensions and byte length (they vary per frame, so nothing
+# can be sliced blindly) — and the per-frame fan-out is the shape a
+# container-aware ffmpeg demux has: one input row -> n_frames rows.
+
+
+def _parse_ppm_at(raw: bytes, offset: int) -> tuple[np.ndarray, int]:
+    """Parse one binary P6 frame starting at ``offset``; returns
+    (pixels, offset past the frame)."""
+    if raw[offset : offset + 2] != b"P6":
+        raise ValueError(f"no P6 frame at offset {offset}")
+    tokens: list[bytes] = []
+    i = offset + 2
+    tok = b""
+    while len(tokens) < 3:
+        ch = raw[i : i + 1]
+        i += 1
+        if ch == b"#":
+            while raw[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif ch.isspace():
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += ch
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = w * h * 3
+    px = np.frombuffer(raw, dtype=np.uint8, count=n, offset=i)
+    return px.reshape(h, w, 3), i + n
+
+
+VIDEO_MAGIC = b"ELV1"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """List of (h, w, 3) uint8 frames -> container bytes."""
+    import struct
+
+    return (
+        VIDEO_MAGIC
+        + struct.pack("<I", len(frames))
+        + b"".join(encode_ppm(f) for f in frames)
+    )
+
+
+def decode_video(raw: bytes) -> list[np.ndarray]:
+    """Container bytes -> list of decoded frames (real per-frame
+    header parsing; frame dimensions may differ)."""
+    import struct
+
+    if raw[:4] != VIDEO_MAGIC:
+        raise ValueError("not an ELV1 clip")
+    (n,) = struct.unpack("<I", raw[4:8])
+    frames, off = [], 8
+    for _ in range(n):
+        px, off = _parse_ppm_at(raw, off)
+        frames.append(px)
+    return frames
+
+
+def synth_video_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic valid clips: doc_id%4+2 frames; frame fi is
+    (fi%4+4) x (fi%8+4) with flat pixel p = (seed*31 + p*7) % 256,
+    seed = doc_id*131 + fi*17 — closed-form per (doc, frame)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = []
+                for fi in range(d % 4 + 2):
+                    w, h = fi % 8 + 4, fi % 4 + 4
+                    seed = d * 131 + fi * 17
+                    p = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((seed * 31 + p * 7) % 256).astype(np.uint8)
+                    frames.append(px.reshape(h, w, 3))
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_gray", DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Really demux + decode each clip and emit one row per frame
+    with its integer-gray mean (exact int64 sums -> bit-stable)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "width", "height",
+                     "mean_gray")}
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                for fi, px in enumerate(decode_video(bytes(payload))):
+                    h, w, _ = px.shape
+                    gray = px.astype(np.int64).sum(axis=2) // 3
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_gray"].append(
+                        round(float(gray.sum()) / (w * h), 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=VIDEO_STATS_SCHEMA
+    )

@@ -1010,6 +1010,51 @@ GROUP BY doc_id, n, rate
 """
 
 
+def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux under the oracle gate: multi-frame clips
+    (concatenated binary P6 frames behind an index header) are
+    actually demuxed — each frame's own header parsed for its
+    varying dimensions — into per-frame integer-gray means; the
+    container fan-out (one clip row -> n_frames rows) is the video
+    pipeline shape. The oracle recomputes every frame statistic from
+    the closed-form pixel formula."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_video_payloads(docs)
+    return multimodal.video_frame_stats(payloads)
+
+
+MEDIA_VIDEO_STATS_SQL = """
+WITH frames AS (
+    SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS fi
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, fi,
+           CAST(fi % 8 + 4 AS INTEGER) AS w,
+           CAST(fi % 4 + 4 AS INTEGER) AS h,
+           doc_id * 131 + fi * 17      AS seed
+    FROM frames
+),
+px AS (
+    SELECT doc_id, fi, w, h, seed,
+           unnest(range(0, w * h)) AS q
+    FROM dims
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       w AS width,
+       h AS height,
+       round(CAST(sum((  (seed * 31 + (3 * q + 0) * 7) % 256
+                       + (seed * 31 + (3 * q + 1) * 7) % 256
+                       + (seed * 31 + (3 * q + 2) * 7) % 256) // 3)
+                  AS DOUBLE) / (w * h), 6) AS mean_gray
+FROM px
+GROUP BY doc_id, fi, w, h
+"""
+
+
 MEDIA_PPM_STATS_SQL = """
 WITH dims AS (
     SELECT doc_id,
@@ -1859,6 +1904,8 @@ SPECS = [
               ("llm", "multimodal", "dedup"), bench=True),
     QuerySpec("media_wav_stats", q_media_wav_stats, MEDIA_WAV_STATS_SQL,
               ("llm", "multimodal")),
+    QuerySpec("media_video_stats", q_media_video_stats,
+              MEDIA_VIDEO_STATS_SQL, ("llm", "multimodal")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_features", q_media_features, None,

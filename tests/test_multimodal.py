@@ -269,3 +269,44 @@ def test_wav_stats_pipeline(spark):
     assert stats[7]["peak"] == int(np.abs(expect).max())
     assert stats[7]["mean_amp"] == round(float(expect.sum()) / len(s7), 6)
     assert stats[7]["duration_ms"] == len(s7) * 1000 // rate7
+
+
+def test_video_container_roundtrip_and_fanout(spark):
+    """encode->demux roundtrips frames of differing dimensions; the
+    stats fan-out emits one row per frame with formula-exact means;
+    a corrupt container raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        decode_video,
+        encode_video,
+        synth_video_payloads,
+        video_frame_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8),
+    ]
+    back = decode_video(encode_video(frames))
+    assert len(back) == 2
+    assert (back[0] == frames[0]).all() and (back[1] == frames[1]).all()
+    with _pytest.raises(ValueError):
+        decode_video(b"AVI nonsense")
+
+    docs = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    stats = video_frame_stats(synth_video_payloads(docs)).collect()
+    by_doc = {}
+    for r in stats:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[2]) == 2 % 4 + 2
+    assert len(by_doc[5]) == 5 % 4 + 2
+    r = next(x for x in by_doc[5] if x["frame_idx"] == 1)
+    w, h, seed = 1 % 8 + 4, 1 % 4 + 4, 5 * 131 + 1 * 17
+    p = np.arange(w * h * 3, dtype=np.int64)
+    px = ((seed * 31 + p * 7) % 256).reshape(h, w, 3)
+    gray = px.sum(axis=2) // 3
+    assert r["width"] == w and r["height"] == h
+    assert r["mean_gray"] == round(float(gray.sum()) / (w * h), 6)
