@@ -211,6 +211,58 @@ def lsh_candidate_pairs(
     )
 
 
+def boilerplate_flags(
+    df: DataFrame,
+    min_doc_freq: int = 5,
+    frac_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate scoring: a shingle appearing in
+    >= ``min_doc_freq`` distinct documents is boilerplate (headers,
+    navigation, license blurbs — text shared across documents, which
+    within-doc repetition metrics like the Gopher flags cannot see);
+    each document is scored by the fraction of its distinct shingles
+    that are boilerplate and flagged past ``frac_threshold``.
+
+    This is the diagnostic counterpart of the hot-shingle caps in
+    the n-gram-Jaccard and containment verifiers: the same
+    doc-frequency table that there *drops* hot shingles here
+    *reports* them. Two shuffles (shingle df, per-doc rollup), both
+    on keys with map-side partial aggregation; the df table is
+    vocabulary-sized.
+    """
+    sh = doc_shingles(
+        df, text_col=text_col, id_col=id_col, n=n, distinct=True
+    )
+    freq = sh.groupBy("shingle").agg(
+        F.count("*").alias("_df")  # rows are distinct (doc, shingle)
+    )
+    scored = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= min_doc_freq, 1).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_shingles",
+        "n_boilerplate",
+        F.round(
+            F.col("n_boilerplate") / F.col("n_shingles"), 6
+        ).alias("boilerplate_frac"),
+        (
+            F.col("n_boilerplate")
+            >= F.lit(frac_threshold) * F.col("n_shingles")
+        ).alias("flagged"),
+    )
+
+
 def duplicate_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",

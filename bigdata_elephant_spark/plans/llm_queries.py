@@ -1127,6 +1127,44 @@ FROM scored
 """
 
 
+BOILER_MIN_DF, BOILER_FRAC = 5, 0.5
+
+
+def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scoring (operators/dedup.py
+    boilerplate_flags): shingles shared by >= 5 distinct docs are
+    boilerplate; docs past 50% boilerplate shingles get flagged —
+    the curation signal within-doc repetition metrics (Gopher flags)
+    cannot see. Oracle replays the distinct-shingle doc-frequency
+    table and the per-doc rollup."""
+    return dedup.boilerplate_flags(
+        _docs(spark, sf_dir),
+        min_doc_freq=BOILER_MIN_DF,
+        frac_threshold=BOILER_FRAC,
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM doc_shingles
+),
+freq AS (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+             / count(*), 6) AS boilerplate_frac,
+       (sum(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+        >= {BOILER_FRAC} * count(*)) AS flagged
+FROM sh s JOIN freq f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 BPE_TOP = 20
 
 
@@ -1892,6 +1930,8 @@ SPECS = [
               GOPHER_REPETITION_SQL, ("llm", "text", "quality")),
     QuerySpec("bpe_pair_counts", q_bpe_pair_counts, BPE_PAIR_SQL,
               ("llm", "text", "topk")),
+    QuerySpec("boilerplate_flags", q_boilerplate_flags, BOILERPLATE_SQL,
+              ("llm", "text", "quality", "dedup")),
     QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,
               ("llm", "text")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,

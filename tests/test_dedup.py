@@ -173,3 +173,26 @@ def test_containment_pairs_synthetic(spark):
     assert (1, 4) in pairs          # equal sets, lower id first
     assert (4, 1) not in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_boilerplate_flags_planted(spark):
+    """Docs sharing a navigation blurb across >= min_doc_freq
+    documents get their shared shingles flagged; a unique doc does
+    not; the fraction math is exact."""
+    from bigdata_elephant_spark.operators.dedup import boilerplate_flags
+
+    nav = "home about contact privacy terms"
+    rows = [(i, f"{nav} page number {i} content") for i in range(5)]
+    rows.append((99, "entirely unique text with no shared shingles"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_flags(
+        df, min_doc_freq=5, frac_threshold=0.4).collect()}
+    # the nav shingles appear in 5 docs -> boilerplate
+    assert out[0]["n_boilerplate"] >= 3
+    assert out[0]["flagged"]
+    assert out[99]["n_boilerplate"] == 0
+    assert not out[99]["flagged"]
+    for r in out.values():
+        assert r["boilerplate_frac"] == round(
+            r["n_boilerplate"] / r["n_shingles"], 6
+        )
