@@ -1542,6 +1542,33 @@ FROM scored
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation diagnostic: confusion matrix of the declared ``lang``
+    column against the char-trigram detector's prediction — the
+    report that tells you whether to trust upstream language labels
+    before routing 100 TB through per-language pipelines. One
+    detector pass + one (declared, detected)-keyed count."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    detected = textstats.lang_id_profiles(docs).select(
+        "doc_id", "pred_lang"
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(detected, "doc_id")
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+SELECT d.lang AS declared_lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN ({LANG_ID_PROFILES_SQL}) p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 _TRI_SET = ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
 
 LANG_ID_NGRAM_SQL = f"""
@@ -1932,6 +1959,8 @@ SPECS = [
               ("llm", "text", "topk")),
     QuerySpec("boilerplate_flags", q_boilerplate_flags, BOILERPLATE_SQL,
               ("llm", "text", "quality", "dedup")),
+    QuerySpec("lang_confusion_matrix", q_lang_confusion,
+              LANG_CONFUSION_SQL, ("llm", "text", "quality")),
     QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,
               ("llm", "text")),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, DOC_FINGERPRINTS_SQL,
