@@ -83,6 +83,21 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in rng.standard_normal(dim).astype(np.float32)]
 
 
+def _pil_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image decode via PIL: open, grayscale, resize to a
+    sqrt(dim) x sqrt(dim) thumbnail, normalize to [0, 1]. Import is
+    deferred so the module loads in containers without PIL; callers
+    reach this only through ``decode_media(fake=False)``."""
+    import io
+
+    from PIL import Image  # noqa: deferred optional dependency
+
+    side = int(dim ** 0.5)
+    assert side * side == dim, "FEATURE_DIM must be a perfect square"
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+    return [float(v) / 255.0 for v in img.getdata()]
+
+
 def decode_media(
     df: DataFrame,
     fake: bool = False,
@@ -93,14 +108,21 @@ def decode_media(
 
     Arrow ships each partition to Python in batches; the iterator
     form keeps memory bounded regardless of partition size. With
-    ``fake=False`` this is the integration point for a real decoder
-    (PIL / ffmpeg / torchaudio) — not available in this container.
+    ``fake=False`` the decode is PIL (grayscale-thumbnail features,
+    :func:`_pil_features`); PIL is not installed in this container,
+    so that path raises ``NotImplementedError`` here and is covered
+    by an ``importorskip`` test that runs wherever PIL exists.
     """
     if not fake:
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg/torchaudio, which are "
-            "not installed here; pass fake=True for the deterministic stub"
-        )
+        try:
+            import PIL  # noqa: F401 — probe on the driver, fail fast
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real media decoding needs PIL (pillow), which is not "
+                "installed here; pass fake=True for the deterministic "
+                "stub"
+            ) from exc
+    featurize = _fake_features if fake else _pil_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -108,7 +130,7 @@ def decode_media(
                 {
                     "doc_id": pdf[id_col],
                     "feature": [
-                        _fake_features(bytes(b)) for b in pdf[media_col]
+                        featurize(bytes(b)) for b in pdf[media_col]
                     ],
                     "n_bytes": pdf[media_col].map(len).astype("int64"),
                 }
@@ -272,6 +294,11 @@ def decode_ppm(raw: bytes) -> np.ndarray:
     while len(tokens) < 3:
         ch = raw[i : i + 1]
         i += 1
+        if ch == b"":
+            # end of input before the header completed — raise instead
+            # of spinning forever on empty reads (a corrupt frame must
+            # fail the task, not hang the executor).
+            raise ValueError("truncated netpbm header")
         if ch == b"#":
             while raw[i : i + 1] not in (b"\n", b""):
                 i += 1
@@ -634,6 +661,10 @@ def _parse_ppm_at(raw: bytes, offset: int) -> tuple[np.ndarray, int]:
     while len(tokens) < 3:
         ch = raw[i : i + 1]
         i += 1
+        if ch == b"":
+            raise ValueError(
+                f"truncated P6 header in frame at offset {offset}"
+            )
         if ch == b"#":
             while raw[i : i + 1] not in (b"\n", b""):
                 i += 1

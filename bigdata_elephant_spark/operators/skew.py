@@ -40,9 +40,13 @@ def salted_aggregate(
     the partials per ``keys`` and must reference the partial output
     columns by their aliases (e.g. partial ``sum(x) as s`` + final
     ``sum(s) as total``).
+
+    The salt is a deterministic content hash, not ``rand()``: a
+    nondeterministic salt recomputed differently on task retry can
+    lose/duplicate rows mid-shuffle (the SPARK-23207 class of bug).
     """
     salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
     )
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
@@ -71,9 +75,33 @@ def salted_join(
     This is the manual fallback for the cases AQE skew splitting
     can't handle (e.g. a skewed *outer* side that AQE won't split, or
     pre-AQE engines); prefer AQE where it applies.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` (big side
+    preserved) are supported: the small side is replicated
+    ``n_salts``-fold, so a right/full outer join would emit one
+    null-extended row *per replica* of an unmatched small-side row —
+    not the semantics of ``big.join(small, key, how)``. Flip the
+    argument order (salt the other side) for a right-preserving join.
+
+    The salt is derived deterministically from the big side's row
+    content (``xxhash64`` over all columns) rather than ``rand()``:
+    a nondeterministic expression evaluated before a shuffle can be
+    recomputed differently on task retry, silently losing or
+    duplicating join rows. Content hashing spreads a hot key just as
+    well whenever its rows differ in any other column; fully
+    identical duplicate rows share a salt (they would also be
+    indistinguishable to any downstream consumer).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"({sorted(allowed)}); got how={how!r}. For a "
+            f"right-preserving join, swap the arguments."
+        )
     salted_big = big.withColumn(
-        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
     )
     replicated = small.withColumn(
         "__salt",

@@ -1372,14 +1372,34 @@ FROM (
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode: md5-seeded feature vectors. The RNG
     is not SQL-expressible, so this entry has no oracle (driver runs
-    the weaker rows-only check); determinism is pytest-verified."""
+    the weaker rows-only check); determinism is pytest-verified.
+
+    The registry entry collapses the ``array<float>`` feature into an
+    md5 fingerprint of the 6-decimal rounding so every output column is
+    scalar (the rows-only canonicalizer sorts on all columns and cannot
+    hash Python lists).  ``decode_media`` itself keeps the array API
+    for programmatic callers."""
+    from pyspark.sql import functions as F
     from bigdata_elephant_spark.operators.multimodal import (
         attach_fake_media,
         decode_media,
     )
 
     media = attach_fake_media(_docs(spark, sf_dir))
-    return decode_media(media, fake=True)
+    feats = decode_media(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double"), 6).cast("string"),
+                ),
+            )
+        ).alias("feature_md5"),
+    )
 
 
 def q_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,9 +114,15 @@ def read_corpus_csv(
     """
     fields = "id string, url string, title string, text string"
     lines = spark.read.text(path)
-    if header:
-        header_line = sep.join(("id", "url", "title", "text"))
-        lines = lines.filter(F.col("value") != header_line)
+    # Header lines are NOT pre-filtered: a blanket `value != header`
+    # filter would silently drop a data row that happens to equal the
+    # header string — violating the captured-never-dropped contract —
+    # and per-file first-line detection needs a window over every line
+    # (a full extra shuffle at ingest scale). Instead header-identical
+    # lines flow through the parse and land in the quarantine lane
+    # with their own reason: they can never be good rows anyway, since
+    # their id column is the literal string "id" (unparsable BIGINT).
+    header_line = sep.join(("id", "url", "title", "text"))
     parsed = lines.select(
         "value",
         F.from_csv(
@@ -133,11 +139,21 @@ def read_corpus_csv(
         "r.*",
         F.expr("try_cast(r.id AS BIGINT)").alias("doc_id"),
     )
-    ok = F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
+    is_header = (
+        (F.col("value") == F.lit(header_line))
+        if header
+        else F.lit(False)
+    )
+    ok = (
+        F.col("_corrupt").isNull()
+        & F.col("doc_id").isNotNull()
+        & ~is_header
+    )
     good = parsed.filter(ok).select("doc_id", "url", "title", "text")
     quarantined = parsed.filter(~ok).select(
         F.col("value").alias("raw"),
-        F.when(F.col("_corrupt").isNotNull(), F.lit("malformed_line"))
+        F.when(is_header, F.lit("header_line"))
+        .when(F.col("_corrupt").isNotNull(), F.lit("malformed_line"))
         .otherwise(F.lit("bad_id"))
         .alias("reason"),
     )

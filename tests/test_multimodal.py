@@ -310,3 +310,63 @@ def test_video_container_roundtrip_and_fanout(spark):
     gray = px.sum(axis=2) // 3
     assert r["width"] == w and r["height"] == h
     assert r["mean_gray"] == round(float(gray.sum()) / (w * h), 6)
+
+
+def test_truncated_headers_raise_not_hang():
+    """A corrupt/truncated netpbm header must raise ValueError —
+    never loop forever on empty reads (an executor hang is far worse
+    than a failed task at scale)."""
+    import numpy as np
+    import pytest
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        _parse_ppm_at,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n12 34")          # header cut mid-token
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6 # comment only")  # comment runs to EOF
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm_at(b"P6\n2 2", 0)
+    # intact frames still parse
+    frame = encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8))
+    px, end = _parse_ppm_at(frame, 0)
+    assert px.shape == (2, 3, 3) and end == len(frame)
+
+
+def test_real_pil_decode_where_available(spark):
+    """Integration test for the real decoder path: runs wherever PIL
+    is installed, skips cleanly in containers without it (this one).
+    Exercises the exact mapInPandas plumbing the fake path uses, with
+    genuine PNG bytes."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+    )
+
+    def png_bytes(shade: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (shade, shade, shade)).save(
+            buf, format="PNG"
+        )
+        return buf.getvalue()
+
+    rows = [(0, png_bytes(0)), (1, png_bytes(255))]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r["doc_id"]: r["feature"]
+        for r in decode_media(media, fake=False).collect()
+    }
+    assert len(out[0]) == FEATURE_DIM
+    assert all(abs(v) < 1e-9 for v in out[0])        # black image
+    assert all(abs(v - 1.0) < 1e-9 for v in out[1])  # white image

@@ -90,3 +90,36 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     b = {tuple(r) for r in events.join(customer, "c_custkey").select(
         "c_custkey", "event_id", "c_mktsegment").collect()}
     assert a == b
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark, sf_dir):
+    """right/full outer would emit one null-extended row per replica
+    of an unmatched small-side row — salted_join must refuse, not
+    silently return wrong multiplicities."""
+    import pytest
+
+    events = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_id"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="preserving"):
+            skew.salted_join(events, customer, "c_custkey", how=how)
+    # left outer IS big-side preserving: unmatched big rows appear once
+    left = skew.salted_join(events, customer, "c_custkey", how="left")
+    assert left.count() == events.count()
+
+
+def test_salted_join_left_semi_anti(spark, sf_dir):
+    """semi/anti joins are big-side preserving and must match the
+    unsalted equivalents exactly."""
+    events = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_id"
+    )
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    for how in ("left_semi", "left_anti"):
+        got = skew.salted_join(events, customer, "c_custkey", how=how)
+        want = events.join(customer, "c_custkey", how)
+        assert got.count() == want.count()

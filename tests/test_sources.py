@@ -83,9 +83,26 @@ def test_read_corpus_csv_quarantine(spark, tmp_path):
     good, quarantined = read_corpus_csv(spark, str(p))
     rows = {r["doc_id"]: r["text"] for r in good.collect()}
     assert rows == {1: "hello world", 2: "more text"}
-    q = {r["reason"] for r in quarantined.collect()}
-    assert quarantined.count() == 2
-    assert q == {"bad_id", "malformed_line"}
+    qrows = quarantined.collect()
+    q = {r["reason"] for r in qrows}
+    # the header line is captured in the quarantine lane (reason
+    # "header_line"), never silently dropped — so a data row that
+    # happens to equal the header string is auditable, not lost.
+    assert quarantined.count() == 3
+    assert q == {"header_line", "bad_id", "malformed_line"}
+    # header-identical lines ANYWHERE in the file (e.g. concatenated
+    # shards) are also captured, and never contaminate the good lane
+    p2 = tmp_path / "concat.csv"
+    p2.write_text(
+        "id,url,title,text\n"
+        "1,u1,t1,hello\n"
+        "id,url,title,text\n"
+        "2,u2,t2,world\n"
+    )
+    good2, quarantined2 = read_corpus_csv(spark, str(p2))
+    assert good2.count() == 2
+    hdrs = quarantined2.filter("reason = 'header_line'").count()
+    assert hdrs == 2
     # same downstream contract as the JSON reader
     assert [f.name for f in good.schema.fields] == [
         "doc_id", "url", "title", "text",
