@@ -25,8 +25,44 @@ pattern is::
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# ------------------------------------------------------- exact switch
+#
+# exact=True  (default): DECIMAL sums — bit-identical to the oracle at
+#   any partitioning. The correctness-gate mode.
+# exact=False (production): plain double sums — ~2.6x faster on the
+#   agg-heavy bundle (SCALE.md's decimal-vs-double measurement) at the
+#   cost of last-ulp partitioning nondeterminism. The mode a
+#   throughput-bound 100 TB job runs when a +/-1e-8 wobble on a 10^10
+#   sum is acceptable (it almost always is; the oracle gate is not
+#   such a consumer).
+#
+# The default comes from $ELEPHANT_EXACT_AGG (unset/1 = exact) so a
+# whole deployment can flip without code changes; `approx_sums()`
+# scopes the production mode to one plan build.
+
+_EXACT = os.environ.get("ELEPHANT_EXACT_AGG", "1") != "0"
+
+
+def exact_enabled() -> bool:
+    return _EXACT
+
+
+@contextmanager
+def approx_sums():
+    """Build plans inside this block with double (production) sums."""
+    global _EXACT
+    prev = _EXACT
+    _EXACT = False
+    try:
+        yield
+    finally:
+        _EXACT = prev
 
 # Wide enough for any per-row measure here (|x| < 10^10), tight
 # enough that products of two money/rate casts stay under Spark's
@@ -40,17 +76,22 @@ def _c(col: Column | str) -> Column:
 
 
 def money(col: Column | str) -> Column:
-    """Exact decimal view of a 2-decimal-valued double column."""
-    return _c(col).cast(MONEY)
+    """Exact decimal view of a 2-decimal-valued double column
+    (passthrough double in production mode)."""
+    c = _c(col)
+    return c.cast(MONEY) if _EXACT else c.cast("double")
 
 
 def rate(col: Column | str) -> Column:
-    """Exact decimal view of a 2-decimal rate (discount/tax)."""
-    return _c(col).cast(RATE)
+    """Exact decimal view of a 2-decimal rate (discount/tax);
+    passthrough double in production mode."""
+    c = _c(col)
+    return c.cast(RATE) if _EXACT else c.cast("double")
 
 
 def dsum(col: Column | str, digits: int = 2) -> Column:
-    """round(sum(decimal), digits) as double — order-independent."""
+    """round(sum(decimal), digits) as double — order-independent.
+    Production mode: plain double sum (fast, last-ulp wobble)."""
     return F.round(F.sum(money(col)), digits).cast("double")
 
 

@@ -168,6 +168,69 @@ def near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023): cluster embeddings into cells, then score cosine pairs
+    only WITHIN each cell — the learned-partition counterpart of the
+    random-hyperplane bucketing in :func:`near_dup_pairs`.
+
+    Why it scales: the pair fan-out is an equi-join on ``cell_id``
+    (co-locating shuffle), so quadratic work is confined to cell
+    populations — with balanced cells, n^2 drops to n^2/n_cells. At
+    100 TB the cell assignment is one broadcast-argmin scan
+    (:func:`ivf_assign`), cells come from
+    :func:`kmeans_parallel_seeds`-seeded training, and near-dups
+    that land in different cells are the recall trade the paper
+    accepts (they are, by construction, near a cell boundary).
+
+    Output: ``(cell_id, id_a, id_b, cos_sim)``, id_a < id_b, one row
+    per same-cell pair at/above ``threshold``. Deterministic: the
+    default centroids are the lowest-id vectors (engine-replayable),
+    distances and similarities round to 6 decimals.
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    base = embeddings.join(assigned, id_col).select(
+        id_col,
+        "cell_id",
+        vec_col,
+        F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+    )
+    a = base.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = base.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell_id",
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int,
@@ -458,9 +521,10 @@ def kmeanspp_seeds(
     scan with a running least() over seed distances + one
     max(struct) argmax agg). Collecting one (id, vector) row per
     round is index *metadata*, like the IVF probe list. At very
-    large k, k-means|| oversampling cuts the round count; every
+    large k, use :func:`kmeans_parallel_seeds` (k-means||
+    oversampling, O(rounds) passes independent of k); every
     downstream consumer (ivf_centroids -> assign -> kmeans) takes
-    these seeds unchanged."""
+    either function's seeds unchanged."""
     rows = embeddings.orderBy(id_col).limit(1).collect()
     if not rows:
         return embeddings.sparkSession.createDataFrame(
@@ -496,6 +560,140 @@ def kmeanspp_seeds(
         seeds.append((r, cand[id_col], cand[vec_col]))
     return embeddings.sparkSession.createDataFrame(
         [(r, sid) for r, sid, _ in seeds],
+        f"seed_rank long, {id_col} long",
+    )
+
+
+def kmeans_parallel_seeds(
+    embeddings: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al., VLDB 2012): the scale path
+    :func:`kmeanspp_seeds` names — O(``rounds``) full passes instead
+    of k-1, so seeding k=10^4 centers costs the same scans as k=10.
+
+    Per round, every point is sampled independently with probability
+    ``min(1, l * d2(x, C) / phi)`` (``l`` = ``oversample``, default
+    2k; ``phi`` = total cost vs the current seed set) — expected ~l
+    new candidates per round, each round one scan for phi + one
+    filtered scan for the sample. The coin flip is derandomized as
+    ``xxhash64(id, round) / 2^64`` so any retry or replay draws the
+    identical candidate set (same hazard class as the salted-join
+    rand() fix). Candidates (~``rounds * l`` rows) are metadata-sized;
+    they are weighted by how many points each attracts (one more
+    scan), then the final k are chosen locally by the deterministic
+    weighted farthest-point greedy (ties to the lowest id) —
+    exactly the reduction the paper prescribes.
+
+    Output matches :func:`kmeanspp_seeds`: ``(seed_rank, id)`` rows,
+    seeds are dataset members. If sampling under-fills (tiny inputs),
+    the shortfall is topped up with the lowest-id non-candidates —
+    deterministic, and only reachable when n is comparable to k.
+    """
+    l = oversample if oversample is not None else 2 * k
+    first = embeddings.orderBy(id_col).limit(1).collect()
+    if not first:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"seed_rank long, {id_col} long"
+        )
+    cand: dict[int, list[float]] = {
+        int(first[0][id_col]): [float(x) for x in first[0][vec_col]]
+    }
+
+    def _d2_to(seed_vecs: list[list[float]]) -> Column:
+        ds = [
+            F.round(
+                _l2sq(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in v]),
+                ),
+                6,
+            )
+            for v in seed_vecs
+        ]
+        return ds[0] if len(ds) == 1 else F.least(*ds)
+
+    for r in range(rounds):
+        d2 = _d2_to(list(cand.values()))
+        phi = embeddings.agg(F.sum(d2).alias("phi")).first()["phi"]
+        if not phi:  # all points coincide with seeds — done sampling
+            break
+        # u in [0, 1): signed xxhash64 scaled from [-2^63, 2^63) —
+        # double precision is plenty for a sampling coin flip.
+        u = (
+            F.xxhash64(F.col(id_col), F.lit(r)).cast("double")
+            / F.lit(float(2 ** 64))
+            + F.lit(0.5)
+        )
+        picked = (
+            embeddings.filter(u < F.lit(float(l)) * d2 / F.lit(float(phi)))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        for row in picked:
+            cand.setdefault(
+                int(row[id_col]), [float(x) for x in row[vec_col]]
+            )
+    if len(cand) < k:  # tiny-input top-up, deterministic
+        extra = (
+            embeddings.filter(~F.col(id_col).isin(list(cand)))
+            .orderBy(id_col)
+            .limit(k - len(cand))
+            .collect()
+        )
+        for row in extra:
+            cand[int(row[id_col])] = [float(x) for x in row[vec_col]]
+
+    # weight candidates by attraction: nearest candidate per point,
+    # ties to the lowest candidate id (broadcast argmin, one scan).
+    spark = embeddings.sparkSession
+    cand_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cand.items()],
+        f"cell_id long, cvec array<double>",
+    )
+    weights = {
+        int(row["cell_id"]): int(row["n"])
+        for row in ivf_assign(embeddings, cand_df, id_col, vec_col)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # local weighted farthest-point greedy over the candidate set.
+    import numpy as np
+
+    ids = sorted(cand)
+    mat = np.array([cand[i] for i in ids], dtype=np.float64)
+    w = np.array([weights.get(i, 0) for i in ids], dtype=np.float64)
+    first_id = int(first[0][id_col])
+    chosen = [ids.index(first_id)]
+    d2min = np.round(
+        ((mat - mat[chosen[0]]) ** 2).sum(axis=1), 6
+    )
+    while len(chosen) < min(k, len(ids)):
+        score = w * d2min
+        # argmax with ties to the lowest id: ids is sorted, argmax
+        # returns the first (lowest-id) maximal entry.
+        nxt = int(np.argmax(score))
+        if score[nxt] <= 0.0:
+            # remaining candidates coincide with chosen seeds or
+            # attract nothing; fall back to unweighted distance,
+            # then lowest id.
+            nxt = int(np.argmax(d2min))
+            if d2min[nxt] <= 0.0:
+                nxt = next(
+                    i for i in range(len(ids)) if i not in set(chosen)
+                )
+        chosen.append(nxt)
+        d2min = np.minimum(
+            d2min, np.round(((mat - mat[nxt]) ** 2).sum(axis=1), 6)
+        )
+    return spark.createDataFrame(
+        [(rank, ids[i]) for rank, i in enumerate(chosen)],
         f"seed_rank long, {id_col} long",
     )
 

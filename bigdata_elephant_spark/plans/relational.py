@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_elephant_spark.functions.numeric import (
+    approx_sums,
     davg,
     dsum,
     dsum_expr,
@@ -65,6 +66,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def q1_pricing_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-mode twin of :func:`q1_pricing_summary`: identical
+    plan shape with plain double sums (``functions/numeric.py``
+    ``approx_sums()``) instead of DECIMAL. This is the mode a
+    throughput-bound job runs; the exact twin is the oracle-checked
+    one. No DuckDB oracle here on purpose — double-sum order
+    nondeterminism across engines is exactly what the exact mode
+    eliminates (r01's q7 failed a last-ulp rounding flip); semantic
+    agreement with the exact twin is asserted to 1e-6 relative
+    tolerance in tests/test_numeric_modes.py, and the bench runs both
+    so the decimal surcharge stays measured."""
+    with approx_sums():
+        return q1_pricing_summary(spark, sf_dir)
 
 
 Q1_SQL = """
@@ -2229,6 +2245,8 @@ SPECS = [
               ASOF_ERROR_NEXT_PURCHASE_SQL, ("relational", "temporal")),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               ("relational", "agg"), bench=True),
+    QuerySpec("q1_pricing_fast", q1_pricing_fast, None,
+              ("relational", "agg", "production"), bench=True),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
               ("relational", "join", "topk"), bench=True),
     QuerySpec("q5_region_revenue", q5_region_revenue, Q5_SQL,

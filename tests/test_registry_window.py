@@ -40,7 +40,10 @@ def test_window_covers_required_families():
 
 def test_every_spec_has_fn_and_most_have_oracles():
     specs = all_specs()
-    no_oracle = [s.name for s in specs if s.oracle is None]
-    # media_features is the one declared rows-only check (RNG decode
-    # stub); anything else missing an oracle is a regression.
-    assert no_oracle == ["media_features"], no_oracle
+    no_oracle = sorted(s.name for s in specs if s.oracle is None)
+    # media_features (RNG decode stub) and q1_pricing_fast (double
+    # sums can't hash-match a cross-engine oracle — its exact twin is
+    # the oracle row; agreement is tolerance-tested in
+    # tests/test_numeric_modes.py) are the declared rows-only checks;
+    # anything else missing an oracle is a regression.
+    assert no_oracle == ["media_features", "q1_pricing_fast"], no_oracle

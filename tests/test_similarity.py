@@ -304,3 +304,63 @@ def test_kmeanspp_seeds_spread_beats_lowest_id(spark):
 
     baseline = list(range(k))  # ivf_centroids' lowest-id choice
     assert min_pair_dist(ids) > min_pair_dist(baseline)
+
+
+def test_kmeans_parallel_seeds_quality_and_determinism(spark):
+    """k-means|| must (a) produce k distinct dataset-member seeds in
+    O(rounds) passes, (b) replay identically (hash-derandomized
+    coin flips), and (c) seed at least as well as the lowest-id
+    baseline and within 2x of the k-1-pass greedy farthest-point
+    cost — the tolerance the scale path buys its O(1) passes with."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 8
+    par = similarity.kmeans_parallel_seeds(emb, k, rounds=3)
+    ids = [r["vec_id"] for r in par.orderBy("seed_rank").collect()]
+    assert len(ids) == k and len(set(ids)) == k
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert set(ids) <= all_ids
+
+    again = [
+        r["vec_id"]
+        for r in similarity.kmeans_parallel_seeds(emb, k, rounds=3)
+        .orderBy("seed_rank").collect()
+    ]
+    assert again == ids
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def phi(seed_ids):
+        tot = 0.0
+        for v in vecs.values():
+            tot += min(
+                sum((a - b) ** 2 for a, b in zip(v, vecs[s]))
+                for s in seed_ids
+            )
+        return tot
+
+    greedy = [
+        r["vec_id"]
+        for r in similarity.kmeanspp_seeds(emb, k).collect()
+    ]
+    cost_par, cost_greedy = phi(ids), phi(greedy)
+    cost_baseline = phi(list(range(k)))  # ivf lowest-id choice
+    assert cost_par <= cost_baseline
+    assert cost_par <= 2.0 * cost_greedy, (cost_par, cost_greedy)
+
+
+def test_kmeans_parallel_seeds_tiny_input_and_empty(spark):
+    """k close to n exercises the deterministic top-up; empty input
+    yields an empty frame with the contract schema."""
+    rows = [(i, [float(i), 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = similarity.kmeans_parallel_seeds(emb, 5, rounds=2)
+    got = sorted(r["vec_id"] for r in seeds.collect())
+    assert got == [0, 1, 2, 3, 4]
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.kmeans_parallel_seeds(empty, 3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["seed_rank", "vec_id"]
