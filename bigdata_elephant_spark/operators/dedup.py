@@ -556,3 +556,121 @@ def containment_pairs(
         .select("doc_a", "doc_b", "n_a", "n_shared")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- duplicate passages
+
+def positioned_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """``(id_col, pos, shingle)`` — every word n-gram with its token
+    position. The positional variant of :func:`doc_shingles` (which
+    discards positions); the input to passage-level exact-substring
+    mining, where WHERE a shingle matches matters as much as THAT it
+    matches."""
+    toks = df.select(id_col, tokens_array(text_col).alias("__toks"))
+    return toks.select(
+        id_col,
+        F.posexplode(shingles_array(F.col("__toks"), n)).alias(
+            "pos", "shingle"
+        ),
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    min_run: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-passage mining (the ExactSubstr dedup of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): for every document pair that
+    shares a verbatim token run of >= ``min_run`` tokens, report the
+    longest shared run and how many distinct maximal runs they share.
+
+    Instead of a suffix array (pointer-chasing, single-machine), the
+    same answer comes from three shuffles, each scale-safe:
+
+    1. positional shingles (one narrow scan, no shuffle),
+    2. an equi-join on the shingle value — candidate cost is
+       sum(df^2) over shingle doc-frequencies, capped by
+       ``max_doc_freq`` exactly like :func:`ngram_jaccard_pairs`
+       (with the same lower-bound semantics when capped),
+    3. gaps-and-islands over each pair's match diagonal
+       (``pos_a - pos_b``): consecutive matching positions on one
+       diagonal are one run of ``count + shingle_n - 1`` tokens.
+
+    Output: ``(doc_a, doc_b, max_run_tokens, n_runs)``, doc_a < doc_b.
+    A run of k consecutive shingle matches on a diagonal is a
+    verbatim token run of k + shingle_n - 1 tokens; runs shorter than
+    ``min_run`` tokens are noise (random shingle collisions) and are
+    dropped before the per-pair rollup.
+    """
+    from pyspark.sql.window import Window
+
+    from bigdata_elephant_spark.session import persist_tracked
+
+    # The positioned-shingle table feeds the doc-frequency cap AND
+    # both sides of the self-join; persisting it turns three
+    # tokenize+explode scans of the corpus into one (the same
+    # measured trick as the minhash signature persist). MEMORY_AND_
+    # DISK via persist_tracked: at 100 TB it spills instead of
+    # evicting, and the registry runner releases it between queries.
+    sh = persist_tracked(
+        positioned_shingles(df, text_col, id_col, n=shingle_n)
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.select(id_col, "shingle")
+            .distinct()
+            .groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "shingle",
+    )
+    matches = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn(
+            "grp", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            (F.count("*") + F.lit(shingle_n - 1)).alias("run_tokens")
+        )
+        .filter(F.col("run_tokens") >= min_run)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_tokens").alias("max_run_tokens"),
+            F.count("*").alias("n_runs"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -415,6 +415,73 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+PASSAGE_SHINGLE_N = 4
+PASSAGE_MIN_RUN = 8
+PASSAGE_MAX_DF = 50
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr passage dedup (dedup.duplicate_passages): longest
+    verbatim shared token run per document pair, via positional
+    shingle join + diagonal gaps-and-islands — the relational form of
+    Lee et al. 2022's suffix-array dedup."""
+    return dedup.duplicate_passages(
+        _docs(spark, sf_dir),
+        shingle_n=PASSAGE_SHINGLE_N,
+        min_run=PASSAGE_MIN_RUN,
+        max_doc_freq=PASSAGE_MAX_DF,
+    )
+
+
+DUPLICATE_PASSAGES_SQL = f"""
+WITH {DOC_TOKS_CTE},
+pos_sh AS (
+    SELECT doc_id,
+           u - 1 AS pos,
+           toks[u] || ' ' || toks[u+1] || ' ' || toks[u+2]
+                   || ' ' || toks[u+3] AS shingle
+    FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks)
+                            - {PASSAGE_SHINGLE_N - 1}, 0) + 1)) AS u
+        FROM doc_toks
+    )
+),
+rare AS (
+    SELECT shingle FROM (
+        SELECT shingle, count(DISTINCT doc_id) AS df
+        FROM pos_sh GROUP BY shingle
+    ) WHERE df <= {PASSAGE_MAX_DF}
+),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, a.pos - b.pos AS diag
+    FROM pos_sh a
+    JOIN rare r ON r.shingle = a.shingle
+    JOIN pos_sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b,
+           count(*) + {PASSAGE_SHINGLE_N - 1} AS run_tokens
+    FROM (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag
+                   ORDER BY pos_a) AS grp
+        FROM m
+    )
+    GROUP BY doc_a, doc_b, diag, grp
+    HAVING count(*) + {PASSAGE_SHINGLE_N - 1} >= {PASSAGE_MIN_RUN}
+)
+SELECT doc_a, doc_b,
+       CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       count(*) AS n_runs
+FROM runs
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # ----------------------------------------------------- similarity
 
 def _dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
@@ -704,6 +771,44 @@ WITH wb AS (
 SELECT id_a, id_b, cos_sim FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
     FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cell-bucketed semantic near-dup pairs
+    (similarity.semantic_dedup_pairs): quadratic work confined to
+    k-means cells instead of LSH buckets."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, NEAR_DUP_THRESHOLD, n_cells=IVF_CELLS
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+wb AS (
+    SELECT e.vec_id, e.embedding, s.cell_id
+    FROM embeddings e JOIN assigned s USING (vec_id)
+)
+SELECT cell_id, id_a, id_b, cos_sim FROM (
+    SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_AB} AS cos_sim
+    FROM wb a JOIN wb b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 )
 WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
@@ -1928,6 +2033,9 @@ SPECS = [
               SIMHASH_PAIRS_SQL, ("llm", "dedup")),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_SQL,
               ("llm", "dedup")),
+    QuerySpec("duplicate_passages", q_duplicate_passages,
+              DUPLICATE_PASSAGES_SQL, ("llm", "dedup", "text"),
+              bench=True),
     QuerySpec("knn_cosine", q_knn_cosine, KNN_COSINE_SQL,
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
@@ -1952,6 +2060,8 @@ SPECS = [
               ("llm", "dedup", "similarity")),
     QuerySpec("near_dup_embeddings_lsh", q_near_dup_lsh, NEAR_DUP_LSH_SQL,
               ("llm", "dedup", "similarity"), bench=True),
+    QuerySpec("semantic_dedup_pairs", q_semantic_dedup,
+              SEMANTIC_DEDUP_SQL, ("llm", "dedup", "similarity")),
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,
               ("llm", "text"), bench=True),
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),

@@ -41,83 +41,73 @@ class QuerySpec:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # LLM-pipeline: dedup / graph / similarity / text / multimodal.
-    # One representative per family: same-shape variants of in-window
-    # queries (lang_id_ngram/lang_id_profiles vs lang_id,
-    # pandas_token_counts vs token_counts, media_resize/
-    # media_frame_sample vs multimodal_bytes+media_ppm_stats) are
-    # deliberately outside the window to free slots for whole families
-    # that would otherwise never get a driver row.
-    "dedup_groups",
-    "pagerank_dupgraph",
-    "dedup_simhash_pairs",       # covers the simhash family (pairs
-                                 # build on simhash_signatures)
-    "gopher_repetition",         # repetition-quality filter family
-    "ngram_jaccard_pairs",
-    "knn_cosine",
-    "knn_cosine_lsh",
-    "media_phash_dupes",         # image aHash near-dup (real decode;
-                                 # takes knn_ivf's slot — knn_ivf and
-                                 # knn_ivf_indexed share one oracle,
-                                 # the indexed variant keeps the
-                                 # family's driver row)
-    "assemble_training_corpus",   # end-to-end curate→chunk→pack
-                                  # (displaces doc_embedding_join, a
-                                  # plain broadcast-join shape)
-    "decontaminate_eval",        # train/eval leakage audit (displaces
-                                 # near_dup_embeddings, the exact
-                                 # verifier variant of the LSH path)
-    "near_dup_embeddings_lsh",
-    "text_stats",
-    "lang_id",
-    "hll_distinct_users",        # mergeable-sketch family (displaces
-                                 # token_counts; text keeps 3 rows)
-    "doc_fingerprints",
-    "multimodal_bytes",
-    "media_features",
-    # streaming
-    "events_stream_tumbling",
-    "events_stream_sessions",
-    "events_stream_interval_join",  # stream-stream join (sliding is
-                                    # the displaced tumbling variant)
-    "events_stream_anomalies",
-    "events_stream_enrich",
-    "events_stream_distinct",
-    # red in r01, fixed this round — need fresh driver rows
-    "q7_volume_shipping",
-    "sessionization",
-    "pivot_events_daily",
-    "array_agg_users",
-    # the full reference search surface (SURVEY §2 O1-O15)
-    "vocab_build",
-    "search_default_query",
-    "postings_build",
-    "doc_meta",
-    "search_reference",
-    "zorder_orders_layout",      # Z-order/zone-map layout family
-                                 # (displaces search_smooth, the O12
-                                 # scoring variant of search_reference
-                                 # — green r01 row retained)
-    # families introduced in round 2 — first-ever driver rows
-    # (the displaced relational representatives all hold green r01
-    # rows and stay under the driver-faithful local gate)
-    "doc_chunks",                # chunking
-    "pack_sequences",            # chunking + shard window
-    "shuffle_assignments",       # deterministic sampling
-    "media_ppm_stats",           # REAL image decode under the gate
-    "merge_upsert_orders",       # MERGE semantics
-    "cdc_latest_state",          # CDC compaction
-    "event_funnel",              # sequential analytics
-    "retention_cohorts",         # cohort analytics
-    "rolling_user_features",     # RANGE-frame window
-    "stratified_sample_events",  # per-stratum sampling
-    "kmeans_step",               # iterative ML primitive
-    "asof_events_orders",        # temporal: as-of join flagship
-    "search_bm25",               # BM25 ranking over the index
-    "knn_ivf_indexed",           # materialized IVF (VERDICT #6 proof)
-    "unpivot_lineitem",          # unpivot / melt
-    "fuzzy_customer_pairs",      # blocked fuzzy record linkage
-    "skew_safe_user_stats",      # salted two-phase aggregation
+    # ROUND-3 ROTATION. The driver gate records correctness rows for
+    # the first 50 registry entries only; r01+r02 verified 90 distinct
+    # queries, leaving 64 with no driver row ever. This window gives
+    # first-ever driver rows to 48 of them, re-proves the one r02 red
+    # row (media_features), and introduces the two new round-3
+    # families. Every name NOT in this window already holds a green
+    # r01/r02 driver row or is a same-shape variant of one that does
+    # (lang_id_ngram/lang_id_profiles vs lang_id, pandas_token_counts
+    # vs token_counts, knn_ivf vs knn_ivf_indexed, near_dup_embeddings
+    # vs its LSH twin, kmeanspp_seeds/kmeans_train vs kmeans_step,
+    # knn_cosine_lsh_multiprobe vs knn_cosine_lsh, media_resize/
+    # media_frame_sample vs media_ppm_stats, simhash_signatures vs
+    # dedup_simhash_pairs, corpus_bigrams/dedup_report vs the verified
+    # text/dedup rows, q1_pricing_fast vs q1_pricing_summary,
+    # props_key_counts vs events_json_extract, q14_promo_revenue vs
+    # the verified lineitem-part joins) — all still under the local
+    # driver-faithful gate (tests/test_oracle_parity.py, all SFs).
+    "media_features",  # re-prove the r02 red row: now md5-canonicalized
+    "duplicate_passages",  # NEW: ExactSubstr passage dedup (Lee et al.)
+    "semantic_dedup_pairs",  # NEW: SemDeDup cell-bucketed near-dup
+    "events_stream_sliding",  # only never-verified stream query
+    "events_stream_anomalies",  # required 'stateful' tag holder
+    "vocab_incremental_update",
+    "search_phrase",
+    "q2_min_cost_supplier",
+    "q4_priority_timeliness",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "window_value_funcs",
+    "order_aging",
+    "asof_error_next_purchase",
+    "incremental_daily_revenue",
+    "pivot_api_events",
+    "scd2_user_history",
+    "table_diff_orders",
+    "copurchase_part_pairs",
+    "entity_resolution_customers",
+    "heavy_hitter_keys",
+    "skew_salted_join_events",
+    "trimmed_value_stats",
+    "dupgraph_triangles",
+    "knn_pq",
+    "doc_embedding_join",
+    "token_counts",
+    "containment_pairs",
+    "unigram_surprisal",
+    "bpe_pair_counts",
+    "boilerplate_flags",
+    "lang_confusion_matrix",
+    "media_wav_stats",
+    "media_video_stats",
+    "mixture_rebalance",
+    "redact_pii",
+    "compaction_plan",
+    "kmv_distinct_users",
+    "cms_heavy_hitters",
+    "weighted_sample_orders",
 )
 
 

@@ -196,3 +196,40 @@ def test_boilerplate_flags_planted(spark):
         assert r["boilerplate_frac"] == round(
             r["n_boilerplate"] / r["n_shingles"], 6
         )
+
+
+def test_duplicate_passages_known_runs(spark):
+    """Hand-built corpus with a known shared passage: the island
+    arithmetic must report exactly the planted run length, and
+    independent diagonals must count as separate runs."""
+    from bigdata_elephant_spark.operators.dedup import duplicate_passages
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    filler_a = "one two three four five six seven eight nine ten"
+    filler_b = "red orange yellow green blue indigo violet pink gray black"
+    rows = [
+        (0, f"{filler_a} {passage} {filler_b}"),
+        (1, f"{filler_b} {passage} {filler_a}"),
+        (2, "totally unrelated words without any overlap here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_passages(docs, shingle_n=4, min_run=8).collect()
+    # docs 0/1 share: the 8-token passage (one run per diagonal) AND
+    # filler_a AND filler_b (10 tokens each, different diagonals).
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_a"], row["doc_b"]) == (0, 1)
+    assert row["max_run_tokens"] == 10  # the fillers are the longest
+    assert row["n_runs"] == 3           # passage + filler_a + filler_b
+
+    # below min_run: an identical 7-token text is a 7-token run,
+    # filtered by min_run=8; at min_run=7 it surfaces exactly once.
+    short = [
+        (0, "alpha bravo charlie delta echo foxtrot golf"),
+        (1, "alpha bravo charlie delta echo foxtrot golf"),
+    ]
+    docs2 = spark.createDataFrame(short, "doc_id long, text string")
+    assert duplicate_passages(docs2, shingle_n=4, min_run=8).count() == 0
+    low = duplicate_passages(docs2, shingle_n=4, min_run=7).collect()
+    assert len(low) == 1 and low[0]["max_run_tokens"] == 7
+    assert low[0]["n_runs"] == 1

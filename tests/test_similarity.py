@@ -364,3 +364,34 @@ def test_kmeans_parallel_seeds_tiny_input_and_empty(spark):
     out = similarity.kmeans_parallel_seeds(empty, 3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["seed_rank", "vec_id"]
+
+
+def test_semantic_dedup_pairs_cell_confinement(spark):
+    """Cell-bucketed semantic dedup must (a) only emit same-cell
+    pairs, (b) agree with brute-force near_dup_pairs on every pair it
+    does emit, and (c) miss only cross-cell pairs — the documented
+    recall trade."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.4
+    cells = similarity.ivf_assign(
+        emb, similarity.ivf_centroids(emb, 16)
+    )
+    cell_of = {r["vec_id"]: r["cell_id"] for r in cells.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): (r["cell_id"], r["cos_sim"])
+        for r in similarity.semantic_dedup_pairs(emb, thr, n_cells=16)
+        .collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs(emb, thr).collect()
+    }
+    for (a, b), (cell, cs) in got.items():
+        assert cell_of[a] == cell_of[b] == cell
+        assert exact[(a, b)] == cs
+    for (a, b) in set(exact) - set(got):
+        assert cell_of[a] != cell_of[b], (
+            "same-cell qualifying pair missing from semantic dedup"
+        )
