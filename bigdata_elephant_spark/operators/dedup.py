@@ -130,6 +130,36 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_explode(
+    sigs: DataFrame, id_col: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """``(id_col, band, bkey)`` — one row per (doc, band); the bucket
+    key concatenates that band's signature rows."""
+    rows = n_hashes // n_bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -151,29 +181,11 @@ def lsh_candidate_pairs(
     spillable), while recomputing them re-scans the whole corpus per
     branch.
     """
-    rows = n_hashes // n_bands
     if materialize:
         from bigdata_elephant_spark.session import persist_tracked
 
         sigs = persist_tracked(sigs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    bands = _band_explode(sigs, id_col, n_hashes, n_bands)
 
     a = bands.select(
         F.col(id_col).alias("doc_a"), "band", "bkey"
@@ -207,6 +219,64 @@ def lsh_candidate_pairs(
             "doc_a",
             "doc_b",
             F.round(matches / F.lit(float(n_hashes)), 6).alias("est_sim"),
+        )
+    )
+
+
+def incremental_dedup_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Delta-vs-corpus LSH dedup: which NEW documents near-duplicate
+    something ALREADY IN the corpus.
+
+    The daily-ingest shape at 100 TB: the existing corpus is
+    represented only by its materialized minhash signature table
+    (one row of ``n_hashes`` ints per doc — rebuilt never,
+    appended to every batch), so admitting a new batch costs
+    ``O(|batch|)`` tokenization plus a band-bucket equi-join against
+    the signature table — the 100 TB of old *text* is not touched.
+    Contrast :func:`lsh_candidate_pairs`, which self-joins one
+    corpus; here the join is new x old only (new-new dedup runs
+    separately on the batch, which is small).
+
+    Output: ``(new_id, corpus_id, est_sim)`` — one row per
+    bucket-colliding cross pair with the signature-agreement Jaccard
+    estimate. Callers filter on ``est_sim`` and anti-join admits.
+    """
+    nb = _band_explode(new_sigs, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("new_id"), "band", "bkey"
+    )
+    cb = _band_explode(corpus_sigs, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "bkey"
+    )
+    pairs = nb.join(cb, ["band", "bkey"]).select(
+        "new_id", "corpus_id"
+    ).distinct()
+    sa = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(matches / F.lit(float(n_hashes)), 6).alias(
+                "est_sim"
+            ),
         )
     )
 

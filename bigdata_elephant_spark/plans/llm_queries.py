@@ -154,6 +154,51 @@ WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
 """
 
 
+INCR_NEW_SOURCES = ("src0", "src1")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup (dedup.incremental_dedup_pairs): docs
+    from two sources play the incoming batch, the other 18 play the
+    indexed corpus; only cross pairs are scored — the daily-ingest
+    admission check that never re-reads old text."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    new_sigs = dedup.minhash_signatures(docs.filter(is_new))
+    corpus_sigs = dedup.minhash_signatures(docs.filter(~is_new))
+    pairs = dedup.incremental_dedup_pairs(new_sigs, corpus_sigs)
+    return pairs.filter(F.col("est_sim") >= LSH_EST_SIM_MIN)
+
+
+_INCR_NEW_IN = ", ".join(f"'{s}'" for s in INCR_NEW_SOURCES)
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+tagged AS (
+    SELECT s.*, (d.source IN ({_INCR_NEW_IN})) AS is_new
+    FROM sigs s JOIN documents d USING (doc_id)
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cross_pairs AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a
+    JOIN tagged ta ON ta.doc_id = a.doc_id AND ta.is_new
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    JOIN tagged tb ON tb.doc_id = b.doc_id AND NOT tb.is_new
+)
+SELECT p.new_id, p.corpus_id,
+       round(({_MATCHES}) / {float(N_HASHES)}, 6) AS est_sim
+FROM cross_pairs p
+JOIN sigs sa ON sa.doc_id = p.new_id
+JOIN sigs sb ON sb.doc_id = p.corpus_id
+WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+"""
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate groups over the LSH pair graph —
     iterative min-label propagation (operators/dedup.py); the oracle
@@ -2021,6 +2066,8 @@ SPECS = [
               MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("incremental_dedup", q_incremental_dedup,
+              INCREMENTAL_DEDUP_SQL, ("llm", "dedup", "incremental")),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
               ("llm", "dedup", "iterative"), bench=True),
     QuerySpec("dupgraph_triangles", q_dupgraph_triangles,

@@ -233,3 +233,45 @@ def test_duplicate_passages_known_runs(spark):
     low = duplicate_passages(docs2, shingle_n=4, min_run=7).collect()
     assert len(low) == 1 and low[0]["max_run_tokens"] == 7
     assert low[0]["n_runs"] == 1
+
+
+def test_incremental_dedup_cross_pairs_only(spark):
+    """Delta-vs-corpus dedup must flag a new doc duplicating a corpus
+    doc, never flag new-new or corpus-corpus pairs, and agree with
+    the full self-join LSH on the pairs it emits."""
+    from bigdata_elephant_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = ("spark shuffles hash partitions across executors while "
+            "catalyst prunes columns and pushes filters into scans "
+            "again and again for every query plan it optimizes")
+    other = ("completely different words about cooking pasta with "
+             "tomatoes garlic olive oil and basil simmered slowly "
+             "until the sauce thickens into something wonderful")
+    rows = [
+        (0, base),          # corpus
+        (1, other),         # corpus
+        (10, base),         # new: dup of corpus doc 0
+        (11, "unrelated fresh content nothing shared here with anyone "
+             "at all in any shingle of any length whatsoever today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_sigs = minhash_signatures(docs.filter("doc_id >= 10"))
+    corpus_sigs = minhash_signatures(docs.filter("doc_id < 10"))
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_sim"]
+        for r in incremental_dedup_pairs(new_sigs, corpus_sigs)
+        .filter("est_sim >= 0.5").collect()
+    }
+    assert got == {(10, 0): 1.0}
+    # agreement with the full self-join path on the same corpus
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs), materialize=False
+        ).filter("est_sim >= 0.5").collect()
+    }
+    assert full[(0, 10)] == got[(10, 0)]

@@ -168,3 +168,64 @@ def test_exact_dedup_partitions_corpus(spark, texts):
         norm.setdefault(key, []).append(i)
     expect_canon = {min(v) for v in norm.values()}
     assert {r["canonical_doc_id"] for r in groups} == expect_canon
+
+
+def _brute_force_passages(texts, shingle_n, min_run):
+    """Reference implementation: all maximal shared runs via direct
+    diagonal walking over tokenized docs."""
+    from bigdata_elephant_spark.functions.text import tokenize_str
+
+    toks = {i: tokenize_str(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in toks:
+        for b in toks:
+            if a >= b:
+                continue
+            ta, tb = toks[a], toks[b]
+            runs = []
+            # diagonals: offset d = pos_a - pos_b
+            for d in range(-(len(tb)), len(ta) + 1):
+                run = 0
+                for pa in range(len(ta) + 1):
+                    pb = pa - d
+                    match = (
+                        pa < len(ta)
+                        and 0 <= pb < len(tb)
+                        and ta[pa] == tb[pb]
+                    )
+                    if match:
+                        run += 1
+                    else:
+                        if run >= min_run and run >= shingle_n:
+                            runs.append(run)
+                        run = 0
+            if runs:
+                out[(a, b)] = (max(runs), len(runs))
+    return out
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=20)
+    .map(" ".join),
+    min_size=2, max_size=5,
+))
+@SETTINGS
+def test_duplicate_passages_matches_bruteforce(spark, texts):
+    """The shingle-join + islands pipeline must agree with a direct
+    diagonal-walk reference on arbitrary corpora. shingle_n=2 keeps
+    every >=min_run run representable as a shingle run (a maximal
+    token run of length L >= n appears as exactly L-n+1 consecutive
+    shingle matches on one diagonal)."""
+    from bigdata_elephant_spark.operators.dedup import (
+        duplicate_passages,
+    )
+
+    shingle_n, min_run = 2, 3
+    docs = _corpus_df(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["max_run_tokens"], r["n_runs"])
+        for r in duplicate_passages(
+            docs, shingle_n=shingle_n, min_run=min_run
+        ).collect()
+    }
+    assert got == _brute_force_passages(texts, shingle_n, min_run)
