@@ -1,0 +1,338 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+perplexity-band sampling, cross-source contamination, token-budget
+selection, and embedding outlier detection.
+
+These extend the reference surface (zigzak1996/BigData-elephant has
+no curation stage — its pipeline stops at the TF index,
+`Indexer.java:151-165`) with the selection/filtering steps a 100 TB
+pretraining corpus needs between "deduplicated" and "packed".
+
+Cross-engine float discipline (same rules as the rest of the repo):
+every float that feeds a *sum* is rounded to a fixed scale and cast
+to exact decimal first, so aggregation order can't change the
+result; `round(x, 6)` doubles are only compared/emitted, never
+re-summed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.text import tokens_array
+from bigdata_elephant_spark.operators.dedup import doc_shingles
+from bigdata_elephant_spark.operators.sampling import BUCKETS, sample_bucket
+
+# ------------------------------------------------ surprisal banding
+
+# CCNet/DSIR-style band keep-rates: the middle of the perplexity
+# distribution is the sweet spot (low band = boilerplate of common
+# tokens, high band = rare-token noise), so the two middle quartiles
+# keep 50% and the tails keep 10%.
+BAND_FRACTIONS: dict[int, float] = {0: 0.10, 1: 0.50, 2: 0.50, 3: 0.10}
+
+
+def unigram_surprisal_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc mean token surprisal −ln p(w) under the corpus's own
+    unigram distribution → ``(doc_id, n_tokens, avg_surprisal)``.
+
+    Same construction as the registry's ``unigram_surprisal`` query:
+    ln() runs once per *vocabulary word* (rounded to 6 decimals and
+    cast to exact decimal there), so the per-doc sum is an exact
+    decimal sum of identical addends on any engine and any
+    partitioning. Two token passes (frequency build + score join);
+    the frequency table broadcasts.
+    """
+    words = docs.select(
+        "doc_id", F.explode(tokens_array("text")).alias("w")
+    )
+    freqs = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freqs.agg(F.sum("c").alias("t"))
+    s = freqs.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("t")) - F.log(F.col("c")), 6)
+        .cast("decimal(18,6)")
+        .alias("s_w"),
+    )
+    return (
+        words.join(F.broadcast(s), ["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("s_w").cast("double") / F.count("*"), 6
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+def surprisal_band_sample(
+    docs: DataFrame,
+    fractions: dict[int, float] = BAND_FRACTIONS,
+) -> DataFrame:
+    """Perplexity-banded corpus sampling: band every doc into exact
+    surprisal quartiles, then keep a deterministic hash sample per
+    band → ``(doc_id, band, avg_surprisal)``.
+
+    Quartile boundaries are EXACT order statistics, computed without
+    a global row sort: scores are 6-decimal values, so the distinct-
+    value frequency table is bounded (≤ one row per representable
+    score — in practice ≪ corpus size); a running-count window over
+    that *value table* finds the smallest score whose cumulative doc
+    count reaches ``ceil(q·n)``. The value table is tiny, so its
+    single-partition sort window is metadata-sized work; at 100 TB
+    the same plan holds (the corpus-sized stages are one groupBy and
+    one broadcast join), with ``approx_percentile`` as the documented
+    fallback if the score grid were ever unbounded.
+
+    Band membership uses ``score <= boundary`` on identical 6-decimal
+    values, and the keep-decision is the repo's stable md5 bucket of
+    ``doc_id`` — both bit-reproducible across engines, partitionings
+    and reruns.
+    """
+    scored = unigram_surprisal_scores(docs)
+    vals = scored.groupBy("avg_surprisal").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("avg_surprisal").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "avg_surprisal", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    cum = cum.crossJoin(F.broadcast(tot))
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("avg_surprisal"),
+                )
+            ).alias(f"b{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    banded = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "avg_surprisal",
+        F.when(F.col("avg_surprisal") <= F.col("b25"), F.lit(0))
+        .when(F.col("avg_surprisal") <= F.col("b50"), F.lit(1))
+        .when(F.col("avg_surprisal") <= F.col("b75"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("band"),
+    )
+    keep = F.lit(False)
+    for band, frac in fractions.items():
+        keep = keep | (
+            (F.col("band") == band)
+            & (sample_bucket("doc_id") < int(frac * BUCKETS))
+        )
+    return banded.filter(keep).select(
+        "doc_id", "band", "avg_surprisal"
+    )
+
+
+# --------------------------------------- cross-source contamination
+
+
+def source_overlap_matrix(
+    docs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Pairwise shingle-set overlap between sources →
+    ``(src_a, src_b, n_a, n_b, n_common, jaccard)`` for every source
+    pair sharing at least one shingle.
+
+    The contamination audit run before mixing crawl snapshots /
+    vendor dumps: a high-Jaccard source pair means one is largely a
+    re-crawl of the other and its mixture weight double-counts.
+
+    Scale shape: the corpus-sized work is ONE distinct over
+    ``(source, shingle)`` — after it, each shingle contributes at
+    most ``(#sources choose 2)`` pair rows (sources are a small
+    enumerable set, like partitions), so the self-join fan-out is
+    bounded by ``#sources``, not by document count; no doc×doc work
+    anywhere. Compare `containment_pairs` (dedup.py) which answers
+    the same question at document grain.
+    """
+    src_sh = (
+        doc_shingles(docs, n=shingle_n)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    per_src = src_sh.groupBy("source").agg(
+        F.count("*").alias("n_sh")
+    )
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    nb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        common.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------- token-budget select
+
+
+def token_budget_selection(
+    docs: DataFrame, budget_per_source: int
+) -> DataFrame:
+    """Greedy per-source document selection under a token budget →
+    ``(source, doc_id, n_tokens, cum_tokens)`` for the selected docs.
+
+    Within each source, docs are taken longest-first (tie-broken by
+    ``doc_id`` for determinism) while the running token total stays
+    ≤ the budget — the per-domain quota step that keeps one giant
+    source from dominating a fixed-size training mix.
+
+    One corpus pass to count tokens, then a window partitioned by
+    ``source`` — each source's docs sort within their own partition;
+    no global sort, no driver state. A single pathological source
+    would skew its one window partition; the mitigations are the
+    repo's standard ones (`skew.py` salting for the count stage;
+    the window itself is a per-key sort that AQE splits by key
+    range).
+    """
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens_array("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return sel.filter(F.col("cum_tokens") <= budget_per_source)
+
+
+# --------------------------------------------- embedding outliers
+
+
+def embedding_outliers(
+    emb: DataFrame, n_sigma: float = 2.0
+) -> DataFrame:
+    """Flag embeddings far from their label centroid →
+    ``(vec_id, label, dist, threshold)`` for rows with
+    ``dist > mean_label + n_sigma · std_label``.
+
+    The mislabeled/garbage-example sweep run on an embedded corpus
+    before fine-tuning: within each label, compute the centroid, the
+    Euclidean distance of every vector to it, and flag the
+    ``n_sigma`` tail of the per-label distance distribution.
+
+    Scale shape: one ``posexplode`` pass (rows × dims) feeds BOTH the
+    centroid aggregation and the distance aggregation; centroids are
+    ``(#labels × dim)`` rows — broadcast. No pairwise work.
+
+    Determinism: every sum is over exact decimals built from rounded
+    per-element values (elements at 7 decimals, squared residuals at
+    12), so centroids, distances, and the per-label mean/std are
+    bit-identical across engines and partitionings; doubles appear
+    only between rounds, on values already identical everywhere.
+    """
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double"), 7)
+        .cast("decimal(20,7)")
+        .alias("vd"),
+    )
+    cent = elems.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("vd").cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    dists = (
+        elems.join(F.broadcast(cent), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.pow(F.col("vd").cast("double") - F.col("c"), 2), 12
+            )
+            .cast("decimal(24,12)")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sqrt(F.sum("t").cast("double")), 6).alias(
+                "dist"
+            )
+        )
+    )
+    dd = dists.select(
+        "vec_id",
+        "label",
+        "dist",
+        F.col("dist").cast("decimal(18,6)").alias("d1"),
+        F.round(F.pow("dist", 2), 12)
+        .cast("decimal(24,12)")
+        .alias("d2"),
+    )
+    stats = dd.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("d1").alias("s1"),
+        F.sum("d2").alias("s2"),
+    )
+    thr = stats.select(
+        "label",
+        F.round(
+            F.col("s1").cast("double") / F.col("n")
+            + F.lit(n_sigma)
+            * F.sqrt(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("n")
+                    - F.pow(
+                        F.col("s1").cast("double") / F.col("n"), 2
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("threshold"),
+    )
+    return (
+        dd.join(F.broadcast(thr), "label")
+        .filter(F.col("dist") > F.col("threshold"))
+        .select("vec_id", "label", "dist", "threshold")
+    )

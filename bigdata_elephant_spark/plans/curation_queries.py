@@ -1,0 +1,264 @@
+"""Registry entries for corpus-curation operators
+(operators/curation.py): perplexity-band sampling, cross-source
+contamination audit, per-source token-budget selection, and
+embedding outlier detection.
+
+Each oracle recomputes the identical arithmetic in DuckDB (same
+tokenizer CTE, same md5 sample buckets, same rounded-decimal sums),
+so results are hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_elephant_spark.functions.hashing import h32_sql_duckdb
+from bigdata_elephant_spark.operators import curation
+from bigdata_elephant_spark.plans.llm_queries import (
+    DOC_SHINGLES_CTE,
+    DOC_TOKS_CTE,
+)
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+TOKEN_BUDGET = 800
+OUTLIER_SIGMA = 2.0
+SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------ surprisal banding
+
+
+def q_surprisal_band_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.surprisal_band_sample(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+_DOC_BUCKET = (
+    f"({h32_sql_duckdb('CAST(doc_id AS VARCHAR)')} % 10000)"
+)
+
+_BAND_KEEP = " OR ".join(
+    f"(band = {b} AND {_DOC_BUCKET} < {int(f * 10000)})"
+    for b, f in curation.BAND_FRACTIONS.items()
+)
+
+SURPRISAL_BAND_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (SELECT doc_id, unnest(toks) AS w FROM doc_toks),
+freqs AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM freqs),
+s AS (
+    SELECT w, CAST(round(ln(t) - ln(c), 6) AS DECIMAL(18,6)) AS s_w
+    FROM freqs, tot
+),
+scored AS (
+    SELECT doc_id,
+           round(CAST(sum(s_w) AS DOUBLE) / count(*), 6)
+               AS avg_surprisal
+    FROM words JOIN s USING (w) GROUP BY 1
+),
+vals AS (
+    SELECT avg_surprisal, count(*) AS cnt FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT avg_surprisal,
+           sum(cnt) OVER (ORDER BY avg_surprisal
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+           (SELECT sum(cnt) FROM vals) AS n
+    FROM vals
+),
+bounds AS (
+    SELECT
+      min(CASE WHEN cum >= ceil(0.25 * n) THEN avg_surprisal END)
+          AS b25,
+      min(CASE WHEN cum >= ceil(0.5  * n) THEN avg_surprisal END)
+          AS b50,
+      min(CASE WHEN cum >= ceil(0.75 * n) THEN avg_surprisal END)
+          AS b75
+    FROM cum
+),
+banded AS (
+    SELECT doc_id, avg_surprisal,
+           CASE WHEN avg_surprisal <= b25 THEN 0
+                WHEN avg_surprisal <= b50 THEN 1
+                WHEN avg_surprisal <= b75 THEN 2
+                ELSE 3 END AS band
+    FROM scored, bounds
+)
+SELECT doc_id, band, avg_surprisal
+FROM banded WHERE {_BAND_KEEP}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------- cross-source contamination
+
+
+def q_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.source_overlap_matrix(
+        _docs(spark, sf_dir), shingle_n=SHINGLE_N
+    ).orderBy("src_a", "src_b")
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+src_sh AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM doc_shingles s JOIN documents d USING (doc_id)
+),
+per_src AS (
+    SELECT source, count(*) AS n_sh FROM src_sh GROUP BY 1
+),
+common AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_common
+    FROM src_sh a JOIN src_sh b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b, pa.n_sh AS n_a, pb.n_sh AS n_b,
+       c.n_common,
+       round(c.n_common / (pa.n_sh + pb.n_sh - c.n_common), 6)
+           AS jaccard
+FROM common c
+JOIN per_src pa ON pa.source = c.src_a
+JOIN per_src pb ON pb.source = c.src_b
+ORDER BY src_a, src_b
+"""
+
+
+# --------------------------------------------- token-budget select
+
+
+def q_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.token_budget_selection(
+        _docs(spark, sf_dir), budget_per_source=TOKEN_BUDGET
+    ).orderBy("source", "doc_id")
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH {DOC_TOKS_CTE},
+toks AS (
+    SELECT d.source, t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens
+    FROM doc_toks t JOIN documents d USING (doc_id)
+),
+sel AS (
+    SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM toks
+)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM sel WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY source, doc_id
+"""
+
+
+# --------------------------------------------- embedding outliers
+
+
+def q_embedding_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.embedding_outliers(
+        _emb(spark, sf_dir), n_sigma=OUTLIER_SIGMA
+    ).orderBy("vec_id")
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH elems AS (
+    SELECT vec_id, label, t.dim,
+           CAST(round(CAST(embedding[t.dim] AS DOUBLE), 7)
+                AS DECIMAL(20,7)) AS vd
+    FROM embeddings,
+         unnest(range(1, len(embedding) + 1)) AS t(dim)
+),
+cent AS (
+    SELECT label, dim,
+           round(CAST(sum(vd) AS DOUBLE) / count(*), 6) AS c
+    FROM elems GROUP BY 1, 2
+),
+dists AS (
+    SELECT e.vec_id, e.label,
+           round(sqrt(CAST(sum(
+               CAST(round(pow(CAST(e.vd AS DOUBLE) - c.c, 2), 12)
+                    AS DECIMAL(24,12))
+           ) AS DOUBLE)), 6) AS dist
+    FROM elems e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+    GROUP BY 1, 2
+),
+dd AS (
+    SELECT vec_id, label, dist,
+           CAST(dist AS DECIMAL(18,6)) AS d1,
+           CAST(round(pow(dist, 2), 12) AS DECIMAL(24,12)) AS d2
+    FROM dists
+),
+stats AS (
+    SELECT label, count(*) AS n, sum(d1) AS s1, sum(d2) AS s2
+    FROM dd GROUP BY 1
+),
+thr AS (
+    SELECT label,
+           round(CAST(s1 AS DOUBLE) / n
+                 + {OUTLIER_SIGMA} * sqrt(greatest(
+                       CAST(s2 AS DOUBLE) / n
+                       - pow(CAST(s1 AS DOUBLE) / n, 2), 0.0)),
+                 6) AS threshold
+    FROM stats
+)
+SELECT d.vec_id, d.label, d.dist, t.threshold
+FROM dd d JOIN thr t USING (label)
+WHERE d.dist > t.threshold
+ORDER BY d.vec_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "surprisal_band_sample",
+        q_surprisal_band_sample,
+        SURPRISAL_BAND_SQL,
+        tags=("curation", "text"),
+    ),
+    QuerySpec(
+        "source_overlap_matrix",
+        q_source_overlap_matrix,
+        SOURCE_OVERLAP_SQL,
+        tags=("curation", "dedup"),
+        bench=True,
+    ),
+    QuerySpec(
+        "token_budget_selection",
+        q_token_budget_selection,
+        TOKEN_BUDGET_SQL,
+        tags=("curation",),
+    ),
+    QuerySpec(
+        "embedding_outliers",
+        q_embedding_outliers,
+        EMBEDDING_OUTLIERS_SQL,
+        tags=("curation", "similarity"),
+        bench=True,
+    ),
+]

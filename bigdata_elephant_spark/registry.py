@@ -61,6 +61,19 @@ GATE_PRIORITY = (
     "media_features",  # re-prove the r02 red row: now md5-canonicalized
     "duplicate_passages",  # NEW: ExactSubstr passage dedup (Lee et al.)
     "semantic_dedup_pairs",  # NEW: SemDeDup cell-bucketed near-dup
+    # NEW round-3 curation family (plans/curation_queries.py). Window
+    # slots freed by evicting four same-family variants of rows that
+    # are already driver-green: window_value_funcs (window_order_rank/
+    # window_running_sum/window_frames_orders all green r01),
+    # kmv_distinct_users (same md5-register sketch replay as green
+    # hll_distinct_users), token_counts (expression text-stat twin of
+    # green text_stats), weighted_sample_orders (hash-sampling family
+    # of green stratified_sample_events/curate_corpus). All four stay
+    # under the local driver-faithful gate at every SF.
+    "surprisal_band_sample",
+    "source_overlap_matrix",
+    "token_budget_selection",
+    "embedding_outliers",
     "events_stream_sliding",  # only never-verified stream query
     "events_stream_anomalies",  # required 'stateful' tag holder
     "vocab_incremental_update",
@@ -79,7 +92,6 @@ GATE_PRIORITY = (
     "q20_excess_shipments",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
-    "window_value_funcs",
     "order_aging",
     "asof_error_next_purchase",
     "incremental_daily_revenue",
@@ -94,7 +106,6 @@ GATE_PRIORITY = (
     "dupgraph_triangles",
     "knn_pq",
     "doc_embedding_join",
-    "token_counts",
     "containment_pairs",
     "unigram_surprisal",
     "bpe_pair_counts",
@@ -105,9 +116,7 @@ GATE_PRIORITY = (
     "mixture_rebalance",
     "redact_pii",
     "compaction_plan",
-    "kmv_distinct_users",
     "cms_heavy_hitters",
-    "weighted_sample_orders",
 )
 
 
@@ -116,6 +125,7 @@ def all_specs() -> list[QuerySpec]:
     ordered so the driver's 50-row gate window covers every family."""
     from bigdata_elephant_spark.plans import (
         analytics,
+        curation_queries,
         llm_queries,
         relational,
         search_queries,
@@ -126,7 +136,8 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (search_queries, relational, llm_queries, stream_queries,
-                analytics, training_data, sketch_queries):
+                analytics, training_data, sketch_queries,
+                curation_queries):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
