@@ -316,3 +316,188 @@ def cms_sql_duckdb(key_expr: str, table: str) -> str:
     FROM {table}, (SELECT unnest(range(0, {CMS_DEPTH})) AS d) dd
     GROUP BY 1, 2
 """
+
+
+# ----------------------------------------------------------------
+# Bottom-k sample quantiles
+# ----------------------------------------------------------------
+
+QSK_K = 1024  # sample size: DKW sup-error ~ sqrt(ln(2/d)/2k) ~ 0.08
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: Column | str,
+    value: Column | str,
+    k: int = QSK_K,
+) -> DataFrame:
+    """The sketch state: the k rows ``(h, x)`` with the smallest
+    ``h32(key)``. Mergeable — ``bottomk(A ∪ B)`` equals re-taking the
+    k smallest of ``bottomk(A) ∪ bottomk(B)`` (tested) — so shards/
+    days can keep their own samples and combine on read."""
+    kc = F.col(key) if isinstance(key, str) else key
+    vc = F.col(value) if isinstance(value, str) else value
+    return (
+        df.select(h32(kc.cast("string")).alias("h"), vc.alias("x"))
+        .orderBy("h", "x")
+        .limit(k)
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key: Column | str,
+    value: Column | str,
+    quantiles: tuple[float, ...],
+    k: int = QSK_K,
+) -> DataFrame:
+    """Quantile estimates from a bottom-k hash sample →
+    ``(q, est)`` per requested quantile.
+
+    The sketch is the k rows with the smallest ``h32(key)``: a
+    deterministic uniform sample without replacement (hash order is
+    independent of the value), mergeable exactly like KMV (union,
+    re-take k smallest), and engine-replayable — the oracle draws
+    the *same* k rows. The quantile-q estimate is the order
+    statistic at ``ceil(q·|sample|)`` of the sampled values; by DKW,
+    rank error ≤ ~``sqrt(ln(2/δ)/2k)`` with prob 1−δ (k=1024 →
+    ~0.08 at δ=1e-6; tests assert an empirical bound).
+
+    Scale shape: the bottom-k is ``TakeOrderedAndProject`` —
+    per-partition heaps of k rows, no global sort, no full shuffle;
+    everything after runs on k rows. Production: Spark's
+    ``approx_percentile`` (GK sketch) answers the same question
+    engine-internally; this portable variant exists for the
+    cross-engine gate and for merge-across-days pipelines that
+    persist the sample.
+    """
+    sample = bottomk_sample(df, key, value, k)
+    cnt = sample.agg(F.count("*").alias("n"))
+    w = Window.orderBy("x", "h")  # k rows: single partition is fine
+    ranked = (
+        sample.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in quantiles], "q double")
+    return (
+        ranked.join(
+            F.broadcast(qdf),
+            F.col("rn") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q")
+        .agg(F.min("x").alias("est"))
+    )
+
+
+def bottomk_quantiles_sql_duckdb(
+    key_expr: str,
+    value_expr: str,
+    table: str,
+    quantiles: tuple[float, ...],
+    k: int = QSK_K,
+) -> str:
+    """DuckDB replay of :func:`bottomk_quantiles` (full query)."""
+    h = h32_sql_duckdb(f"CAST({key_expr} AS VARCHAR)")
+    vals = ", ".join(f"({q!r})" for q in quantiles)
+    return f"""
+WITH samp AS (
+    SELECT {h} AS h, {value_expr} AS x
+    FROM {table}
+    ORDER BY h, x LIMIT {k}
+),
+cnt AS (SELECT count(*) AS n FROM samp),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, h) AS rn FROM samp
+),
+qs AS (SELECT * FROM (VALUES {vals}) t(q))
+SELECT q, min(x) AS est
+FROM ranked CROSS JOIN cnt
+JOIN qs ON rn >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""
+
+
+# ----------------------------------------------------------------
+# Bloom filter membership
+# ----------------------------------------------------------------
+
+BLOOM_M = 65_536  # bits
+BLOOM_J = 4       # hash functions
+
+# FP rate = (1 - exp(-nJ/M))^J: ~2.4% at n=8k members. Production
+# note: Spark injects its own runtime bloom pruning into selective
+# joins (spark.sql.optimizer.runtime.bloomFilter.enabled) — this
+# explicit variant exists for cross-engine replay and for shipping
+# the filter OUT of the engine (e.g. to an ingest service).
+
+
+def _bloom_pos(key: Column, j: int, m: int) -> Column:
+    """Position of hash function ``j`` for ``key`` — independent
+    hashes via the salted md5 ``h32(j || '|' || key)``."""
+    return F.pmod(
+        h32(F.concat(F.lit(f"{j}|"), key.cast("string"))), F.lit(m)
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key: Column | str,
+    m: int = BLOOM_M,
+    j: int = BLOOM_J,
+) -> DataFrame:
+    """Build side: the set of set bit positions ``(p)`` — at most
+    ``m`` rows however large the build input (broadcastable by
+    construction). Merge across shards/days = UNION DISTINCT."""
+    kc = F.col(key) if isinstance(key, str) else key
+    keys = df.select(kc.alias("k")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i, m) for i in range(j)])
+        ).alias("p")
+    )
+    return pos.distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    key: Column | str,
+    bits: DataFrame,
+    m: int = BLOOM_M,
+    j: int = BLOOM_J,
+) -> DataFrame:
+    """Probe side: ``(k, bloom_hit)`` — hit iff all ``j`` positions
+    are set. The bits table broadcasts; the probe never shuffles."""
+    kc = F.col(key) if isinstance(key, str) else key
+    ppos = probe.select(kc.alias("k")).distinct().select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i, m) for i in range(j)])
+        ).alias("p"),
+    )
+    hits = (
+        ppos.join(F.broadcast(bits), "p")
+        .groupBy("k")
+        .agg(F.count("*").alias("nhit"))
+    )
+    return (
+        ppos.select("k")
+        .distinct()
+        .join(hits, "k", "left")
+        .select(
+            "k",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == j).alias(
+                "bloom_hit"
+            ),
+        )
+    )
+
+
+def bloom_pos_sql_duckdb(key_expr: str, m: int = BLOOM_M) -> str:
+    """DuckDB position expression for salted hash ``jt.j``."""
+    return (
+        h32_sql_duckdb(
+            f"CAST(jt.j AS VARCHAR) || '|' || CAST({key_expr} AS VARCHAR)"
+        )
+        + f" % {m}"
+    )

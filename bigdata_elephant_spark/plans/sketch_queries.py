@@ -31,9 +31,16 @@ from bigdata_elephant_spark.operators.layout import (
 from bigdata_elephant_spark.functions.hashing import h32, h32_sql_duckdb
 from bigdata_elephant_spark.operators.sampling import weighted_sample_keys
 from bigdata_elephant_spark.operators.sketches import (
+    BLOOM_J,
+    BLOOM_M,
     CMS_DEPTH,
     CMS_WIDTH,
     HLL_M,
+    bloom_bits,
+    bloom_pos_sql_duckdb,
+    bloom_probe,
+    bottomk_quantiles,
+    bottomk_quantiles_sql_duckdb,
     cms_counts,
     cms_point_estimate,
     cms_sql_duckdb,
@@ -411,6 +418,102 @@ FROM packed GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------ quantile sketch
+
+QSK_QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def quantile_sketch_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-value quantiles from a 1024-row bottom-k hash sample:
+    per-partition heaps (TakeOrderedAndProject), no global sort, and
+    a sample the oracle re-draws bit-identically."""
+    orders = read_table(spark, sf_dir, "orders")
+    return bottomk_quantiles(
+        orders, "o_orderkey", "o_totalprice", QSK_QUANTILES
+    ).orderBy("q")
+
+
+QUANTILE_SKETCH_SQL = bottomk_quantiles_sql_duckdb(
+    "o_orderkey", "o_totalprice", "orders", QSK_QUANTILES
+)
+
+
+# ---------------------------------------------------- bloom filter
+
+BLOOM_BUILD_PRICE = 460_000.0
+
+
+def bloom_customer_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-membership audit: build a 64 Kbit / 4-hash filter over
+    customers holding a >460k order, probe EVERY customer, and
+    cross-tab bloom verdicts against the exact semi-join →
+    ``(actual, bloom_hit, n_customers)``.
+
+    The (actual=true, bloom_hit=false) row can never appear — blooms
+    have no false negatives (asserted in tests/test_sketches.py);
+    the (false, true) row SIZES the false-positive rate on real
+    data. The bits table is ≤ M rows by construction and broadcasts;
+    at 100 TB both the build distinct and the probe stay one
+    map-side pass + broadcast join."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    members = orders.filter(
+        F.col("o_totalprice") > BLOOM_BUILD_PRICE
+    ).select(F.col("o_custkey").alias("k"))
+    bits = bloom_bits(members, "k")
+    probed = bloom_probe(customer, "c_custkey", bits)
+    actual = members.distinct().withColumn("actual", F.lit(True))
+    return (
+        probed.join(actual, "k", "left")
+        .select(
+            F.coalesce("actual", F.lit(False)).alias("actual"),
+            "bloom_hit",
+        )
+        .groupBy("actual", "bloom_hit")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("actual", "bloom_hit")
+    )
+
+
+_BLOOM_JT = "(VALUES (0), (1), (2), (3)) jt(j)"
+_BPOS_K = bloom_pos_sql_duckdb("k")
+
+BLOOM_PROBE_SQL = f"""
+WITH members AS (
+    SELECT DISTINCT o_custkey AS k FROM orders
+    WHERE o_totalprice > {BLOOM_BUILD_PRICE}
+),
+bits AS (
+    SELECT DISTINCT {_BPOS_K} AS p
+    FROM members CROSS JOIN {_BLOOM_JT}
+),
+ppos AS (
+    SELECT c.k, {_BPOS_K} AS p
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
+    CROSS JOIN {_BLOOM_JT}
+),
+hits AS (
+    SELECT ppos.k, count(*) AS nhit
+    FROM ppos JOIN bits USING (p) GROUP BY 1
+),
+verdicts AS (
+    SELECT c.k,
+           coalesce(h.nhit, 0) = {BLOOM_J} AS bloom_hit,
+           m.k IS NOT NULL AS actual
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
+    LEFT JOIN hits h ON h.k = c.k
+    LEFT JOIN members m ON m.k = c.k
+)
+SELECT actual, bloom_hit, count(*) AS n_customers
+FROM verdicts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
 SPECS = [
     QuerySpec("compaction_plan", compaction_plan, COMPACTION_SQL,
               ("relational", "layout", "merge")),
@@ -425,4 +528,9 @@ SPECS = [
               bench=True),
     QuerySpec("weighted_sample_orders", weighted_sample_orders,
               WEIGHTED_SAMPLE_SQL, ("llm", "sampling", "layout")),
+    QuerySpec("quantile_sketch_totalprice", quantile_sketch_totalprice,
+              QUANTILE_SKETCH_SQL, ("relational", "sketch", "agg"),
+              bench=True),
+    QuerySpec("bloom_customer_probe", bloom_customer_probe,
+              BLOOM_PROBE_SQL, ("relational", "sketch", "join")),
 ]

@@ -74,13 +74,19 @@ GATE_PRIORITY = (
     "source_overlap_matrix",
     "token_budget_selection",
     "embedding_outliers",
+    # NEW round-3 sketches (bottom-k sample quantiles; bloom-filter
+    # membership cross-tab). Slots freed by evicting
+    # q6_forecast_revenue (single-table agg; seven TPC-H family rows
+    # already green) and redact_pii (regex projection, twin of the
+    # green text_stats/doc_fingerprints family).
+    "quantile_sketch_totalprice",
+    "bloom_customer_probe",
     "events_stream_sliding",  # only never-verified stream query
     "events_stream_anomalies",  # required 'stateful' tag holder
     "vocab_incremental_update",
     "search_phrase",
     "q2_min_cost_supplier",
     "q4_priority_timeliness",
-    "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -114,7 +120,6 @@ GATE_PRIORITY = (
     "media_wav_stats",
     "media_video_stats",
     "mixture_rebalance",
-    "redact_pii",
     "compaction_plan",
     "cms_heavy_hitters",
 )

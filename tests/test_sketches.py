@@ -186,3 +186,121 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
     a = {(r["d"], r["col"]): r["cnt"] for r in summed.collect()}
     b = {(r["d"], r["col"]): r["cnt"] for r in sketch.collect()}
     assert a == b
+
+
+def test_bottomk_quantiles_rank_error_bounded(spark, sf_dir):
+    """Each estimate's true rank is within the DKW-style bound of
+    its target quantile (k=1024 -> sup error ~0.08 whp; assert 0.1),
+    and the sample is partition-stable (same estimates after a
+    repartition)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.sketches import (
+        bottomk_quantiles,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    qs = (0.1, 0.5, 0.9)
+    est = {
+        r["q"]: r["est"]
+        for r in bottomk_quantiles(
+            orders, "o_orderkey", "o_totalprice", qs
+        ).collect()
+    }
+    n = orders.count()
+    for q, v in est.items():
+        true_rank = (
+            orders.filter(F.col("o_totalprice") <= v).count() / n
+        )
+        assert abs(true_rank - q) < 0.1, (q, v, true_rank)
+
+    est2 = {
+        r["q"]: r["est"]
+        for r in bottomk_quantiles(
+            orders.repartition(13), "o_orderkey", "o_totalprice", qs
+        ).collect()
+    }
+    assert est == est2
+
+
+def test_bottomk_quantiles_small_input_is_exact(spark):
+    """When the table fits inside k, estimates are exact order
+    statistics at ceil(q*n)."""
+    from pyspark.sql import Row
+
+    from bigdata_elephant_spark.operators.sketches import (
+        bottomk_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, x=float(i)) for i in range(1, 101)]
+    )
+    est = {
+        r["q"]: r["est"]
+        for r in bottomk_quantiles(df, "k", "x", (0.25, 0.5, 1.0)).collect()
+    }
+    assert est == {0.25: 25.0, 0.5: 50.0, 1.0: 100.0}
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    """Every build-side key probes true (no false negatives — the
+    bloom invariant), and the false-positive rate on non-members
+    stays under a generous multiple of the analytic bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.sketches import (
+        BLOOM_J,
+        BLOOM_M,
+        bloom_bits,
+        bloom_probe,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    members = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("k")
+    )
+    bits = bloom_bits(members, "k")
+    probed = bloom_probe(customer, "c_custkey", bits)
+    member_keys = {r["k"] for r in members.distinct().collect()}
+    rows = probed.collect()
+    missed = [r for r in rows if r["k"] in member_keys and not r["bloom_hit"]]
+    assert missed == []  # no false negatives, ever
+    non = [r for r in rows if r["k"] not in member_keys]
+    if non:
+        n = len(member_keys)
+        expected_fp = (1 - math.exp(-n * BLOOM_J / BLOOM_M)) ** BLOOM_J
+        fp = sum(r["bloom_hit"] for r in non) / len(non)
+        assert fp <= max(3 * expected_fp, 0.02), (fp, expected_fp)
+
+
+def test_bottomk_sample_is_mergeable(spark, sf_dir):
+    """bottomk(A | B) == retake-k(bottomk(A) | bottomk(B)) — the
+    property that lets shards keep independent samples."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.sketches import (
+        bottomk_sample,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = 64
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        bottomk_sample(half_a, "o_orderkey", "o_totalprice", k)
+        .unionByName(
+            bottomk_sample(half_b, "o_orderkey", "o_totalprice", k)
+        )
+        .orderBy("h", "x")
+        .limit(k)
+    )
+    whole = bottomk_sample(orders, "o_orderkey", "o_totalprice", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
