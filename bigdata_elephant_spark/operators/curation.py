@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_elephant_spark.functions.text import tokens_array
-from bigdata_elephant_spark.operators.dedup import doc_shingles
+from bigdata_elephant_spark.operators.dedup import shingles_array
 from bigdata_elephant_spark.operators.sampling import BUCKETS, sample_bucket
 
 # ------------------------------------------------ surprisal banding
@@ -155,11 +155,25 @@ def source_overlap_matrix(
     anywhere. Compare `containment_pairs` (dedup.py) which answers
     the same question at document grain.
     """
-    src_sh = (
-        doc_shingles(docs, n=shingle_n)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
+    # Carry `source` through the explode instead of joining shingles
+    # back to the corpus on doc_id — saves a corpus-sized shuffle
+    # join (the shingle table is the biggest intermediate here).
+    # Same projection discipline as doc_shingles: tokens computed
+    # once into a column before the shingle transform references it.
+    toks = docs.select(
+        "source", tokens_array("text").alias("__toks")
+    )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    # Persisted: consumed three times (join build, join probe,
+    # per-source totals) — one corpus scan instead of three.
+    src_sh = persist_tracked(
+        toks.select(
+            "source",
+            F.explode(
+                shingles_array(F.col("__toks"), shingle_n)
+            ).alias("shingle"),
+        ).distinct()
     )
     per_src = src_sh.groupBy("source").agg(
         F.count("*").alias("n_sh")

@@ -251,3 +251,59 @@ def test_mixture_rebalance_broadcasts_plan_table(spark, sf_dir):
     plan = plan_of(q_mixture_rebalance(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_topk_no_global_sort(spark, sf_dir):
+    """The bottom-k sample must plan as TakeOrderedAndProject
+    (per-partition heaps) — a rangepartitioning Exchange would mean
+    a full global sort of the table."""
+    from bigdata_elephant_spark.plans.sketch_queries import (
+        quantile_sketch_totalprice,
+    )
+
+    plan = plan_of(quantile_sketch_totalprice(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the only allowed range partitioning is the final ORDER BY q
+    # over <= len(quantiles) rows; the k-row sample itself must not
+    # range-shuffle: its sort columns h/x never appear in one.
+    for ln in plan.splitlines():
+        if "Exchange rangepartitioning" in ln:
+            assert "q#" in ln, ln
+
+
+def test_bloom_probe_broadcasts_bits(spark, sf_dir):
+    """The bits table (<= M rows by construction) must broadcast —
+    a shuffle join on p would move the whole probe side."""
+    from bigdata_elephant_spark.plans.sketch_queries import (
+        bloom_customer_probe,
+    )
+
+    plan = plan_of(bloom_customer_probe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_outliers_broadcasts_and_no_cartesian(spark, sf_dir):
+    """Centroids (labels x dims) and thresholds (labels) broadcast;
+    nothing plans a cartesian product."""
+    from bigdata_elephant_spark.plans.curation_queries import (
+        q_embedding_outliers,
+    )
+
+    plan = plan_of(q_embedding_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_surprisal_band_no_corpus_global_sort(spark, sf_dir):
+    """The quartile-boundary window runs over the distinct-value
+    table only; the corpus-sized stages must not range-shuffle
+    (no global row sort anywhere — the final ORDER BY doc_id is
+    the registry's presentation sort, rangepartitioning on doc_id)."""
+    from bigdata_elephant_spark.plans.curation_queries import (
+        q_surprisal_band_sample,
+    )
+
+    plan = plan_of(q_surprisal_band_sample(spark, sf_dir))
+    for ln in plan.splitlines():
+        if "Exchange rangepartitioning" in ln:
+            assert "doc_id" in ln or "avg_surprisal" in ln, ln

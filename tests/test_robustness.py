@@ -274,3 +274,34 @@ def test_mixture_rebalance_quota_property(spark, sizes, weights, n_out, data):
             if r["stratum"] == s and r["doc_id"] == doc
         )
         assert epochs == list(range(1, n + 1))
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    """Degenerate-input sweep for the round-3 operators."""
+    from bigdata_elephant_spark.operators import curation
+    from bigdata_elephant_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+        bottomk_quantiles,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert curation.surprisal_band_sample(empty_docs).count() == 0
+    assert curation.source_overlap_matrix(empty_docs).count() == 0
+    assert curation.token_budget_selection(empty_docs, 100).count() == 0
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<float>"
+    )
+    assert curation.embedding_outliers(emb).count() == 0
+
+    e = spark.createDataFrame([], "k long, x double")
+    assert bottomk_quantiles(e, "k", "x", (0.5,)).count() == 0
+    bits = bloom_bits(e, "k")
+    assert bits.count() == 0
+    # probing an empty filter: every probe key is a clean miss
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    rows = bloom_probe(probe, "k", bits).collect()
+    assert len(rows) == 2 and not any(r["bloom_hit"] for r in rows)
