@@ -350,3 +350,189 @@ def embedding_outliers(
         .filter(F.col("dist") > F.col("threshold"))
         .select("vec_id", "label", "dist", "threshold")
     )
+
+
+# ------------------------------------------ temperature mixture
+
+
+def temperature_mixture(
+    docs: DataFrame, alpha: float, frac_out: float
+) -> DataFrame:
+    """Temperature-scaled multi-source sampling (the
+    ``p_s ∝ n_s^alpha`` recipe of multilingual/multi-domain LLM
+    mixes; alpha < 1 up-weights small sources relative to their raw
+    share) → the kept rows ``(doc_id, source, rate)``.
+
+    The output budget is ``frac_out`` of the corpus (a fraction, so
+    the same query is meaningful at every scale factor). Each
+    source's keep-rate is ``min(1, n_out·p_s / n_s)`` with
+    ``n_out = frac_out·Σn`` and
+    ``p_s = n_s^alpha / Σ n^alpha``, rounded to 6 decimals; the
+    row-level keep decision is the repo's deterministic md5 bucket
+    of ``doc_id`` against that rate — reproducible across engines,
+    partitionings and reruns (same discipline as
+    :func:`~bigdata_elephant_spark.operators.sampling.hash_sample`).
+
+    Plan shape: per-source counts are a metadata-sized aggregate
+    broadcast back onto the corpus; the corpus itself is touched by
+    exactly one filter pass. Unlike
+    :func:`~bigdata_elephant_spark.operators.sampling.mixture_rebalance`
+    (exact per-stratum quotas via rank windows), rates here are
+    probabilistic targets — no per-source sort at all, which is the
+    cheaper contract when "approximately budget-sized" is enough.
+    """
+    sizes = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = sizes.agg(
+        F.sum(F.pow("n_s", F.lit(alpha))).alias("z"),
+        F.sum("n_s").alias("t"),
+    )
+    rates = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(frac_out))
+                * F.col("t")
+                * F.pow("n_s", F.lit(alpha))
+                / F.col("z")
+                / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(sample_bucket("doc_id") < F.col("rate") * BUCKETS)
+        .select("doc_id", "source", "rate")
+    )
+
+
+# ------------------------------------------- quality classifier
+
+
+# Stand-in linear model over interpretable text features — the shape
+# (not the weights) of the fastText/logistic quality classifiers used
+# by CCNet/FineWeb-style pipelines. A trained model drops in by
+# replacing these constants; the plan is unchanged (pure expressions,
+# whole-stage codegen, no UDF).
+QUALITY_BIAS = -4.0
+QUALITY_WEIGHTS = {
+    "alpha_frac": 5.0,  # prose is mostly letters
+    "stop_frac": 3.0,  # function words ⇒ natural language
+    "mean_tok_len": 0.5,  # on min(mean,10)/10 — very short tokens ⇒ junk
+    "digit_frac": -6.0,  # digit walls ⇒ tables/serial dumps
+}
+QUALITY_THRESHOLD = 0.5
+
+
+def quality_logit_scores(docs: DataFrame) -> DataFrame:
+    """Logistic quality score per document →
+    ``(doc_id, alpha_frac, stop_frac, mean_tok_len, digit_frac,
+    quality, keep)``.
+
+    Features (each rounded to 6 decimals before entering the linear
+    term, so the logit is built from engine-identical addends):
+
+    * ``alpha_frac``  — a-z share of characters (lowercased),
+    * ``digit_frac``  — 0-9 share of characters,
+    * ``stop_frac``   — stopword share of tokens,
+    * ``mean_tok_len``— mean token length, capped at 10.
+
+    ``quality = sigmoid(bias + Σ w_i·f_i)`` rounded to 6;
+    ``keep = quality ≥ 0.5``. One corpus pass, pure expressions —
+    no UDF, no shuffle (the output is row-local).
+    """
+    from bigdata_elephant_spark.operators.textstats import (
+        EN_STOPWORDS,
+    )
+
+    lowered = F.lower(F.col("text"))
+    n_chars = F.length("text")
+    toks = tokens_array("text")
+    n_toks = F.size(toks)
+    alpha_frac = F.round(
+        F.length(F.regexp_replace(lowered, "[^a-z]", ""))
+        / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+    digit_frac = F.round(
+        F.length(F.regexp_replace(lowered, "[^0-9]", ""))
+        / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+    stop_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    mean_tok_len = F.round(
+        F.least(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            )
+            / F.greatest(n_toks, F.lit(1)),
+            F.lit(10.0),
+        ),
+        6,
+    )
+    feats = docs.select(
+        "doc_id",
+        alpha_frac.alias("alpha_frac"),
+        stop_frac.alias("stop_frac"),
+        mean_tok_len.alias("mean_tok_len"),
+        digit_frac.alias("digit_frac"),
+    )
+    z = F.lit(QUALITY_BIAS)
+    z = z + F.lit(QUALITY_WEIGHTS["alpha_frac"]) * F.col("alpha_frac")
+    z = z + F.lit(QUALITY_WEIGHTS["stop_frac"]) * F.col("stop_frac")
+    z = z + F.lit(QUALITY_WEIGHTS["mean_tok_len"]) * (
+        F.col("mean_tok_len") / 10.0
+    )
+    z = z + F.lit(QUALITY_WEIGHTS["digit_frac"]) * F.col("digit_frac")
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        "doc_id",
+        "alpha_frac",
+        "stop_frac",
+        "mean_tok_len",
+        "digit_frac",
+        quality.alias("quality"),
+        (quality >= QUALITY_THRESHOLD).alias("keep"),
+    )
+
+
+# ------------------------------------------- dedup survivor pick
+
+
+def dedup_survivors(
+    groups: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Canonical-document election over transitive duplicate groups
+    → ``(doc_id, group_id, n_chars, is_canonical)``.
+
+    ``groups`` is the ``(doc_id, group_id)`` output of
+    :func:`~bigdata_elephant_spark.operators.dedup.duplicate_groups`;
+    within each group the longest document wins (ties to the lowest
+    ``doc_id``) — the "keep the best copy, drop the rest" decision
+    that turns near-dup detection into an actual corpus reduction.
+
+    Plan shape: the group table is a tiny fraction of the corpus
+    (only docs that HAVE a near-duplicate), so the join against
+    ``docs`` broadcasts the group side; the rank window partitions
+    by ``group_id`` — group sizes are bounded by the LSH band
+    structure, never corpus-sized.
+    """
+    member = groups.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return member.select(
+        "doc_id",
+        "group_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

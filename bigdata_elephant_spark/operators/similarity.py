@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -935,4 +935,68 @@ def cosine_topk_lsh(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors in one
+    pass → ``(q_id, vec_id, cos_sim)``.
+
+    The kNN-join shape (each query of a small probe set against the
+    full corpus) that single-query :func:`cosine_topk` can't batch:
+    the query rows broadcast, every corpus partition scores all
+    queries locally, and the top-k is taken in TWO phases so no
+    single reducer ever sees corpus-sized data:
+
+    1. per-(query, input-partition) rank window — each partition
+       keeps at most ``k`` rows per query (the partial "heap"),
+    2. per-query rank over the surviving ``#partitions × k`` rows.
+
+    A single window partitioned only by ``q_id`` would funnel the
+    whole corpus through ``len(query_ids)`` reducers — the classic
+    top-k-per-key skew; the partial phase bounds that to
+    metadata-sized input. Ordering ranks on the ROUNDED score (6
+    decimals) with ``vec_id`` tie-break, so ranks are deterministic
+    and engine-portable.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    scored = (
+        embeddings.select(
+            id_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+            F.spark_partition_id().alias("_pid"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            "_pid",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    order = (F.desc("cos_sim"), F.asc(id_col))
+    w_part = Window.partitionBy("q_id", "_pid").orderBy(*order)
+    w_final = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        scored.withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(w_final))
+        .filter(F.col("_r") <= k)
+        .select("q_id", id_col, "cos_sim")
     )

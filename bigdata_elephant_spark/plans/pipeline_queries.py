@@ -1,0 +1,483 @@
+"""Registry entries for the round-3 pipeline additions: event
+sequence mining (operators/sequences.py), temperature mixture /
+quality classifier / dedup survivor election (operators/curation.py),
+batch kNN join (operators/similarity.py), and exact grouped
+median+mode order statistics.
+
+Every oracle recomputes the identical arithmetic in DuckDB (same
+rounded features, same md5 sample buckets, same tie-breaks), so
+results are hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.functions.hashing import h32_sql_duckdb
+from bigdata_elephant_spark.operators import curation, sequences
+from bigdata_elephant_spark.operators.textstats import EN_STOPWORDS
+from bigdata_elephant_spark.plans.llm_queries import (
+    _BAND_SELECTS,
+    _MATCHES,
+    _dot_sql,
+    DOC_SHINGLES_CTE,
+    DOC_TOKS_CTE,
+    LSH_EST_SIM_MIN,
+    MINHASH_SIGS_CTE,
+    N_HASHES,
+)
+from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.sources.corpus import read_table
+
+MIX_ALPHA = 0.5
+MIX_FRAC = 0.3
+BATCH_QUERY_IDS = [0, 1, 2, 3]
+BATCH_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------- transition matrix
+
+
+def q_event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return sequences.event_transitions(
+        _events(spark, sf_dir)
+    ).orderBy("from_type", "to_type")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+c AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+ORDER BY from_type, to_type
+"""
+
+
+# --------------------------------------------- sweep-line load
+
+
+def q_concurrency_timeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return sequences.concurrency_timeline(
+        _events(spark, sf_dir)
+    ).orderBy("hour")
+
+
+CONCURRENCY_SQL = """
+WITH deltas AS (
+    SELECT ts AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT ts + to_seconds(greatest(CAST(floor(value) AS INT), 0)),
+           -1
+    FROM events
+),
+run AS (
+    SELECT date_trunc('hour', t) AS hour,
+           sum(d) OVER (ORDER BY t, d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS c
+    FROM deltas
+)
+SELECT hour, CAST(max(c) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------- exact median + mode
+
+
+def q_exact_median_mode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-group order statistics without a row-level sort:
+    the median comes from a running count over the (group, value)
+    FREQUENCY table — the same two-phase trick as surprisal banding
+    (curation.py) — so the only window runs over distinct values,
+    not rows; the mode is a rank over the tiny (group, status)
+    count table. `approx_percentile` is the documented fallback when
+    the value grid is unbounded."""
+    orders = read_table(spark, sf_dir, "orders")
+    prices = orders.select(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    )
+    vals = prices.groupBy("o_orderpriority", "v").agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.withColumn("cum", F.sum("cnt").over(w))
+    totals = vals.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_orders")
+    )
+    med = (
+        cum.join(F.broadcast(totals), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum")
+                            >= F.floor((F.col("n_orders") + 1) / 2),
+                            F.col("v"),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("cum")
+                            >= F.ceil((F.col("n_orders") + 1) / 2),
+                            F.col("v"),
+                        )
+                    )
+                )
+                / 2,
+                6,
+            ).alias("median_price")
+        )
+    )
+    sc = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("sc")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("sc").desc(), F.col("o_orderstatus").asc()
+    )
+    mode = (
+        sc.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+        )
+    )
+    return (
+        totals.join(med, "o_orderpriority")
+        .join(mode, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_orders", "median_price",
+            "mode_status",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+EXACT_MEDIAN_MODE_SQL = """
+WITH vals AS (
+    SELECT o_orderpriority, o_totalprice AS v, count(*) AS cnt
+    FROM orders GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, v, cnt,
+           sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+    FROM vals
+),
+totals AS (
+    SELECT o_orderpriority, sum(cnt) AS n_orders
+    FROM vals GROUP BY 1
+),
+med AS (
+    SELECT c.o_orderpriority,
+           round((min(CASE WHEN c.cum >= floor((t.n_orders + 1) / 2)
+                           THEN c.v END)
+                  + min(CASE WHEN c.cum >= ceil((t.n_orders + 1) / 2)
+                             THEN c.v END)) / 2, 6) AS median_price
+    FROM cum c JOIN totals t USING (o_orderpriority)
+    GROUP BY 1
+),
+sc AS (
+    SELECT o_orderpriority, o_orderstatus, count(*) AS sc
+    FROM orders GROUP BY 1, 2
+),
+mode AS (
+    SELECT o_orderpriority, o_orderstatus AS mode_status
+    FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY sc DESC, o_orderstatus ASC) AS rn
+        FROM sc
+    ) WHERE rn = 1
+)
+SELECT t.o_orderpriority, CAST(t.n_orders AS BIGINT) AS n_orders,
+       m.median_price, o.mode_status
+FROM totals t JOIN med m USING (o_orderpriority)
+JOIN mode o USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------- temperature mixture
+
+
+def q_temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.temperature_mixture(
+        _docs(spark, sf_dir), alpha=MIX_ALPHA, frac_out=MIX_FRAC
+    ).orderBy("doc_id")
+
+
+_DOC_BUCKET = (
+    f"({h32_sql_duckdb('CAST(doc_id AS VARCHAR)')} % 10000)"
+)
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH sizes AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS t
+    FROM sizes
+),
+rates AS (
+    SELECT source,
+           round(least(1.0,
+                       {MIX_FRAC} * t * pow(n_s, {MIX_ALPHA})
+                       / z / n_s), 6) AS rate
+    FROM sizes, tot
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r USING (source)
+WHERE {_DOC_BUCKET} < r.rate * 10000
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------- quality classifier
+
+
+def q_quality_logit_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curation.quality_logit_scores(
+        _docs(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+_STOPS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+QUALITY_LOGIT_SQL = f"""
+WITH {DOC_TOKS_CTE},
+feats AS (
+    SELECT d.doc_id,
+           round(len(regexp_replace(lower(d.text), '[^a-z]', '',
+                                    'g'))
+                 / greatest(len(d.text), 1), 6) AS alpha_frac,
+           round(len(list_filter(t.toks,
+                                 w -> w IN ({_STOPS})))
+                 / greatest(len(t.toks), 1), 6) AS stop_frac,
+           round(least(coalesce(
+                     list_sum(list_transform(t.toks, w -> len(w))),
+                     0) / greatest(len(t.toks), 1), 10.0),
+                 6) AS mean_tok_len,
+           round(len(regexp_replace(lower(d.text), '[^0-9]', '',
+                                    'g'))
+                 / greatest(len(d.text), 1), 6) AS digit_frac
+    FROM documents d JOIN doc_toks t USING (doc_id)
+),
+scored AS (
+    SELECT doc_id, alpha_frac, stop_frac, mean_tok_len, digit_frac,
+           round(1.0 / (1.0 + exp(-(
+               {curation.QUALITY_BIAS}
+               + {curation.QUALITY_WEIGHTS["alpha_frac"]}
+                 * alpha_frac
+               + {curation.QUALITY_WEIGHTS["stop_frac"]}
+                 * stop_frac
+               + {curation.QUALITY_WEIGHTS["mean_tok_len"]}
+                 * (mean_tok_len / 10.0)
+               + {curation.QUALITY_WEIGHTS["digit_frac"]}
+                 * digit_frac))), 6) AS quality
+    FROM feats
+)
+SELECT doc_id, alpha_frac, stop_frac, mean_tok_len, digit_frac,
+       quality, (quality >= {curation.QUALITY_THRESHOLD}) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------- dedup survivor pick
+
+
+def q_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """duplicate_groups (min-label propagation over the LSH pair
+    graph — same pipeline as the `dedup_groups` registry row) +
+    survivor election; the oracle recomputes the components with a
+    recursive CTE and the same (n_chars DESC, doc_id) rank."""
+    from bigdata_elephant_spark.operators import dedup
+    from bigdata_elephant_spark.plans.llm_queries import (
+        LSH_EST_SIM_MIN as sim_min,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= sim_min
+    )
+    groups = dedup.duplicate_groups(pairs)
+    return curation.dedup_survivors(groups, docs).orderBy("doc_id")
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+{MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM cand p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6)
+          >= {LSH_EST_SIM_MIN}
+),
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM good
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM good
+),
+reach AS (
+    SELECT a AS node, a AS label FROM e
+    UNION
+    SELECT e.b AS node, r.label FROM reach r JOIN e ON e.a = r.node
+),
+grp AS (
+    SELECT node AS doc_id, min(label) AS group_id
+    FROM reach GROUP BY node
+),
+member AS (
+    SELECT g.doc_id, g.group_id, d.n_chars
+    FROM grp g JOIN documents d USING (doc_id)
+)
+SELECT doc_id, group_id, n_chars,
+       (row_number() OVER (PARTITION BY group_id
+                           ORDER BY n_chars DESC, doc_id ASC) = 1)
+           AS is_canonical
+FROM member
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------- batch kNN join
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_elephant_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(
+        emb, BATCH_QUERY_IDS, k=BATCH_K
+    ).orderBy("q_id", "vec_id")
+
+
+_IDS = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+
+KNN_BATCH_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+    WHERE vec_id IN ({_IDS})
+),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)
+               AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+r AS (
+    SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id ASC)
+               AS rn
+    FROM scored
+)
+SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= {BATCH_K}
+ORDER BY q_id, vec_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "event_transition_matrix",
+        q_event_transition_matrix,
+        EVENT_TRANSITIONS_SQL,
+        tags=("analytics", "sequence"),
+    ),
+    QuerySpec(
+        "concurrency_timeline",
+        q_concurrency_timeline,
+        CONCURRENCY_SQL,
+        tags=("analytics", "sequence"),
+        bench=True,
+    ),
+    QuerySpec(
+        "exact_median_mode",
+        q_exact_median_mode,
+        EXACT_MEDIAN_MODE_SQL,
+        tags=("relational",),
+    ),
+    QuerySpec(
+        "temperature_mixture_sample",
+        q_temperature_mixture_sample,
+        TEMPERATURE_MIXTURE_SQL,
+        tags=("curation", "sampling"),
+    ),
+    QuerySpec(
+        "quality_logit_filter",
+        q_quality_logit_filter,
+        QUALITY_LOGIT_SQL,
+        tags=("curation", "text"),
+        bench=True,
+    ),
+    QuerySpec(
+        "dedup_survivors",
+        q_dedup_survivors,
+        DEDUP_SURVIVORS_SQL,
+        tags=("curation", "dedup"),
+    ),
+    QuerySpec(
+        "knn_batch",
+        q_knn_batch,
+        KNN_BATCH_SQL,
+        tags=("similarity",),
+        bench=True,
+    ),
+]

@@ -132,6 +132,7 @@ def all_specs() -> list[QuerySpec]:
         analytics,
         curation_queries,
         llm_queries,
+        pipeline_queries,
         relational,
         search_queries,
         sketch_queries,
@@ -142,7 +143,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (search_queries, relational, llm_queries, stream_queries,
                 analytics, training_data, sketch_queries,
-                curation_queries):
+                curation_queries, pipeline_queries):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,182 @@
+"""Unit/property tests for event-sequence operators
+(operators/sequences.py) and the round-3 curation/similarity
+additions (temperature mixture, quality scores, dedup survivors,
+batch kNN)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.operators import curation, sequences
+from bigdata_elephant_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_batch,
+)
+from bigdata_elephant_spark.sources.corpus import read_table
+
+
+def _events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def test_transition_probabilities_row_normalized(spark, sf_dir):
+    out = sequences.event_transitions(_events(spark, sf_dir))
+    rowsums = (
+        out.groupBy("from_type")
+        .agg(F.sum("p").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    assert rowsums
+    for r in rowsums:
+        # per-row probabilities are rounded to 6 decimals, so the
+        # row sum is 1 within #targets * 5e-7
+        assert abs(r["s"] - 1.0) < 1e-4
+        assert r["n"] > 0
+
+
+def test_transitions_match_bruteforce(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    rows = sorted(
+        ev.collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expect: dict[tuple[str, str], int] = {}
+    for a, b in zip(rows, rows[1:]):
+        if a.user_id == b.user_id:
+            k = (a.event_type, b.event_type)
+            expect[k] = expect.get(k, 0) + 1
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in sequences.event_transitions(ev).collect()
+    }
+    assert got == expect
+
+
+def test_concurrency_matches_bruteforce(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # (start offset seconds, duration seconds)
+        (0, 3600),      # spans 10:00-11:00
+        (60, 120),      # 10:01-10:03
+        (90, 10),       # overlap -> 3 concurrent at 10:01:30
+        (7200, 0),      # zero-length at 12:00 (never active)
+        (7300, 100),    # 12:01:40-12:03:20
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), 1, "x", float(d), "")
+            for i, (s, d) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r.hour: r.max_concurrent
+        for r in sequences.concurrency_timeline(ev).collect()
+    }
+    # brute force: sweep all edges in (t, delta) order
+    edges = []
+    for i, (s, d) in enumerate(rows):
+        t0 = base + dt.timedelta(seconds=s)
+        edges.append((t0, 1))
+        edges.append((t0 + dt.timedelta(seconds=d), -1))
+    edges.sort(key=lambda e: (e[0], e[1]))
+    level, expect = 0, {}
+    for t, d in edges:
+        level += d
+        h = t.replace(minute=0, second=0)
+        expect[h] = max(expect.get(h, level), level)
+    assert got == expect
+    assert got[base] == 3  # the 10:00 hour peaks at 3 concurrent
+
+
+def test_temperature_mixture_uniform_at_alpha_one(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = curation.temperature_mixture(docs, alpha=1.0, frac_out=0.25)
+    rates = {
+        r.source: r.rate
+        for r in out.select("source", "rate").distinct().collect()
+    }
+    # alpha=1 keeps the natural mix: every source samples at the
+    # global budget fraction
+    assert rates
+    for v in rates.values():
+        assert abs(v - 0.25) < 1e-6
+
+
+def test_temperature_mixture_flattens_sources(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if len(sizes) < 2:
+        return
+    big = max(sizes, key=sizes.get)
+    small = min(sizes, key=sizes.get)
+    out = curation.temperature_mixture(docs, alpha=0.3, frac_out=0.2)
+    rates = {
+        r.source: r.rate
+        for r in out.select("source", "rate").distinct().collect()
+    }
+    # alpha<1 up-weights small sources: their keep-rate must be at
+    # least the big source's
+    if big in rates and small in rates and sizes[big] > sizes[small]:
+        assert rates[small] >= rates[big]
+
+
+def test_quality_scores_bounded_and_keep_consistent(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = curation.quality_logit_scores(docs)
+    bad = out.filter(
+        (F.col("quality") < 0)
+        | (F.col("quality") > 1)
+        | (
+            F.col("keep")
+            != (F.col("quality") >= curation.QUALITY_THRESHOLD)
+        )
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()
+
+
+def test_dedup_survivors_one_canonical_per_group(spark):
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (10, 5), (11, 5)],
+        "doc_id long, n_chars long",
+    )
+    out = curation.dedup_survivors(groups, docs).collect()
+    canon = {r.group_id: r.doc_id for r in out if r.is_canonical}
+    # longest wins; ties break to the lowest doc_id
+    assert canon == {1: 2, 10: 10}
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r.group_id, 0)
+        per_group[r.group_id] += int(r.is_canonical)
+    assert all(v == 1 for v in per_group.values())
+
+
+def test_batch_knn_matches_single_query(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = [0, 7]
+    batch = cosine_topk_batch(emb, qids, k=5)
+    for qid in qids:
+        single = {
+            (r.vec_id, r.cos_sim)
+            for r in cosine_topk(emb, qid, k=5).collect()
+        }
+        got = {
+            (r.vec_id, r.cos_sim)
+            for r in batch.filter(F.col("q_id") == qid).collect()
+        }
+        assert got == single
