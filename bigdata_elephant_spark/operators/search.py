@@ -159,3 +159,47 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists →
+    ``(doc_id, rrf)`` top-k.
+
+    Each input must carry ``(id_col, rank)`` with 1-based ranks; a
+    document's fused score is ``Σ 1/(k_rrf + rank)`` over the lists
+    that contain it (the Cormack/Clarke/Buettcher formula — rank
+    fusion needs no score calibration between BM25 and cosine, which
+    is exactly why hybrid search uses it).
+
+    The inputs are top-N lists (metadata-sized by construction), so
+    the outer-join chain and the final sort are driver-trivial; all
+    corpus-scale work happened upstream in the retrievers.
+    """
+    fused = None
+    for i, lst in enumerate(ranked_lists):
+        contrib = lst.select(
+            id_col,
+            (1.0 / (F.lit(k_rrf) + F.col("rank"))).alias(f"_c{i}"),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, id_col, "full_outer")
+        )
+    score = sum(
+        (
+            F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+            for i in range(len(ranked_lists))
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        fused.select(id_col, F.round(score, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

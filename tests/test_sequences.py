@@ -180,3 +180,41 @@ def test_batch_knn_matches_single_query(spark, sf_dir):
             for r in batch.filter(F.col("q_id") == qid).collect()
         }
         assert got == single
+
+
+def test_rrf_fuse_handcrafted(spark):
+    from bigdata_elephant_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r.doc_id: r.rrf for r in rrf_fuse([a, b], k=10).collect()
+    }
+    assert abs(out[3] - round(1 / 63 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1] - round(1 / 61, 6)) < 1e-9
+    assert abs(out[4] - round(1 / 62, 6)) < 1e-9
+    # doc in both lists outranks single-list docs at similar ranks
+    ranked = sorted(out, key=lambda d: -out[d])
+    assert ranked[0] == 3
+
+
+def test_llm_pipeline_subset_of_quality_keep(spark, sf_dir):
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        q_llm_pipeline_e2e,
+        q_quality_logit_filter,
+    )
+
+    sel = {
+        r.doc_id for r in q_llm_pipeline_e2e(spark, sf_dir).collect()
+    }
+    keep = {
+        r.doc_id
+        for r in q_quality_logit_filter(spark, sf_dir)
+        .filter("keep")
+        .collect()
+    }
+    assert sel <= keep
