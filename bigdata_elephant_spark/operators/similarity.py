@@ -951,19 +951,16 @@ def cosine_topk_batch(
     The kNN-join shape (each query of a small probe set against the
     full corpus) that single-query :func:`cosine_topk` can't batch:
     the query rows broadcast, every corpus partition scores all
-    queries locally, and the top-k is taken in TWO phases so no
-    single reducer ever sees corpus-sized data:
-
-    1. per-(query, input-partition) rank window — each partition
-       keeps at most ``k`` rows per query (the partial "heap"),
-    2. per-query rank over the surviving ``#partitions × k`` rows.
-
-    A single window partitioned only by ``q_id`` would funnel the
-    whole corpus through ``len(query_ids)`` reducers — the classic
-    top-k-per-key skew; the partial phase bounds that to
-    metadata-sized input. Ordering ranks on the ROUNDED score (6
-    decimals) with ``vec_id`` tie-break, so ranks are deterministic
-    and engine-portable.
+    queries locally, then one rank window per ``q_id`` takes the
+    top-k. A rank window bounded by a ``row_number() <= k`` filter
+    is planned as ``WindowGroupLimit`` (Partial before the exchange,
+    Final after — verified in PLANS.md), i.e. each map-side
+    partition keeps only its local top-k per query before the
+    shuffle, so the per-query reducer sees at most
+    ``#partitions × k`` rows — the same partial-heap behavior as
+    TakeOrderedAndProject, generalized per key. Ranks order on the
+    ROUNDED score (6 decimals) with ``vec_id`` tie-break, so results
+    are deterministic and engine-portable.
     """
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
@@ -975,14 +972,12 @@ def cosine_topk_batch(
             id_col,
             vec_col,
             F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
-            F.spark_partition_id().alias("_pid"),
         )
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             id_col,
-            "_pid",
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
                 / (F.col("_nrm") * F.col("_qnrm")),
@@ -990,13 +985,11 @@ def cosine_topk_batch(
             ).alias("cos_sim"),
         )
     )
-    order = (F.desc("cos_sim"), F.asc(id_col))
-    w_part = Window.partitionBy("q_id", "_pid").orderBy(*order)
-    w_final = Window.partitionBy("q_id").orderBy(*order)
+    w_final = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
     return (
-        scored.withColumn("_r", F.row_number().over(w_part))
-        .filter(F.col("_r") <= k)
-        .withColumn("_r", F.row_number().over(w_final))
+        scored.withColumn("_r", F.row_number().over(w_final))
         .filter(F.col("_r") <= k)
         .select("q_id", id_col, "cos_sim")
     )
