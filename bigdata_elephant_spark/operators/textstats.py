@@ -395,3 +395,117 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
         .limit(top_n)
     )
+
+
+def hashed_doc_vectors(docs: DataFrame, dims: int = 64) -> DataFrame:
+    """Signed feature hashing ("hashing trick") of token counts into
+    a ``dims``-dimensional sparse vector → long-form
+    ``(doc_id, dim, val)`` with only non-zero dims.
+
+    The text→vector bridge when no trained encoder is available (the
+    HashingVectorizer construction): each token maps to dimension
+    ``h32(w) mod dims`` with sign ``±1`` from an independent hash
+    bit, and ``val`` is the signed token-count sum — an INTEGER, so
+    the vector is exact on any engine/partitioning with no float
+    discipline needed. Long form is also the scale-correct shape: a
+    100 TB corpus never materializes dense arrays it doesn't need,
+    and downstream cosine/ANN can consume the sparse rows or
+    pivot-assemble arrays per batch.
+
+    Plan shape: one token explode + one (doc_id, dim) partial+final
+    count-sum — the same single-shuffle profile as postings_build.
+    """
+    words = docs.select(
+        "doc_id", F.explode(tokens_array("text")).alias("w")
+    )
+    dim = F.pmod(h32(F.col("w")), F.lit(dims))
+    sign = F.when(
+        F.pmod(h32(F.concat(F.lit("s"), F.col("w"))), F.lit(2)) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        words.select(
+            "doc_id", dim.alias("dim"), sign.alias("sign")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc mean bigram surprisal ``−ln p(w2|w1)`` under an add-1
+    smoothed corpus bigram LM → ``(doc_id, n_bigrams,
+    avg_bigram_surprisal)``; docs with fewer than 2 tokens drop.
+
+    The next step up from ``unigram_surprisal``: conditional
+    probabilities catch word-salad documents whose unigram profile
+    looks natural.  ``p(w2|w1) = (c(w1w2)+1) / (c1(w1)+V)`` where
+    ``c1`` counts bigram STARTS (so the distribution sums to 1 over
+    the vocabulary) and ``V`` is the distinct-unigram vocabulary
+    size. ln() runs once per distinct bigram, rounded to 6 decimals
+    and cast to exact decimal, so per-doc sums are engine- and
+    partitioning-exact (same discipline as the unigram query).
+
+    Plan shape: one corpus pass builds the bigram stream (array
+    slice+zip — no self-join); the count tables broadcast back onto
+    it.
+    """
+    toks = docs.select(
+        "doc_id", tokens_array("text").alias("__toks")
+    )
+    n = F.size("__toks")
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("__toks", 1, n - 1),
+                    F.slice(F.col("__toks"), 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    bigrams = persist_tracked(bigrams)
+    c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
+    starts = bigrams.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    )
+    c1 = starts.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_size = (
+        docs.select(
+            F.explode(tokens_array("text")).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    s = (
+        c2.withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "bg",
+            F.round(
+                F.log(F.col("c1") + F.col("v"))
+                - F.log(F.col("c2") + 1),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s_bg"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(s), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("s_bg").cast("double") / F.count("*"), 6
+            ).alias("avg_bigram_surprisal"),
+        )
+    )

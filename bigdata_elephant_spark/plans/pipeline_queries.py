@@ -671,6 +671,204 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------- feature hashing
+
+HASH_DIMS = 64
+
+
+def q_hashed_doc_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_elephant_spark.operators.textstats import (
+        hashed_doc_vectors,
+    )
+
+    return hashed_doc_vectors(
+        _docs(spark, sf_dir), dims=HASH_DIMS
+    ).orderBy("doc_id", "dim")
+
+
+_W_HASH = h32_sql_duckdb("w")
+_SIGN_HASH = h32_sql_duckdb("('s' || w)")
+
+HASHED_VECTORS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (SELECT doc_id, unnest(toks) AS w FROM doc_toks),
+sig AS (
+    SELECT doc_id,
+           ({_W_HASH} % {HASH_DIMS}) AS dim,
+           CASE WHEN ({_SIGN_HASH} % 2) = 0 THEN 1 ELSE -1 END
+               AS sign
+    FROM words
+)
+SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+FROM sig GROUP BY 1, 2 HAVING sum(sign) <> 0
+ORDER BY doc_id, dim
+"""
+
+
+# --------------------------------------------- bigram LM score
+
+
+def q_bigram_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_elephant_spark.operators.textstats import (
+        bigram_surprisal_scores,
+    )
+
+    return bigram_surprisal_scores(
+        _docs(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH {DOC_TOKS_CTE},
+bgs AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+    FROM doc_toks, unnest(range(1, len(toks))) AS t(i)
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1),
+c1 AS (
+    SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+    FROM bgs GROUP BY 1
+),
+v AS (
+    SELECT count(DISTINCT w) AS v
+    FROM (SELECT unnest(toks) AS w FROM doc_toks)
+),
+s AS (
+    SELECT c2.bg,
+           CAST(round(ln(c1.c1 + v.v) - ln(c2.c2 + 1), 6)
+                AS DECIMAL(18,6)) AS s_bg
+    FROM c2
+    JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+    CROSS JOIN v
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(s.s_bg) AS DOUBLE) / count(*), 6)
+           AS avg_bigram_surprisal
+FROM bgs b JOIN s USING (bg)
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------- per-type trend
+
+
+def q_value_trend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form OLS slope/intercept of the daily mean event value
+    against the day index, per event type — the grouped-regression
+    feature a driver-side loop or UDF would normally compute.
+    Entirely aggregate algebra: exact decimal sums (x, y, xy, x²)
+    per group, then one double expression per OUTPUT row. The daily
+    table is date-bounded (≤ a few thousand rows per type), so the
+    min-day window is metadata-sized; the corpus-scale work is one
+    (type, day) aggregation."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(18,6)")
+            ).alias("sv"),
+            F.count("*").alias("cn"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.col("sv").cast("double") / F.col("cn"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    daily = daily.withColumn(
+        "x",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast(
+            "decimal(10,0)"
+        ),
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_days")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = F.round(
+        (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+    )
+    out = sums.filter(
+        F.col("n_days") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+        != 0
+    ).select(
+        "event_type",
+        "n_days",
+        slope.alias("slope"),
+        F.round(
+            (sy - slope * sx) / n, 6
+        ).alias("intercept"),
+    )
+    return out.orderBy("event_type")
+
+
+VALUE_TREND_SQL = """
+WITH daily0 AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sv,
+           count(*) AS cn
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT event_type, day,
+           CAST(round(CAST(sv AS DOUBLE) / cn, 6)
+                AS DECIMAL(18,6)) AS y,
+           CAST(date_diff('day',
+                          min(day) OVER (PARTITION BY event_type),
+                          day) AS DECIMAL(10,0)) AS x
+    FROM daily0
+),
+sums AS (
+    SELECT event_type,
+           count(*) AS n_days,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round((n_days * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_days * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - round((n_days * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n_days * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE)), 6)
+                * CAST(sx AS DOUBLE)) / n_days, 6) AS intercept
+FROM sums
+WHERE n_days * sxx - sx * sx <> 0
+ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_transition_matrix",
@@ -730,5 +928,24 @@ SPECS = [
         LLM_PIPELINE_SQL,
         tags=("curation", "dedup", "sampling"),
         bench=True,
+    ),
+    QuerySpec(
+        "hashed_doc_vectors",
+        q_hashed_doc_vectors,
+        HASHED_VECTORS_SQL,
+        tags=("text", "similarity"),
+    ),
+    QuerySpec(
+        "bigram_surprisal",
+        q_bigram_surprisal,
+        BIGRAM_SURPRISAL_SQL,
+        tags=("text", "llm"),
+        bench=True,
+    ),
+    QuerySpec(
+        "value_trend_by_type",
+        q_value_trend_by_type,
+        VALUE_TREND_SQL,
+        tags=("analytics", "agg"),
     ),
 ]

@@ -218,3 +218,92 @@ def test_llm_pipeline_subset_of_quality_keep(spark, sf_dir):
         .collect()
     }
     assert sel <= keep
+
+
+def test_hashed_vectors_bounded_and_deterministic(spark, sf_dir):
+    from bigdata_elephant_spark.operators.textstats import (
+        hashed_doc_vectors,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = hashed_doc_vectors(docs, dims=64)
+    rows = v1.collect()
+    assert rows
+    assert all(0 <= r.dim < 64 for r in rows)
+    assert all(r.val != 0 for r in rows)
+    # stable under repartitioning (content-hash, not partition RNG)
+    v2 = hashed_doc_vectors(docs.repartition(13), dims=64)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, v2.collect())
+    )
+
+
+def test_bigram_surprisal_handcheck(spark):
+    import math
+
+    from bigdata_elephant_spark.operators.textstats import (
+        bigram_surprisal_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat dog"), (2, "cat dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_surprisal)
+        for r in bigram_surprisal_scores(docs).collect()
+    }
+    # corpus bigrams: d1 -> (cat dog), (dog cat), (cat dog);
+    # d2 -> (cat dog). c2: "cat dog"=3, "dog cat"=1.
+    # starts: cat=3, dog=1. V=2.
+    s_cd = round(math.log(3 + 2) - math.log(3 + 1), 6)
+    s_dc = round(math.log(1 + 2) - math.log(1 + 1), 6)
+    assert out[1][0] == 3
+    assert abs(out[1][1] - round((2 * s_cd + s_dc) / 3, 6)) < 1e-6
+    assert out[2][0] == 1
+    assert abs(out[2][1] - round(s_cd, 6)) < 1e-6
+
+
+def test_value_trend_recovers_linear_series(spark):
+    import datetime as dt
+
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        q_value_trend_by_type,
+    )
+    from bigdata_elephant_spark.sources import corpus as corpus_mod
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        for _ in range(3):  # 3 events/day, same value => mean exact
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(days=day, hours=eid % 5),
+                    1,
+                    "buy",
+                    5.0 + 2.0 * day,
+                    "",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    # route the query's table read to our in-memory frame
+    import bigdata_elephant_spark.plans.pipeline_queries as pq
+
+    orig = pq._events
+    pq._events = lambda s, d: ev
+    try:
+        out = q_value_trend_by_type(spark, "ignored").collect()
+    finally:
+        pq._events = orig
+    (r,) = out
+    assert r.event_type == "buy"
+    assert r.n_days == 10
+    assert abs(r.slope - 2.0) < 1e-6
+    assert abs(r.intercept - 5.0) < 1e-6
