@@ -351,6 +351,13 @@ def duplicate_groups(
     component minimum shrinks by >= 1 hop per round, so rounds <=
     graph diameter; near-dup components are shallow in practice
     (``max_iter`` caps pathological chains).
+
+    Convergence detection: labels are monotonically non-increasing
+    under min-propagation, so the exact decimal SUM of all labels
+    strictly decreases iff any label changed. Comparing per-round
+    sums costs one map-side-partial aggregate over the node table —
+    the old-vs-new label equi-join it replaces was a second
+    node-sized shuffle per round.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -364,6 +371,12 @@ def duplicate_groups(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
@@ -374,16 +387,11 @@ def duplicate_groups(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         import warnings
 

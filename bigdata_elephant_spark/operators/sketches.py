@@ -501,3 +501,115 @@ def bloom_pos_sql_duckdb(key_expr: str, m: int = BLOOM_M) -> str:
         )
         + f" % {m}"
     )
+
+
+def kmv_pairwise_setops(
+    df: DataFrame, key: str, group: str, k: int
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS between per-group KMV
+    sketches → one row per group pair ``(ta, tb)`` with the sketch
+    union / Jaccard / intersection estimates next to the exact
+    answers.
+
+    The property being demonstrated: distinct-set algebra
+    (union/intersection sizes between segments) from CONSTANT-SIZE
+    states, without re-scanning raw data per pair. ``M`` = the k
+    smallest of the merged sketches is itself a KMV sketch of
+    ``A ∪ B``; the fraction of ``M`` present in both input sketches
+    estimates Jaccard (Beyer et al., "On synopses for distinct-value
+    estimation"), and ``|A∩B| ≈ J · |A∪B|``.
+
+    Scale shape: one distinct over ``(group, h)`` + one group-keyed
+    rank window build the sketches (same as :func:`kmv_state`);
+    everything pairwise operates on ``#groups × k`` rows —
+    metadata-sized however large the raw table is. Estimates are
+    integer ratios and one rounded division, so the DuckDB oracle
+    replays them bit-for-bit.
+    """
+    hashes = df.select(
+        F.col(group), h32(F.col(key).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    kept = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group, "h")
+    )
+    types = kept.select(group).distinct()
+    pairs = (
+        types.select(F.col(group).alias("ta"))
+        .crossJoin(types.select(F.col(group).alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    mu = (
+        pairs.join(
+            kept,
+            (F.col(group) == F.col("ta"))
+            | (F.col(group) == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    w_pair = Window.partitionBy("ta", "tb").orderBy("h")
+    m = mu.withColumn("rn", F.row_number().over(w_pair)).filter(
+        F.col("rn") <= k
+    )
+    mk = m.groupBy("ta", "tb").agg(
+        F.max("h").alias("hk"), F.count("*").alias("n_in")
+    )
+    ka = kept.select(
+        F.col(group).alias("ta"), F.col("h").alias("h")
+    )
+    kb = kept.select(
+        F.col(group).alias("tb"), F.col("h").alias("h")
+    )
+    inter = (
+        m.join(ka, ["ta", "h"])
+        .join(kb, ["tb", "h"])
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("c"))
+    )
+    du = df.select(group, key).distinct()
+    dc = du.groupBy(group).agg(F.count("*").alias("n"))
+    xin = (
+        du.alias("a")
+        .join(du.alias("b"), key)
+        .filter(F.col(f"a.{group}") < F.col(f"b.{group}"))
+        .groupBy(
+            F.col(f"a.{group}").alias("ta"),
+            F.col(f"b.{group}").alias("tb"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    numk = float((k - 1) * TWO32)
+    est = (
+        mk.join(inter, ["ta", "tb"], "left")
+        .na.fill({"c": 0})
+        .join(
+            dc.select(F.col(group).alias("ta"), F.col("n").alias("na")),
+            "ta",
+        )
+        .join(
+            dc.select(F.col(group).alias("tb"), F.col("n").alias("nb")),
+            "tb",
+        )
+        .join(xin, ["ta", "tb"], "left")
+        .na.fill({"x": 0})
+    )
+    union_est = F.when(
+        F.col("n_in") < k, F.col("n_in").cast("double")
+    ).otherwise(F.round(F.lit(numk) / F.col("hk"), 6))
+    jacc = F.round(F.col("c") / F.col("n_in"), 6)
+    return est.select(
+        "ta",
+        "tb",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("c").cast("long").alias("c"),
+        union_est.alias("union_est"),
+        jacc.alias("jacc"),
+        F.round(jacc * union_est, 6).alias("inter_est"),
+        (F.col("na") + F.col("nb") - F.col("x"))
+        .cast("long")
+        .alias("exact_union"),
+        F.col("x").cast("long").alias("exact_inter"),
+    )

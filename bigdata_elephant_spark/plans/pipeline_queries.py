@@ -869,6 +869,121 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------- k-anonymity audit
+
+K_ANON = 5
+
+
+def q_k_anonymity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-data governance check: group the customer table by
+    its quasi-identifier tuple (nation, market segment) and flag
+    groups smaller than k — the rows a k-anonymity release would
+    have to suppress or generalize. One partial+final aggregation;
+    the QI-group table is |nations|×|segments|, metadata-sized."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_group"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_group",
+            (F.col("n_group") < K_ANON).alias("risky"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_group,
+       (count(*) < {K_ANON}) AS risky
+FROM customer
+GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------- per-user EWMA
+
+EWMA_ALPHA = 0.5  # (1-alpha) = 0.5: every weight is an exact power
+#                   of two, so pow() is bit-identical on any engine
+EWMA_MAX_EXP = 50  # weights below 2^-50 truncate to exact zero
+
+
+def q_ewma_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    at the user's LAST event — the classic streaming feature
+    computed batch-side, without a recursive UDF: the recursion
+    ``s_t = α·v_t + (1−α)·s_{t−1}`` unrolls to a weighted sum with
+    weights ``(1−α)^(n−i)``, expressible as one rank window + one
+    aggregation. Terms are rounded to 12 decimals and summed as
+    exact decimals; with α = 0.5 every weight is a power of two, so
+    the unroll is bit-identical across engines. Weights below
+    ``2^-50`` are truncated to zero (documented cap — keeps pow()
+    out of the subnormal range where engines may differ)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        F.round(F.col("value"), 6).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_all).alias("n_u"),
+    )
+    exp = F.when(
+        F.col("rn") == 1, F.col("n_u") - 1
+    ).otherwise(F.col("n_u") - F.col("rn") + 1)
+    term = (
+        F.round(
+            F.col("v")
+            * F.pow(
+                F.lit(1.0 - EWMA_ALPHA),
+                F.least(exp, F.lit(EWMA_MAX_EXP)),
+            ),
+            12,
+        )
+        .cast("decimal(30,12)")
+        .alias("term")
+    )
+    return (
+        ranked.select("user_id", term)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EWMA_SQL = f"""
+WITH ranked AS (
+    SELECT user_id, round(value, 6) AS v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_u
+    FROM events
+),
+terms AS (
+    SELECT user_id,
+           CAST(round(v * pow({1.0 - EWMA_ALPHA},
+                              least(CASE WHEN rn = 1 THEN n_u - 1
+                                         ELSE n_u - rn + 1 END,
+                                    {EWMA_MAX_EXP})), 12)
+                AS DECIMAL(30,12)) AS term
+    FROM ranked
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(term) AS DOUBLE), 6) AS ewma
+FROM terms GROUP BY 1 ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_transition_matrix",
@@ -947,5 +1062,17 @@ SPECS = [
         q_value_trend_by_type,
         VALUE_TREND_SQL,
         tags=("analytics", "agg"),
+    ),
+    QuerySpec(
+        "k_anonymity_audit",
+        q_k_anonymity_audit,
+        K_ANONYMITY_SQL,
+        tags=("curation", "agg"),
+    ),
+    QuerySpec(
+        "ewma_user_value",
+        q_ewma_user_value,
+        EWMA_SQL,
+        tags=("analytics", "window"),
     ),
 ]

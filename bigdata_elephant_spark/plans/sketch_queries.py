@@ -534,3 +534,102 @@ SPECS = [
     QuerySpec("bloom_customer_probe", bloom_customer_probe,
               BLOOM_PROBE_SQL, ("relational", "sketch", "join")),
 ]
+
+
+# ------------------------------------------------ KMV set algebra
+
+
+def kmv_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise union/Jaccard/intersection estimates between the
+    per-event-type distinct-user KMV sketches, next to exact answers
+    (operators/sketches.py kmv_pairwise_setops)."""
+    from bigdata_elephant_spark.operators.sketches import (
+        kmv_pairwise_setops,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return kmv_pairwise_setops(
+        e, "user_id", "event_type", KMV_K
+    ).orderBy("ta", "tb")
+
+
+_KMV_H = h32_sql_duckdb("CAST(user_id AS VARCHAR)")
+_NUMK_PAIR = repr(float((KMV_K - 1) * 2**32))
+
+KMV_SETOPS_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT event_type, {_KMV_H} AS h FROM events
+),
+kept AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h) AS rn
+        FROM h
+    ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM kept),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM types a, types b WHERE a.event_type < b.event_type
+),
+mu AS (
+    SELECT DISTINCT p.ta, p.tb, k.h
+    FROM pairs p JOIN kept k
+      ON k.event_type = p.ta OR k.event_type = p.tb
+),
+m AS (
+    SELECT ta, tb, h,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM mu
+),
+mk AS (
+    SELECT ta, tb, max(h) AS hk, count(*) AS n_in
+    FROM m WHERE rn <= {KMV_K} GROUP BY 1, 2
+),
+inter AS (
+    SELECT m.ta, m.tb, count(*) AS c
+    FROM m
+    JOIN kept a ON a.event_type = m.ta AND a.h = m.h
+    JOIN kept b ON b.event_type = m.tb AND b.h = m.h
+    WHERE m.rn <= {KMV_K}
+    GROUP BY 1, 2
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+dc AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+xin AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS x
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT mk.ta, mk.tb,
+       CAST(mk.n_in AS BIGINT) AS n_in,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS c,
+       CASE WHEN mk.n_in < {KMV_K} THEN CAST(mk.n_in AS DOUBLE)
+            ELSE round({_NUMK_PAIR} / mk.hk, 6) END AS union_est,
+       round(coalesce(i.c, 0) / mk.n_in, 6) AS jacc,
+       round(round(coalesce(i.c, 0) / mk.n_in, 6)
+             * (CASE WHEN mk.n_in < {KMV_K}
+                     THEN CAST(mk.n_in AS DOUBLE)
+                     ELSE round({_NUMK_PAIR} / mk.hk, 6) END),
+             6) AS inter_est,
+       CAST(da.n + db.n - coalesce(x.x, 0) AS BIGINT)
+           AS exact_union,
+       CAST(coalesce(x.x, 0) AS BIGINT) AS exact_inter
+FROM mk
+LEFT JOIN inter i ON i.ta = mk.ta AND i.tb = mk.tb
+JOIN dc da ON da.event_type = mk.ta
+JOIN dc db ON db.event_type = mk.tb
+LEFT JOIN xin x ON x.ta = mk.ta AND x.tb = mk.tb
+ORDER BY mk.ta, mk.tb
+"""
+
+SPECS.append(
+    QuerySpec(
+        "kmv_user_setops",
+        kmv_user_setops,
+        KMV_SETOPS_SQL,
+        ("llm", "sketch", "agg", "join"),
+    )
+)

@@ -307,3 +307,31 @@ def test_value_trend_recovers_linear_series(spark):
     assert r.n_days == 10
     assert abs(r.slope - 2.0) < 1e-6
     assert abs(r.intercept - 5.0) < 1e-6
+
+
+def test_ewma_matches_recursive_definition(spark):
+    import datetime as dt
+
+    from bigdata_elephant_spark.plans import pipeline_queries as pq
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.25]
+    base = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=i), 7, "x", v, "")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    orig = pq._events
+    pq._events = lambda s, d: ev
+    try:
+        (r,) = pq.q_ewma_user_value(spark, "ignored").collect()
+    finally:
+        pq._events = orig
+    s = vals[0]
+    for v in vals[1:]:
+        s = 0.5 * v + 0.5 * s
+    assert r.n_events == len(vals)
+    assert abs(r.ewma - round(s, 6)) < 1e-9

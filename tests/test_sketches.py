@@ -304,3 +304,23 @@ def test_bottomk_sample_is_mergeable(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_kmv_setops_estimates_track_exact(spark, sf_dir):
+    from bigdata_elephant_spark.operators.sketches import (
+        kmv_pairwise_setops,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    rows = kmv_pairwise_setops(
+        e, "user_id", "event_type", 32
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.jacc <= 1.0
+        assert r.exact_inter <= r.exact_union
+        # KMV with k=32 has ~1/sqrt(30) relative error; allow 3x
+        assert abs(r.union_est - r.exact_union) <= max(
+            0.6 * r.exact_union, 5
+        )
