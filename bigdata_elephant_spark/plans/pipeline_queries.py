@@ -984,6 +984,138 @@ FROM terms GROUP BY 1 ORDER BY user_id
 """
 
 
+# --------------------------------------------- MAD outliers
+
+MAD_N = 3.0
+
+
+def q_robust_value_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_elephant_spark.operators.robust import mad_outliers
+
+    return mad_outliers(
+        _events(spark, sf_dir),
+        group="event_type",
+        value="value",
+        id_col="event_id",
+        n_mads=MAD_N,
+    ).orderBy("event_id")
+
+
+def _median_ctes(src: str, val: str, prefix: str) -> str:
+    """Frequency-table exact-median CTE chain for ``val`` grouped by
+    event_type; emits CTE ``{prefix}med(event_type, med)``."""
+    return f"""{prefix}f AS (
+    SELECT event_type, {val} AS v, count(*) AS cnt
+    FROM {src} GROUP BY 1, 2
+),
+{prefix}c AS (
+    SELECT event_type, v, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+    FROM {prefix}f
+),
+{prefix}t AS (
+    SELECT event_type, sum(cnt) AS n FROM {prefix}f GROUP BY 1
+),
+{prefix}med AS (
+    SELECT c.event_type,
+           round((min(CASE WHEN c.cum >= floor((t.n + 1) / 2)
+                           THEN c.v END)
+                  + min(CASE WHEN c.cum >= ceil((t.n + 1) / 2)
+                             THEN c.v END)) / 2, 6) AS med
+    FROM {prefix}c c JOIN {prefix}t t USING (event_type)
+    GROUP BY 1
+)"""
+
+
+ROBUST_OUTLIERS_SQL = f"""
+WITH vals AS (
+    SELECT event_id, event_type, round(value, 6) AS v FROM events
+),
+{_median_ctes('vals', 'v', 'v')},
+devs AS (
+    SELECT v.event_id, v.event_type, v.v,
+           round(abs(v.v - m.med), 6) AS dev, m.med
+    FROM vals v JOIN vmed m USING (event_type)
+),
+{_median_ctes('devs', 'dev', 'd')}
+SELECT d.event_id, d.event_type, d.v, d.dev, d.med,
+       a.med AS mad
+FROM devs d JOIN dmed a USING (event_type)
+WHERE d.dev > {MAD_N} * a.med
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------- Neyman sampling
+
+NEYMAN_N = 400
+
+
+def q_neyman_sample_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_elephant_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return neyman_allocation_sample(
+        orders,
+        stratum="o_orderpriority",
+        value="o_totalprice",
+        key="o_orderkey",
+        n_out=NEYMAN_N,
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+_SIGMA = (
+    "round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_h "
+    "- pow(CAST(s1 AS DOUBLE) / n_h, 2), 0.0)), 6)"
+)
+
+NEYMAN_SAMPLE_SQL = f"""
+WITH stats AS (
+    SELECT o_orderpriority, count(*) AS n_h,
+           sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+               AS s1,
+           sum(CAST(round(pow(round(o_totalprice, 6), 2), 12)
+                    AS DECIMAL(24,12))) AS s2
+    FROM orders GROUP BY 1
+),
+weights AS (
+    SELECT o_orderpriority, n_h,
+           {_SIGMA} AS sigma,
+           CAST(round(n_h * {_SIGMA}, 6) AS DECIMAL(24,6)) AS w
+    FROM stats
+),
+tot AS (SELECT sum(w) AS tw FROM weights),
+alloc AS (
+    SELECT o_orderpriority, n_h, sigma,
+           CAST(floor({float(NEYMAN_N)} * CAST(w AS DOUBLE)
+                      / CAST(tw AS DOUBLE) + 0.5) AS BIGINT)
+               AS alloc
+    FROM weights, tot WHERE tw > 0
+),
+ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                        o_orderkey) AS rn
+    FROM orders
+)
+SELECT r.o_orderpriority, r.o_orderkey, a.alloc,
+       CAST(a.n_h AS BIGINT) AS n_h, a.sigma
+FROM ranked r JOIN alloc a USING (o_orderpriority)
+WHERE r.rn <= a.alloc
+ORDER BY r.o_orderpriority, r.o_orderkey
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_transition_matrix",
@@ -1074,5 +1206,17 @@ SPECS = [
         q_ewma_user_value,
         EWMA_SQL,
         tags=("analytics", "window"),
+    ),
+    QuerySpec(
+        "robust_value_outliers",
+        q_robust_value_outliers,
+        ROBUST_OUTLIERS_SQL,
+        tags=("analytics", "curation", "agg"),
+    ),
+    QuerySpec(
+        "neyman_sample_orders",
+        q_neyman_sample_orders,
+        NEYMAN_SAMPLE_SQL,
+        tags=("sampling", "relational"),
     ),
 ]

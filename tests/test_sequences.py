@@ -335,3 +335,52 @@ def test_ewma_matches_recursive_definition(spark):
         s = 0.5 * v + 0.5 * s
     assert r.n_events == len(vals)
     assert abs(r.ewma - round(s, 6)) < 1e-9
+
+
+def test_mad_outliers_handcheck(spark):
+    from bigdata_elephant_spark.operators.robust import mad_outliers
+
+    vals = [10.0] * 9 + [10.5] * 9 + [11.0] * 9 + [99.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = mad_outliers(
+        df, "event_type", "value", "event_id", n_mads=3.0
+    ).collect()
+    # median 10.5, deviations {0, 0.5} + one 88.5; MAD = 0.5;
+    # only the 99.0 row exceeds 3 * 0.5
+    assert [r.v for r in out] == [99.0]
+    assert out[0].med == 10.5 and out[0].mad == 0.5
+
+
+def test_neyman_alloc_totals_and_determinism(spark, sf_dir):
+    from bigdata_elephant_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    sel = neyman_allocation_sample(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", 100
+    )
+    rows = sel.collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.o_orderpriority, [0, r.alloc])
+        per[r.o_orderpriority][0] += 1
+    for got, alloc in per.values():
+        assert got == min(
+            alloc,
+            got,
+        )  # never exceeds the allocation
+    # rounding drift stays within one row per stratum
+    assert abs(sum(a for _, a in per.values()) - 100) <= len(per)
+    rows2 = neyman_allocation_sample(
+        orders.repartition(7),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        100,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
