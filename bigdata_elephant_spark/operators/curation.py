@@ -425,7 +425,9 @@ QUALITY_WEIGHTS = {
 QUALITY_THRESHOLD = 0.5
 
 
-def quality_logit_scores(docs: DataFrame) -> DataFrame:
+def quality_logit_scores(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Logistic quality score per document →
     ``(doc_id, alpha_frac, stop_frac, mean_tok_len, digit_frac,
     quality, keep)``.
@@ -479,6 +481,7 @@ def quality_logit_scores(docs: DataFrame) -> DataFrame:
     )
     feats = docs.select(
         "doc_id",
+        *extra_cols,
         alpha_frac.alias("alpha_frac"),
         stop_frac.alias("stop_frac"),
         mean_tok_len.alias("mean_tok_len"),
@@ -494,6 +497,7 @@ def quality_logit_scores(docs: DataFrame) -> DataFrame:
     quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return feats.select(
         "doc_id",
+        *extra_cols,
         "alpha_frac",
         "stop_frac",
         "mean_tok_len",

@@ -215,3 +215,62 @@ SPECS = [
     QuerySpec("events_stream_interval_join", q_stream_interval_join,
               STREAM_INTERVAL_JOIN_SQL, ("streaming", "join")),
 ]
+
+
+def q_stream_curate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming corpus curation: documents arrive as a file
+    micro-batch stream, get exact-deduplicated on (source, text-md5)
+    with streaming dropDuplicates state, scored by the expression-
+    only quality classifier (operators/curation.py — the same plan
+    runs batch or streaming because it is pure projection), and
+    aggregated into per-(source, keep) counts. Finite input drains
+    to completion, so the result equals the batch oracle."""
+    import uuid
+
+    from bigdata_elephant_spark.operators.curation import (
+        quality_logit_scores,
+    )
+
+    stream = ev.read_documents_stream(spark, sf_dir)
+    deduped = stream.withColumn(
+        "_md5", F.md5("text")
+    ).dropDuplicates(["source", "_md5"])
+    scored = quality_logit_scores(deduped, extra_cols=("source",))
+    agg = scored.groupBy("source", "keep").agg(
+        F.count("*").alias("n")
+    )
+    return ev.run_stream_to_memory(
+        agg, f"stream_curate_{uuid.uuid4().hex[:8]}"
+    ).orderBy("source", "keep")
+
+
+def _stream_curate_sql() -> str:
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        _QUALITY_CTES,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import DOC_TOKS_CTE
+
+    return f"""
+WITH {DOC_TOKS_CTE}, {_QUALITY_CTES},
+rep AS (
+    SELECT source, min(doc_id) AS doc_id
+    FROM documents GROUP BY source, md5(text)
+)
+SELECT r.source, (s.quality >= 0.5) AS keep,
+       CAST(count(*) AS BIGINT) AS n
+FROM rep r JOIN scored s USING (doc_id)
+GROUP BY 1, 2
+ORDER BY source, keep
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "docs_stream_curate",
+        q_stream_curate_docs,
+        _stream_curate_sql(),
+        ("streaming", "stateful", "curation", "text"),
+    )
+)

@@ -513,3 +513,18 @@ def write_events_kafka(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Micro-batch file stream over the documents table — the
+    landing-directory shape of a streaming corpus ingest (each new
+    crawl dump appears as a file; the curation query keeps up
+    incrementally instead of re-running batch over everything).
+    Same staging mechanics as :func:`read_events_stream`."""
+    src_file = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(src_file).schema
+    stage_dir = _new_stage_dir()
+    shutil.copy(src_file, stage_dir)
+    return spark.readStream.schema(schema).parquet(stage_dir)

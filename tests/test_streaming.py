@@ -353,3 +353,35 @@ def test_trigger_available_now_drains_and_terminates(spark, sf_dir):
     got = spark.table(name)
     cols = ["win_start", "event_type", "n", "sum_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_docs_stream_curate_matches_batch(spark, sf_dir):
+    """The streaming curation aggregate equals the same pipeline run
+    as a plain batch plan (finite input, drained to completion)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.curation import (
+        quality_logit_scores,
+    )
+    from bigdata_elephant_spark.plans.stream_queries import (
+        q_stream_curate_docs,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    got = {
+        (r.source, r.keep): r.n
+        for r in q_stream_curate_docs(spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    batch = (
+        quality_logit_scores(
+            docs.withColumn("_md5", F.md5("text")).dropDuplicates(
+                ["source", "_md5"]
+            ),
+            extra_cols=("source",),
+        )
+        .groupBy("source", "keep")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.source, r.keep): r.n for r in batch.collect()}
+    assert got == want
