@@ -1116,6 +1116,105 @@ ORDER BY r.o_orderpriority, r.o_orderkey
 """
 
 
+# ------------------------------------------- data-quality report
+
+DQ_STATUSES = ("F", "O", "P")
+DQ_DATE_LO = "1995-01-01"
+DQ_DATE_HI = "2000-01-01"
+
+
+def q_dq_orders_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-contract validation for the orders table: four declared
+    rules (non-negative totals, status enum, FK into customer,
+    orderdate window) checked in ONE conditional-aggregate scan plus
+    one anti-join, emitted as a per-rule violation report — the
+    pre-ingest gate a pipeline runs before accepting a new drop.
+    Violation counts are exact; a 100 TB run pays one scan + one
+    broadcast anti-join, not four."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    one = orders.agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("o_totalprice") < 0, 1).otherwise(0)
+        ).alias("v_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin(*DQ_STATUSES), 1
+            ).otherwise(0)
+        ).alias("v_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit(DQ_DATE_LO))
+                | (F.col("o_orderdate") >= F.lit(DQ_DATE_HI)),
+                1,
+            ).otherwise(0)
+        ).alias("v_date"),
+    )
+    fk = (
+        orders.join(
+            cust,
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("v_fk"))
+    )
+    wide = one.crossJoin(F.broadcast(fk))
+    report = wide.selectExpr(
+        "n_total",
+        """stack(4,
+            'totalprice_nonneg', v_price,
+            'status_in_enum',    v_status,
+            'orderdate_window',  v_date,
+            'custkey_fk',        v_fk
+        ) AS (rule, n_violations)""",
+    )
+    return report.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+DQ_ORDERS_SQL = f"""
+WITH one AS (
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+               AS v_price,
+           sum(CASE WHEN o_orderstatus NOT IN
+                        ({", ".join(repr(s) for s in DQ_STATUSES)})
+                    THEN 1 ELSE 0 END) AS v_status,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '{DQ_DATE_LO}'
+                      OR o_orderdate >= TIMESTAMP '{DQ_DATE_HI}'
+                    THEN 1 ELSE 0 END) AS v_date
+    FROM orders
+),
+fk AS (
+    SELECT count(*) AS v_fk
+    FROM orders o ANTI JOIN customer c
+      ON o.o_custkey = c.c_custkey
+),
+report AS (
+    SELECT 'totalprice_nonneg' AS rule, v_price AS n_violations,
+           n_total FROM one
+    UNION ALL
+    SELECT 'status_in_enum', v_status, n_total FROM one
+    UNION ALL
+    SELECT 'orderdate_window', v_date, n_total FROM one
+    UNION ALL
+    SELECT 'custkey_fk', f.v_fk, o.n_total FROM one o, fk f
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_total AS BIGINT) AS n_total,
+       (n_violations = 0) AS passed
+FROM report
+ORDER BY rule
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_transition_matrix",
@@ -1218,5 +1317,11 @@ SPECS = [
         q_neyman_sample_orders,
         NEYMAN_SAMPLE_SQL,
         tags=("sampling", "relational"),
+    ),
+    QuerySpec(
+        "dq_orders_report",
+        q_dq_orders_report,
+        DQ_ORDERS_SQL,
+        tags=("relational", "curation", "agg", "join"),
     ),
 ]

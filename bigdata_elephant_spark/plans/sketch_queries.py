@@ -633,3 +633,200 @@ SPECS.append(
         ("llm", "sketch", "agg", "join"),
     )
 )
+
+
+# --------------------------------------------- rolling HLL merge
+
+ROLL_HOURS = 3  # trailing window width (current + 2 preceding)
+
+
+def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour distinct-user estimates from MERGED per-hour
+    HLL register states — the windowed-rollup pattern where the
+    expensive distinct is sketched ONCE per hour and every window
+    is an O(m) register max-merge, not a re-scan (precomputed-state
+    rollups are how dashboards stay cheap at 100 TB). Each register
+    row fans out to the <= 3 windows it feeds via an offset explode
+    + equi-join on existing hours (no range join), then the standard
+    estimator runs per window; the exact trailing distinct rides
+    along for error visibility."""
+    from bigdata_elephant_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    eh = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    regs = hll_registers(eh, "user_id", "hour")
+    offs = F.explode(
+        F.array(*[F.lit(o) for o in range(ROLL_HOURS)])
+    ).alias("o")
+    hours = eh.select("hour").distinct()
+    fan = regs.select("hour", "bucket", "r", offs).select(
+        F.timestamp_add("HOUR", F.col("o"), F.col("hour")).alias(
+            "hour"
+        ),
+        "bucket",
+        "r",
+    )
+    merged = (
+        fan.join(hours, "hour", "left_semi")
+        .groupBy("hour", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate(merged, "hour")
+    exu = (
+        eh.distinct()
+        .select("hour", "user_id", offs)
+        .select(
+            F.timestamp_add(
+                "HOUR", F.col("o"), F.col("hour")
+            ).alias("hour"),
+            "user_id",
+        )
+        .join(hours, "hour", "left_semi")
+        .distinct()
+        .groupBy("hour")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exu, "hour").orderBy("hour")
+
+
+def _rolling_hll_sql() -> str:
+    from bigdata_elephant_spark.operators.sketches import (
+        hll_estimate_sql_duckdb,
+        hll_sql_duckdb,
+    )
+
+    est_sql = hll_estimate_sql_duckdb("tgt", "hour")
+    return f"""
+WITH eh AS (
+    SELECT date_trunc('hour', ts) AS hour, user_id FROM events
+),
+{hll_sql_duckdb('user_id', 'hour', 'eh')},
+hours AS (SELECT DISTINCT hour FROM eh),
+fan AS (
+    SELECT r.hour + to_hours(o.o) AS hour, r.bucket, r.r
+    FROM hll_regs r,
+         (SELECT unnest(range(0, {ROLL_HOURS})) AS o) o
+),
+tgt AS (
+    SELECT hour, bucket, max(r) AS r
+    FROM fan WHERE hour IN (SELECT hour FROM hours)
+    GROUP BY 1, 2
+),
+est AS ({est_sql}),
+exu AS (
+    SELECT DISTINCT e.hour + to_hours(o.o) AS hour, e.user_id
+    FROM (SELECT DISTINCT hour, user_id FROM eh) e,
+         (SELECT unnest(range(0, {ROLL_HOURS})) AS o) o
+),
+exact AS (
+    SELECT hour, count(*) AS n_exact
+    FROM exu WHERE hour IN (SELECT hour FROM hours)
+    GROUP BY 1
+)
+SELECT est.hour, est.est_distinct, est.zeros,
+       CAST(x.n_exact AS BIGINT) AS n_exact
+FROM est JOIN exact x USING (hour)
+ORDER BY hour
+"""
+
+
+# ------------------------------------------ CMS join cardinality
+
+
+def cms_join_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation from two count-min sketches: the inner
+    product of the depth-d counter rows upper-bounds
+    ``|R ⋈ S| = Σ_k f_R(k)·f_S(k)`` (AMS/CMS estimator), and the min
+    over depths is the estimate — what a cost-based optimizer or
+    admission controller consults BEFORE running a 100 TB join,
+    from two constant-size states. Integer arithmetic end to end;
+    the exact join size rides along (estimate never undercounts)."""
+    from bigdata_elephant_spark.operators.sketches import cms_counts
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    s1 = cms_counts(ev, "k")
+    s2 = cms_counts(orders, "k").withColumnRenamed("cnt", "cnt2")
+    ip = (
+        s1.join(s2, ["d", "col"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("ip"))
+    )
+    est = ip.agg(
+        F.min("ip").cast("long").alias("est_join_rows")
+    )
+    e1 = ev.groupBy("k").agg(F.count("*").alias("c1"))
+    e2 = orders.groupBy("k").agg(F.count("*").alias("c2"))
+    exact = (
+        e1.join(e2, "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c1") * F.col("c2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        F.round(
+            F.col("est_join_rows") / F.col("exact_join_rows"), 6
+        ).alias("over_ratio"),
+    )
+
+
+def _cms_join_sql() -> str:
+    from bigdata_elephant_spark.operators.sketches import (
+        cms_sql_duckdb,
+    )
+
+    return f"""
+WITH c1 AS ({cms_sql_duckdb('user_id', 'events')}),
+c2 AS ({cms_sql_duckdb('o_custkey', 'orders')}),
+ip AS (
+    SELECT c1.d, sum(c1.cnt * c2.cnt) AS ip
+    FROM c1 JOIN c2 ON c1.d = c2.d AND c1.col = c2.col
+    GROUP BY 1
+),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+e1 AS (SELECT user_id AS k, count(*) AS c1 FROM events GROUP BY 1),
+e2 AS (SELECT o_custkey AS k, count(*) AS c2 FROM orders GROUP BY 1),
+ex AS (
+    SELECT CAST(coalesce(sum(e1.c1 * e2.c2), 0) AS BIGINT)
+        AS exact_join_rows
+    FROM e1 JOIN e2 USING (k)
+)
+SELECT est.est_join_rows, ex.exact_join_rows,
+       round(est.est_join_rows / ex.exact_join_rows, 6)
+           AS over_ratio
+FROM est, ex
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "rolling_hll_users",
+        rolling_hll_users,
+        _rolling_hll_sql(),
+        ("llm", "sketch", "window", "agg"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "cms_join_cardinality",
+        cms_join_cardinality,
+        _cms_join_sql(),
+        ("llm", "sketch", "join"),
+    )
+)

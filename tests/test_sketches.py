@@ -324,3 +324,27 @@ def test_kmv_setops_estimates_track_exact(spark, sf_dir):
         assert abs(r.union_est - r.exact_union) <= max(
             0.6 * r.exact_union, 5
         )
+
+
+def test_cms_join_estimate_never_undercounts(spark, sf_dir):
+    from bigdata_elephant_spark.plans.sketch_queries import (
+        cms_join_cardinality,
+    )
+
+    (r,) = cms_join_cardinality(spark, sf_dir).collect()
+    assert r.est_join_rows >= r.exact_join_rows > 0
+    assert r.over_ratio >= 1.0
+
+
+def test_rolling_hll_tracks_exact(spark, sf_dir):
+    from bigdata_elephant_spark.plans.sketch_queries import (
+        rolling_hll_users,
+    )
+
+    rows = rolling_hll_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HLL with m=64 registers: ~13% typical error; allow 3x
+        assert abs(r.est_distinct - r.n_exact) <= max(
+            0.4 * r.n_exact, 4
+        )
