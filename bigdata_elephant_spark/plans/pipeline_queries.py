@@ -1116,6 +1116,145 @@ ORDER BY r.o_orderpriority, r.o_orderkey
 """
 
 
+# ------------------------------------------- ANN recall report
+
+
+def q_ann_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-evaluating index quality: recall@k of the hyperplane-LSH
+    index against exact cosine top-k for the probe batch, in one
+    query — the measurement a pipeline runs after (re)building an
+    ANN index before trusting it. Both retrievals are the audited
+    batch constructions (broadcast probes; WindowGroupLimit rank);
+    the compare joins two #queries × k lists — driver-trivial."""
+    from bigdata_elephant_spark.operators.similarity import (
+        _norm2,
+        bucket_expr,
+        cosine_topk_batch,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import PLANES
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = cosine_topk_batch(emb, BATCH_QUERY_IDS, k=BATCH_K)
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_expr(F.col("embedding"), PLANES).alias("bucket"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
+    )
+    q = wb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("bucket").alias("qbucket"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    from bigdata_elephant_spark.operators.similarity import _dot
+
+    scored = (
+        wb.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    lsh = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= BATCH_K
+    )
+    hits = (
+        ex.join(
+            lsh.select("q_id", "vec_id"), ["q_id", "vec_id"]
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    probes = q.select("q_id")
+    return (
+        probes.join(hits, "q_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.lit(BATCH_K), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _BUCKET_SQL,
+    )
+
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    return f"""
+WITH wb AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS q_id, embedding AS qv, bucket AS qbucket
+    FROM wb WHERE vec_id IN ({ids})
+),
+exs AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+),
+ex AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM exs
+    ) WHERE rn <= {BATCH_K}
+),
+ls AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM wb e, q
+    WHERE e.bucket = q.qbucket AND e.vec_id <> q.q_id
+),
+lsh AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM ls
+    ) WHERE rn <= {BATCH_K}
+),
+hits AS (
+    SELECT e.q_id, count(*) AS c
+    FROM ex e JOIN lsh l
+      ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+    GROUP BY 1
+)
+SELECT q.q_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.c, 0) / {BATCH_K}, 6) AS recall
+FROM q LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -1323,5 +1462,11 @@ SPECS = [
         q_dq_orders_report,
         DQ_ORDERS_SQL,
         tags=("relational", "curation", "agg", "join"),
+    ),
+    QuerySpec(
+        "ann_recall_report",
+        q_ann_recall_report,
+        _ann_recall_sql(),
+        tags=("similarity", "index"),
     ),
 ]
