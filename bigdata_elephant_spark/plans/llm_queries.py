@@ -2157,3 +2157,127 @@ SPECS = [
     QuerySpec("media_features", q_media_features, None,
               ("llm", "multimodal")),
 ]
+
+
+# ------------------------------------------------------ IVF-PQ ANN
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-style IVFx,PQy retrieval: coarse cells + product
+    quantization of the residuals + per-cell ADC lookup tables +
+    exact re-rank (operators/similarity.py ivfpq_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb,
+        KNN_QUERY_VEC_ID,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        n_sub=PQ_SUB,
+        sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES,
+        shortlist=PQ_SHORTLIST,
+        k=KNN_K,
+    )
+
+
+_IVFPQ_RESID_E = (
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(ce.cvec[i] AS DOUBLE))"
+)
+_IVFPQ_RESID_B = (
+    "(CAST(b.embedding[i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))"
+)
+
+_IVFPQ_ENC_L2 = _sub_fold_sql(
+    f"({_IVFPQ_RESID_E} - {_IVFPQ_RESID_B}) "
+    f"* ({_IVFPQ_RESID_E} - {_IVFPQ_RESID_B})",
+    f"s.sub * {PQ_SUB_DIM} + 1",
+    f"s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
+)
+
+_IVFPQ_LUT_DOT = _sub_fold_sql(
+    f"{_IVFPQ_RESID_B} "
+    "* (CAST(q.qv[i] AS DOUBLE) - CAST(p.cvec[i] AS DOUBLE))",
+    f"s.sub * {PQ_SUB_DIM} + 1",
+    f"s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
+)
+
+KNN_IVFPQ_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+q AS (SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = {KNN_QUERY_VEC_ID}),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, s.sub, b.vec_id AS code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, s.sub
+                   ORDER BY round({_IVFPQ_ENC_L2}, 6), b.vec_id)
+                   AS rn
+        FROM embeddings e
+        JOIN assigned ae ON ae.vec_id = e.vec_id
+        JOIN cents ce ON ce.cell_id = ae.cell_id
+        CROSS JOIN embeddings b
+        JOIN assigned ab ON ab.vec_id = b.vec_id
+        JOIN cents cb ON cb.cell_id = ab.cell_id
+        CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+        WHERE b.vec_id < {PQ_CODES}
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cell_id, cvec FROM (
+        SELECT c.cell_id, c.cvec,
+               round({_l2_sql('c.cvec', 'q.qv')}, 6) AS d
+        FROM cents c, q
+        ORDER BY d, cell_id LIMIT {IVF_PROBE}
+    )
+),
+lut AS (
+    SELECT p.cell_id, s.sub, b.vec_id AS code_id,
+           CAST(round({_IVFPQ_LUT_DOT}, 6) AS DECIMAL(18,6)) AS pd
+    FROM probe p
+    CROSS JOIN q
+    CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+    JOIN embeddings b ON b.vec_id < {PQ_CODES}
+    JOIN assigned ab ON ab.vec_id = b.vec_id
+    JOIN cents cb ON cb.cell_id = ab.cell_id
+),
+short AS (
+    SELECT enc.vec_id
+    FROM enc
+    JOIN assigned a ON a.vec_id = enc.vec_id
+    JOIN lut l ON l.cell_id = a.cell_id AND l.sub = enc.sub
+              AND l.code_id = enc.code
+    WHERE enc.vec_id <> {KNN_QUERY_VEC_ID}
+    GROUP BY enc.vec_id
+    ORDER BY sum(l.pd) DESC, enc.vec_id
+    LIMIT {PQ_SHORTLIST}
+)
+SELECT e.vec_id,
+       round({_dot_sql('e.embedding', 'q.qv')}
+             / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {KNN_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "knn_ivfpq",
+        q_knn_ivfpq,
+        KNN_IVFPQ_SQL,
+        ("llm", "similarity", "index"),
+    )
+)

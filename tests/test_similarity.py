@@ -395,3 +395,21 @@ def test_semantic_dedup_pairs_cell_confinement(spark):
         assert cell_of[a] != cell_of[b], (
             "same-cell qualifying pair missing from semantic dedup"
         )
+
+
+def test_ivfpq_recall_against_exact(spark, sf_dir):
+    """IVF-PQ with 4/16 probing recovers a reasonable share of the
+    exact top-10 (deterministic setup, so the recall is stable)."""
+    from bigdata_elephant_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    approx = {
+        r.vec_id for r in ivfpq_topk(emb, 0, k=10).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 3  # probe covers 1/4 of cells
