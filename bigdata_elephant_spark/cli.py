@@ -137,6 +137,19 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "(0 = exact phrase)")
     sp.add_argument("text")
 
+    sp = sub.add_parser(
+        "curate",
+        help="curation pipeline: quality filter -> near-dup "
+             "survivor drop -> temperature mixture; writes the "
+             "selected (doc_id, source, rate) rows",
+    )
+    corpus_args(sp)
+    sp.add_argument("--alpha", type=float, default=0.5,
+                    help="mixture temperature (p_s ~ n_s^alpha)")
+    sp.add_argument("--frac", type=float, default=0.3,
+                    help="output budget as a corpus fraction")
+    sp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     spark = spark or get_spark("elephant-cli")
     out = out or sys.stdout
@@ -150,6 +163,24 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         corpus = _load_corpus(spark, args.corpus, args.glob)
         vocab = spark.read.parquet(args.vocab)
         _write(build_index(corpus, vocab), args.out)
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators.curation import (
+            curate_pipeline,
+        )
+
+        docs = _load_corpus(spark, args.corpus, args.glob)
+        if "source" not in docs.columns:
+            docs = docs.withColumn("source", F.lit("corpus"))
+        if "n_chars" not in docs.columns:
+            docs = docs.withColumn("n_chars", F.length("text"))
+        _write(
+            curate_pipeline(
+                docs, alpha=args.alpha, frac_out=args.frac
+            ),
+            args.out,
+        )
     elif args.cmd == "meta":
         corpus = _load_corpus(spark, args.corpus, args.glob)
         _write(

@@ -540,3 +540,46 @@ def dedup_survivors(
         "n_chars",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+# ------------------------------------------- end-to-end pipeline
+
+
+def curate_pipeline(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    frac_out: float = 0.3,
+    est_sim_min: float = 0.5,
+) -> DataFrame:
+    """The full curation chain in one lazy plan: quality-classifier
+    keep → drop non-canonical near-duplicates (LSH groups elected
+    corpus-wide, longest survivor wins) → temperature-scaled source
+    mixture over what remains → selected ``(doc_id, source, rate)``.
+
+    The operator behind the ``llm_pipeline_e2e`` registry query and
+    the ``curate`` CLI subcommand. ``docs`` needs ``doc_id``,
+    ``text``, ``source`` and ``n_chars`` columns (the standard
+    corpus shape); each stage is the audited standalone operator, so
+    the composition inherits their scale arguments — see SCALE.md.
+    """
+    from bigdata_elephant_spark.operators import dedup
+
+    keep_ids = (
+        quality_logit_scores(docs).filter("keep").select("doc_id")
+    )
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= est_sim_min
+    )
+    groups = dedup.duplicate_groups(pairs)
+    noncanon = (
+        dedup_survivors(groups, docs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(keep_ids, "doc_id")
+        .join(noncanon, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+    return temperature_mixture(kept, alpha=alpha, frac_out=frac_out)

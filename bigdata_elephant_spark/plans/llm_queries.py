@@ -2281,3 +2281,92 @@ SPECS.append(
         ("llm", "similarity", "index"),
     )
 )
+
+
+# --------------------------------------------------- PMI co-occurrence
+
+PMI_MIN_CO = 5
+PMI_TOP = 50
+
+
+def q_related_terms_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-expansion co-occurrence mining: top word pairs by
+    pointwise mutual information over document-level co-occurrence
+    — the statistical thesaurus a search stack feeds from.
+
+    ``pmi = ln N + ln c_ab − ln c_a − ln c_b`` (ln on integers, so
+    no product overflow however large the corpus; fixed addition
+    order keeps the double bit-identical cross-engine). The pair
+    fan-out is a per-doc self-join over DISTINCT tokens — quadratic
+    only in per-document vocabulary (bounded by doc length), never
+    corpus-sized; the word-frequency table broadcasts. Pairs below
+    ``PMI_MIN_CO`` co-occurrences drop before the join back."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.functions.text import tokens_array
+
+    docs = _docs(spark, sf_dir)
+    dt = docs.select(
+        "doc_id", F.explode(tokens_array("text")).alias("w")
+    ).distinct()
+    cw = dt.groupBy("w").agg(F.count("*").alias("c"))
+    n = dt.agg(F.countDistinct("doc_id").alias("n"))
+    a = dt.select("doc_id", F.col("w").alias("wa"))
+    b = dt.select("doc_id", F.col("w").alias("wb"))
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_CO)
+    )
+    ca = cw.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    cb = cw.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    return (
+        pc.join(F.broadcast(ca), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "wa",
+            "wb",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log("n") + F.log("c_ab")
+                - F.log("ca") - F.log("cb"),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+        .limit(PMI_TOP)
+    )
+
+
+RELATED_TERMS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM doc_toks),
+cw AS (SELECT w, count(*) AS c FROM dt GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+pc AS (
+    SELECT a.w AS wa, b.w AS wb, count(*) AS c_ab
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_CO}
+)
+SELECT pc.wa, pc.wb, CAST(pc.c_ab AS BIGINT) AS c_ab,
+       round(ln(n.n) + ln(pc.c_ab) - ln(ca.c) - ln(cb.c), 6)
+           AS pmi
+FROM pc
+JOIN cw ca ON ca.w = pc.wa
+JOIN cw cb ON cb.w = pc.wb
+CROSS JOIN n
+ORDER BY pmi DESC, wa, wb
+LIMIT {PMI_TOP}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "related_terms_pmi",
+        q_related_terms_pmi,
+        RELATED_TERMS_SQL,
+        ("llm", "text", "search"),
+    )
+)

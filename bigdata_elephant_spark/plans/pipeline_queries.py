@@ -481,7 +481,9 @@ def q_search_hybrid_rrf(
 
     corpus = _docs(spark, sf_dir)
     vocab = persist_tracked(build_vocabulary(corpus))
-    postings = build_index(corpus, vocab)
+    # persisted: bm25_search's n_docs count action plus the scoring
+    # join would otherwise rebuild the index lineage twice
+    postings = persist_tracked(build_index(corpus, vocab))
     bm = bm25_search(
         spark, DEFAULT_QUERY, vocab, postings, k=HYBRID_N,
         k1=BM25_K1, b=BM25_B,
@@ -601,34 +603,15 @@ def q_llm_pipeline_e2e(
     proof that the round-3 curation operators are pipeline-stable,
     not just query-stable. Output: the selected (doc_id, source,
     rate) rows."""
-    from bigdata_elephant_spark.operators import dedup
     from bigdata_elephant_spark.plans.llm_queries import (
         LSH_EST_SIM_MIN as sim_min,
     )
 
-    docs = _docs(spark, sf_dir)
-    keep_ids = (
-        curation.quality_logit_scores(docs)
-        .filter("keep")
-        .select("doc_id")
-    )
-    sigs = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sigs).filter(
-        F.col("est_sim") >= sim_min
-    )
-    groups = dedup.duplicate_groups(pairs)
-    noncanon = (
-        curation.dedup_survivors(groups, docs)
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
-    )
-    kept = (
-        docs.join(keep_ids, "doc_id")
-        .join(noncanon, "doc_id", "left_anti")
-        .select("doc_id", "source")
-    )
-    return curation.temperature_mixture(
-        kept, alpha=MIX_ALPHA, frac_out=MIX_FRAC
+    return curation.curate_pipeline(
+        _docs(spark, sf_dir),
+        alpha=MIX_ALPHA,
+        frac_out=MIX_FRAC,
+        est_sim_min=sim_min,
     ).orderBy("doc_id")
 
 

@@ -81,3 +81,22 @@ def test_cli_phrase_search(spark, sf_dir):
         "hash join",
     ]))
     assert len(sloppy) == 5
+
+
+def test_cli_curate_writes_selection(spark, sf_dir, tmp_path):
+    from bigdata_elephant_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--corpus", f"{sf_dir}/documents.parquet",
+            "--frac", "0.4",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    sel = spark.read.parquet(out)
+    assert set(sel.columns) == {"doc_id", "source", "rate"}
+    assert sel.count() > 0

@@ -229,3 +229,90 @@ def test_duplicate_passages_matches_bruteforce(spark, texts):
         ).collect()
     }
     assert got == _brute_force_passages(texts, shingle_n, min_run)
+
+
+# ---------------------------------------- sequence op properties
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=7200),   # start offset s
+        st.integers(min_value=0, max_value=3600),   # duration s
+        st.sampled_from(["a", "b", "c"]),           # event_type
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                base + dt.timedelta(seconds=off),
+                uid,
+                et,
+                float(dur),
+                "",
+            )
+            for i, (uid, off, dur, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_transitions_equal_bruteforce_property(spark, rows):
+    from bigdata_elephant_spark.operators.sequences import (
+        event_transitions,
+    )
+
+    ev = _events_df(spark, rows)
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(ev).collect()
+    }
+    ordered = sorted(
+        enumerate(rows), key=lambda x: (x[1][0], x[1][1], x[0])
+    )
+    expect: dict[tuple[str, str], int] = {}
+    for (_, a), (_, b) in zip(ordered, ordered[1:]):
+        if a[0] == b[0]:
+            k = (a[3], b[3])
+            expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_concurrency_equal_bruteforce_property(spark, rows):
+    import datetime as dt
+
+    from bigdata_elephant_spark.operators.sequences import (
+        concurrency_timeline,
+    )
+
+    ev = _events_df(spark, rows)
+    got = {
+        r.hour: r.max_concurrent
+        for r in concurrency_timeline(ev).collect()
+    }
+    base = dt.datetime(2024, 1, 1)
+    edges = []
+    for uid, off, dur, et in rows:
+        t0 = base + dt.timedelta(seconds=off)
+        edges.append((t0, 1))
+        edges.append((t0 + dt.timedelta(seconds=dur), -1))
+    edges.sort(key=lambda e: (e[0], e[1]))
+    level, expect = 0, {}
+    for t, d in edges:
+        level += d
+        h = t.replace(minute=0, second=0, microsecond=0)
+        expect[h] = max(expect.get(h, level), level)
+    assert got == expect
