@@ -1238,6 +1238,139 @@ ORDER BY q_id
 """
 
 
+# --------------------------------------- quantile normalization
+
+
+def q_quantile_normalize_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact within-group percentile (quantile normalization) of
+    event values: each row maps to ``cum/n`` — the fraction of its
+    group at or below its value — computed from the (group, value)
+    FREQUENCY table, so the rank window sorts distinct values, never
+    rows (the repo's standard order-statistics shape). The per-row
+    output is a broadcast join back onto the events. Emits one row
+    per distinct (type, value) with its count — the normalization
+    TABLE a feature pipeline applies, which also keeps the output
+    bounded."""
+    ev = _events(spark, sf_dir)
+    vals = ev.select(
+        "event_type", F.round(F.col("value"), 6).alias("v")
+    )
+    vf = vals.groupBy("event_type", "v").agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vf.withColumn("cum", F.sum("cnt").over(w))
+    tot = vf.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "v",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cum") / F.col("n"), 6).alias("pctl"),
+        )
+        .orderBy("event_type", "v")
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH vals AS (
+    SELECT event_type, round(value, 6) AS v FROM events
+),
+vf AS (
+    SELECT event_type, v, count(*) AS cnt
+    FROM vals GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, v, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+    FROM vf
+),
+tot AS (
+    SELECT event_type, sum(cnt) AS n FROM vf GROUP BY 1
+)
+SELECT c.event_type, c.v, CAST(c.cnt AS BIGINT) AS cnt,
+       round(c.cum / t.n, 6) AS pctl
+FROM cum c JOIN tot t USING (event_type)
+ORDER BY event_type, v
+"""
+
+
+# --------------------------------------- chi-square association
+
+
+def q_lang_source_chisq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square independence audit of the (lang, source)
+    contingency table: is language mix independent of source? High
+    per-cell contributions localize the dependence (e.g. one vendor
+    dump is all one language) — the drift check run when a new
+    source joins a mixture. Expected counts come from exact integer
+    margins; each cell's ``(obs − exp)² / exp`` is one double
+    expression rounded to 6 — no distributional lookup, the statistic
+    itself is the output. Contingency cells are
+    ``|langs| × |sources|`` — metadata-sized at any corpus scale."""
+    docs = _docs(spark, sf_dir)
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("obs")
+    )
+    rl = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    rs = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    n = docs.agg(F.count("*").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(rs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("obs").cast("long").alias("obs"),
+            F.round(
+                F.col("n_lang") * F.col("n_src") / F.col("n"), 6
+            ).alias("expected"),
+            F.round(
+                F.pow(
+                    F.col("obs")
+                    - F.col("n_lang") * F.col("n_src") / F.col("n"),
+                    2,
+                )
+                / (F.col("n_lang") * F.col("n_src") / F.col("n")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+    return cells.orderBy("lang", "source")
+
+
+LANG_SOURCE_CHISQ_SQL = """
+WITH obs AS (
+    SELECT lang, source, count(*) AS obs
+    FROM documents GROUP BY 1, 2
+),
+rl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+rs AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT o.lang, o.source, CAST(o.obs AS BIGINT) AS obs,
+       round(rl.n_lang * rs.n_src / n.n, 6) AS expected,
+       round(pow(o.obs - rl.n_lang * rs.n_src / n.n, 2)
+             / (rl.n_lang * rs.n_src / n.n), 6) AS chi2_term
+FROM obs o
+JOIN rl USING (lang)
+JOIN rs USING (source)
+CROSS JOIN n
+ORDER BY lang, source
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -1451,5 +1584,17 @@ SPECS = [
         q_ann_recall_report,
         _ann_recall_sql(),
         tags=("similarity", "index"),
+    ),
+    QuerySpec(
+        "quantile_normalize_values",
+        q_quantile_normalize_values,
+        QUANTILE_NORMALIZE_SQL,
+        tags=("analytics", "agg"),
+    ),
+    QuerySpec(
+        "lang_source_chisq",
+        q_lang_source_chisq,
+        LANG_SOURCE_CHISQ_SQL,
+        tags=("curation", "text", "agg"),
     ),
 ]
