@@ -305,3 +305,75 @@ def test_round3_operators_on_empty_inputs(spark):
     probe = spark.createDataFrame([(1,), (2,)], "k long")
     rows = bloom_probe(probe, "k", bits).collect()
     assert len(rows) == 2 and not any(r["bloom_hit"] for r in rows)
+
+
+def test_round3_batch2_operators_on_empty_inputs(spark):
+    """Degenerate-input sweep for the second round-3 batch: empty
+    frames produce empty results, never crash."""
+    from bigdata_elephant_spark.operators import (
+        curation,
+        robust,
+        sequences,
+    )
+    from bigdata_elephant_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+    from bigdata_elephant_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivfpq_topk,
+    )
+    from bigdata_elephant_spark.operators.sketches import (
+        kmv_pairwise_setops,
+    )
+    from bigdata_elephant_spark.operators.textstats import (
+        bigram_surprisal_scores,
+        hashed_doc_vectors,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    assert sequences.event_transitions(ev).count() == 0
+    assert sequences.concurrency_timeline(ev).count() == 0
+    assert (
+        kmv_pairwise_setops(ev, "user_id", "event_type", 8).count()
+        == 0
+    )
+    assert (
+        robust.mad_outliers(
+            ev, "event_type", "value", "event_id"
+        ).count()
+        == 0
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    assert curation.temperature_mixture(docs, 0.5, 0.3).count() == 0
+    assert curation.quality_logit_scores(docs).count() == 0
+    assert hashed_doc_vectors(docs).count() == 0
+    assert bigram_surprisal_scores(docs).count() == 0
+    groups = spark.createDataFrame([], "doc_id long, group_id long")
+    assert curation.dedup_survivors(groups, docs).count() == 0
+
+    orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    assert (
+        neyman_allocation_sample(
+            orders, "o_orderpriority", "o_totalprice",
+            "o_orderkey", 10,
+        ).count()
+        == 0
+    )
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert cosine_topk_batch(emb, [0, 1], k=5).count() == 0
+    assert ivfpq_topk(emb, 0, k=5).count() == 0
