@@ -203,3 +203,86 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def more_like_this(
+    query_doc_id: int,
+    vocab: DataFrame,
+    postings: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Document-to-document search ("more like this") over the
+    inverted index: rank documents by tf-idf cosine against a QUERY
+    DOCUMENT → ``(doc_id, cos_sim)`` top-k, query excluded.
+
+    The similarity is computed entirely in postings space — no
+    dense vectors: candidates are documents sharing at least one
+    term with the query (an equi-join between the query's posting
+    rows, broadcast, and the postings table), the dot product is
+    ``Σ_w idf(w)² · tf_q(w) · tf_c(w)`` and the norms come from one
+    per-doc aggregate over the same weighted postings. idf is the
+    rounded ``ln N − ln df`` (overflow-free at any corpus size);
+    every sum is an exact decimal × integer sum, so the ranking is
+    engine- and partitioning-deterministic.
+
+    Scale shape: the corpus-sized work is one postings self-semi-join
+    keyed on the QUERY'S OWN terms (broadcast — a document has
+    bounded vocabulary) plus one partial+final norm aggregate;
+    fan-out per term is its posting-list length, so stopword-like
+    terms dominate cost — prune them upstream with a df cap exactly
+    as the tokenizer already drops the hardcoded stopword class.
+    """
+    n_docs = postings.select("doc_id").distinct().count()
+    idf = vocab.select(
+        "word_id",
+        F.round(
+            F.log(F.lit(float(n_docs))) - F.log("df"), 6
+        ).alias("idf"),
+    )
+    wp = postings.join(F.broadcast(idf), "word_id").select(
+        "doc_id",
+        "word_id",
+        "tf",
+        F.round(F.col("idf") * F.col("idf"), 6)
+        .cast("decimal(18,6)")
+        .alias("i2"),
+    )
+    norms = wp.groupBy("doc_id").agg(
+        F.sum(
+            F.col("i2") * (F.col("tf") * F.col("tf")).cast("long")
+        ).alias("n2")
+    )
+    qp = wp.filter(F.col("doc_id") == query_doc_id).select(
+        "word_id", F.col("tf").alias("tf_q")
+    )
+    num = (
+        wp.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(qp), "word_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("i2")
+                * (F.col("tf") * F.col("tf_q")).cast("long")
+            ).alias("num")
+        )
+    )
+    qn = norms.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("n2").alias("qn2")
+    )
+    return (
+        num.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -408,3 +408,76 @@ SPECS = [
         ("search", "topk"),
     ),
 ]
+
+
+# ------------------------------------------------- more-like-this
+
+MLT_DOC_ID = 42
+MLT_K = 10
+
+
+def q_search_more_like_this(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-to-document tf-idf cosine over the inverted index
+    (operators/search.py more_like_this)."""
+    from bigdata_elephant_spark.operators.search import (
+        more_like_this,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    vocab = persist_tracked(build_vocabulary(corpus))
+    postings = persist_tracked(build_index(corpus, vocab))
+    return more_like_this(MLT_DOC_ID, vocab, postings, k=MLT_K)
+
+
+MORE_LIKE_THIS_SQL = f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {POSTINGS_CTE},
+ndocs AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM postings
+),
+idf AS (
+    SELECT word_id, round(ln(n) - ln(df), 6) AS idf
+    FROM vocab, ndocs
+),
+wp AS (
+    SELECT p.doc_id, p.word_id, p.tf,
+           CAST(round(i.idf * i.idf, 6) AS DECIMAL(18,6)) AS i2
+    FROM postings p JOIN idf i USING (word_id)
+),
+norms AS (
+    SELECT doc_id,
+           sum(i2 * CAST(tf * tf AS BIGINT)) AS n2
+    FROM wp GROUP BY 1
+),
+qp AS (
+    SELECT word_id, tf AS tf_q FROM wp
+    WHERE doc_id = {MLT_DOC_ID}
+),
+num AS (
+    SELECT w.doc_id,
+           sum(w.i2 * CAST(w.tf * q.tf_q AS BIGINT)) AS num
+    FROM wp w JOIN qp q USING (word_id)
+    WHERE w.doc_id <> {MLT_DOC_ID}
+    GROUP BY 1
+),
+qn AS (
+    SELECT n2 AS qn2 FROM norms WHERE doc_id = {MLT_DOC_ID}
+)
+SELECT m.doc_id,
+       round(CAST(m.num AS DOUBLE)
+             / (sqrt(CAST(o.n2 AS DOUBLE))
+                * sqrt(CAST(q.qn2 AS DOUBLE))), 6) AS cos_sim
+FROM num m JOIN norms o USING (doc_id) CROSS JOIN qn q
+ORDER BY cos_sim DESC, doc_id
+LIMIT {MLT_K}
+"""
+
+SPECS.append(
+    QuerySpec(
+        "search_more_like_this",
+        q_search_more_like_this,
+        MORE_LIKE_THIS_SQL,
+        ("search", "similarity", "topk"),
+    )
+)
