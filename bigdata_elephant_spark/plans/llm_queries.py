@@ -2279,6 +2279,7 @@ SPECS.append(
         q_knn_ivfpq,
         KNN_IVFPQ_SQL,
         ("llm", "similarity", "index"),
+        bench=True,
     )
 )
 

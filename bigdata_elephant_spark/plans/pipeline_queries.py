@@ -481,9 +481,10 @@ def q_search_hybrid_rrf(
 
     corpus = _docs(spark, sf_dir)
     vocab = persist_tracked(build_vocabulary(corpus))
-    # persisted: bm25_search's n_docs count action plus the scoring
-    # join would otherwise rebuild the index lineage twice
-    postings = persist_tracked(build_index(corpus, vocab))
+    # NOT persisted: measured at sf0.1, caching the full postings
+    # costs more than letting the two consumers (n_docs count,
+    # scoring join) recompute the column-pruned lineage
+    postings = build_index(corpus, vocab)
     bm = bm25_search(
         spark, DEFAULT_QUERY, vocab, postings, k=HYBRID_N,
         k1=BM25_K1, b=BM25_B,

@@ -479,5 +479,6 @@ SPECS.append(
         q_search_more_like_this,
         MORE_LIKE_THIS_SQL,
         ("search", "similarity", "topk"),
+        bench=True,
     )
 )
