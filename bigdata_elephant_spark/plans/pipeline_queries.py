@@ -1372,6 +1372,333 @@ ORDER BY lang, source
 """
 
 
+# --------------------------------------------- per-key top-k
+
+TOPK_PER_USER = 3
+
+
+def q_top_events_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k rows per key — the canonical per-group ranking, planned
+    as WindowGroupLimit (map-side partial heaps per key before the
+    shuffle, see PLANS.md knn_batch note), so no reducer ever sees a
+    key's full history. Deterministic ordering on the rounded value
+    with the unique event_id tie-break."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value"), 6).alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_USER)
+        .select(
+            "user_id", "event_id", "v",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+TOP_EVENTS_SQL = f"""
+SELECT user_id, event_id, v, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT user_id, event_id, round(value, 6) AS v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY round(value, 6) DESC,
+                                       event_id ASC) AS rn
+    FROM events
+) WHERE rn <= {TOPK_PER_USER}
+ORDER BY user_id, rn
+"""
+
+
+# --------------------------------------------- trigram paths
+
+PATHS_TOP = 10
+
+
+def q_event_trigram_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top 3-step behavioral paths: consecutive event-type triples
+    per user (double lead window), counted corpus-wide — the
+    path-mining extension of `event_transition_matrix`. Same single
+    user-keyed shuffle; the path table is |types|^3, metadata-sized."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATHS_TOP)
+    )
+
+
+EVENT_PATHS_SQL = f"""
+WITH seq AS (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+           lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t3
+    FROM events
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT {PATHS_TOP}
+"""
+
+
+# ----------------------------------- label centroid similarity
+
+
+def q_label_centroid_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    class-confusability map computed before merging label taxonomies.
+    Centroids use the repo's decimal-exact grouped-mean construction
+    (same as embedding_outliers); the pairwise stage runs on
+    |labels| × dim rows — metadata-sized at any corpus scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "vv"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("vv").cast("double"), 7)
+        .cast("decimal(20,7)")
+        .alias("vd"),
+    )
+    cent = elems.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("vd").cast("double") / F.count("*"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("cb")
+    )
+    prods = (
+        a.join(b, "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    na = norms.select(
+        F.col("label").alias("la"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("label").alias("lb"), F.col("n2").alias("nb2")
+    )
+    return (
+        prods.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("long").alias("la"),
+            F.col("lb").cast("long").alias("lb"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy("la", "lb")
+    )
+
+
+LABEL_CENTROID_SQL = """
+WITH elems AS (
+    SELECT label, t.dim,
+           CAST(round(CAST(embedding[t.dim] AS DOUBLE), 7)
+                AS DECIMAL(20,7)) AS vd
+    FROM embeddings,
+         unnest(range(1, len(embedding) + 1)) AS t(dim)
+),
+cent AS (
+    SELECT label, dim,
+           CAST(round(CAST(sum(vd) AS DOUBLE) / count(*), 6)
+                AS DECIMAL(18,6)) AS c
+    FROM elems GROUP BY 1, 2
+),
+prods AS (
+    SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+    FROM cent a JOIN cent b
+      ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1
+)
+SELECT CAST(p.la AS BIGINT) AS la, CAST(p.lb AS BIGINT) AS lb,
+       round(CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE))
+                * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+FROM prods p
+JOIN norms na ON na.label = p.la
+JOIN norms nb ON nb.label = p.lb
+ORDER BY la, lb
+"""
+
+
+# --------------------------------------------- higher moments
+
+
+def q_value_moments_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skewness and excess kurtosis per event type from exact
+    decimal power sums — the higher-moment extension of the repo's
+    mean/std discipline (`value_trend_by_type`). Powers are built by
+    explicit IEEE double multiplication of the 6-decimal value
+    (bit-identical cross-engine; never pow(), whose exp/ln path can
+    differ), each addend rounded to 6 and summed as exact decimal,
+    so the one double expression per OUTPUT group is identical on
+    both engines."""
+    ev = _events(spark, sf_dir)
+    vd = F.round(F.col("value"), 6).cast("double")
+    terms = ev.select(
+        "event_type",
+        F.round(vd, 6).cast("decimal(18,6)").alias("a1"),
+        F.round(vd * vd, 6).cast("decimal(38,6)").alias("a2"),
+        F.round(vd * vd * vd, 6).cast("decimal(38,6)").alias("a3"),
+        F.round(vd * vd * vd * vd, 6)
+        .cast("decimal(38,6)")
+        .alias("a4"),
+    )
+    sums = terms.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("a1").alias("s1"),
+        F.sum("a2").alias("s2"),
+        F.sum("a3").alias("s3"),
+        F.sum("a4").alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m * m
+    sd = F.sqrt(var)
+    skew = (m3 - 3 * m * m2 + 2 * m * m * m) / (sd * sd * sd)
+    kurt = (
+        m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m
+    ) / (var * var) - 3
+    return (
+        sums.filter(
+            F.col("s2").cast("double") * n
+            > F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+        )
+        .select(
+            "event_type",
+            n.cast("long").alias("n"),
+            F.round(m, 6).alias("mean"),
+            F.round(F.sqrt(var), 6).alias("std"),
+            F.round(skew, 6).alias("skewness"),
+            F.round(kurt, 6).alias("excess_kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_MOMENTS_SQL = """
+WITH terms AS (
+    SELECT event_type,
+           CAST(round(CAST(round(value, 6) AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS a1,
+           CAST(round(CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS a2,
+           CAST(round(CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS a3,
+           CAST(round(CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE)
+                      * CAST(round(value, 6) AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS a4
+    FROM events
+),
+sums AS (
+    SELECT event_type, count(*) AS n,
+           sum(a1) AS s1, sum(a2) AS s2,
+           sum(a3) AS s3, sum(a4) AS s4
+    FROM terms GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)), 6) AS std,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s2 AS DOUBLE) / n)
+              + 2 * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+             / (sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))
+                * sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                * sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))), 6)
+           AS skewness,
+       round((CAST(s4 AS DOUBLE) / n
+              - 4 * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s3 AS DOUBLE) / n)
+              + 6 * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s2 AS DOUBLE) / n)
+              - 3 * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n))
+                * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n))) - 3, 6)
+           AS excess_kurtosis
+FROM sums
+WHERE CAST(s2 AS DOUBLE) * n
+      > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+ORDER BY event_type
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -1597,5 +1924,29 @@ SPECS = [
         q_lang_source_chisq,
         LANG_SOURCE_CHISQ_SQL,
         tags=("curation", "text", "agg"),
+    ),
+    QuerySpec(
+        "top_events_per_user",
+        q_top_events_per_user,
+        TOP_EVENTS_SQL,
+        tags=("analytics", "window", "topk"),
+    ),
+    QuerySpec(
+        "event_trigram_paths",
+        q_event_trigram_paths,
+        EVENT_PATHS_SQL,
+        tags=("analytics", "sequence", "topk"),
+    ),
+    QuerySpec(
+        "label_centroid_similarity",
+        q_label_centroid_similarity,
+        LABEL_CENTROID_SQL,
+        tags=("similarity", "agg"),
+    ),
+    QuerySpec(
+        "value_moments_by_type",
+        q_value_moments_by_type,
+        VALUE_MOMENTS_SQL,
+        tags=("analytics", "agg"),
     ),
 ]
