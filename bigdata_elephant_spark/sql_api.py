@@ -19,11 +19,18 @@ from bigdata_elephant_spark.sources.corpus import TPCH_TABLES, read_table
 
 
 def register_views(
-    spark: SparkSession, sf_dir: str, derived: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    derived: bool = True,
+    llm: bool = False,
 ) -> list[str]:
     """Register every lake table (and, with ``derived``, the search
-    engine's vocabulary/postings/doc_meta relations) as temp views.
-    Returns the registered view names."""
+    engine's vocabulary/postings/doc_meta relations; with ``llm``,
+    the curation surface — quality scores, transitive duplicate
+    groups, hashed document vectors, text statistics) as temp views.
+    Views are lazy logical plans, so Catalyst optimizes through them
+    and nothing is computed until queried. Returns the registered
+    view names."""
     names = []
     for t in TPCH_TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
@@ -36,4 +43,33 @@ def register_views(
         parse_documents(corpus, cols=("doc_id", "lang", "source"))\
             .createOrReplaceTempView("doc_meta")
         names += ["vocabulary", "postings", "doc_meta"]
+    if llm:
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators import dedup, textstats
+        from bigdata_elephant_spark.operators.curation import (
+            quality_logit_scores,
+        )
+
+        corpus = read_table(spark, sf_dir, "documents")
+        quality_logit_scores(corpus).createOrReplaceTempView(
+            "quality_scores"
+        )
+        sigs = dedup.minhash_signatures(corpus)
+        pairs = dedup.lsh_candidate_pairs(sigs).filter(
+            F.col("est_sim") >= 0.5
+        )
+        dedup.duplicate_groups(pairs).createOrReplaceTempView(
+            "dup_groups"
+        )
+        textstats.hashed_doc_vectors(corpus).createOrReplaceTempView(
+            "doc_vectors"
+        )
+        textstats.text_stats(corpus).createOrReplaceTempView(
+            "doc_stats"
+        )
+        names += [
+            "quality_scores", "dup_groups", "doc_vectors",
+            "doc_stats",
+        ]
     return names

@@ -25,3 +25,23 @@ def test_view_filter_reaches_scan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_register_llm_views_queryable(spark, sf_dir):
+    from bigdata_elephant_spark.sql_api import register_views
+
+    names = register_views(spark, sf_dir, derived=False, llm=True)
+    assert {"quality_scores", "dup_groups", "doc_vectors",
+            "doc_stats"} <= set(names)
+    # a SQL user can join the curation surface directly
+    row = spark.sql(
+        """
+        SELECT count(*) AS n
+        FROM quality_scores q JOIN doc_stats s USING (doc_id)
+        WHERE q.keep
+        """
+    ).first()
+    assert row.n > 0
+    assert spark.sql(
+        "SELECT count(*) AS n FROM doc_vectors"
+    ).first().n > 0
