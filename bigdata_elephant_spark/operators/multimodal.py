@@ -777,3 +777,55 @@ def video_frame_stats(
     return df.select(id_col, media_col).mapInPandas(
         batches, schema=VIDEO_STATS_SCHEMA
     )
+
+
+def wav_window_rms(
+    df: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Windowed loudness: REALLY decode each WAV payload
+    (:func:`decode_wav` — chunk walk, fmt/data) and emit the RMS
+    amplitude of every fixed-size sample window →
+    ``(doc_id, win_idx, n_in_win, rms)``.
+
+    The audio-side feature-extraction shape (VAD/loudness windows)
+    on top of the engine's real PCM decoder. Sums of squares run in
+    int64 (exact for int16 samples at any window size < 2^21), so the
+    only float op is one division + sqrt per OUTPUT window — the
+    DuckDB oracle replays the closed-form samples bit-for-bit.
+    Arrow-batched ``mapInPandas``; the payload column is pruned away
+    upstream when only metadata is queried.
+    """
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "n_in_win": [],
+                "rms": [],
+            }
+            for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
+                _rate, samples = decode_wav(bytes(raw))
+                s64 = samples.astype(np.int64)
+                for w0 in range(0, len(s64), window):
+                    seg = s64[w0:w0 + window]
+                    ss = int((seg * seg).sum())
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(w0 // window)
+                    out["n_in_win"].append(len(seg))
+                    out["rms"].append(
+                        round(math.sqrt(ss / len(seg)), 6)
+                    )
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win_idx", LongType()),
+            StructField("n_in_win", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+    return df.mapInPandas(batches, schema=schema)

@@ -2371,3 +2371,53 @@ SPECS.append(
         ("llm", "text", "search"),
     )
 )
+
+
+# -------------------------------------------------- audio RMS windows
+
+WAV_RMS_WINDOW = 50
+
+
+def q_media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio loudness under the oracle gate: synthesize
+    valid WAV payloads (closed-form samples), REALLY decode them,
+    and compute per-window RMS (multimodal.py wav_window_rms); the
+    oracle recomputes every window from the sample formula."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_wav_payloads(docs)
+    return multimodal.wav_window_rms(
+        payloads, window=WAV_RMS_WINDOW
+    ).orderBy("doc_id", "win_idx")
+
+
+MEDIA_WAV_RMS_SQL = f"""
+WITH dims AS (
+    SELECT doc_id, doc_id % 500 + 100 AS n FROM documents
+),
+samples AS (
+    SELECT d.doc_id, t.i,
+           (d.doc_id * 37 + t.i * 11) % 4096 - 2048 AS s
+    FROM dims d, unnest(range(0, d.n)) AS t(i)
+),
+win AS (
+    SELECT doc_id, i // {WAV_RMS_WINDOW} AS win_idx,
+           count(*) AS n_in_win, sum(s * s) AS ss
+    FROM samples GROUP BY 1, 2
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(n_in_win AS BIGINT) AS n_in_win,
+       round(sqrt(CAST(ss AS DOUBLE) / n_in_win), 6) AS rms
+FROM win
+ORDER BY doc_id, win_idx
+"""
+
+SPECS.append(
+    QuerySpec(
+        "media_wav_rms",
+        q_media_wav_rms,
+        MEDIA_WAV_RMS_SQL,
+        ("llm", "multimodal"),
+    )
+)
