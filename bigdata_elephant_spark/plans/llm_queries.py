@@ -2421,3 +2421,63 @@ SPECS.append(
         ("llm", "multimodal"),
     )
 )
+
+
+# -------------------------------------------------- video scene cuts
+
+SCENE_CUT_THRESHOLD = 30.0
+
+
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection under the oracle gate: synthesize valid
+    multi-frame clips (closed-form pixels), REALLY demux them, and
+    flag mean-intensity jumps (multimodal.py video_scene_cuts); the
+    oracle recomputes every frame mean from the pixel formula and
+    the deltas with a lag window."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_video_payloads(docs)
+    return multimodal.video_scene_cuts(
+        payloads, threshold=SCENE_CUT_THRESHOLD
+    ).orderBy("doc_id", "frame_idx")
+
+
+MEDIA_SCENE_CUTS_SQL = f"""
+WITH frames AS (
+    SELECT doc_id, f.fi,
+           (f.fi % 8 + 4) * (f.fi % 4 + 4) * 3 AS n,
+           doc_id * 131 + f.fi * 17 AS seed
+    FROM documents, unnest(range(0, doc_id % 4 + 2)) AS f(fi)
+),
+px AS (
+    SELECT doc_id, fi, n,
+           (seed * 31 + t.p * 7) % 256 AS v
+    FROM frames, unnest(range(0, n)) AS t(p)
+),
+means AS (
+    SELECT doc_id, fi,
+           round(CAST(sum(v) AS DOUBLE) / n, 6) AS mean_px
+    FROM px GROUP BY doc_id, fi, n
+),
+deltas AS (
+    SELECT doc_id, fi AS frame_idx, mean_px,
+           round(abs(mean_px - lag(mean_px) OVER (
+               PARTITION BY doc_id ORDER BY fi)), 6) AS delta
+    FROM means
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, mean_px,
+       delta, (delta > {SCENE_CUT_THRESHOLD}) AS is_cut
+FROM deltas
+WHERE delta IS NOT NULL
+ORDER BY doc_id, frame_idx
+"""
+
+SPECS.append(
+    QuerySpec(
+        "media_scene_cuts",
+        q_media_scene_cuts,
+        MEDIA_SCENE_CUTS_SQL,
+        ("llm", "multimodal", "window"),
+    )
+)
