@@ -1699,6 +1699,58 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------- hourly volume anomalies
+
+
+def q_hourly_volume_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Traffic-anomaly sweep: hourly event counts per type, flagged
+    by the median/MAD rule (operators/robust.py) — the volume-drop /
+    bot-spike detector that mean/std misses when the anomaly itself
+    skews the baseline. Composes the hourly rollup with the robust
+    outlier operator; the hourly table is date-bounded, so both
+    median passes run over small frequency grids."""
+    from bigdata_elephant_spark.operators.robust import mad_outliers
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    return mad_outliers(
+        hourly, group="event_type", value="c", id_col="hour",
+        n_mads=MAD_N,
+    ).orderBy("event_type", "hour")
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1, 2
+),
+vals AS (
+    SELECT hour, event_type, round(c, 6) AS v FROM hourly
+),
+{_median_ctes('vals', 'v', 'v')},
+devs AS (
+    SELECT v.hour, v.event_type, v.v,
+           round(abs(v.v - m.med), 6) AS dev, m.med
+    FROM vals v JOIN vmed m USING (event_type)
+),
+{_median_ctes('devs', 'dev', 'd')}
+SELECT d.hour, d.event_type, d.v, d.dev, d.med,
+       a.med AS mad
+FROM devs d JOIN dmed a USING (event_type)
+WHERE d.dev > {MAD_N} * a.med
+ORDER BY event_type, hour
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -1948,5 +2000,11 @@ SPECS = [
         q_value_moments_by_type,
         VALUE_MOMENTS_SQL,
         tags=("analytics", "agg"),
+    ),
+    QuerySpec(
+        "hourly_volume_anomalies",
+        q_hourly_volume_anomalies,
+        HOURLY_ANOMALIES_SQL,
+        tags=("analytics", "temporal", "agg"),
     ),
 ]
