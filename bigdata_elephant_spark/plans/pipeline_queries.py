@@ -1751,6 +1751,115 @@ ORDER BY event_type, hour
 """
 
 
+# --------------------------------------- conversion latency
+
+CONV_FROM = "view"
+CONV_TO = "purchase"
+
+
+def q_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the latency from the
+    FIRST '{from}' to the first '{to}' AT OR AFTER it, summarized
+    per latency-hour bucket with exact counts and the exact overall
+    median bucket — the product metric behind funnel SLAs. Two
+    min-aggregations (no window over raw events), a per-user join,
+    and a frequency-table median (the repo's standard order-stat
+    shape). Latencies are exact integer seconds; users who never
+    convert after viewing drop (the funnel query counts them)."""
+    ev = _events(spark, sf_dir)
+    first_a = (
+        ev.filter(F.col("event_type") == CONV_FROM)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    first_b_after = (
+        ev.filter(F.col("event_type") == CONV_TO)
+        .join(first_a, "user_id")
+        .filter(F.col("ts") >= F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"), F.min("ta").alias("ta"))
+    )
+    # exact microsecond arithmetic: the testdata timestamps carry
+    # sub-second parts, and second-truncation differs between
+    # engines; unix_micros/epoch_us are both exact int64
+    lat = first_b_after.select(
+        "user_id",
+        (
+            F.unix_micros("tb") - F.unix_micros("ta")
+        ).alias("lat_us"),
+    )
+    buckets = lat.select(
+        (F.col("lat_us") / 3_600_000_000)
+        .cast("long")
+        .alias("lat_hours")
+    ).groupBy("lat_hours").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy("lat_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.withColumn("cum", F.sum("n_users").over(w))
+    tot = buckets.agg(F.sum("n_users").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil((F.col("n") + 1) / 2),
+                    F.col("lat_hours"),
+                )
+            ).alias("median_lat_hours")
+        )
+    )
+    return (
+        buckets.crossJoin(F.broadcast(med))
+        .select(
+            "lat_hours",
+            F.col("n_users").cast("long").alias("n_users"),
+            "median_lat_hours",
+        )
+        .orderBy("lat_hours")
+    )
+
+
+CONVERSION_LATENCY_SQL = f"""
+WITH first_a AS (
+    SELECT user_id, min(ts) AS ta FROM events
+    WHERE event_type = '{CONV_FROM}' GROUP BY 1
+),
+conv AS (
+    SELECT e.user_id,
+           epoch_us(min(e.ts)) - epoch_us(min(a.ta)) AS lat_us
+    FROM events e JOIN first_a a USING (user_id)
+    WHERE e.event_type = '{CONV_TO}' AND e.ts >= a.ta
+    GROUP BY 1
+),
+buckets AS (
+    SELECT CAST(lat_us // 3600000000 AS BIGINT) AS lat_hours,
+           count(*) AS n_users
+    FROM conv GROUP BY 1
+),
+cum AS (
+    SELECT lat_hours, n_users,
+           sum(n_users) OVER (ORDER BY lat_hours
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+           (SELECT sum(n_users) FROM buckets) AS n
+    FROM buckets
+),
+med AS (
+    SELECT min(CASE WHEN cum >= ceil((n + 1) / 2)
+                    THEN lat_hours END) AS median_lat_hours
+    FROM cum
+)
+SELECT b.lat_hours, CAST(b.n_users AS BIGINT) AS n_users,
+       m.median_lat_hours
+FROM buckets b CROSS JOIN med m
+ORDER BY lat_hours
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -2005,6 +2114,12 @@ SPECS = [
         "hourly_volume_anomalies",
         q_hourly_volume_anomalies,
         HOURLY_ANOMALIES_SQL,
+        tags=("analytics", "temporal", "agg"),
+    ),
+    QuerySpec(
+        "conversion_latency",
+        q_conversion_latency,
+        CONVERSION_LATENCY_SQL,
         tags=("analytics", "temporal", "agg"),
     ),
 ]
