@@ -2481,3 +2481,92 @@ SPECS.append(
         ("llm", "multimodal", "window"),
     )
 )
+
+
+# -------------------------------------------------- Zipf fit
+
+
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics diagnostic: OLS fit of ln(frequency) on
+    ln(rank) over the word-frequency table (Zipf's law predicts a
+    slope near −1; a flat slope flags synthetic/templated text, a
+    cliff flags boilerplate). The rank window runs over the
+    VOCABULARY table (bounded, same single-partition tradeoff as
+    dense word-id assignment, with the distributed two-phase variant
+    available in vocab.py); the fit uses the repo's exact-decimal
+    sum discipline, one double expression per output row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.functions.text import tokens_array
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(tokens_array("text")).alias("w")
+    )
+    freqs = words.groupBy("w").agg(F.count("*").alias("c"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    xy = freqs.select(
+        F.round(F.log(F.row_number().over(w_rank)), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log("c"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").alias("n_words"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_words")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return sums.select(
+        n.cast("long").alias("n_words"),
+        slope.alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+VOCAB_ZIPF_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (SELECT unnest(toks) AS w FROM doc_toks),
+freqs AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+xy AS (
+    SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC,
+                                            w ASC)), 6)
+                AS DECIMAL(18,6)) AS x,
+           CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+    FROM freqs
+),
+sums AS (
+    SELECT count(*) AS n_words, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM xy
+)
+SELECT CAST(n_words AS BIGINT) AS n_words,
+       round((n_words * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_words * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - round((n_words * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n_words * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE)), 6)
+                * CAST(sx AS DOUBLE)) / n_words, 6) AS intercept
+FROM sums
+"""
+
+SPECS.append(
+    QuerySpec(
+        "vocab_zipf_fit",
+        q_vocab_zipf_fit,
+        VOCAB_ZIPF_SQL,
+        ("llm", "text", "agg"),
+    )
+)

@@ -40,6 +40,21 @@ class QuerySpec:
 # Everything not listed keeps its module order after the window and is
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
+# ROUND-4 ROTATION CANDIDATES (queries added after this round's
+# window was frozen, so they have no driver row yet — all green under
+# the local driver-faithful gate at sf0.001 AND sf0.01):
+# hashed_doc_vectors, bigram_surprisal, value_trend_by_type,
+# k_anonymity_audit, ewma_user_value, kmv_user_setops,
+# robust_value_outliers, neyman_sample_orders, rolling_hll_users,
+# cms_join_cardinality, dq_orders_report, docs_stream_curate,
+# ann_recall_report, knn_ivfpq, related_terms_pmi,
+# search_more_like_this, quantile_normalize_values,
+# lang_source_chisq, top_events_per_user, event_trigram_paths,
+# label_centroid_similarity, value_moments_by_type,
+# hourly_volume_anomalies, conversion_latency, media_wav_rms,
+# media_scene_cuts, vocab_zipf_fit — plus the r03-window evictees
+# noted below. Next round: swap these in for rows that go green in
+# CORRECTNESS_r03.
 GATE_PRIORITY = (
     # ROUND-3 ROTATION. The driver gate records correctness rows for
     # the first 50 registry entries only; r01+r02 verified 90 distinct
