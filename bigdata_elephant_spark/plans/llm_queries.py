@@ -2570,3 +2570,152 @@ SPECS.append(
         ("llm", "text", "agg"),
     )
 )
+
+
+# -------------------------------------------------- Heaps fit
+
+
+def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary size V as a function of tokens
+    seen T, measured at every document boundary in doc_id order and
+    fitted as ln V = β·ln T + c (β ≈ 0.4-0.6 for natural text; β
+    near 1 means near-disjoint vocabularies — shard contamination).
+
+    Scalable construction — no per-document re-scan: each word
+    contributes at its FIRST document (min doc_id), so V(d) is a
+    running count over the min-doc frequency table and T(d) a
+    running sum over per-doc token counts — two bounded value-table
+    windows, one join on doc_id, then the repo's exact-decimal OLS.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.functions.text import tokens_array
+
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_array("text")).alias("w")
+    )
+    first_doc = words.groupBy("w").agg(
+        F.min("doc_id").alias("d0")
+    )
+    new_per_doc = first_doc.groupBy("d0").agg(
+        F.count("*").alias("nv")
+    )
+    toks_per_doc = words.groupBy("doc_id").agg(
+        F.count("*").alias("nt")
+    )
+    w_v = Window.orderBy("d0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = new_per_doc.select(
+        F.col("d0").alias("doc_id"),
+        F.sum("nv").over(w_v).alias("v_at"),
+    )
+    w_t = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = toks_per_doc.select(
+        "doc_id", F.sum("nt").over(w_t).alias("t_at")
+    )
+    # V only changes at docs introducing new words; carry it forward
+    # to every doc boundary via a last-value window over the join
+    merged = t.join(v, "doc_id", "left").select(
+        "doc_id",
+        "t_at",
+        F.last("v_at", ignorenulls=True)
+        .over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("v_at"),
+    ).filter(F.col("v_at").isNotNull() & (F.col("t_at") > 0))
+    xy = merged.select(
+        F.round(F.log("t_at"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("v_at"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_points")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    beta = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return sums.select(
+        n.cast("long").alias("n_points"),
+        beta.alias("heaps_beta"),
+        F.round((sy - beta * sx) / n, 6).alias("intercept"),
+    )
+
+
+VOCAB_HEAPS_SQL = f"""
+WITH {DOC_TOKS_CTE},
+words AS (
+    SELECT doc_id, unnest(toks) AS w FROM doc_toks
+),
+first_doc AS (SELECT w, min(doc_id) AS d0 FROM words GROUP BY 1),
+new_per_doc AS (SELECT d0, count(*) AS nv FROM first_doc GROUP BY 1),
+toks_per_doc AS (
+    SELECT doc_id, count(*) AS nt FROM words GROUP BY 1
+),
+v AS (
+    SELECT d0 AS doc_id,
+           sum(nv) OVER (ORDER BY d0
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS v_at
+    FROM new_per_doc
+),
+t AS (
+    SELECT doc_id,
+           sum(nt) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS t_at
+    FROM toks_per_doc
+),
+merged AS (
+    SELECT t.doc_id, t.t_at,
+           last_value(v.v_at IGNORE NULLS) OVER (
+               ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_at
+    FROM t LEFT JOIN v USING (doc_id)
+),
+xy AS (
+    SELECT CAST(round(ln(t_at), 6) AS DECIMAL(18,6)) AS x,
+           CAST(round(ln(v_at), 6) AS DECIMAL(18,6)) AS y
+    FROM merged WHERE v_at IS NOT NULL AND t_at > 0
+),
+sums AS (
+    SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM xy
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       round((n_points * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_points * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS heaps_beta,
+       round((CAST(sy AS DOUBLE)
+              - round((n_points * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n_points * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE)), 6)
+                * CAST(sx AS DOUBLE)) / n_points, 6) AS intercept
+FROM sums
+"""
+
+SPECS.append(
+    QuerySpec(
+        "vocab_heaps_fit",
+        q_vocab_heaps_fit,
+        VOCAB_HEAPS_SQL,
+        ("llm", "text", "agg"),
+    )
+)
