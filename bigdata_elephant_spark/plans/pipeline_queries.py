@@ -1860,6 +1860,129 @@ ORDER BY lat_hours
 """
 
 
+# --------------------------------------- revenue concentration
+
+
+def q_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer-spend inequality in one pass: the exact Gini
+    coefficient and the top-20% revenue share — the concentration
+    metrics behind whale-risk dashboards. Computed WITHOUT a
+    per-customer rank window: per-customer totals collapse to a
+    (value, count) frequency table; tied ranks contribute the
+    arithmetic-series closed form ``c·p + c(c+1)/2`` (p = customers
+    with smaller totals), so both metrics come from cumulative
+    counts over distinct values (bounded grid — totals are exact
+    cents), never a customer-sized sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice"), 2).cast("decimal(12,2)")
+        ).alias("s")
+    )
+    vf = per_cust.groupBy("s").agg(F.count("*").alias("c"))
+    w_asc = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vf.select(
+        "s",
+        "c",
+        (F.sum("c").over(w_asc) - F.col("c")).alias("p_asc"),
+        (F.sum("c").over(w_desc) - F.col("c")).alias("p_desc"),
+    )
+    tots = vf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("s") * F.col("c")).alias("tot"),
+    )
+    k = F.ceil(0.2 * F.col("n")).cast("long")
+    terms = cum.crossJoin(F.broadcast(tots)).select(
+        "n",
+        "tot",
+        (
+            F.col("s")
+            * (
+                F.col("c") * F.col("p_asc")
+                + (F.col("c") * (F.col("c") + 1) / 2).cast("long")
+            )
+        ).alias("rank_term"),
+        (
+            F.col("s")
+            * F.greatest(
+                F.lit(0),
+                F.least(F.col("c"), k - F.col("p_desc")),
+            )
+        ).alias("top_term"),
+    )
+    agg = terms.groupBy("n", "tot").agg(
+        F.sum("rank_term").alias("num"),
+        F.sum("top_term").alias("top_sum"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            2 * F.col("num").cast("double")
+            / (n * F.col("tot").cast("double"))
+            - (n + 1) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_sum").cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("top20_share"),
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice, 2) AS DECIMAL(12,2))) AS s
+    FROM orders GROUP BY 1
+),
+vf AS (SELECT s, count(*) AS c FROM per_cust GROUP BY 1),
+cum AS (
+    SELECT s, c,
+           sum(c) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c AS p_asc,
+           sum(c) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c AS p_desc
+    FROM vf
+),
+tots AS (
+    SELECT sum(c) AS n, sum(s * c) AS tot FROM vf
+),
+terms AS (
+    SELECT t.n, t.tot,
+           c.s * (c.c * c.p_asc
+                  + CAST(c.c * (c.c + 1) / 2 AS BIGINT))
+               AS rank_term,
+           c.s * greatest(0, least(c.c,
+                   CAST(ceil(0.2 * t.n) AS BIGINT) - c.p_desc))
+               AS top_term
+    FROM cum c CROSS JOIN tots t
+),
+agg AS (
+    SELECT n, tot, sum(rank_term) AS num, sum(top_term) AS top_sum
+    FROM terms GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(2 * CAST(num AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+             - (n + 1) / n, 6) AS gini,
+       round(CAST(top_sum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           AS top20_share
+FROM agg
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -2121,5 +2244,11 @@ SPECS = [
         q_conversion_latency,
         CONVERSION_LATENCY_SQL,
         tags=("analytics", "temporal", "agg"),
+    ),
+    QuerySpec(
+        "revenue_concentration",
+        q_revenue_concentration,
+        REVENUE_CONCENTRATION_SQL,
+        tags=("analytics", "relational", "agg"),
     ),
 ]
