@@ -1983,6 +1983,53 @@ FROM agg
 """
 
 
+# --------------------------------------- dup-group size profile
+
+
+def q_dup_group_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operational dedup visibility: the distribution of transitive
+    duplicate-group sizes (how much of the corpus sits in pairs vs
+    template blobs) — the first thing to read before choosing
+    survivor policy. Two tiny aggregations over the group table;
+    the oracle re-derives the components with the shared recursive
+    CTE."""
+    from bigdata_elephant_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    groups = dedup.duplicate_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(
+        F.count("*").alias("group_size")
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+        )
+        .orderBy("group_size")
+    )
+
+
+DUP_GROUP_SIZES_SQL = f"""
+WITH RECURSIVE {DOC_TOKS_CTE}, {_SURVIVOR_CTES}
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM (
+    SELECT group_id, count(*) AS group_size
+    FROM grp GROUP BY 1
+)
+GROUP BY group_size
+ORDER BY group_size
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -2250,5 +2297,11 @@ SPECS = [
         q_revenue_concentration,
         REVENUE_CONCENTRATION_SQL,
         tags=("analytics", "relational", "agg"),
+    ),
+    QuerySpec(
+        "dup_group_size_histogram",
+        q_dup_group_size_histogram,
+        DUP_GROUP_SIZES_SQL,
+        tags=("dedup", "agg"),
     ),
 ]
