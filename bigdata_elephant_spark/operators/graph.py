@@ -60,27 +60,31 @@ def pagerank(
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), ROUND).alias("rank")
     ).localCheckpoint()
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             w.join(ranks, w["src"] == ranks["node"])
             .select("dst", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(
-                contribs, nodes["node"] == contribs["dst"], "left"
-            )
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                    ROUND,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                ROUND,
+            ).alias("rank"),
         )
+        # Each rank table is consumed exactly once by the next
+        # iteration, so nothing recomputes without a checkpoint;
+        # lineage only DEEPENS (2 joins/iteration — linear, unlike
+        # the exponential growth in label propagation). Truncate
+        # every other round: half the materialization jobs, while
+        # the plan never grows past ~4 join levels.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
