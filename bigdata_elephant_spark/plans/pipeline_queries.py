@@ -2030,6 +2030,169 @@ ORDER BY group_size
 """
 
 
+# --------------------------------------------- RFM segmentation
+
+
+def _tercile_bounds(df, col):
+    """Exact tercile boundaries of ``col`` from its value-frequency
+    table (the surprisal-banding construction) → 1-row DF
+    ``(b33, b67)``."""
+    vals = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(col, F.sum("cnt").over(w).alias("cum"))
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(F.lit(q) * F.col("n")),
+                        F.col(col),
+                    )
+                ).alias(alias)
+                for q, alias in ((1 / 3, "b33"), (2 / 3, "b67"))
+            ]
+        )
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation with EXACT tercile boundaries:
+    recency (days since last order vs the corpus max date),
+    frequency (order count), monetary (total spend, exact cents)
+    each bin into terciles via the value-frequency construction (no
+    row sort — the repo's standard order-statistics shape), and the
+    3-digit segment code is counted. The marketing-segmentation
+    workhorse, expressed as three bounded-grid percentile passes +
+    one aggregation."""
+    orders = read_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("mx"), F.col("o_orderdate"))
+            ).alias("r"),
+            F.count("*").alias("f"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast(
+                    "decimal(12,2)"
+                )
+            ).alias("m"),
+        )
+    )
+    rb = _tercile_bounds(per_cust, "r")
+    fb = _tercile_bounds(per_cust, "f")
+    mb = _tercile_bounds(per_cust, "m")
+    binned = (
+        per_cust.crossJoin(
+            F.broadcast(
+                rb.select(
+                    F.col("b33").alias("r33"),
+                    F.col("b67").alias("r67"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                fb.select(
+                    F.col("b33").alias("f33"),
+                    F.col("b67").alias("f67"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                mb.select(
+                    F.col("b33").alias("m33"),
+                    F.col("b67").alias("m67"),
+                )
+            )
+        )
+        .select(
+            (
+                (
+                    F.when(F.col("r") <= F.col("r33"), 0)
+                    .when(F.col("r") <= F.col("r67"), 1)
+                    .otherwise(2)
+                )
+                * 100
+                + (
+                    F.when(F.col("f") <= F.col("f33"), 0)
+                    .when(F.col("f") <= F.col("f67"), 1)
+                    .otherwise(2)
+                )
+                * 10
+                + (
+                    F.when(F.col("m") <= F.col("m33"), 0)
+                    .when(F.col("m") <= F.col("m67"), 1)
+                    .otherwise(2)
+                )
+            )
+            .cast("long")
+            .alias("segment")
+        )
+    )
+    return (
+        binned.groupBy("segment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def _tercile_sql(src: str, col: str, prefix: str) -> str:
+    return f"""{prefix}f AS (
+    SELECT {col} AS v, count(*) AS cnt FROM {src} GROUP BY 1
+),
+{prefix}c AS (
+    SELECT v, sum(cnt) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+           (SELECT sum(cnt) FROM {prefix}f) AS n
+    FROM {prefix}f
+),
+{prefix}b AS (
+    SELECT min(CASE WHEN cum >= ceil(n * 1.0 / 3) THEN v END)
+               AS b33,
+           min(CASE WHEN cum >= ceil(n * 2.0 / 3) THEN v END)
+               AS b67
+    FROM {prefix}c
+)"""
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+per_cust AS (
+    SELECT o_custkey,
+           min(date_diff('day', o_orderdate, m.mx)) AS r,
+           count(*) AS f,
+           sum(CAST(round(o_totalprice, 2) AS DECIMAL(12,2))) AS m
+    FROM orders CROSS JOIN maxd m
+    GROUP BY 1
+),
+{_tercile_sql('per_cust', 'r', 'r')},
+{_tercile_sql('per_cust', 'f', 'f')},
+{_tercile_sql('per_cust', 'm', 'm')}
+SELECT CAST(
+         (CASE WHEN p.r <= rb.b33 THEN 0
+               WHEN p.r <= rb.b67 THEN 1 ELSE 2 END) * 100
+       + (CASE WHEN p.f <= fb.b33 THEN 0
+               WHEN p.f <= fb.b67 THEN 1 ELSE 2 END) * 10
+       + (CASE WHEN p.m <= mb.b33 THEN 0
+               WHEN p.m <= mb.b67 THEN 1 ELSE 2 END)
+       AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust p CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+GROUP BY 1
+ORDER BY segment
+"""
+
+
 # ------------------------------------------- data-quality report
 
 DQ_STATUSES = ("F", "O", "P")
@@ -2303,5 +2466,11 @@ SPECS = [
         q_dup_group_size_histogram,
         DUP_GROUP_SIZES_SQL,
         tags=("dedup", "agg"),
+    ),
+    QuerySpec(
+        "rfm_segments",
+        q_rfm_segments,
+        RFM_SEGMENTS_SQL,
+        tags=("analytics", "relational", "agg"),
     ),
 ]
