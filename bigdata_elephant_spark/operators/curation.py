@@ -296,14 +296,17 @@ def embedding_outliers(
             F.sum("vd").cast("double") / F.count("*"), 6
         ).alias("c")
     )
+    # residual * residual (and dist * dist / mean * mean below),
+    # never pow(x, 2): IEEE multiply is bit-identical across engines,
+    # pow may take the exp/ln path (repo determinism rule; the
+    # oracles use the same multiplied form).
+    resid = F.col("vd").cast("double") - F.col("c")
     dists = (
         elems.join(F.broadcast(cent), ["label", "dim"])
         .select(
             "vec_id",
             "label",
-            F.round(
-                F.pow(F.col("vd").cast("double") - F.col("c"), 2), 12
-            )
+            F.round(resid * resid, 12)
             .cast("decimal(24,12)")
             .alias("t"),
         )
@@ -319,7 +322,7 @@ def embedding_outliers(
         "label",
         "dist",
         F.col("dist").cast("decimal(18,6)").alias("d1"),
-        F.round(F.pow("dist", 2), 12)
+        F.round(F.col("dist") * F.col("dist"), 12)
         .cast("decimal(24,12)")
         .alias("d2"),
     )
@@ -328,17 +331,16 @@ def embedding_outliers(
         F.sum("d1").alias("s1"),
         F.sum("d2").alias("s2"),
     )
+    mean_d = F.col("s1").cast("double") / F.col("n")
     thr = stats.select(
         "label",
         F.round(
-            F.col("s1").cast("double") / F.col("n")
+            mean_d
             + F.lit(n_sigma)
             * F.sqrt(
                 F.greatest(
                     F.col("s2").cast("double") / F.col("n")
-                    - F.pow(
-                        F.col("s1").cast("double") / F.col("n"), 2
-                    ),
+                    - mean_d * mean_d,
                     F.lit(0.0),
                 )
             ),
@@ -381,9 +383,20 @@ def temperature_mixture(
     probabilistic targets — no per-source sort at all, which is the
     cheaper contract when "approximately budget-sized" is enough.
     """
-    sizes = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    # Each source's temperature weight n_s^alpha is rounded to 6
+    # decimals and Z is summed as an exact decimal — partial-agg
+    # order in a double sum is nondeterministic and differs from
+    # DuckDB's order, and a last-ulp difference in Z could flip the
+    # 6-decimal rate rounding at a half-way boundary (the repo's
+    # exact-decimal-sum discipline; oracle mirrors this form).
+    sizes = docs.groupBy("source").agg(
+        F.count("*").alias("n_s")
+    ).withColumn(
+        "w_s",
+        F.round(F.pow("n_s", F.lit(alpha)), 6).cast("decimal(24,6)"),
+    )
     tot = sizes.agg(
-        F.sum(F.pow("n_s", F.lit(alpha))).alias("z"),
+        F.sum("w_s").alias("z"),
         F.sum("n_s").alias("t"),
     )
     rates = sizes.crossJoin(F.broadcast(tot)).select(
@@ -393,8 +406,8 @@ def temperature_mixture(
                 F.lit(1.0),
                 F.lit(float(frac_out))
                 * F.col("t")
-                * F.pow("n_s", F.lit(alpha))
-                / F.col("z")
+                * F.col("w_s").cast("double")
+                / F.col("z").cast("double")
                 / F.col("n_s"),
             ),
             6,

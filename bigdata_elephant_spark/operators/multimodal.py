@@ -84,6 +84,37 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in rng.standard_normal(dim).astype(np.float32)]
 
 
+def fake_feature_fingerprint(
+    payload: bytes, dim: int = FEATURE_DIM
+) -> str:
+    """Driver-side md5 fingerprint of :func:`_fake_features` output,
+    formatted exactly as the registry's ``media_features`` Spark
+    query formats it (each float32 widened to double, cast to
+    DECIMAL(12,6) with HALF_UP rounding, joined with commas).
+
+    Java's ``BigDecimal.valueOf(double)`` and Python's
+    ``Decimal(repr(float))`` both parse the shortest round-trip
+    decimal of the same double, and ``setScale(6, HALF_UP)`` /
+    ``quantize(1e-6, ROUND_HALF_UP)`` agree digit-for-digit, so the
+    fixed-scale string (e.g. ``-1.234560``) is identical on both
+    sides; the one divergence — Python's signed ``-0.000000`` where
+    BigDecimal has no negative zero — is normalized away. This is
+    what makes a DuckDB VALUES-table oracle for the (deliberately
+    non-SQL) RNG decode possible."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+
+    def fmt(x: float) -> str:
+        d = Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+        if d == 0:
+            d = Decimal("0.000000")  # BigDecimal has no -0
+        return str(d)
+
+    s = ",".join(fmt(x) for x in _fake_features(payload, dim))
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
 def _pil_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Real image decode via PIL: open, grayscale, resize to a
     sqrt(dim) x sqrt(dim) thumbnail, normalize to [0, 1]. Import is

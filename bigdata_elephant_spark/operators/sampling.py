@@ -173,21 +173,23 @@ def neyman_allocation_sample(
     large; the documented scale fix is a bucket-threshold refinement
     (select by hash range, then rank only the boundary bucket).
     """
+    # v * v / mean * mean, never pow(x, 2): IEEE multiply is
+    # bit-identical across engines, pow may take the exp/ln path
+    # (repo determinism rule; the oracle uses the same form).
     v = F.round(F.col(value), 6)
+    mean = F.col("s1").cast("double") / F.col("n_h")
     stats = df.groupBy(stratum).agg(
         F.count("*").alias("n_h"),
         F.sum(v.cast("decimal(18,6)")).alias("s1"),
         F.sum(
-            F.round(F.pow(v, 2), 12).cast("decimal(24,12)")
+            F.round(v * v, 12).cast("decimal(24,12)")
         ).alias("s2"),
     )
     sigma = F.round(
         F.sqrt(
             F.greatest(
                 F.col("s2").cast("double") / F.col("n_h")
-                - F.pow(
-                    F.col("s1").cast("double") / F.col("n_h"), 2
-                ),
+                - mean * mean,
                 F.lit(0.0),
             )
         ),

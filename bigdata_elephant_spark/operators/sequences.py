@@ -71,7 +71,12 @@ def concurrency_timeline(events: DataFrame) -> DataFrame:
     never double-counts). Rows with equal ``(t, delta)`` are
     interchangeable — any serialization yields the same per-hour
     maximum — so the result is deterministic without a unique
-    tie-break column.
+    tie-break column. The per-hour max considers the hour's
+    *entering* level as well as every post-edge level (an hour whose
+    first edge is an end — e.g. a 10:30-11:30 session — still reports
+    the carried-in concurrency, not the post-drop level), so the
+    output truly is "max concurrent at any instant of the hour" for
+    every hour that has at least one edge.
 
     The running sum is two-phase so no event-sized data ever passes
     through a single-partition sort:
@@ -112,11 +117,17 @@ def concurrency_timeline(events: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = deltas.withColumn("run", F.sum("d").over(w_in))
+    # Post-edge level = offset + run; pre-edge level = offset + run
+    # - d. Within an hour each pre-edge level equals the previous
+    # row's post-edge level EXCEPT at the first edge, where it is the
+    # hour's entering (carry-in) level — so max(greatest(post, pre))
+    # is exactly max(entering level, all post-edge levels).
+    lvl = F.col("offset") + F.col("run")
     return (
         running.join(offsets, "hour")
         .groupBy("hour")
         .agg(
-            F.max(F.col("offset") + F.col("run")).alias(
+            F.max(F.greatest(lvl, lvl - F.col("d"))).alias(
                 "max_concurrent"
             )
         )

@@ -58,8 +58,16 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+        .crossJoin(
+            F.broadcast(
+                c.agg(F.count("*").alias("n_click_after_view"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count("*").alias("n_purchase_after_click"))
+            )
+        )
     )
 
 

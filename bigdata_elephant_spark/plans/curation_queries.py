@@ -200,9 +200,12 @@ cent AS (
     FROM elems GROUP BY 1, 2
 ),
 dists AS (
+    -- resid * resid / dist * dist / mean * mean below, never
+    -- pow(x, 2) (cross-engine 1-ulp trap; mirrors curation.py)
     SELECT e.vec_id, e.label,
            round(sqrt(CAST(sum(
-               CAST(round(pow(CAST(e.vd AS DOUBLE) - c.c, 2), 12)
+               CAST(round((CAST(e.vd AS DOUBLE) - c.c)
+                          * (CAST(e.vd AS DOUBLE) - c.c), 12)
                     AS DECIMAL(24,12))
            ) AS DOUBLE)), 6) AS dist
     FROM elems e JOIN cent c ON e.label = c.label AND e.dim = c.dim
@@ -211,7 +214,7 @@ dists AS (
 dd AS (
     SELECT vec_id, label, dist,
            CAST(dist AS DECIMAL(18,6)) AS d1,
-           CAST(round(pow(dist, 2), 12) AS DECIMAL(24,12)) AS d2
+           CAST(round(dist * dist, 12) AS DECIMAL(24,12)) AS d2
     FROM dists
 ),
 stats AS (
@@ -223,7 +226,8 @@ thr AS (
            round(CAST(s1 AS DOUBLE) / n
                  + {OUTLIER_SIGMA} * sqrt(greatest(
                        CAST(s2 AS DOUBLE) / n
-                       - pow(CAST(s1 AS DOUBLE) / n, 2), 0.0)),
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n), 0.0)),
                  6) AS threshold
     FROM stats
 )

@@ -10,6 +10,8 @@ the execution.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdata_elephant_spark.functions.hashing import (
@@ -1521,13 +1523,19 @@ FROM (
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode: md5-seeded feature vectors. The RNG
-    is not SQL-expressible, so this entry has no oracle (driver runs
-    the weaker rows-only check); determinism is pytest-verified.
+    itself is not SQL-expressible, but it IS deterministic (md5-seeded
+    from the payload), so the oracle is a precomputed VALUES table of
+    per-payload fingerprints keyed by ``md5(text)`` (see
+    :func:`_media_features_oracle`) — giving this entry a full
+    hash-checked driver row instead of the old rows-only check.
 
     The registry entry collapses the ``array<float>`` feature into an
-    md5 fingerprint of the 6-decimal rounding so every output column is
-    scalar (the rows-only canonicalizer sorts on all columns and cannot
-    hash Python lists).  ``decode_media`` itself keeps the array API
+    md5 fingerprint so every output column is scalar (the driver
+    canonicalizer cannot hash Python lists). Formatting: each float32
+    is widened to double and cast to DECIMAL(12,6) — fixed-scale
+    HALF_UP strings that Python's ``decimal`` reproduces exactly
+    (``fake_feature_fingerprint``), unlike raw double->string
+    scientific notation. ``decode_media`` itself keeps the array API
     for programmatic callers."""
     from pyspark.sql import functions as F
     from bigdata_elephant_spark.operators.multimodal import (
@@ -1545,11 +1553,61 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
                 F.transform(
                     "feature",
-                    lambda x: F.round(x.cast("double"), 6).cast("string"),
+                    lambda x: x.cast("decimal(12,6)").cast("string"),
                 ),
             )
         ).alias("feature_md5"),
+    ).orderBy("doc_id")
+
+
+def _media_features_oracle() -> str:
+    """Build the DuckDB oracle for ``media_features``: a VALUES table
+    ``(text_md5, feature_md5)`` computed driver-side in pure Python
+    over the distinct document texts of the correctness-gate scale
+    factors (sf0.001 and sf0.01 — the SFs the driver and the local
+    parity mirror replay), joined back on ``md5(d.text)`` so the same
+    SQL string is correct at either SF. ``n_bytes`` is computed by
+    DuckDB itself. A run at an uncovered SF fails loudly (inner join
+    drops rows -> row-count mismatch) rather than silently passing.
+
+    The fingerprints replay the exact mapInPandas decode
+    (``_fake_features``: md5-seeded numpy Generator) plus the exact
+    DECIMAL(12,6) formatting of the Spark query — see
+    ``fake_feature_fingerprint`` for the cross-engine formatting
+    contract."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigdata_elephant_spark.operators.multimodal import (
+        fake_feature_fingerprint,
     )
+
+    rows: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01"):
+        path = os.path.join("/root/testdata", sf, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        for text in pq.read_table(path, columns=["text"]).column(
+            "text"
+        ).to_pylist():
+            payload = text.encode("utf-8")
+            key = hashlib.md5(payload).hexdigest()
+            if key not in rows:
+                rows[key] = fake_feature_fingerprint(payload)
+    values = ",\n".join(
+        f"('{k}', '{v}')" for k, v in sorted(rows.items())
+    )
+    return f"""
+WITH fp(text_md5, feature_md5) AS (VALUES
+{values}
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       fp.feature_md5
+FROM documents d JOIN fp ON md5(d.text) = fp.text_md5
+ORDER BY d.doc_id
+"""
 
 
 def q_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2154,8 +2212,8 @@ SPECS = [
               MEDIA_VIDEO_STATS_SQL, ("llm", "multimodal")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
-    QuerySpec("media_features", q_media_features, None,
-              ("llm", "multimodal")),
+    QuerySpec("media_features", q_media_features,
+              _media_features_oracle(), ("llm", "multimodal")),
 ]
 
 

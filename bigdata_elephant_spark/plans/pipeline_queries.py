@@ -94,13 +94,17 @@ WITH deltas AS (
     FROM events
 ),
 run AS (
-    SELECT date_trunc('hour', t) AS hour,
+    SELECT date_trunc('hour', t) AS hour, d,
            sum(d) OVER (ORDER BY t, d
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS c
     FROM deltas
 )
-SELECT hour, CAST(max(c) AS BIGINT) AS max_concurrent
+-- greatest(c, c - d) folds each edge's PRE-edge level into the max;
+-- at an hour's first edge that pre-edge level is the carry-in from
+-- earlier hours, so hours opening with an end edge report the true
+-- peak, not the post-drop level (mirrors sequences.py).
+SELECT hour, CAST(max(greatest(c, c - d)) AS BIGINT) AS max_concurrent
 FROM run GROUP BY 1 ORDER BY 1
 """
 
@@ -249,17 +253,22 @@ _DOC_BUCKET = (
 
 TEMPERATURE_MIXTURE_SQL = f"""
 WITH sizes AS (
-    SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+    -- temperature weights rounded to 6 decimals, Z summed as exact
+    -- decimal (mirrors curation.py's order-independent Z)
+    SELECT source, count(*) AS n_s,
+           CAST(round(pow(count(*), {MIX_ALPHA}), 6)
+                AS DECIMAL(24,6)) AS w_s
+    FROM documents GROUP BY 1
 ),
 tot AS (
-    SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS t
+    SELECT sum(w_s) AS z, sum(n_s) AS t
     FROM sizes
 ),
 rates AS (
     SELECT source,
            round(least(1.0,
-                       {MIX_FRAC} * t * pow(n_s, {MIX_ALPHA})
-                       / z / n_s), 6) AS rate
+                       {MIX_FRAC} * t * CAST(w_s AS DOUBLE)
+                       / CAST(z AS DOUBLE) / n_s), 6) AS rate
     FROM sizes, tot
 )
 SELECT d.doc_id, d.source, r.rate
@@ -635,17 +644,20 @@ kept AS (
       AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
 ),
 sizes AS (
-    SELECT source, count(*) AS n_s FROM kept GROUP BY 1
+    SELECT source, count(*) AS n_s,
+           CAST(round(pow(count(*), {MIX_ALPHA}), 6)
+                AS DECIMAL(24,6)) AS w_s
+    FROM kept GROUP BY 1
 ),
 tot AS (
-    SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS t
+    SELECT sum(w_s) AS z, sum(n_s) AS t
     FROM sizes
 ),
 rates AS (
     SELECT source,
            round(least(1.0,
-                       {MIX_FRAC} * t * pow(n_s, {MIX_ALPHA})
-                       / z / n_s), 6) AS rate
+                       {MIX_FRAC} * t * CAST(w_s AS DOUBLE)
+                       / CAST(z AS DOUBLE) / n_s), 6) AS rate
     FROM sizes, tot
 )
 SELECT k.doc_id, k.source, r.rate
@@ -892,9 +904,13 @@ ORDER BY c_nationkey, c_mktsegment
 
 # --------------------------------------------- per-user EWMA
 
-EWMA_ALPHA = 0.5  # (1-alpha) = 0.5: every weight is an exact power
-#                   of two, so pow() is bit-identical on any engine
-EWMA_MAX_EXP = 50  # weights below 2^-50 truncate to exact zero
+EWMA_ALPHA = 0.5  # with (1-alpha) = 0.5 every weight is an exact
+#                   power of two, so pow() is bit-identical on any
+#                   engine; other alphas stay *correct* (generic
+#                   weights below) with a 1-ulp cross-engine risk
+EWMA_MAX_EXP = 50  # weights whose decay exponent exceeds 2^-50 are
+#                   truncated to EXACT zero (keeps pow() out of the
+#                   subnormal range where engines may differ)
 
 
 def q_ewma_user_value(
@@ -903,13 +919,15 @@ def q_ewma_user_value(
     """Per-user exponentially-weighted moving average of event value
     at the user's LAST event — the classic streaming feature
     computed batch-side, without a recursive UDF: the recursion
-    ``s_t = α·v_t + (1−α)·s_{t−1}`` unrolls to a weighted sum with
-    weights ``(1−α)^(n−i)``, expressible as one rank window + one
-    aggregation. Terms are rounded to 12 decimals and summed as
-    exact decimals; with α = 0.5 every weight is a power of two, so
-    the unroll is bit-identical across engines. Weights below
-    ``2^-50`` are truncated to zero (documented cap — keeps pow()
-    out of the subnormal range where engines may differ)."""
+    ``s_t = α·v_t + (1−α)·s_{t−1}`` unrolls to the weighted sum with
+    the GENERIC weights ``α·(1−α)^(n−i)`` for ``i > 1`` and
+    ``(1−α)^(n−1)`` for the first event (so ``EWMA_ALPHA`` is
+    actually tunable — the two forms only coincide at α = 0.5),
+    expressible as one rank window + one aggregation. Terms are
+    rounded to 12 decimals and summed as exact decimals; with
+    α = 0.5 every weight is a power of two, so the unroll is
+    bit-identical across engines. Weights with decay exponent above
+    ``EWMA_MAX_EXP`` are truncated to exact zero."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_all = Window.partitionBy("user_id")
@@ -921,16 +939,17 @@ def q_ewma_user_value(
     )
     exp = F.when(
         F.col("rn") == 1, F.col("n_u") - 1
-    ).otherwise(F.col("n_u") - F.col("rn") + 1)
-    term = (
-        F.round(
-            F.col("v")
-            * F.pow(
-                F.lit(1.0 - EWMA_ALPHA),
-                F.least(exp, F.lit(EWMA_MAX_EXP)),
-            ),
-            12,
+    ).otherwise(F.col("n_u") - F.col("rn"))
+    decay = F.pow(
+        F.lit(1.0 - EWMA_ALPHA), F.least(exp, F.lit(EWMA_MAX_EXP))
+    )
+    weight = F.when(exp > EWMA_MAX_EXP, F.lit(0.0)).otherwise(
+        F.when(F.col("rn") == 1, decay).otherwise(
+            F.lit(EWMA_ALPHA) * decay
         )
+    )
+    term = (
+        F.round(F.col("v") * weight, 12)
         .cast("decimal(30,12)")
         .alias("term")
     )
@@ -953,14 +972,24 @@ WITH ranked AS (
            count(*) OVER (PARTITION BY user_id) AS n_u
     FROM events
 ),
-terms AS (
-    SELECT user_id,
-           CAST(round(v * pow({1.0 - EWMA_ALPHA},
-                              least(CASE WHEN rn = 1 THEN n_u - 1
-                                         ELSE n_u - rn + 1 END,
-                                    {EWMA_MAX_EXP})), 12)
-                AS DECIMAL(30,12)) AS term
+exps AS (
+    SELECT user_id, v, rn,
+           CASE WHEN rn = 1 THEN n_u - 1 ELSE n_u - rn END AS e
     FROM ranked
+),
+terms AS (
+    -- generic EWMA weights: (1-a)^(n-1) for the first event,
+    -- a*(1-a)^(n-i) after; exponent > {EWMA_MAX_EXP} -> exact zero
+    SELECT user_id,
+           CASE WHEN e > {EWMA_MAX_EXP}
+                THEN CAST(0 AS DECIMAL(30,12))
+                ELSE CAST(round(v * (
+                         (CASE WHEN rn = 1 THEN 1.0
+                               ELSE {EWMA_ALPHA} END)
+                         * pow({1.0 - EWMA_ALPHA},
+                               least(e, {EWMA_MAX_EXP}))), 12)
+                     AS DECIMAL(30,12)) END AS term
+    FROM exps
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(term) AS DOUBLE), 6) AS ewma
@@ -1058,7 +1087,8 @@ def q_neyman_sample_orders(
 
 _SIGMA = (
     "round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_h "
-    "- pow(CAST(s1 AS DOUBLE) / n_h, 2), 0.0)), 6)"
+    "- (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h), "
+    "0.0)), 6)"
 )
 
 NEYMAN_SAMPLE_SQL = f"""
@@ -1066,7 +1096,8 @@ WITH stats AS (
     SELECT o_orderpriority, count(*) AS n_h,
            sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
                AS s1,
-           sum(CAST(round(pow(round(o_totalprice, 6), 2), 12)
+           sum(CAST(round(round(o_totalprice, 6)
+                          * round(o_totalprice, 6), 12)
                     AS DECIMAL(24,12))) AS s2
     FROM orders GROUP BY 1
 ),
@@ -1327,6 +1358,11 @@ def q_lang_source_chisq(
     rl = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
     rs = docs.groupBy("source").agg(F.count("*").alias("n_src"))
     n = docs.agg(F.count("*").alias("n"))
+    # dev * dev, never pow(dev, 2): IEEE multiply is bit-identical
+    # across engines, pow may take the exp/ln path (repo determinism
+    # rule; same form in the oracle below).
+    exp_raw = F.col("n_lang") * F.col("n_src") / F.col("n")
+    dev = F.col("obs") - exp_raw
     cells = (
         obs.join(F.broadcast(rl), "lang")
         .join(F.broadcast(rs), "source")
@@ -1335,18 +1371,8 @@ def q_lang_source_chisq(
             "lang",
             "source",
             F.col("obs").cast("long").alias("obs"),
-            F.round(
-                F.col("n_lang") * F.col("n_src") / F.col("n"), 6
-            ).alias("expected"),
-            F.round(
-                F.pow(
-                    F.col("obs")
-                    - F.col("n_lang") * F.col("n_src") / F.col("n"),
-                    2,
-                )
-                / (F.col("n_lang") * F.col("n_src") / F.col("n")),
-                6,
-            ).alias("chi2_term"),
+            F.round(exp_raw, 6).alias("expected"),
+            F.round(dev * dev / exp_raw, 6).alias("chi2_term"),
         )
     )
     return cells.orderBy("lang", "source")
@@ -1359,15 +1385,21 @@ WITH obs AS (
 ),
 rl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
 rs AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
-n AS (SELECT count(*) AS n FROM documents)
-SELECT o.lang, o.source, CAST(o.obs AS BIGINT) AS obs,
-       round(rl.n_lang * rs.n_src / n.n, 6) AS expected,
-       round(pow(o.obs - rl.n_lang * rs.n_src / n.n, 2)
-             / (rl.n_lang * rs.n_src / n.n), 6) AS chi2_term
-FROM obs o
-JOIN rl USING (lang)
-JOIN rs USING (source)
-CROSS JOIN n
+n AS (SELECT count(*) AS n FROM documents),
+cells AS (
+    SELECT o.lang, o.source, o.obs,
+           rl.n_lang * rs.n_src / n.n AS exp_raw,
+           o.obs - rl.n_lang * rs.n_src / n.n AS dev
+    FROM obs o
+    JOIN rl USING (lang)
+    JOIN rs USING (source)
+    CROSS JOIN n
+)
+-- dev * dev, never pow(dev, 2) (cross-engine 1-ulp trap)
+SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+       round(exp_raw, 6) AS expected,
+       round(dev * dev / exp_raw, 6) AS chi2_term
+FROM cells
 ORDER BY lang, source
 """
 

@@ -23,14 +23,24 @@ def register_views(
     sf_dir: str,
     derived: bool = True,
     llm: bool = False,
+    dup_groups: bool = False,
 ) -> list[str]:
     """Register every lake table (and, with ``derived``, the search
     engine's vocabulary/postings/doc_meta relations; with ``llm``,
-    the curation surface — quality scores, transitive duplicate
-    groups, hashed document vectors, text statistics) as temp views.
-    Views are lazy logical plans, so Catalyst optimizes through them
-    and nothing is computed until queried. Returns the registered
-    view names."""
+    the curation surface — quality scores, hashed document vectors,
+    text statistics) as temp views. These views are lazy logical
+    plans, so Catalyst optimizes through them and nothing is computed
+    until queried.
+
+    ``dup_groups=True`` additionally registers the transitive
+    duplicate-group table. Unlike every other view, connected
+    components is iterative (label propagation with a driver-side
+    convergence scalar per round), so it is COMPUTED AT REGISTRATION
+    TIME and the view is a materialized snapshot: it does not track
+    later changes to the lake files. It is off by default for that
+    reason — call :func:`bigdata_elephant_spark.operators.dedup.
+    duplicate_groups` directly when you want a fresh computation.
+    Returns the registered view names."""
     names = []
     for t in TPCH_TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
@@ -44,9 +54,7 @@ def register_views(
             .createOrReplaceTempView("doc_meta")
         names += ["vocabulary", "postings", "doc_meta"]
     if llm:
-        from pyspark.sql import functions as F
-
-        from bigdata_elephant_spark.operators import dedup, textstats
+        from bigdata_elephant_spark.operators import textstats
         from bigdata_elephant_spark.operators.curation import (
             quality_logit_scores,
         )
@@ -55,6 +63,21 @@ def register_views(
         quality_logit_scores(corpus).createOrReplaceTempView(
             "quality_scores"
         )
+        textstats.hashed_doc_vectors(corpus).createOrReplaceTempView(
+            "doc_vectors"
+        )
+        textstats.text_stats(corpus).createOrReplaceTempView(
+            "doc_stats"
+        )
+        names += ["quality_scores", "doc_vectors", "doc_stats"]
+    if dup_groups:
+        # Eager by necessity: iterative connected components runs now
+        # and the view is a snapshot (see docstring).
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators import dedup
+
+        corpus = read_table(spark, sf_dir, "documents")
         sigs = dedup.minhash_signatures(corpus)
         pairs = dedup.lsh_candidate_pairs(sigs).filter(
             F.col("est_sim") >= 0.5
@@ -62,14 +85,5 @@ def register_views(
         dedup.duplicate_groups(pairs).createOrReplaceTempView(
             "dup_groups"
         )
-        textstats.hashed_doc_vectors(corpus).createOrReplaceTempView(
-            "doc_vectors"
-        )
-        textstats.text_stats(corpus).createOrReplaceTempView(
-            "doc_stats"
-        )
-        names += [
-            "quality_scores", "dup_groups", "doc_vectors",
-            "doc_stats",
-        ]
+        names.append("dup_groups")
     return names

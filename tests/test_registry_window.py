@@ -41,9 +41,10 @@ def test_window_covers_required_families():
 def test_every_spec_has_fn_and_most_have_oracles():
     specs = all_specs()
     no_oracle = sorted(s.name for s in specs if s.oracle is None)
-    # media_features (RNG decode stub) and q1_pricing_fast (double
+    # q1_pricing_fast is the single declared rows-only check (double
     # sums can't hash-match a cross-engine oracle — its exact twin is
     # the oracle row; agreement is tolerance-tested in
-    # tests/test_numeric_modes.py) are the declared rows-only checks;
+    # tests/test_numeric_modes.py). media_features regained a real
+    # oracle in round 4 (precomputed VALUES fingerprint table);
     # anything else missing an oracle is a regression.
-    assert no_oracle == ["media_features", "q1_pricing_fast"], no_oracle
+    assert no_oracle == ["q1_pricing_fast"], no_oracle

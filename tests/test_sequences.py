@@ -87,11 +87,17 @@ def test_concurrency_matches_bruteforce(spark):
     edges.sort(key=lambda e: (e[0], e[1]))
     level, expect = 0, {}
     for t, d in edges:
-        level += d
         h = t.replace(minute=0, second=0)
-        expect[h] = max(expect.get(h, level), level)
+        if h not in expect:
+            expect[h] = level  # hour's entering (carry-in) level
+        level += d
+        expect[h] = max(expect[h], level)
     assert got == expect
     assert got[base] == 3  # the 10:00 hour peaks at 3 concurrent
+    # the 11:00 hour holds only the end edge of the 10:00-11:00
+    # session: its peak is the carried-in level 1, not the
+    # post-drop 0 — the carry-in fix this asserts
+    assert got[base.replace(hour=11)] == 1
 
 
 def test_temperature_mixture_uniform_at_alpha_one(spark, sf_dir):

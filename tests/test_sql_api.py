@@ -31,8 +31,10 @@ def test_register_llm_views_queryable(spark, sf_dir):
     from bigdata_elephant_spark.sql_api import register_views
 
     names = register_views(spark, sf_dir, derived=False, llm=True)
-    assert {"quality_scores", "dup_groups", "doc_vectors",
-            "doc_stats"} <= set(names)
+    assert {"quality_scores", "doc_vectors", "doc_stats"} <= set(names)
+    # dup_groups is opt-in: connected components is iterative so its
+    # view is an eagerly-computed snapshot, not a lazy plan.
+    assert "dup_groups" not in names
     # a SQL user can join the curation surface directly
     row = spark.sql(
         """
@@ -45,3 +47,13 @@ def test_register_llm_views_queryable(spark, sf_dir):
     assert spark.sql(
         "SELECT count(*) AS n FROM doc_vectors"
     ).first().n > 0
+
+
+def test_register_dup_groups_snapshot(spark, sf_dir):
+    names = register_views(
+        spark, sf_dir, derived=False, dup_groups=True
+    )
+    assert "dup_groups" in names
+    assert spark.sql(
+        "SELECT count(*) AS n FROM dup_groups"
+    ).first().n >= 0
