@@ -752,3 +752,56 @@ def duplicate_passages(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------- eval decontamination
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    flag_frac: float = 0.1,
+    broadcast_eval: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Lee et al.
+    training-set hygiene step): for every training document, the
+    fraction of its DISTINCT word n-grams that appear anywhere in the
+    evaluation set -> ``(doc_id, n_ngrams, n_overlap, contamination,
+    flagged)``. Documents shorter than ``n`` tokens have no n-grams
+    and are absent (nothing to contaminate by this measure).
+
+    Plan shape: the eval side collapses to a DISTINCT n-gram set —
+    benchmark-sized in practice, hence broadcast by default (the
+    probe is then a map-side semi-join: the 100 TB train side
+    shuffles once, on doc_id, for its two counts; set
+    ``broadcast_eval=False`` for an unusually large eval corpus and
+    the semi-join shuffles on the shingle instead). Counting DISTINCT
+    shingles per doc (not occurrences) makes the rate insensitive to
+    internal repetition — a doc repeating one leaked line 100 times
+    scores the same as one leaking it once.
+    """
+    ev = (
+        doc_shingles(eval_df, text_col, id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = doc_shingles(train, text_col, id_col, n=n).distinct()
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ov = F.coalesce("n_overlap", F.lit(0))
+    rate = ov / F.col("n_ngrams")
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        ov.alias("n_overlap"),
+        F.round(rate, 6).alias("contamination"),
+        (rate >= F.lit(flag_frac)).alias("flagged"),
+    )

@@ -12,8 +12,10 @@ drift can reach the comparison precision).
 At 100 TB: edges are the big table — they shuffle ONCE per iteration
 keyed by src (a fixed partitioning that a bucketed edge table turns
 into zero shuffles); ranks are node-sized. Dangling nodes (no
-out-edges) leak mass like in the classic formulation; handle by
-adding self-loops upstream if mass conservation matters.
+out-edges) leak mass in the classic formulation; pass
+``handle_dangling=True`` to redistribute their mass uniformly each
+iteration (one extra node-sized semi-join + scalar aggregate,
+broadcast back — no driver round-trip).
 """
 
 from __future__ import annotations
@@ -30,11 +32,23 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    handle_dangling: bool = False,
 ) -> DataFrame:
     """``(node, rank)`` after ``iterations`` synchronous updates.
 
     rank_0 = 1/N;
     rank_{i+1}(v) = (1-d)/N + d * Σ_{u→v} rank_i(u) / outdeg(u).
+
+    With ``handle_dangling=True`` the mass sitting on nodes with no
+    out-edges is redistributed uniformly (the standard
+    redistribute-to-all correction):
+    rank_{i+1}(v) = (1-d)/N + d * (inflow(v) + dm_i / N) where
+    ``dm_i`` is the dangling nodes' total rank. ``dm_i`` is summed as
+    an exact decimal over the 9-decimal-rounded ranks (a plain double
+    sum is partial-aggregation-order nondeterministic — the repo's
+    decimal-sum discipline), computed as a 1-row DataFrame and
+    broadcast-crossed into the update, so the iteration stays one
+    lazy plan with no driver round-trip.
     """
     # Materialize the edge list ONCE before it fans out into nodes,
     # outdeg and w — edges typically arrive as an expensive pipeline
@@ -57,6 +71,11 @@ def pagerank(
         .localCheckpoint()
     )
     base = float(1.0 - damping) / n
+    dang = None
+    if handle_dangling:
+        dang = nodes.join(
+            outdeg, nodes["node"] == outdeg["src"], "left_anti"
+        ).localCheckpoint()
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), ROUND).alias("rank")
     ).localCheckpoint()
@@ -67,13 +86,25 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(
+        joined = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
-        ).select(
+        )
+        inflow = F.coalesce("inflow", F.lit(0.0))
+        if handle_dangling:
+            dm = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(20,9)")),
+                    F.lit(0).cast("decimal(20,9)"),
+                ).alias("dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dm))
+            inflow = inflow + F.col("dm").cast("double") / F.lit(
+                float(n)
+            )
+        ranks = joined.select(
             "node",
             F.round(
-                F.lit(base)
-                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                F.lit(base) + F.lit(damping) * inflow,
                 ROUND,
             ).alias("rank"),
         )
@@ -88,24 +119,63 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame, degree_ordered: bool = False
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list given as
     canonical ``(doc_a < doc_b)`` pairs.
 
-    Compact-forward algorithm: with every edge stored once in id
-    order, each triangle {x < y < z} is found exactly once as the
-    wedge (x-y, y-z) closed by the edge (x-z) — two equi-joins, no
-    double counting, no post-dedup. Per-node counts come from
-    exploding each triangle's three corners into one groupBy.
+    Compact-forward algorithm: with every edge oriented low→high
+    under a total order on nodes, each triangle {x < y < z} is found
+    exactly once as the wedge (x→y, y→z) closed by the edge (x→z) —
+    two equi-joins, no double counting, no post-dedup. Per-node
+    counts come from exploding each triangle's three corners into one
+    groupBy. The identity holds for ANY total order, so the choice of
+    order changes cost, never counts.
 
     At 100 TB: the wedge join fans out by the square of the hottest
-    node's *forward* degree. Id-ordering is used here because the
-    oracle must replay it exactly; production would rank nodes by
-    (degree, id) first — same joins, provably minimal wedge count —
-    at the cost of a degree computation. Both shuffles key on node
-    ids; skew follows the dup-cluster size, which upstream LSH
-    already caps per band.
+    node's *forward* degree. ``degree_ordered=True`` ranks nodes by
+    ``(degree, id)`` and re-orients every edge toward the
+    higher-ranked endpoint before the wedge join — the classic
+    compact-forward refinement (a high-degree hub becomes the *head*
+    of most of its edges, so its forward degree collapses), provably
+    minimizing total wedge count at the cost of one degree
+    aggregation + two node-keyed joins. The default id order skips
+    that prepass (fine when upstream LSH already caps cluster sizes).
+    Both shuffles key on node ids.
     """
+    if degree_ordered:
+        deg = (
+            pairs.select(F.col("doc_a").alias("node"))
+            .unionAll(pairs.select(F.col("doc_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        da = deg.select(
+            F.col("node").alias("doc_a"), F.col("deg").alias("deg_a")
+        )
+        db = deg.select(
+            F.col("node").alias("doc_b"), F.col("deg").alias("deg_b")
+        )
+        a_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        pairs = (
+            pairs.join(da, "doc_a")
+            .join(db, "doc_b")
+            .select(
+                F.when(a_first, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("lo"),
+                F.when(a_first, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("hi"),
+            )
+            .select(
+                F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b")
+            )
+        )
     e1 = pairs.select(
         F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
     )

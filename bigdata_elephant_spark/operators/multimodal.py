@@ -130,6 +130,52 @@ def _pil_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(v) / 255.0 for v in img.getdata()]
 
 
+def _netpbm_features(
+    payload: bytes, dim: int = FEATURE_DIM
+) -> list[float]:
+    """REAL image features from a binary netpbm payload, no external
+    libs: :func:`decode_ppm` (P5/P6 header parse + buffer reshape) ->
+    integer ITU-R 601-2 luma (``(299R + 587G + 114B) // 1000`` — the
+    truncated-integer form, exactly replayable) -> nearest-neighbor
+    thumbnail (:func:`resize_nearest`) -> normalize to [0, 1]. The
+    same grayscale-thumbnail contract as :func:`_pil_features`, with
+    every step deterministic and in-repo."""
+    side = int(dim ** 0.5)
+    assert side * side == dim, "FEATURE_DIM must be a perfect square"
+    px = decode_ppm(payload)
+    if px.shape[2] == 3:
+        p32 = px.astype(np.int32)
+        gray = (
+            p32[:, :, 0] * 299 + p32[:, :, 1] * 587 + p32[:, :, 2] * 114
+        ) // 1000
+    else:
+        gray = px[:, :, 0].astype(np.int32)
+    small = resize_nearest(gray[:, :, None], side, side)[:, :, 0]
+    return [float(v) / 255.0 for v in small.reshape(-1)]
+
+
+def _dispatch_features(
+    payload: bytes, dim: int = FEATURE_DIM
+) -> list[float]:
+    """Magic-byte dispatch for the real (non-fake) decode path:
+    netpbm payloads decode with the in-repo pure-numpy decoder (so
+    ``fake=False`` genuinely works in this container); anything else
+    falls through to PIL when installed, else raises with the format
+    prefix in the message."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _netpbm_features(payload, dim)
+    try:
+        import PIL  # noqa: F401 — deferred optional dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"no in-repo decoder for payload starting "
+            f"{payload[:4]!r} and PIL (pillow) is not installed; "
+            f"netpbm (P5/P6) decodes natively, or pass fake=True "
+            f"for the deterministic stub"
+        ) from exc
+    return _pil_features(payload, dim)
+
+
 def decode_media(
     df: DataFrame,
     fake: bool = False,
@@ -140,21 +186,14 @@ def decode_media(
 
     Arrow ships each partition to Python in batches; the iterator
     form keeps memory bounded regardless of partition size. With
-    ``fake=False`` the decode is PIL (grayscale-thumbnail features,
-    :func:`_pil_features`); PIL is not installed in this container,
-    so that path raises ``NotImplementedError`` here and is covered
-    by an ``importorskip`` test that runs wherever PIL exists.
+    ``fake=False`` each payload dispatches on its magic bytes
+    (:func:`_dispatch_features`): netpbm P5/P6 decodes with the
+    in-repo pure-numpy decoder — real in this container — while
+    other formats use PIL where installed and raise
+    ``NotImplementedError`` otherwise (covered by an
+    ``importorskip`` test that runs wherever PIL exists).
     """
-    if not fake:
-        try:
-            import PIL  # noqa: F401 — probe on the driver, fail fast
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real media decoding needs PIL (pillow), which is not "
-                "installed here; pass fake=True for the deterministic "
-                "stub"
-            ) from exc
-    featurize = _fake_features if fake else _pil_features
+    featurize = _fake_features if fake else _dispatch_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -33,6 +33,7 @@ def salted_aggregate(
     partial_aggs: Sequence[Column],
     final_aggs: Sequence[Column],
     n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -44,9 +45,17 @@ def salted_aggregate(
     The salt is a deterministic content hash, not ``rand()``: a
     nondeterministic salt recomputed differently on task retry can
     lose/duplicate rows mid-shuffle (the SPARK-23207 class of bug).
+    Identical duplicate rows share a content-hash salt; pass
+    ``salt_col`` naming a distinguishing column (upstream row id) to
+    spread a hot key of identical payloads — see
+    :func:`salted_join`.
     """
+    salt_src = (
+        [F.col(salt_col)] if salt_col is not None
+        else [F.col(c) for c in df.columns]
+    )
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     )
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
@@ -58,6 +67,7 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt-and-replicate.
 
@@ -88,9 +98,14 @@ def salted_join(
     a nondeterministic expression evaluated before a shuffle can be
     recomputed differently on task retry, silently losing or
     duplicating join rows. Content hashing spreads a hot key just as
-    well whenever its rows differ in any other column; fully
-    identical duplicate rows share a salt (they would also be
-    indistinguishable to any downstream consumer).
+    well whenever its rows differ in any other column — but FULLY
+    IDENTICAL duplicate rows all hash to one salt, so a hot key made
+    of identical rows (common in raw logs) defeats the spread. For
+    that case pass ``salt_col``: the name of an existing column that
+    distinguishes the duplicates (an upstream row id, a file+offset,
+    a ``monotonically_increasing_id`` captured BEFORE the shuffle) —
+    the salt becomes ``xxhash64(salt_col) % n_salts``, spreading even
+    identical payloads while staying retry-deterministic.
     """
     allowed = {"inner", "left", "leftouter", "left_outer",
                "left_semi", "leftsemi", "left_anti", "leftanti"}
@@ -100,8 +115,12 @@ def salted_join(
             f"({sorted(allowed)}); got how={how!r}. For a "
             f"right-preserving join, swap the arguments."
         )
+    salt_src = (
+        [F.col(salt_col)] if salt_col is not None
+        else [F.col(c) for c in big.columns]
+    )
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     )
     replicated = small.withColumn(
         "__salt",

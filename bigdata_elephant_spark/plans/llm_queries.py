@@ -330,6 +330,97 @@ SELECT node, round(rank, 6) AS rank FROM pr{PR_ITERS}
 """
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank WITH dangling-mass redistribution over a directed
+    graph that actually has dangling nodes: the part-successor graph
+    (within each order, consecutive parts in ``l_partkey`` order form
+    a directed edge; the last part of an order has no out-edge unless
+    it leads elsewhere). Exercises ``pagerank(handle_dangling=True)``
+    — closing the mass-leak caveat documented in operators/graph.py —
+    against a recursive-free unrolled DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    edges = (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    return pagerank(
+        edges,
+        iterations=PR_ITERS,
+        damping=PR_DAMPING,
+        handle_dangling=True,
+    ).orderBy("node")
+
+
+def _pagerank_dangling_iter_ctes(iters: int, damping: float) -> str:
+    """Unrolled iterations with per-round dangling-mass CTEs: dm_i is
+    the decimal sum of dangling nodes' ranks (exact — mirrors the
+    Spark side's decimal-sum discipline), redistributed uniformly
+    inside the damped term."""
+    parts = []
+    for i in range(iters):
+        parts.append(f"""
+dm{i} AS (
+    SELECT coalesce(sum(CAST(p.rank AS DECIMAL(20,9))),
+                    CAST(0 AS DECIMAL(20,9))) AS dm
+    FROM pr{i} p JOIN dang USING (node)
+),
+pr{i + 1} AS (
+    SELECT n.node,
+           round((1.0 - {damping}) / (SELECT count(*) FROM nodes)
+                 + {damping} * (coalesce(s.inflow, 0.0)
+                     + CAST(d.dm AS DOUBLE)
+                       / (SELECT count(*) FROM nodes)), 9) AS rank
+    FROM nodes n CROSS JOIN dm{i} d LEFT JOIN (
+        SELECT w.dst AS node, sum(p.rank * w.w) AS inflow
+        FROM wedges w JOIN pr{i} p ON p.node = w.src
+        GROUP BY w.dst
+    ) s USING (node)
+)""")
+    return ",".join(parts)
+
+
+PAGERANK_DANGLING_SQL = f"""
+WITH succ AS (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) AS dst
+    FROM lineitem
+),
+e AS (SELECT src, dst FROM succ WHERE dst IS NOT NULL),
+nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+dang AS (
+    SELECT node FROM nodes
+    WHERE node NOT IN (SELECT src FROM e)
+),
+wedges AS (
+    SELECT src, dst,
+           1.0 / (count(*) OVER (PARTITION BY src)) AS w
+    FROM e
+),
+pr0 AS (
+    SELECT node,
+           round(1.0 / (SELECT count(*) FROM nodes), 9) AS rank
+    FROM nodes
+),
+{_pagerank_dangling_iter_ctes(PR_ITERS, PR_DAMPING)}
+SELECT node, round(rank, 6) AS rank FROM pr{PR_ITERS}
+ORDER BY node
+"""
+
+
 def q_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the near-duplicate pair graph: a node in
     many triangles sits in a densely inter-similar cluster (template
@@ -374,6 +465,29 @@ corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY 1 ORDER BY 1
 """
+
+
+def q_dupgraph_triangles_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-ordered compact-forward triangle counts — the
+    wedge-minimizing production variant (nodes ranked by
+    ``(degree, id)``, edges re-oriented toward the higher rank
+    before the wedge join; see operators/graph.py). Per-node counts
+    are identical to the id-ordered form for any total order, so it
+    shares the oracle with ``dupgraph_triangles`` — the driver row
+    doubles as the cross-order equivalence proof."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.graph import triangle_counts
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    return triangle_counts(
+        pairs.select("doc_a", "doc_b"), degree_ordered=True
+    )
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,6 +1164,78 @@ def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+def q_media_ppm_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL (non-fake) decode_media path under the oracle gate:
+    valid binary P6 payloads (closed-form pixels, synth_ppm_payloads)
+    go through the magic-byte dispatch to the in-repo netpbm decoder
+    (decode_ppm -> integer ITU-R luma -> nearest-neighbor 4x4
+    thumbnail -> [0,1] floats; operators/multimodal.py
+    _netpbm_features) — no PIL anywhere. The oracle recomputes every
+    feature element from the pixel formula: resize index map, luma
+    integer division, float32 quantization. Array output is exploded
+    to scalar (doc_id, dim, val) rows for the hash compare."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_ppm_payloads(docs)
+    feats = multimodal.decode_media(payloads, fake=False)
+    return (
+        feats.select(
+            "doc_id", F.posexplode("feature").alias("dim", "v")
+        )
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+        )
+        .orderBy("doc_id", "dim")
+    )
+
+
+# Oracle replay of the real netpbm feature path: nearest-neighbor
+# index map ((i*h)//side), truncated integer luma, then the exact
+# float32 quantization the ArrayType(FloatType) schema applies
+# (CAST AS REAL) before the 6-decimal rounding.
+_FEAT_SIDE = 4  # sqrt(FEATURE_DIM=16)
+
+MEDIA_PPM_FEATURES_SQL = f"""
+WITH dims AS (
+    SELECT doc_id,
+           doc_id % 16 + 8 AS w,
+           doc_id % 8 + 8  AS h
+    FROM documents
+),
+grid AS (
+    SELECT doc_id, w, h, unnest(range(0, {_FEAT_SIDE * _FEAT_SIDE}))
+               AS dim
+    FROM dims
+),
+src AS (
+    SELECT doc_id, dim, w,
+           ((dim // {_FEAT_SIDE}) * h) // {_FEAT_SIDE} AS y,
+           ((dim % {_FEAT_SIDE}) * w) // {_FEAT_SIDE} AS x
+    FROM grid
+),
+luma AS (
+    SELECT doc_id, dim,
+           (((doc_id * 31 + ((y * w + x) * 3 + 0) * 7) % 256) * 299
+            + ((doc_id * 31 + ((y * w + x) * 3 + 1) * 7) % 256) * 587
+            + ((doc_id * 31 + ((y * w + x) * 3 + 2) * 7) % 256) * 114
+           ) // 1000 AS g
+    FROM src
+)
+SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+       round(CAST(CAST(CAST(g AS DOUBLE) / 255.0 AS REAL)
+                  AS DOUBLE), 6) AS val
+FROM luma
+ORDER BY doc_id, dim
+"""
 
 
 def q_media_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,6 +2287,68 @@ def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_ngram_counts(_docs(spark, sf_dir), n=2)
 
 
+# ------------------------------------------- eval decontamination
+
+CONTAM_EVAL_MOD = 20  # doc_id % 20 == 0 -> "benchmark" split (5%)
+CONTAM_FLAG_FRAC = 0.1
+
+
+def q_eval_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-set decontamination against a held-out benchmark
+    split: 5% of the corpus (``doc_id % 20 == 0``) plays the eval
+    set; every remaining document reports what fraction of its
+    distinct trigrams leaks from it (operators/dedup.py
+    ngram_contamination — broadcast eval n-gram set, one train-side
+    shuffle). The synthetic corpus contains near-duplicate templates
+    across the split, so nonzero contamination rows genuinely
+    exist."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    return dedup.ngram_contamination(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        n=3,
+        flag_frac=CONTAM_FLAG_FRAC,
+    ).orderBy("doc_id")
+
+
+EVAL_CONTAMINATION_SQL = f"""
+WITH {DOC_TOKS_CTE},
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+    FROM doc_toks
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ev AS (
+    SELECT DISTINCT shingle FROM dsh
+    WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+),
+tr AS (SELECT * FROM dsh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+tot AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY 1),
+hit AS (
+    SELECT t.doc_id, count(*) AS n_overlap
+    FROM tr t JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT tot.doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_ngrams, 6)
+           AS contamination,
+       (CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_ngrams
+        >= {CONTAM_FLAG_FRAC}) AS flagged
+FROM tot LEFT JOIN hit USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 CORPUS_BIGRAMS_SQL = f"""
 WITH {DOC_TOKS_CTE},
 bgs AS (
@@ -2124,12 +2372,19 @@ SPECS = [
               MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("eval_contamination", q_eval_contamination,
+              EVAL_CONTAMINATION_SQL, ("llm", "dedup", "text"),
+              bench=True),
     QuerySpec("incremental_dedup", q_incremental_dedup,
               INCREMENTAL_DEDUP_SQL, ("llm", "dedup", "incremental")),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
               ("llm", "dedup", "iterative"), bench=True),
     QuerySpec("dupgraph_triangles", q_dupgraph_triangles,
               DUPGRAPH_TRIANGLES_SQL, ("llm", "graph")),
+    QuerySpec("dupgraph_triangles_degree", q_dupgraph_triangles_degree,
+              DUPGRAPH_TRIANGLES_SQL, ("llm", "graph")),
+    QuerySpec("pagerank_dangling", q_pagerank_dangling,
+              PAGERANK_DANGLING_SQL, ("graph",)),
     QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
               ("llm", "graph", "iterative"), bench=True),
     QuerySpec("simhash_signatures", q_simhash_signatures,
@@ -2202,6 +2457,8 @@ SPECS = [
               ("llm", "text")),
     QuerySpec("multimodal_bytes", q_multimodal_bytes, MULTIMODAL_BYTES_SQL,
               ("llm", "multimodal")),
+    QuerySpec("media_ppm_features", q_media_ppm_features,
+              MEDIA_PPM_FEATURES_SQL, ("llm", "multimodal")),
     QuerySpec("media_ppm_stats", q_media_ppm_stats, MEDIA_PPM_STATS_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_phash_dupes", q_media_phash_dupes, MEDIA_PHASH_SQL,

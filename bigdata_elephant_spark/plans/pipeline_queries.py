@@ -460,17 +460,18 @@ HYBRID_VEC_ID = 0
 RRF_K = 60
 
 
-def q_search_hybrid_rrf(
-    spark: SparkSession, sf_dir: str
+def _hybrid_fuse(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab: DataFrame,
+    postings: DataFrame,
 ) -> DataFrame:
-    """Hybrid retrieval: BM25 top-N over the reference-style
-    inverted index fused with cosine top-N over the embedding table
-    (vec_id == doc_id) by reciprocal-rank fusion
-    (operators/search.py rrf_fuse). The corpus-scale work is the two
-    retrievers — each already plan-audited (broadcast query terms /
-    broadcast query vector, TakeOrderedAndProject); the fusion join
-    runs over two N-row lists."""
-    from bigdata_elephant_spark.operators.index import build_index
+    """Shared hybrid-RRF tail: BM25 top-N over the given
+    vocab/postings fused with cosine top-N over the embedding table
+    (vec_id == doc_id) by reciprocal-rank fusion. Both retrievers are
+    plan-audited (broadcast query terms / broadcast query vector,
+    TakeOrderedAndProject); the fusion join runs over two N-row
+    lists."""
     from bigdata_elephant_spark.operators.search import (
         bm25_search,
         rrf_fuse,
@@ -478,22 +479,12 @@ def q_search_hybrid_rrf(
     from bigdata_elephant_spark.operators.similarity import (
         cosine_topk,
     )
-    from bigdata_elephant_spark.operators.vocab import (
-        build_vocabulary,
-    )
     from bigdata_elephant_spark.plans.search_queries import (
         BM25_B,
         BM25_K1,
         DEFAULT_QUERY,
     )
-    from bigdata_elephant_spark.session import persist_tracked
 
-    corpus = _docs(spark, sf_dir)
-    vocab = persist_tracked(build_vocabulary(corpus))
-    # NOT persisted: measured at sf0.1, caching the full postings
-    # costs more than letting the two consumers (n_docs count,
-    # scoring join) recompute the column-pruned lineage
-    postings = build_index(corpus, vocab)
     bm = bm25_search(
         spark, DEFAULT_QUERY, vocab, postings, k=HYBRID_N,
         k1=BM25_K1, b=BM25_B,
@@ -516,6 +507,85 @@ def q_search_hybrid_rrf(
     return rrf_fuse(
         [bm_r, vec_r], k=HYBRID_K, k_rrf=RRF_K
     ).orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+
+
+def q_search_hybrid_rrf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid retrieval with the index built INLINE — the one-shot
+    ad-hoc shape (cf. cli.py ``search``). The corpus-scale work is
+    the two retrievers; see :func:`_hybrid_fuse`. For the
+    production query-many shape over saved artifacts — and the true
+    query-time latency — see :func:`q_search_hybrid_indexed`."""
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+    )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    corpus = _docs(spark, sf_dir)
+    vocab = persist_tracked(build_vocabulary(corpus))
+    # NOT persisted: measured at sf0.1, caching the full postings
+    # costs more than letting the two consumers (n_docs count,
+    # scoring join) recompute the column-pruned lineage
+    postings = build_index(corpus, vocab)
+    return _hybrid_fuse(spark, sf_dir, vocab, postings)
+
+
+def _index_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized vocab/postings parquet for ``sf_dir`` — the
+    cli.py build-once artifacts, built on first use into a
+    per-corpus temp dir (atexit-cleaned) and READ on every later
+    call. This is the production search shape: at 100 TB the index
+    build is the expensive scan that runs once; each query then
+    touches only the (much smaller) parquet artifacts with column
+    pruning and predicate pushdown, exactly like the reference's
+    build/query job split (Vocabulary.java:133-146 writes the vocab
+    dir that Query.java:247-294 reads back)."""
+    import atexit
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "elephant_index_artifacts",
+        _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    vocab_p = os.path.join(base, "vocab")
+    post_p = os.path.join(base, "postings")
+    if not os.path.exists(os.path.join(post_p, "_SUCCESS")):
+        corpus = _docs(spark, sf_dir)
+        build_vocabulary(corpus).write.mode("overwrite").parquet(
+            vocab_p
+        )
+        vocab = spark.read.parquet(vocab_p)
+        build_index(corpus, vocab).write.mode("overwrite").parquet(
+            post_p
+        )
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(vocab_p), spark.read.parquet(post_p)
+
+
+def q_search_hybrid_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid RRF over MATERIALIZED vocab/postings parquet (the
+    cli.py artifacts) instead of an inline rebuild — the
+    query-latency twin of ``search_hybrid_rrf``, mirroring the
+    ``knn_ivf`` -> ``knn_ivf_indexed`` split. Identical results (the
+    artifact is the same relation), so it shares the oracle; the
+    bench entry shows what a query costs once the index exists."""
+    vocab, postings = _index_artifacts(spark, sf_dir)
+    return _hybrid_fuse(spark, sf_dir, vocab, postings)
 
 
 def _hybrid_sql() -> str:
@@ -2374,6 +2444,13 @@ SPECS = [
         "search_hybrid_rrf",
         q_search_hybrid_rrf,
         _hybrid_sql(),
+        tags=("search", "similarity"),
+        bench=True,
+    ),
+    QuerySpec(
+        "search_hybrid_indexed",
+        q_search_hybrid_indexed,
+        _hybrid_sql(),  # identical result set — same oracle
         tags=("search", "similarity"),
         bench=True,
     ),

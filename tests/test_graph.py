@@ -40,3 +40,52 @@ def test_triangle_counts_known_graph(spark):
     got = {r["doc_id"]: r["n_triangles"]
            for r in triangle_counts(pairs).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    """A chain 1->2->3 (node 3 dangles): without handling, mass
+    leaks every round; with handle_dangling=True total rank stays 1
+    and matches a hand-computed reference iteration."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    leaky = {r["node"]: r["rank"]
+             for r in pagerank(edges, iterations=5).collect()}
+    assert sum(leaky.values()) < 0.999  # the documented leak
+    fixed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=5, handle_dangling=True
+        ).collect()
+    }
+    assert sum(fixed.values()) == pytest.approx(1.0, abs=1e-5)
+    # hand-rolled synchronous updates with redistribution
+    d, n = 0.85, 3
+    ranks = {1: round(1 / n, 9), 2: round(1 / n, 9), 3: round(1 / n, 9)}
+    for _ in range(5):
+        dm = ranks[3]
+        ranks = {
+            1: round((1 - d) / n + d * (0.0 + dm / n), 9),
+            2: round((1 - d) / n + d * (ranks[1] + dm / n), 9),
+            3: round((1 - d) / n + d * (ranks[2] + dm / n), 9),
+        }
+    for node, r in ranks.items():
+        assert fixed[node] == pytest.approx(round(r, 6), abs=2e-6)
+
+
+def test_triangle_counts_degree_ordered_equivalent(spark):
+    """Degree-ordered orientation changes cost, never counts: both
+    forms agree on a graph with hubs, chains, ties and isolates."""
+    from bigdata_elephant_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (4, 6), (6, 7), (8, 9),
+             (1, 5), (2, 6), (7, 9), (7, 8)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    base = {r["doc_id"]: r["n_triangles"]
+            for r in triangle_counts(pairs).collect()}
+    deg = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts(
+               pairs, degree_ordered=True).collect()}
+    assert base == deg
+    assert base[1] == 4 and base[4] == 6

@@ -19,9 +19,49 @@ def test_media_schema(media):
     assert d["meta"].startswith("struct<format:string,width:int")
 
 
-def test_decode_requires_fake_flag(media):
-    with pytest.raises(NotImplementedError):
+def test_decode_unknown_format_raises_without_pil(media):
+    """Non-netpbm payloads with no PIL installed fail the task with
+    the NotImplementedError surfaced from the worker (magic-byte
+    dispatch); if PIL is present the payloads just aren't images and
+    still fail. Either way fake=False on raw text bytes errors."""
+    with pytest.raises(Exception, match="decoder|PIL|cannot identify"):
         mm.decode_media(media, fake=False).collect()
+
+
+def test_decode_real_netpbm_without_pil(spark):
+    """fake=False genuinely works on netpbm payloads in this
+    container (no PIL): black and white P6 images produce all-0 /
+    all-1 grayscale-thumbnail features, and a P5 ramp reproduces the
+    integer-luma + nearest-neighbor reference computed inline."""
+    import numpy as np
+
+    black = np.zeros((10, 7, 3), dtype=np.uint8)
+    white = np.full((5, 5, 3), 255, dtype=np.uint8)
+    rows = [
+        (0, bytearray(mm.encode_ppm(black))),
+        (1, bytearray(mm.encode_ppm(white))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r["doc_id"]: r["feature"]
+        for r in mm.decode_media(media, fake=False).collect()
+    }
+    assert len(out[0]) == mm.FEATURE_DIM
+    assert all(abs(v) < 1e-9 for v in out[0])
+    assert all(abs(v - 1.0) < 1e-9 for v in out[1])
+    # structured pixels: driver-side reference == executor decode
+    px = ((np.arange(9 * 6 * 3) * 7) % 256).astype(np.uint8).reshape(
+        9, 6, 3
+    )
+    media2 = spark.createDataFrame(
+        [(2, bytearray(mm.encode_ppm(px)))],
+        "doc_id long, media binary",
+    )
+    (row,) = mm.decode_media(media2, fake=False).collect()
+    assert row["feature"] == [
+        pytest.approx(v, abs=1e-7)
+        for v in mm._netpbm_features(mm.encode_ppm(px))
+    ]
 
 
 def test_fake_decode_shapes_and_determinism(media):

@@ -123,3 +123,52 @@ def test_salted_join_left_semi_anti(spark, sf_dir):
         got = skew.salted_join(events, customer, "c_custkey", how=how)
         want = events.join(customer, "c_custkey", how)
         assert got.count() == want.count()
+
+
+def test_salt_col_spreads_identical_duplicate_rows(spark):
+    """A hot key of FULLY IDENTICAL rows defeats the content-hash
+    salt (all copies hash alike); a caller-supplied salt_col (an
+    upstream row id) restores the full n_salts-way spread, with join
+    results unchanged."""
+    n_salts, n_dupes = 8, 400
+    # 400 identical payload rows for key 1 + a few distinct others,
+    # with a pre-assigned row id a real pipeline would carry
+    rows = [(1, "same-payload", i) for i in range(n_dupes)] + [
+        (k, f"p{k}", n_dupes + k) for k in range(2, 6)
+    ]
+    big = spark.createDataFrame(rows, "k long, payload string, row_id long")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 6)], "k long, dim string"
+    )
+
+    def salt_spread(df, salt_src_cols):
+        return (
+            df.withColumn(
+                "__s",
+                F.pmod(F.xxhash64(*salt_src_cols), F.lit(n_salts)),
+            )
+            .filter(F.col("k") == 1)
+            .select("__s")
+            .distinct()
+            .count()
+        )
+
+    # content hash: payload columns identical except row_id; drop it
+    # to model a log table with true duplicates
+    assert salt_spread(big.drop("row_id"), ["k", "payload"]) == 1
+    assert salt_spread(big, ["row_id"]) == n_salts
+
+    got = skew.salted_join(
+        big, small, "k", n_salts=n_salts, salt_col="row_id"
+    )
+    want = big.join(small, "k")
+    assert got.count() == want.count() == n_dupes + 4
+    agg = skew.salted_aggregate(
+        big,
+        ["k"],
+        [F.count("*").alias("c")],
+        [F.sum("c").alias("n")],
+        n_salts=n_salts,
+        salt_col="row_id",
+    )
+    assert {r.k: r.n for r in agg.collect()}[1] == n_dupes
