@@ -773,35 +773,42 @@ def ngram_contamination(
     and are absent (nothing to contaminate by this measure).
 
     Plan shape: the eval side collapses to a DISTINCT n-gram set —
-    benchmark-sized in practice, hence broadcast by default (the
-    probe is then a map-side semi-join: the 100 TB train side
-    shuffles once, on doc_id, for its two counts; set
-    ``broadcast_eval=False`` for an unusually large eval corpus and
-    the semi-join shuffles on the shingle instead). Counting DISTINCT
-    shingles per doc (not occurrences) makes the rate insensitive to
-    internal repetition — a doc repeating one leaked line 100 times
-    scores the same as one leaking it once.
+    benchmark-sized in practice, hence broadcast by default — and the
+    train side is scanned ONCE: a broadcast left join marks each
+    distinct train shingle as leaked-or-not, then a single per-doc
+    aggregation produces both the total and the overlap count (a
+    semi-join formulation would scan and shuffle the train shingle
+    set twice, once per count). With ``broadcast_eval=False`` (an
+    unusually large eval corpus) the mark join shuffles on the
+    shingle instead. Counting DISTINCT shingles per doc (not
+    occurrences) makes the rate insensitive to internal repetition —
+    a doc repeating one leaked line 100 times scores the same as one
+    leaking it once.
     """
     ev = (
         doc_shingles(eval_df, text_col, id_col, n=n)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = doc_shingles(train, text_col, id_col, n=n).distinct()
-    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        tr.join(ev, "shingle", "left_semi")
+    scored = (
+        tr.join(ev, "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
     )
-    ov = F.coalesce("n_overlap", F.lit(0))
-    rate = ov / F.col("n_ngrams")
-    return totals.join(hits, id_col, "left").select(
+    rate = F.col("n_overlap") / F.col("n_ngrams")
+    return scored.select(
         id_col,
         "n_ngrams",
-        ov.alias("n_overlap"),
+        "n_overlap",
         F.round(rate, 6).alias("contamination"),
         (rate >= F.lit(flag_frac)).alias("flagged"),
     )

@@ -238,6 +238,83 @@ ORDER BY d.vec_id
 """
 
 
+# ------------------------------------------------ gram matrix
+
+
+def q_embedding_gram_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Upper-triangle Gram matrix ``X^T X`` of the embedding table —
+    the one-pass building block for PCA / whitening / covariance at
+    corpus scale. No self-join: each row expands its own index pairs
+    with two lateral explodes (``i``, then ``j >= i``), products are
+    rounded to 12 decimals and summed as exact decimals per ``(i,
+    j)`` (order-independent — the repo's decimal-sum discipline), so
+    the only shuffle is the final dim²/2-row aggregation with
+    map-side partials. At 100 TB this is exactly one scan of the
+    vectors; the result (64x64 here) is metadata-sized for any
+    corpus."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    rounded = emb.select(
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 7)
+        ).alias("a")
+    )
+    with_i = rounded.select(
+        "a",
+        F.explode(
+            F.sequence(F.lit(0), F.size("a") - 1)
+        ).alias("i"),
+    )
+    terms = with_i.select(
+        "i",
+        F.explode(
+            F.sequence(F.col("i"), F.size("a") - 1)
+        ).alias("j"),
+        F.col("a"),
+    ).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round(
+            F.get("a", F.col("i")) * F.get("a", F.col("j")), 12
+        )
+        .cast("decimal(30,12)")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("t").cast("double"), 6).alias("gram")
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_GRAM_SQL = """
+WITH el AS (
+    SELECT list_transform(embedding,
+                          x -> round(CAST(x AS DOUBLE), 7)) AS a
+    FROM embeddings
+),
+ij AS (
+    SELECT a, i.i AS i
+    FROM el, unnest(range(1, len(a) + 1)) AS i(i)
+),
+terms AS (
+    -- 1-based list index -> 0-based output; j >= i upper triangle;
+    -- a[i] * a[j] rounded 12 then decimal-summed (mirrors Spark)
+    SELECT i - 1 AS i, j.j - 1 AS j,
+           CAST(round(a[i] * a[j.j], 12) AS DECIMAL(30,12)) AS t
+    FROM ij, unnest(range(i, len(a) + 1)) AS j(j)
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       round(CAST(sum(t) AS DOUBLE), 6) AS gram
+FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "surprisal_band_sample",
@@ -263,6 +340,13 @@ SPECS = [
         q_embedding_outliers,
         EMBEDDING_OUTLIERS_SQL,
         tags=("curation", "similarity"),
+        bench=True,
+    ),
+    QuerySpec(
+        "embedding_gram_matrix",
+        q_embedding_gram_matrix,
+        EMBEDDING_GRAM_SQL,
+        tags=("similarity", "agg"),
         bench=True,
     ),
 ]

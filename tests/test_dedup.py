@@ -275,3 +275,36 @@ def test_incremental_dedup_cross_pairs_only(spark):
         ).filter("est_sim >= 0.5").collect()
     }
     assert full[(0, 10)] == got[(10, 0)]
+
+
+def test_ngram_contamination_handcheck(spark):
+    """Train doc 1 shares its only trigram with the eval set; doc 2
+    shares one of two; doc 3 shares none; a 2-token doc has no
+    trigrams and is absent."""
+    from bigdata_elephant_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma unrelated tail")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_ngrams, r.n_overlap, r.contamination, r.flagged)
+        for r in ngram_contamination(
+            train, eval_df, n=3, flag_frac=0.6
+        ).collect()
+    }
+    assert out[1] == (1, 1, 1.0, True)
+    assert out[2] == (2, 1, 0.5, False)
+    assert out[3] == (1, 0, 0.0, False)
+    assert 4 not in out

@@ -312,7 +312,9 @@ def test_concurrency_equal_bruteforce_property(spark, rows):
     edges.sort(key=lambda e: (e[0], e[1]))
     level, expect = 0, {}
     for t, d in edges:
-        level += d
         h = t.replace(minute=0, second=0, microsecond=0)
-        expect[h] = max(expect.get(h, level), level)
+        if h not in expect:
+            expect[h] = level  # hour's entering (carry-in) level
+        level += d
+        expect[h] = max(expect[h], level)
     assert got == expect
