@@ -377,3 +377,43 @@ def test_round3_batch2_operators_on_empty_inputs(spark):
     )
     assert cosine_topk_batch(emb, [0, 1], k=5).count() == 0
     assert ivfpq_topk(emb, 0, k=5).count() == 0
+
+
+def test_round4_operators_on_empty_and_degenerate_inputs(spark):
+    """Round-4 operators on empty / degenerate inputs: no crashes,
+    sensible empties."""
+    from bigdata_elephant_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    from bigdata_elephant_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+    )
+    from bigdata_elephant_spark.operators import multimodal as mm
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    # empty eval set: nothing can leak, rates all zero
+    out = ngram_contamination(docs, empty_docs).collect()
+    assert [(r.n_overlap, r.flagged) for r in out] == [(0, False)]
+    # empty train set: empty result
+    assert ngram_contamination(empty_docs, docs).count() == 0
+    # degree-ordered triangles on an empty pair list
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert triangle_counts(pairs, degree_ordered=True).count() == 0
+    # dangling handling on a graph that is ALL dangling targets
+    # (single edge): ranks stay finite and sum to 1
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    ranks = pagerank(e, iterations=3, handle_dangling=True).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-5
+    # truncated P6 header fails the task with a parse error, not a
+    # hang or a silent zero vector
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P6\n10 10"))], "doc_id long, media binary"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="truncated|netpbm"):
+        mm.decode_media(bad, fake=False).collect()
