@@ -253,7 +253,14 @@ def q_embedding_gram_matrix(
     the only shuffle is the final dim²/2-row aggregation with
     map-side partials. At 100 TB this is exactly one scan of the
     vectors; the result (64x64 here) is metadata-sized for any
-    corpus."""
+    corpus.
+
+    Measured choice: summing 1e12-scaled LONGS instead of
+    DECIMAL(30,12) is 2.7 s vs 3.9 s at sf0.1 (identical output) but
+    a per-cell long sum overflows past ~1e6 unit-norm vectors
+    (n x 1e12 vs 2^63); the decimal sum widens to DECIMAL(38,12)
+    (1e26 headroom — any realistic corpus), so the slower exact form
+    is the one that survives the 100 TB target."""
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
