@@ -555,10 +555,20 @@ def _index_artifacts(
         build_vocabulary,
     )
 
+    # Cache key = corpus path + its parquet mtime/size: a
+    # regenerated corpus at the same path invalidates the artifacts
+    # instead of silently serving a stale index across processes.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    key = f"{os.path.abspath(sf_dir)}|{stamp}"
     base = os.path.join(
         tempfile.gettempdir(),
         "elephant_index_artifacts",
-        _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        _hl.md5(key.encode()).hexdigest()[:12],
     )
     vocab_p = os.path.join(base, "vocab")
     post_p = os.path.join(base, "postings")

@@ -208,6 +208,31 @@ def _search_q(scoring: str):
     return run
 
 
+def _search_reference_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference-semantics search over MATERIALIZED vocab/postings
+    parquet — the cli.py build-once/query-many production flow
+    (Vocabulary.java:133-146 writes the vocab artifact that
+    Query.java:247-294 reads back) as a benched registry row, so the
+    bench records what a query costs once the index exists. Results
+    are identical to ``search_reference`` (same relation, different
+    storage), so it shares the oracle."""
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        _index_artifacts,
+    )
+
+    vocab, postings = _index_artifacts(spark, sf_dir)
+    return search(
+        spark,
+        DEFAULT_QUERY,
+        vocab,
+        postings,
+        k=DEFAULT_K,
+        scoring="reference",
+    ).select("doc_id", "score")
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -393,6 +418,13 @@ SPECS = [
         _search_q("reference"),
         _search_oracle(DEFAULT_QUERY, DEFAULT_K, "reference"),
         ("search", "topk"),
+        bench=True,
+    ),
+    QuerySpec(
+        "search_reference_indexed",
+        _search_reference_indexed,
+        _search_oracle(DEFAULT_QUERY, DEFAULT_K, "reference"),
+        ("search", "topk", "index"),
         bench=True,
     ),
     QuerySpec(
