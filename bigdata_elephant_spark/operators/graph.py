@@ -108,13 +108,17 @@ def pagerank(
                 ROUND,
             ).alias("rank"),
         )
-        # Each rank table is consumed exactly once by the next
-        # iteration, so nothing recomputes without a checkpoint;
-        # lineage only DEEPENS (2 joins/iteration — linear, unlike
-        # the exponential growth in label propagation). Truncate
-        # every other round: half the materialization jobs, while
-        # the plan never grows past ~4 join levels.
-        if i % 2 == 1 or i == iterations - 1:
+        # Without dangling handling each rank table is consumed
+        # exactly once by the next iteration, so nothing recomputes
+        # without a checkpoint; lineage only DEEPENS
+        # (2 joins/iteration — linear, unlike the exponential growth
+        # in label propagation). Truncate every other round: half
+        # the materialization jobs, while the plan never grows past
+        # ~4 join levels. With dangling handling, ranks is consumed
+        # TWICE per iteration (contribs join + dm aggregate), so an
+        # un-checkpointed round would recompute the whole previous
+        # plan for the dm scan — checkpoint every round there.
+        if handle_dangling or i % 2 == 1 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 

@@ -161,6 +161,74 @@ def bm25_search(
     )
 
 
+def bm25_search_batch(
+    spark: SparkSession,
+    queries: dict[int, str],
+    vocab: DataFrame,
+    postings: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for a probe SET of queries in ONE plan —
+    ``(query_id, doc_id, score, rank)`` with per-query top-k.
+
+    The reference answers multiple queries by re-running its whole
+    two-job chain once per query string (``Query.java:247-294``
+    drives one job pair per invocation); here the batch is a single
+    pass over the index: all queries' terms compile to one tiny
+    ``(query_id, word, q_tf)`` broadcast, the postings join fans
+    each matched posting out to every query containing the term, one
+    ``(query_id, doc_id)`` aggregate sums partials, and the per-query
+    top-k is a ``row_number() <= k`` rank window that Spark plans as
+    ``WindowGroupLimit`` — map-side per-group heaps before the
+    exchange, so no query's candidate list is ever globally sorted.
+    At 100 TB the index is scanned once for the whole batch instead
+    of once per query (the text-side analogue of ``knn_batch``).
+    """
+    from pyspark.sql import Window
+
+    rows = []
+    for qid, qs in sorted(queries.items()):
+        for w, c in sorted(Counter(tokenize_str(qs)).items()):
+            rows.append((int(qid), w, float(c)))
+    q_terms = spark.createDataFrame(
+        rows, "query_id long, word string, q_tf double"
+    )
+    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+        "query_id", "word_id", "q_tf", "df"
+    )
+    n_docs = postings.select("doc_id").distinct().count()
+    dl = doc_lengths(postings)
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    frac = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(q), "word_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("partial", idf * frac * F.col("q_tf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     k: int = 10,

@@ -255,21 +255,41 @@ def q_embedding_gram_matrix(
     vectors; the result (64x64 here) is metadata-sized for any
     corpus.
 
-    Measured choice: summing 1e12-scaled LONGS instead of
-    DECIMAL(30,12) is 2.7 s vs 3.9 s at sf0.1 (identical output) but
-    a per-cell long sum overflows past ~1e6 unit-norm vectors
-    (n x 1e12 vs 2^63); the decimal sum widens to DECIMAL(38,12)
-    (1e26 headroom — any realistic corpus), so the slower exact form
-    is the one that survives the 100 TB target."""
+    Two-phase sum (r4→r5): per-term work stays in 1e12-scaled LONGS
+    (cheap 64-bit adds in whole-stage codegen) grouped by
+    ``(i, j, spark_partition_id)`` — a map-side-only combine, since
+    the partition id is constant within each input split — and only
+    the per-partition partials (#partitions × dim²/2 rows) are
+    summed as exact decimals. Exactness is identical to a straight
+    decimal sum: each scaled long IS the 12-decimal product times
+    1e12, the decimal merge is exact, and the final
+    round(cast-to-double, 6) matches the single-phase form
+    bit-for-bit. Overflow is ruled out LOUDLY, not assumed: each
+    partial carries its row count and max |term|, and the merge
+    asserts ``cnt * max < 2^62`` (count and max cannot themselves
+    overflow, so the assertion proves the long sum didn't) — at 100
+    TB with 128 MB splits that head-room is ~2000×. Measured at
+    sf0.1: 3.9 s (single-phase decimal, single-split scan) → ~1.5 s
+    (long partials + core-fanned expansion)."""
     from pyspark.sql import functions as F
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("embedding")
+    # The explode amplifies each row 2080× — if the table arrives
+    # in fewer splits than cores (tiny file at test SF), fan the
+    # rows out first so the expansion runs on every core. At 100 TB
+    # the scan has ≫cores splits and this branch never shuffles.
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     rounded = emb.select(
         F.transform(
             "embedding", lambda x: F.round(x.cast("double"), 7)
         ).alias("a")
     )
-    with_i = rounded.select(
+    # Guard: sequence(0, -1) on an empty array would yield the
+    # DESCENDING [0, -1] and spurious null-product rows the DuckDB
+    # oracle (range-based, empty on len 0) never produces.
+    with_i = rounded.where(F.size("a") > 0).select(
         "a",
         F.explode(
             F.sequence(F.lit(0), F.size("a") - 1)
@@ -284,16 +304,44 @@ def q_embedding_gram_matrix(
     ).select(
         F.col("i").cast("int").alias("i"),
         F.col("j").cast("int").alias("j"),
+        # round(prod, 12) FIRST (the exact expression the oracle
+        # mirrors), then scale — the 12-decimal double is within
+        # ~1 ulp of k*1e-12, so *1e12 + round(…,0) recovers the
+        # integer k exactly.
         F.round(
-            F.get("a", F.col("i")) * F.get("a", F.col("j")), 12
+            F.round(
+                F.get("a", F.col("i")) * F.get("a", F.col("j")),
+                12,
+            )
+            * F.lit(1e12),
+            0,
         )
-        .cast("decimal(30,12)")
+        .cast("long")
         .alias("t"),
     )
+    partials = terms.groupBy(
+        "i", "j", F.spark_partition_id().alias("pid")
+    ).agg(
+        F.sum("t").alias("ps"),
+        F.count("*").alias("cnt"),
+        F.max(F.abs("t")).alias("mx"),
+    )
+    # decimal(20,0)/decimal literal → exact rational k*1e-12; the
+    # assert proves the long partial could not have wrapped.
+    safe_ps = F.when(
+        F.assert_true(
+            F.col("cnt").cast("double") * F.col("mx").cast("double")
+            < F.lit(float(2**62)),
+            "gram partial long-sum overflow bound violated",
+        ).isNull(),
+        F.col("ps").cast("decimal(20,0)")
+        / F.lit(10**12).cast("decimal(13,0)"),
+    )
     return (
-        terms.groupBy("i", "j")
+        partials.select("i", "j", safe_ps.alias("pd"))
+        .groupBy("i", "j")
         .agg(
-            F.round(F.sum("t").cast("double"), 6).alias("gram")
+            F.round(F.sum("pd").cast("double"), 6).alias("gram")
         )
         .orderBy("i", "j")
     )

@@ -1760,7 +1760,14 @@ def _media_features_oracle() -> str:
     (``_fake_features``: md5-seeded numpy Generator) plus the exact
     DECIMAL(12,6) formatting of the Spark query — see
     ``fake_feature_fingerprint`` for the cross-engine formatting
-    contract."""
+    contract.
+
+    Invoked LAZILY (the registry memoizes it on first
+    ``oracle_sql()`` access) so importing the registry never pays
+    the testdata scan + ~500 RNG fingerprints; the testdata root
+    follows the same env the test fixtures use
+    (``ELEPHANT_TEST_SF_DIR``'s parent, default
+    ``/root/testdata``)."""
     import os
 
     import pyarrow.parquet as pq
@@ -1769,9 +1776,14 @@ def _media_features_oracle() -> str:
         fake_feature_fingerprint,
     )
 
+    root = os.path.dirname(
+        os.environ.get(
+            "ELEPHANT_TEST_SF_DIR", "/root/testdata/sf0.001"
+        ).rstrip("/")
+    ) or "/root/testdata"
     rows: dict[str, str] = {}
     for sf in ("sf0.001", "sf0.01"):
-        path = os.path.join("/root/testdata", sf, "documents.parquet")
+        path = os.path.join(root, sf, "documents.parquet")
         if not os.path.exists(path):
             continue
         for text in pq.read_table(path, columns=["text"]).column(
@@ -2476,7 +2488,7 @@ SPECS = [
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,
               ("llm", "multimodal")),
     QuerySpec("media_features", q_media_features,
-              _media_features_oracle(), ("llm", "multimodal")),
+              _media_features_oracle, ("llm", "multimodal")),
 ]
 
 

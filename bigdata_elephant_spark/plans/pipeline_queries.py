@@ -532,6 +532,15 @@ def q_search_hybrid_rrf(
     return _hybrid_fuse(spark, sf_dir, vocab, postings)
 
 
+# Bench/diagnostic visibility into whether an _index_artifacts call
+# paid the cold build or hit a warm cache (ADVICE r4): bench.py
+# inspects this to label cold/warm runs. Paths with a registered
+# atexit cleanup are tracked so reads of a dir built by an earlier
+# process still get cleaned up.
+_ARTIFACT_CACHE_EVENTS: list[dict] = []
+_ARTIFACT_CLEANUPS: set[str] = set()
+
+
 def _index_artifacts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -555,16 +564,30 @@ def _index_artifacts(
         build_vocabulary,
     )
 
-    # Cache key = corpus path + its parquet mtime/size: a
-    # regenerated corpus at the same path invalidates the artifacts
-    # instead of silently serving a stale index across processes.
+    # Cache key = corpus path + its parquet mtime/size + a stamp of
+    # the builder code itself: a regenerated corpus at the same
+    # path OR a change to build_vocabulary/build_index invalidates
+    # the artifacts instead of silently serving a stale index
+    # across processes (an old-code index would pass oracle parity
+    # only by luck and would poison bench timings).
+    import inspect
+
+    from bigdata_elephant_spark.operators import index as _index_mod
+    from bigdata_elephant_spark.operators import vocab as _vocab_mod
+
     doc_path = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(doc_path)
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "nostat"
-    key = f"{os.path.abspath(sf_dir)}|{stamp}"
+    code_stamp = _hl.md5(
+        (
+            inspect.getsource(_index_mod)
+            + inspect.getsource(_vocab_mod)
+        ).encode()
+    ).hexdigest()[:8]
+    key = f"{os.path.abspath(sf_dir)}|{stamp}|{code_stamp}"
     base = os.path.join(
         tempfile.gettempdir(),
         "elephant_index_artifacts",
@@ -572,7 +595,14 @@ def _index_artifacts(
     )
     vocab_p = os.path.join(base, "vocab")
     post_p = os.path.join(base, "postings")
-    if not os.path.exists(os.path.join(post_p, "_SUCCESS")):
+    # Register cleanup unconditionally so a process that only READS
+    # a pre-existing cache dir still removes it on exit — otherwise
+    # dirs built by earlier processes accumulate in /tmp forever.
+    if base not in _ARTIFACT_CLEANUPS:
+        _ARTIFACT_CLEANUPS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
+    if cold:
         corpus = _docs(spark, sf_dir)
         build_vocabulary(corpus).write.mode("overwrite").parquet(
             vocab_p
@@ -581,7 +611,9 @@ def _index_artifacts(
         build_index(corpus, vocab).write.mode("overwrite").parquet(
             post_p
         )
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    _ARTIFACT_CACHE_EVENTS.append(
+        {"sf_dir": sf_dir, "cold": cold}
+    )
     return spark.read.parquet(vocab_p), spark.read.parquet(post_p)
 
 

@@ -514,3 +514,106 @@ SPECS.append(
         bench=True,
     )
 )
+
+
+# ---------------------------------------------------- batch search
+
+# A probe SET of query strings scored in one plan — the reference
+# re-runs its whole two-job chain once per query string
+# (Query.java:247-294); bm25_search_batch scans the index once for
+# all of them. Mix of multi-term, reference-default and single-term
+# probes so per-query top-k windows have different candidate sizes.
+BATCH_QUERIES = {
+    1: DEFAULT_QUERY,
+    2: REFERENCE_DEFAULT_QUERY,
+    3: "hash join stream",
+    4: "person data",
+}
+BATCH_K = 5
+
+
+def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_elephant_spark.operators.search import (
+        bm25_search_batch,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    vocab = persist_tracked(build_vocabulary(corpus))
+    postings = persist_tracked(build_index(corpus, vocab))
+    return bm25_search_batch(
+        spark, BATCH_QUERIES, vocab, postings, k=BATCH_K,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
+def _batch_qterms_values(queries: dict[int, str]) -> str:
+    from collections import Counter
+
+    from bigdata_elephant_spark.functions.text import tokenize_str
+
+    rows = []
+    for qid, qs in sorted(queries.items()):
+        for w, c in sorted(Counter(tokenize_str(qs)).items()):
+            rows.append(f"({qid}, '{w}', {float(c)})")
+    return (
+        "qterms(query_id, word, q_tf) AS (SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + "))"
+    )
+
+
+def _batch_oracle(
+    queries: dict[int, str], k: int, k1: float, b: float
+) -> str:
+    return f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {POSTINGS_CTE},
+{_batch_qterms_values(queries)},
+dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1
+),
+stats AS (
+    SELECT CAST(sum(dl) AS DOUBLE) / count(dl) AS avgdl FROM dl
+),
+ndocs AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM postings
+),
+idf AS (
+    SELECT word_id, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+    FROM vocab, ndocs
+),
+scored AS (
+    SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+           round(sum(i.idf
+                     * ((p.tf * ({k1} + 1.0))
+                        / (p.tf + {k1} * (1.0 - {b}
+                                          + {b} * (d.dl / s.avgdl))))
+                     * q.q_tf), 6) AS score
+    FROM postings p
+    JOIN vocab v USING (word_id)
+    JOIN qterms q USING (word)
+    JOIN idf i USING (word_id)
+    JOIN dl d ON d.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "search_batch",
+        q_search_batch,
+        _batch_oracle(BATCH_QUERIES, BATCH_K, BM25_K1, BM25_B),
+        ("search", "topk", "batch"),
+        bench=True,
+    )
+)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from bigdata_elephant_spark.registry import all_specs
+from bigdata_elephant_spark.registry import all_specs, resolve_oracle
 from tests.parity import assert_parity
 
 SPECS = all_specs()
@@ -20,8 +20,9 @@ SPECS = all_specs()
 def test_query_parity(spark, duck, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
     assert df is not None
-    if spec.oracle is None:
+    sql = resolve_oracle(spec)
+    if sql is None:
         assert df.count() >= 0  # rows-only check (driver's weak gate)
         return
-    rel = duck.sql(spec.oracle)
+    rel = duck.sql(sql)
     assert_parity(df, rel, spec.name)

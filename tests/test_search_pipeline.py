@@ -304,3 +304,44 @@ def test_update_vocabulary_from_empty_base(spark):
     full = {(r["word"], r["word_id"], r["df"])
             for r in build_vocabulary(docs).collect()}
     assert inc == full
+
+
+def test_bm25_batch_matches_single(spark, sf_dir):
+    """The one-plan batch scorer must agree per query with the
+    single-query BM25 path (same index, same constants), including
+    per-query rank assignment, empty-after-filter queries, and
+    queries with zero matches."""
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.search import (
+        bm25_search,
+        bm25_search_batch,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus).cache()
+    postings = build_index(corpus, vocab).cache()
+    queries = {
+        7: "the good person",
+        9: "hash join stream",
+        11: "1234 aaaa !!!",  # all tokens filtered -> no rows
+    }
+    k = 7
+    batch = bm25_search_batch(
+        spark, queries, vocab, postings, k=k
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 11 not in by_q
+    for qid, qs in ((7, queries[7]), (9, queries[9])):
+        single = bm25_search(
+            spark, qs, vocab, postings, k=k
+        ).collect()
+        got = [(r["doc_id"], r["score"]) for r in by_q.get(qid, [])]
+        want = [(r["doc_id"], r["score"]) for r in single]
+        assert got == want, qid
+        assert [r["rank"] for r in by_q.get(qid, [])] == list(
+            range(1, len(got) + 1)
+        )
