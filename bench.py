@@ -13,14 +13,20 @@ Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 2) and
 reports the MINIMUM: single-iteration timings in a shared 32-query
 JVM conflate GC pauses and compilation with plan cost (round 2's
 phantom 1.6x "regression" on curate_corpus was exactly this), and
-the min is the standard steady-state estimator for that setup.
+the min is the standard steady-state estimator for that setup. The
+JSON also carries ``queries_median`` (the median across iterations)
+and ``prev_delta`` — per-query relative change vs the newest
+BENCH_r*.json found next to this script — so cross-round drift is
+computed by the harness, not by eyeballing two files.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -28,6 +34,23 @@ from bigdata_elephant_spark.registry import all_specs
 from bigdata_elephant_spark.session import get_spark, release_caches
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Per-query seconds from the newest recorded BENCH_r*.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            q = (data.get("parsed") or data).get("queries")
+            if isinstance(q, dict) and q:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, AttributeError):
+            continue
+    return {}
 
 
 def _sf_from_dir(d: str) -> float:
@@ -56,6 +79,21 @@ def warmup(spark, specs) -> None:
         release_caches()
 
 
+def prewarm_artifacts(spark) -> list[dict]:
+    """Build the materialized index artifacts for SF_DIR BEFORE the
+    timed loop. The *_indexed queries are defined as "query cost once
+    the index exists" (the build is benched separately via their
+    inline twins), so the first timed iteration must not pay a cold
+    parquet build. Returns the cache events for the bench JSON."""
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        _ARTIFACT_CACHE_EVENTS,
+        _index_artifacts,
+    )
+
+    _index_artifacts(spark, SF_DIR)
+    return list(_ARTIFACT_CACHE_EVENTS)
+
+
 def main() -> None:
     spark = get_spark("elephant-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,20 +101,39 @@ def main() -> None:
     t0 = time.perf_counter()
     warmup(spark, specs)
     print(f"  warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    cache_events = prewarm_artifacts(spark)
+    print(
+        f"  artifact prewarm: {time.perf_counter() - t0:.3f}s "
+        f"({cache_events})",
+        file=sys.stderr,
+    )
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
+    prev = _prev_round_timings()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    prev_delta: dict[str, float] = {}
     for spec in specs:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(iters):
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # caches an operator registered (LSH signatures, vocab)
             # are scoped to its own timed run; release so iterations
             # and queries don't inherit each other's cached blocks
             release_caches()
+        best = min(samples)
         timings[spec.name] = round(best, 3)
-        print(f"  {spec.name}: {best:.3f}s", file=sys.stderr)
+        medians[spec.name] = round(statistics.median(samples), 3)
+        line = f"  {spec.name}: {best:.3f}s"
+        if spec.name in prev and prev[spec.name] > 0:
+            prev_delta[spec.name] = round(
+                best / prev[spec.name] - 1.0, 3
+            )
+            line += f" (prev {prev[spec.name]:.3f}s, "
+            line += f"{prev_delta[spec.name]:+.1%})"
+        print(line, file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +142,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "prev_delta": prev_delta,
+                "artifact_cache": cache_events,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

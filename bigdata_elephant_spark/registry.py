@@ -126,7 +126,7 @@ GATE_PRIORITY = (
     "decontaminate_eval",
     "simhash_signatures",
     "near_dup_embeddings",
-    "q1_pricing_summary",
+    "asof_events_orders",  # temporal anchor + r4 drift re-gate
 )
 
 

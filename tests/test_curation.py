@@ -162,3 +162,36 @@ def test_embedding_outliers_uniform_cluster_has_none(spark):
         [Row(vec_id=i, label=0, embedding=[1.0, 2.0]) for i in range(10)]
     )
     assert curation.embedding_outliers(emb).count() == 0
+
+
+def test_gram_matrix_ignores_empty_embeddings(spark, tmp_path):
+    """An empty embedding array must contribute nothing: Spark's
+    sequence(0, -1) yields the DESCENDING [0, -1], which without the
+    size guard would emit spurious i/j rows with null products that
+    the DuckDB oracle (range-based, empty on len 0) never produces."""
+    import pandas as pd
+
+    from bigdata_elephant_spark.plans.curation_queries import (
+        q_embedding_gram_matrix,
+    )
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [
+                [1.0, 2.0],
+                [],            # must be skipped entirely
+                [3.0, 4.0],
+            ],
+            "label": [0, 0, 0],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    rows = q_embedding_gram_matrix(spark, d).collect()
+    got = {(r["i"], r["j"]): r["gram"] for r in rows}
+    # dim 2 -> exactly the 3 upper-triangle cells, no null-product rows
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}
+    assert got[(0, 0)] == 1.0 + 9.0
+    assert got[(0, 1)] == 2.0 + 12.0
+    assert got[(1, 1)] == 4.0 + 16.0
+    assert all(r["gram"] is not None for r in rows)

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""One-decade-up scaling spot-check for the heaviest plans.
+
+The driver ships testdata only up to sf0.1, where the three most
+expensive queries are still overhead-dominated (SCALING.md slopes
+0.05-0.33). This tool synthesizes an sf1-SCALE dataset (10 shifted,
+text-salted copies of sf0.1 — used ONLY for runtime measurement,
+never as a correctness input; the oracles keep running on the
+driver's parquet) and times the heavy plans at sf0.1 vs sf1 to
+confirm the slope holds where data finally exceeds fixed overhead.
+
+Text is salted per copy (a distinct trailing token) so the dedup
+pipeline doesn't see 10 exact copies of every document — replica
+structure would otherwise turn the LSH bucket join into an
+artificial all-dup blowup that no real 10x corpus has. Embeddings
+are copied verbatim (gram/pagerank costs are row-count-driven).
+
+Writes the results table to stdout and updates the "sf1 spot-check"
+section at the end of SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.registry import all_specs
+from bigdata_elephant_spark.session import get_spark, release_caches
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SF1_DIR", "/tmp/elephant_sf1")
+COPIES = 10
+ID_STRIDE = 100_000_000
+HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
+         "pagerank_dupgraph")
+ITERS = int(os.environ.get("SF1_ITERS", "2"))
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(DST, "_BUILT")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    copies = spark.range(COPIES).withColumnRenamed("id", "c")
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("c") * ID_STRIDE)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" salt"),
+                     F.col("c").cast("string")),
+        )
+        .drop("c")
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "documents.parquet"))
+    )
+    (
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("c") * ID_STRIDE)
+        .drop("c")
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "embeddings.parquet"))
+    )
+    # the heavy plans only read documents+embeddings; link the rest
+    # so read_table() keeps working if a query touches them
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(DST, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    open(os.path.join(DST, "_BUILT"), "w").write("ok\n")
+
+
+def main() -> None:
+    spark = get_spark("elephant-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build_sf1(spark)
+    print(f"sf1 build: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    specs = {s.name: s for s in all_specs() if s.name in HEAVY}
+    rows = []
+    for name in HEAVY:
+        spec = specs[name]
+        best = {}
+        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+            b = float("inf")
+            for _ in range(ITERS):
+                t0 = time.perf_counter()
+                spec.fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                b = min(b, time.perf_counter() - t0)
+                release_caches()
+            best[label] = b
+        import math
+
+        slope = math.log10(best["sf1"] / best["sf0.1"])
+        rows.append((name, best["sf0.1"], best["sf1"], slope))
+        print(f"  {name}: sf0.1 {best['sf0.1']:.2f}s  "
+              f"sf1 {best['sf1']:.2f}s  decade-slope {slope:.2f}",
+              file=sys.stderr)
+
+    table = (
+        "\n## sf1 spot-check (synthesized 10x corpus, "
+        "tools/sf1_spotcheck.py)\n\n"
+        "Decade-slope = log10(t_sf1 / t_sf0.1): 1.0 = linear, "
+        "<1 = sublinear (overhead still amortizing), >1 = "
+        "superlinear — the red flag.\n\n"
+        "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
+        "|---|---|---|---|\n"
+    )
+    for name, a, b, s in rows:
+        table += f"| {name} | {a:.2f}s | {b:.2f}s | {s:.2f} |\n"
+
+    md_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    md = open(md_path).read()
+    md = re.sub(r"\n## sf1 spot-check.*", "", md, flags=re.S)
+    open(md_path, "w").write(md + table)
+    print(table)
+
+
+if __name__ == "__main__":
+    main()
