@@ -307,3 +307,19 @@ def test_surprisal_band_no_corpus_global_sort(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange rangepartitioning" in ln:
             assert "doc_id" in ln or "avg_surprisal" in ln, ln
+
+
+def test_search_batch_group_limit_no_python(spark, sf_dir):
+    """Batch BM25 must plan the per-query top-k as WindowGroupLimit
+    (map-side per-group heaps before the exchange — the per-key
+    generalization of TakeOrderedAndProject), keep the tiny query-term
+    set broadcast, and stay entirely JVM-side."""
+    from bigdata_elephant_spark.plans.search_queries import (
+        q_search_batch,
+    )
+
+    plan = plan_of(q_search_batch(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial+final
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
