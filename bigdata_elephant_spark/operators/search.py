@@ -136,11 +136,7 @@ def bm25_search(
     q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
         "word_id", "q_tf", "df"
     )
-    n_docs = postings.select("doc_id").distinct().count()
-    dl = doc_lengths(postings)
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
-    )
+    dl, n_docs, avgdl = _bm25_corpus_stats(postings)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0
@@ -159,6 +155,25 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _bm25_corpus_stats(postings: DataFrame):
+    """``(dl, n_docs, avgdl)`` for BM25 from ONE postings pass.
+
+    ``n_docs`` (docs with >= 1 vocab token) equals the group count of
+    the doc-length aggregate, so it is read off the persisted
+    doc-sized ``dl`` table instead of a second corpus-scale
+    distinct over the postings — the ``dl.count()`` action also
+    materializes the cache that the scoring join and the avgdl
+    scalar then reuse."""
+    from bigdata_elephant_spark.session import persist_tracked
+
+    dl = persist_tracked(doc_lengths(postings))
+    n_docs = dl.count()
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
+    )
+    return dl, n_docs, avgdl
 
 
 def bm25_search_batch(
@@ -198,11 +213,7 @@ def bm25_search_batch(
     q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
         "query_id", "word_id", "q_tf", "df"
     )
-    n_docs = postings.select("doc_id").distinct().count()
-    dl = doc_lengths(postings)
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
-    )
+    dl, n_docs, avgdl = _bm25_corpus_stats(postings)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0

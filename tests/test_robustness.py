@@ -417,3 +417,37 @@ def test_round4_operators_on_empty_and_degenerate_inputs(spark):
 
     with _pt.raises(Exception, match="truncated|netpbm"):
         mm.decode_media(bad, fake=False).collect()
+
+
+def test_round5_operators_on_empty_and_degenerate_inputs(spark):
+    """Round-5 operators on empty / degenerate inputs: no crashes,
+    sensible empties."""
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.search import (
+        bm25_search_batch,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "u", "t", "alpha beta gamma"),
+         (2, "u", "t", "beta gamma delta")],
+        "doc_id long, url string, title string, text string",
+    )
+    vocab = build_vocabulary(docs)
+    postings = build_index(docs, vocab)
+    # empty batch: empty result with the full output schema
+    out = bm25_search_batch(spark, {}, vocab, postings, k=3)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
+    # batch where every query is filtered to nothing
+    assert (
+        bm25_search_batch(
+            spark, {1: "1234", 2: "!!!"}, vocab, postings, k=3
+        ).count()
+        == 0
+    )
+    # k=1 returns exactly one row per matching query
+    rows = bm25_search_batch(
+        spark, {5: "alpha", 6: "delta"}, vocab, postings, k=1
+    ).collect()
+    assert sorted((r.query_id, r.rank) for r in rows) == [(5, 1), (6, 1)]
