@@ -318,3 +318,48 @@ def test_concurrency_equal_bruteforce_property(spark, rows):
         level += d
         expect[h] = max(expect[h], level)
     assert got == expect
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_gram_two_phase_matches_numpy(spark, tmp_path_factory, vecs):
+    """The scaled-long partial / decimal merge gram sum must equal
+    the direct float upper-triangle X^T X within the 6-decimal
+    output rounding, for arbitrary (non-unit) vectors — exercising
+    the overflow-guarded two-phase path end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_elephant_spark.plans.curation_queries import (
+        q_embedding_gram_matrix,
+    )
+
+    d = str(tmp_path_factory.mktemp("gram"))
+    pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": vecs,
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in q_embedding_gram_matrix(spark, d).collect()
+    }
+    # reference: same per-term rounding discipline, float64 sums
+    x = np.round(np.array(vecs, dtype=np.float64), 7)
+    for i in range(3):
+        for j in range(i, 3):
+            want = float(np.sum(np.round(x[:, i] * x[:, j], 12)))
+            assert abs(got[(i, j)] - want) < 2e-6, (i, j)
