@@ -343,14 +343,18 @@ def duplicate_groups(
     graph -> ``(doc_id, group_id)`` with ``group_id`` = min doc id in
     the component (the canonical survivor).
 
-    Min-label propagation: each iteration joins labels across edges
-    and takes the per-node min — one shuffle join + one aggregation
-    per round, early-stopped when no label changes. Lineage is
-    truncated with ``localCheckpoint`` every round (iterative joins
-    otherwise grow the plan exponentially). Label distance to the
-    component minimum shrinks by >= 1 hop per round, so rounds <=
-    graph diameter; near-dup components are shallow in practice
-    (``max_iter`` caps pathological chains).
+    Min-label propagation: each round applies the join-across-edges
+    / per-node-min step TWICE before the checkpoint + convergence
+    check — label distance to the component minimum shrinks by >= 2
+    hops per round, so rounds <= ceil(diameter / 2) and, since the
+    fixed cost per round is two Spark jobs (checkpoint
+    materialization + the convergence aggregate), the doubled step
+    halves both the round count and the job count for the same hop
+    budget. Correctness is unaffected: min-propagation is monotone
+    and idempotent past convergence, so overshooting a converged
+    state by one extra step changes nothing. Near-dup components
+    are shallow in practice (``max_iter`` caps total HOPS for
+    pathological chains).
 
     Convergence detection: labels are monotonically non-increasing
     under min-propagation, so the exact decimal SUM of all labels
@@ -376,17 +380,20 @@ def duplicate_groups(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    def _step(lbl: DataFrame) -> DataFrame:
         prop = edges.join(
-            labels, edges["src"] == labels["node"]
+            lbl, edges["src"] == lbl["node"]
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
-            labels.union(prop)
+        return (
+            lbl.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+
+    prev_sum = _label_sum(labels)
+    for _ in range((max_iter + 1) // 2):
+        # two hops per checkpoint/convergence check (see docstring)
+        new_labels = _step(_step(labels)).localCheckpoint()
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
