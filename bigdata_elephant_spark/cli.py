@@ -36,6 +36,7 @@ from bigdata_elephant_spark.operators.index import (
 )
 from bigdata_elephant_spark.operators.search import (
     bm25_search,
+    bm25_search_batch,
     search,
 )
 from bigdata_elephant_spark.operators.vocab import build_vocabulary
@@ -117,6 +118,16 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     help="corpus size (smooth scoring); inferred from "
                          "the postings when omitted")
     sp.add_argument("text")
+
+    sp = sub.add_parser(
+        "batch",
+        help="BM25 for a SET of queries over saved artifacts in one "
+             "index pass (query_id = 1-based argument position)",
+    )
+    sp.add_argument("--vocab", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("queries", nargs="+")
 
     sp = sub.add_parser("search", help="one-shot inline search")
     corpus_args(sp)
@@ -205,6 +216,16 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                 k=args.k, scoring=args.scoring, n_docs=n_docs,
             )
         _print_rows(ranked, out)
+    elif args.cmd == "batch":
+        vocab = spark.read.parquet(args.vocab)
+        postings = spark.read.parquet(args.index)
+        qmap = {i + 1: q for i, q in enumerate(args.queries)}
+        _print_rows(
+            bm25_search_batch(
+                spark, qmap, vocab, postings, k=args.k
+            ),
+            out,
+        )
     elif args.cmd == "search":
         corpus = _load_corpus(spark, args.corpus, args.glob)
         vocab = build_vocabulary(corpus)

@@ -100,3 +100,26 @@ def test_cli_curate_writes_selection(spark, sf_dir, tmp_path):
     sel = spark.read.parquet(out)
     assert set(sel.columns) == {"doc_id", "source", "rate"}
     assert sel.count() > 0
+
+
+def test_cli_batch_matches_single_query(spark, sf_dir, tmp_path):
+    """`batch` over saved artifacts agrees per query with `query
+    --scoring bm25`, with 1-based query ids from argument order."""
+    corpus = f"{sf_dir}/documents.parquet"
+    v, i = str(tmp_path / "v"), str(tmp_path / "i")
+    _run(spark, ["vocab", "--corpus", corpus, "--out", v])
+    _run(spark, ["index", "--corpus", corpus, "--vocab", v, "--out", i])
+    q1, q2 = "the good person", "spark table join"
+    rows = _parse(_run(spark, [
+        "batch", "--vocab", v, "--index", i, "-k", "3", q1, q2,
+    ]))
+    assert {r["query_id"] for r in rows} == {"1", "2"}
+    for qid, q in (("1", q1), ("2", q2)):
+        single = _parse(_run(spark, [
+            "query", "--vocab", v, "--index", i, "-k", "3",
+            "--scoring", "bm25", q,
+        ]))
+        got = [(r["doc_id"], r["score"]) for r in rows
+               if r["query_id"] == qid]
+        want = [(r["doc_id"], r["score"]) for r in single]
+        assert got == want, qid
