@@ -581,12 +581,18 @@ def _index_artifacts(
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "nostat"
-    code_stamp = _hl.md5(
-        (
-            inspect.getsource(_index_mod)
-            + inspect.getsource(_vocab_mod)
-        ).encode()
-    ).hexdigest()[:8]
+    try:
+        code_stamp = _hl.md5(
+            (
+                inspect.getsource(_index_mod)
+                + inspect.getsource(_vocab_mod)
+            ).encode()
+        ).hexdigest()[:8]
+    except OSError:
+        # Source unavailable (zipapp/frozen): fall back to a
+        # per-process stamp — loses cross-process cache reuse but
+        # can never serve an index built by different code.
+        code_stamp = f"pid{os.getpid()}"
     key = f"{os.path.abspath(sf_dir)}|{stamp}|{code_stamp}"
     base = os.path.join(
         tempfile.gettempdir(),
