@@ -149,6 +149,25 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     sp.add_argument("text")
 
     sp = sub.add_parser(
+        "ann-build",
+        help="materialize an IVF vector index (cell_id-partitioned "
+             "vectors + centroid table) from an embeddings parquet",
+    )
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--cells", type=int, default=16)
+
+    sp = sub.add_parser(
+        "ann-query",
+        help="cosine top-k over a saved IVF index (probes n cells "
+             "via static partition pruning)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--vec-id", type=int, required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--probe", type=int, default=4)
+
+    sp = sub.add_parser(
         "curate",
         help="curation pipeline: quality filter -> near-dup "
              "survivor drop -> temperature mixture; writes the "
@@ -216,6 +235,28 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                 k=args.k, scoring=args.scoring, n_docs=n_docs,
             )
         _print_rows(ranked, out)
+    elif args.cmd == "ann-build":
+        from bigdata_elephant_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        build_ivf_index(
+            spark.read.parquet(args.embeddings),
+            args.out,
+            n_cells=args.cells,
+        )
+    elif args.cmd == "ann-query":
+        from bigdata_elephant_spark.operators.similarity import (
+            ivf_topk_indexed,
+        )
+
+        _print_rows(
+            ivf_topk_indexed(
+                spark, args.index, args.vec_id,
+                n_probe=args.probe, k=args.k,
+            ),
+            out,
+        )
     elif args.cmd == "batch":
         vocab = spark.read.parquet(args.vocab)
         postings = spark.read.parquet(args.index)

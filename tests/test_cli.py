@@ -123,3 +123,25 @@ def test_cli_batch_matches_single_query(spark, sf_dir, tmp_path):
                if r["query_id"] == qid]
         want = [(r["doc_id"], r["score"]) for r in single]
         assert got == want, qid
+
+
+def test_cli_ann_build_then_query(spark, sf_dir, tmp_path):
+    """ann-build writes the cell-partitioned IVF layout; ann-query
+    over it matches the inline IVF scorer row-for-row."""
+    from bigdata_elephant_spark.operators.similarity import ivf_topk
+
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    rows = _parse(_run(spark, [
+        "ann-query", "--index", idx, "--vec-id", "0",
+        "-k", "5", "--probe", "3",
+    ]))
+    assert len(rows) == 5
+    inline = ivf_topk(
+        spark.read.parquet(emb_path), 0, n_cells=8, n_probe=3, k=5
+    ).collect()
+    assert [r["vec_id"] for r in rows] == [
+        str(r["vec_id"]) for r in inline
+    ]
