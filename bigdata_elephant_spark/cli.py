@@ -163,7 +163,12 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
              "via static partition pruning)",
     )
     sp.add_argument("--index", required=True)
-    sp.add_argument("--vec-id", type=int, required=True)
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--vec-id", type=int, default=None,
+                   help="query by a stored vector's id")
+    g.add_argument("--vec", default=None,
+                   help="query by a literal vector: comma-separated "
+                        "floats, e.g. '0.1,-0.2,0.3'")
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--probe", type=int, default=4)
 
@@ -250,10 +255,20 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             ivf_topk_indexed,
         )
 
+        vec_id, source = args.vec_id, None
+        if args.vec is not None:
+            # literal query vector: ship it as a one-row source
+            # table under a sentinel id that cannot collide with
+            # stored vectors (ids are non-negative on ingest)
+            vec = [float(x) for x in args.vec.split(",")]
+            vec_id = -1
+            source = spark.createDataFrame(
+                [(-1, vec)], "vec_id long, embedding array<float>"
+            )
         _print_rows(
             ivf_topk_indexed(
-                spark, args.index, args.vec_id,
-                n_probe=args.probe, k=args.k,
+                spark, args.index, vec_id,
+                n_probe=args.probe, k=args.k, source=source,
             ),
             out,
         )

@@ -145,3 +145,25 @@ def test_cli_ann_build_then_query(spark, sf_dir, tmp_path):
     assert [r["vec_id"] for r in rows] == [
         str(r["vec_id"]) for r in inline
     ]
+
+
+def test_cli_ann_query_literal_vector(spark, sf_dir, tmp_path):
+    """ann-query --vec scores a literal query vector: supplying a
+    stored vector's own values must rank that vector first (cosine 1
+    with itself), matching the --vec-id path's top hit."""
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    row0 = (
+        spark.read.parquet(emb_path)
+        .filter("vec_id = 0").select("embedding").first()
+    )
+    vec_str = ",".join(repr(float(x)) for x in row0["embedding"])
+    rows = _parse(_run(spark, [
+        # --vec=... form: a leading negative float would otherwise
+        # be parsed as an option flag
+        "ann-query", "--index", idx, f"--vec={vec_str}",
+        "-k", "3", "--probe", "3",
+    ]))
+    assert rows and rows[0]["vec_id"] == "0"
