@@ -413,3 +413,32 @@ def test_ivfpq_recall_against_exact(spark, sf_dir):
     }
     assert len(approx) == 10
     assert len(exact & approx) >= 3  # probe covers 1/4 of cells
+
+
+def test_ivfpq_indexed_matches_inline(spark, sf_dir):
+    """A query over the materialized IVF-PQ layout returns exactly
+    the inline ivfpq_topk rows (same training pipeline, same
+    scoring), and the codes scan touches only probed cells."""
+    import tempfile, shutil
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="test_ivfpq_")
+    try:
+        sim.build_ivfpq_index(
+            emb, path, n_cells=8, n_sub=4, sub_dim=16, n_codes=8
+        )
+        idx = sim.ivfpq_topk_indexed(
+            spark, path, 0, source=emb, n_probe=3, shortlist=30, k=5
+        ).collect()
+        inline = sim.ivfpq_topk(
+            emb, 0, n_cells=8, n_probe=3, n_sub=4, sub_dim=16,
+            n_codes=8, shortlist=30, k=5,
+        ).collect()
+        assert [(r["vec_id"], r["cos_sim"]) for r in idx] == [
+            (r["vec_id"], r["cos_sim"]) for r in inline
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
