@@ -151,11 +151,20 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     sp = sub.add_parser(
         "ann-build",
         help="materialize an IVF vector index (cell_id-partitioned "
-             "vectors + centroid table) from an embeddings parquet",
+             "vectors + centroid table) from an embeddings parquet; "
+             "--pq adds residual product quantization (codebooks + "
+             "cell_id-partitioned codes, the FAISS IVFx,PQy layout)",
     )
     sp.add_argument("--embeddings", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--cells", type=int, default=16)
+    sp.add_argument("--pq", action="store_true")
+    sp.add_argument("--sub", type=int, default=4,
+                    help="PQ subspaces (with --pq)")
+    sp.add_argument("--sub-dim", type=int, default=16,
+                    help="dims per PQ subspace (with --pq)")
+    sp.add_argument("--codes", type=int, default=16,
+                    help="codebook entries per subspace (with --pq)")
 
     sp = sub.add_parser(
         "ann-query",
@@ -171,6 +180,15 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                         "floats, e.g. '0.1,-0.2,0.3'")
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--probe", type=int, default=4)
+    sp.add_argument("--pq", action="store_true",
+                    help="query a --pq index (ADC over codes + exact "
+                         "re-rank); needs --embeddings for the "
+                         "re-rank and --vec-id for the query")
+    sp.add_argument("--embeddings", default=None,
+                    help="raw vector table for --pq re-rank")
+    sp.add_argument("--shortlist", type=int, default=50,
+                    help="ADC shortlist size before exact re-rank "
+                         "(with --pq)")
 
     sp = sub.add_parser(
         "curate",
@@ -243,12 +261,32 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     elif args.cmd == "ann-build":
         from bigdata_elephant_spark.operators.similarity import (
             build_ivf_index,
+            build_ivfpq_index,
         )
 
-        build_ivf_index(
-            spark.read.parquet(args.embeddings),
-            args.out,
-            n_cells=args.cells,
+        emb = spark.read.parquet(args.embeddings)
+        if args.pq:
+            build_ivfpq_index(
+                emb, args.out, n_cells=args.cells, n_sub=args.sub,
+                sub_dim=args.sub_dim, n_codes=args.codes,
+            )
+        else:
+            build_ivf_index(emb, args.out, n_cells=args.cells)
+    elif args.cmd == "ann-query" and args.pq:
+        from bigdata_elephant_spark.operators.similarity import (
+            ivfpq_topk_indexed,
+        )
+
+        if args.vec is not None or args.embeddings is None:
+            p.error("--pq queries need --vec-id and --embeddings")
+        _print_rows(
+            ivfpq_topk_indexed(
+                spark, args.index, args.vec_id,
+                source=spark.read.parquet(args.embeddings),
+                n_probe=args.probe, shortlist=args.shortlist,
+                k=args.k,
+            ),
+            out,
         )
     elif args.cmd == "ann-query":
         from bigdata_elephant_spark.operators.similarity import (

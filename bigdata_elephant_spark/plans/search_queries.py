@@ -617,3 +617,37 @@ SPECS.append(
         bench=True,
     )
 )
+
+
+def q_search_batch_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batch scorer over MATERIALIZED vocab/postings artifacts
+    (pipeline_queries._index_artifacts) — the production shape where
+    batching actually amortizes: the index exists, so the whole
+    probe set costs one pruned index pass instead of one rebuild +
+    pass per query. Identical results to ``search_batch`` (the
+    artifact is the same relation), hence the shared oracle."""
+    from bigdata_elephant_spark.operators.search import (
+        bm25_search_batch,
+    )
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        _index_artifacts,
+    )
+
+    vocab, postings = _index_artifacts(spark, sf_dir)
+    return bm25_search_batch(
+        spark, BATCH_QUERIES, vocab, postings, k=BATCH_K,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "search_batch_indexed",
+        q_search_batch_indexed,
+        _batch_oracle(BATCH_QUERIES, BATCH_K, BM25_K1, BM25_B),
+        ("search", "topk", "batch", "index"),
+        bench=True,
+    )
+)

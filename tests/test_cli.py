@@ -167,3 +167,26 @@ def test_cli_ann_query_literal_vector(spark, sf_dir, tmp_path):
         "-k", "3", "--probe", "3",
     ]))
     assert rows and rows[0]["vec_id"] == "0"
+
+
+def test_cli_ann_pq_build_then_query(spark, sf_dir, tmp_path):
+    """--pq: ann-build writes the IVFPQ layout (codebooks + codes);
+    ann-query --pq matches the inline IVF-PQ scorer row-for-row."""
+    from bigdata_elephant_spark.operators.similarity import ivfpq_topk
+
+    idx = str(tmp_path / "ivfpq")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--pq", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8", "--codes", "8"])
+    rows = _parse(_run(spark, [
+        "ann-query", "--pq", "--index", idx,
+        "--embeddings", emb_path, "--vec-id", "0",
+        "-k", "5", "--probe", "3", "--shortlist", "30",
+    ]))
+    inline = ivfpq_topk(
+        spark.read.parquet(emb_path), 0, n_cells=8, n_probe=3,
+        n_sub=4, sub_dim=16, n_codes=8, shortlist=30, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
+        (str(r["vec_id"]), str(r["cos_sim"])) for r in inline
+    ]
