@@ -1310,3 +1310,79 @@ def ivfpq_topk_indexed(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k for a BATCH of query vectors in one
+    plan → ``(q_id, vec_id, cos_sim)`` — the production high-QPS ANN
+    shape: amortize the corpus scan across the whole probe set while
+    still scoring only each query's ``n_probe`` nearest cells.
+
+    Probe selection is a per-query rank window over the
+    (query × centroid) distance table (``|Q| × n_cells`` rows —
+    metadata-sized, broadcast); a vector is scored for exactly the
+    queries probing its cell via the broadcast ``(q_id, cell_id)``
+    equi-join, so fan-out per vector is bounded by
+    queries-per-cell, not batch size. The per-query top-k is the
+    ``row_number() <= k`` rank window Spark plans as
+    ``WindowGroupLimit`` (map-side per-query heaps). At 100 TB the
+    table is cell_id-partitioned and the union of probed cells
+    prunes the scan, exactly as in :func:`ivf_topk_indexed`. Scoring
+    and ordering per query are identical to single-query
+    :func:`ivf_topk` (rounded cosine, id tie-break)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    w_p = Window.partitionBy("q_id").orderBy(
+        F.col("d").asc(), F.col("cell_id").asc()
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias(
+                "d"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_p))
+        .filter(F.col("_rn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    candidates = (
+        embeddings.join(assigned, id_col)
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+    )
+    scored = candidates.select(
+        "q_id",
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (F.sqrt(_norm2(F.col(vec_col))) * F.col("_qnrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

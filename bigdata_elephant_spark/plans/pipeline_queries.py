@@ -452,6 +452,86 @@ ORDER BY q_id, vec_id
 """
 
 
+def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN (operators/similarity.py ivf_topk_batch): one
+    plan answers the whole probe set, each query scoring only its
+    n_probe nearest cells — the production high-QPS shape combining
+    knn_batch's scan amortization with knn_ivf's cell pruning."""
+    from bigdata_elephant_spark.operators.similarity import (
+        ivf_topk_batch,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import (
+        IVF_CELLS,
+        IVF_PROBE,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk_batch(
+        emb, BATCH_QUERY_IDS, n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE, k=BATCH_K,
+    ).orderBy("q_id", "vec_id")
+
+
+def _knn_ivf_batch_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        IVF_CELLS,
+        IVF_PROBE,
+        _l2_sql,
+    )
+
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+q AS (
+    SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+    WHERE vec_id IN ({_IDS})
+),
+probes AS (
+    SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round({_l2_sql('c.cvec', 'q.qv')}, 6),
+                            c.cell_id) AS rn
+        FROM cents c, q
+    ) WHERE rn <= {IVF_PROBE}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+    FROM embeddings e
+    JOIN assigned s ON s.vec_id = e.vec_id
+    JOIN probes p ON p.cell_id = s.cell_id
+    JOIN q ON q.q_id = p.q_id
+    WHERE e.vec_id <> q.q_id
+),
+r AS (
+    SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id ASC)
+               AS rn
+    FROM scored
+)
+SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= {BATCH_K}
+ORDER BY q_id, vec_id
+"""
+
+
+
 # --------------------------------------------- hybrid retrieval
 
 HYBRID_N = 20
@@ -2486,6 +2566,13 @@ SPECS = [
         q_knn_batch,
         KNN_BATCH_SQL,
         tags=("similarity",),
+        bench=True,
+    ),
+    QuerySpec(
+        "knn_ivf_batch",
+        q_knn_ivf_batch,
+        _knn_ivf_batch_sql,
+        tags=("similarity", "index", "batch"),
         bench=True,
     ),
     QuerySpec(

@@ -442,3 +442,29 @@ def test_ivfpq_indexed_matches_inline(spark, sf_dir):
         ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_batch_matches_single(spark, sf_dir):
+    """Per query, the batched IVF scorer must return exactly the
+    single-query ivf_topk rows (same cells, probes, scoring)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    qids = [0, 3, 7]
+    batch = sim.ivf_topk_batch(
+        emb, qids, n_cells=8, n_probe=3, k=5
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["vec_id"], r["cos_sim"])
+        )
+    for qid in qids:
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in sim.ivf_topk(
+                emb, qid, n_cells=8, n_probe=3, k=5
+            ).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
