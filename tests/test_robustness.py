@@ -451,3 +451,25 @@ def test_round5_operators_on_empty_and_degenerate_inputs(spark):
         spark, {5: "alpha", 6: "delta"}, vocab, postings, k=1
     ).collect()
     assert sorted((r.query_id, r.rank) for r in rows) == [(5, 1), (6, 1)]
+
+
+def test_ivf_batch_degenerate_inputs(spark, sf_dir):
+    """Batched IVF on degenerate probe sets: unknown ids and empty
+    batches produce empty results, not crashes."""
+    from bigdata_elephant_spark.operators.similarity import (
+        ivf_topk_batch,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # no such query ids -> empty, full schema
+    out = ivf_topk_batch(emb, [10**9, 10**9 + 1], n_cells=4, k=3)
+    assert out.columns == ["q_id", "vec_id", "cos_sim"]
+    assert out.count() == 0
+    # empty probe set -> empty
+    assert ivf_topk_batch(emb, [], n_cells=4, k=3).count() == 0
+    # k larger than any cell population -> bounded, not padded
+    rows = ivf_topk_batch(
+        emb, [0], n_cells=4, n_probe=4, k=10**6
+    ).collect()
+    assert 0 < len(rows) < 10**6
