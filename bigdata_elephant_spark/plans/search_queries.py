@@ -242,7 +242,10 @@ def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     vocab = persist_tracked(build_vocabulary(corpus))
-    postings = persist_tracked(build_index(corpus, vocab))
+    # NOT persisted: measured 3.0s (persisted) vs ~2.3s at sf0.1 —
+    # the consumers recompute column-pruned lineage cheaper than the
+    # full-postings cache materializes (same finding as hybrid/batch)
+    postings = build_index(corpus, vocab)
     return bm25_search(
         spark, DEFAULT_QUERY, vocab, postings, k=DEFAULT_K,
         k1=BM25_K1, b=BM25_B,
@@ -459,7 +462,10 @@ def q_search_more_like_this(
 
     corpus = _corpus(spark, sf_dir)
     vocab = persist_tracked(build_vocabulary(corpus))
-    postings = persist_tracked(build_index(corpus, vocab))
+    # NOT persisted: 3.4s (persisted) vs ~2.0s at sf0.1 — even with
+    # three postings consumers (norms, query row, dot products) the
+    # column-pruned recompute beats materializing the full cache
+    postings = build_index(corpus, vocab)
     return more_like_this(MLT_DOC_ID, vocab, postings, k=MLT_K)
 
 
@@ -539,7 +545,11 @@ def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     vocab = persist_tracked(build_vocabulary(corpus))
-    postings = persist_tracked(build_index(corpus, vocab))
+    # NOT persisted: as with the hybrid query, caching the full
+    # postings costs more than letting the two consumers (dl stats,
+    # scoring join) recompute the column-pruned lineage — measured
+    # 3.3s (persisted) vs ~2.7s at sf0.1.
+    postings = build_index(corpus, vocab)
     return bm25_search_batch(
         spark, BATCH_QUERIES, vocab, postings, k=BATCH_K,
         k1=BM25_K1, b=BM25_B,
