@@ -38,7 +38,7 @@ DST = os.environ.get("SF1_DIR", "/tmp/elephant_sf1")
 COPIES = 10
 ID_STRIDE = 100_000_000
 HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
-         "pagerank_dupgraph")
+         "pagerank_dupgraph", "dedup_groups", "search_batch")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
