@@ -363,3 +363,42 @@ def test_gram_two_phase_matches_numpy(spark, tmp_path_factory, vecs):
         for j in range(i, 3):
             want = float(np.sum(np.round(x[:, i] * x[:, j], 12)))
             assert abs(got[(i, j)] - want) < 2e-6, (i, j)
+
+
+@SETTINGS
+@given(texts=corpus_strategy, data=st.data())
+def test_bm25_batch_equals_singles_property(spark, texts, data):
+    """For ANY corpus and probe set, the one-plan batch scorer
+    returns per query exactly the single-query BM25 ranking."""
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.search import (
+        bm25_search,
+        bm25_search_batch,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [(i, "u", "t", t) for i, t in enumerate(texts)],
+        "doc_id long, url string, title string, text string",
+    )
+    vocab = build_vocabulary(docs)
+    postings = build_index(docs, vocab)
+    queries = {
+        qid: data.draw(doc_strategy, label=f"q{qid}")
+        for qid in (1, 2)
+    }
+    k = data.draw(st.integers(min_value=1, max_value=4), label="k")
+    batch = bm25_search_batch(spark, queries, vocab, postings, k=k)
+    by_q: dict[int, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qid, qs in queries.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in bm25_search(
+                spark, qs, vocab, postings, k=k
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == single, (qid, qs)
