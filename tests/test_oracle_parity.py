@@ -26,3 +26,29 @@ def test_query_parity(spark, duck, sf_dir, spec):
         return
     rel = duck.sql(sql)
     assert_parity(df, rel, spec.name)
+
+
+def test_parity_gate_actually_rejects(spark, duck, sf_dir):
+    """Meta-test of the gate itself: a deliberately wrong Spark
+    result (dropped row, perturbed value, renamed column) must FAIL
+    assert_parity — proving the harness can't green-light a broken
+    query."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.registry import all_specs, resolve_oracle
+
+    spec = next(s for s in all_specs() if s.name == "vocab_build")
+    good = spec.fn(spark, sf_dir)
+    rel = duck.sql(resolve_oracle(spec))
+    # sanity: unmodified passes
+    assert_parity(good, rel, "meta-good")
+    with pytest.raises(AssertionError):  # dropped rows
+        assert_parity(good.limit(5), rel, "meta-rows")
+    with pytest.raises(AssertionError):  # perturbed value
+        assert_parity(
+            good.withColumn("df", F.col("df") + 1), rel, "meta-val"
+        )
+    with pytest.raises(AssertionError):  # renamed column
+        assert_parity(
+            good.withColumnRenamed("df", "df2"), rel, "meta-col"
+        )
