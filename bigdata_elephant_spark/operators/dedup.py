@@ -391,15 +391,24 @@ def duplicate_groups(
         )
 
     prev_sum = _label_sum(labels)
-    for _ in range((max_iter + 1) // 2):
-        # two hops per checkpoint/convergence check (see docstring)
-        new_labels = _step(_step(labels)).localCheckpoint()
+    hops, converged = 0, False
+    while hops < max_iter:
+        # two hops per checkpoint/convergence check (see docstring);
+        # an odd max_iter spends its final budget on a single hop so
+        # the configured HOP cap is exact.
+        steps = 2 if max_iter - hops >= 2 else 1
+        new_labels = _step(labels)
+        if steps == 2:
+            new_labels = _step(new_labels)
+        new_labels = new_labels.localCheckpoint()
+        hops += steps
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
-    else:
+    if not converged:
         import warnings
 
         warnings.warn(

@@ -327,10 +327,16 @@ def q_embedding_gram_matrix(
         F.max(F.abs("t")).alias("mx"),
     )
     # decimal(20,0)/decimal literal → exact rational k*1e-12; the
-    # assert proves the long partial could not have wrapped.
+    # assert proves the long partial could not have wrapped. mx is
+    # NULL when every term in the partial was NULL (a null embedding
+    # element) — no summable terms means no possible overflow, so
+    # coalesce to 0 instead of letting assert_true(NULL) abort with
+    # a misleading overflow message; the null ps then flows through
+    # the merge exactly as the single-phase decimal sum did.
     safe_ps = F.when(
         F.assert_true(
-            F.col("cnt").cast("double") * F.col("mx").cast("double")
+            F.col("cnt").cast("double")
+            * F.coalesce(F.col("mx"), F.lit(0)).cast("double")
             < F.lit(float(2**62)),
             "gram partial long-sum overflow bound violated",
         ).isNull(),

@@ -614,9 +614,8 @@ def q_search_hybrid_rrf(
 
 # Bench/diagnostic visibility into whether an _index_artifacts call
 # paid the cold build or hit a warm cache (ADVICE r4): bench.py
-# inspects this to label cold/warm runs. Paths with a registered
-# atexit cleanup are tracked so reads of a dir built by an earlier
-# process still get cleaned up.
+# inspects this to label cold/warm runs. _ARTIFACT_CLEANUPS tracks
+# dirs THIS process built (and will remove at exit).
 _ARTIFACT_CACHE_EVENTS: list[dict] = []
 _ARTIFACT_CLEANUPS: set[str] = set()
 
@@ -681,13 +680,28 @@ def _index_artifacts(
     )
     vocab_p = os.path.join(base, "vocab")
     post_p = os.path.join(base, "postings")
-    # Register cleanup unconditionally so a process that only READS
-    # a pre-existing cache dir still removes it on exit — otherwise
-    # dirs built by earlier processes accumulate in /tmp forever.
-    if base not in _ARTIFACT_CLEANUPS:
+    cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
+    # Cleanup policy: only the BUILDING process removes its own dir
+    # on exit — a pure reader must never yank a shared dir out from
+    # under another live process. Accumulation of dirs whose builder
+    # died before its atexit ran is bounded by a stale sweep: at
+    # build time, sibling cache dirs untouched for >1 day are
+    # removed (any dir a live process cares about has a recent
+    # mtime from its parquet reads or build).
+    if cold and base not in _ARTIFACT_CLEANUPS:
         _ARTIFACT_CLEANUPS.add(base)
         atexit.register(shutil.rmtree, base, ignore_errors=True)
-    cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
+        parent = os.path.dirname(base)
+        try:
+            import time as _time
+
+            cutoff = _time.time() - 86400
+            for d in os.listdir(parent):
+                sib = os.path.join(parent, d)
+                if sib != base and os.path.getmtime(sib) < cutoff:
+                    shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
     if cold:
         corpus = _docs(spark, sf_dir)
         build_vocabulary(corpus).write.mode("overwrite").parquet(

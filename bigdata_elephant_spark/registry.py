@@ -68,9 +68,14 @@ GATE_PRIORITY = (
     # (docs_stream_curate: streaming/stateful; weighted_sample_orders:
     # layout), and regression re-gates of the oldest/highest-value
     # green rows (the full reference pipeline, the dedup family, the
-    # ANN family). Everything not listed already holds a green driver
-    # row from r01-r04 and stays under the driver-faithful local gate
-    # at every SF (tests/test_oracle_parity.py).
+    # ANN family). Everything not listed either holds a green driver
+    # row from r01-r04 OR is one of the three queries added late in
+    # round 5 after the window filled (search_batch_indexed,
+    # knn_ivfpq_indexed, knn_ivf_batch share oracles/operators with
+    # in-window twins; all four are local-gate green at both SFs and
+    # are first in line for the round-6 window) — all under the
+    # driver-faithful local gate at every SF
+    # (tests/test_oracle_parity.py).
     #
     # --- never-gated (finish 208/208) ---
     "search_reference_indexed",
