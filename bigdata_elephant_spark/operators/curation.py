@@ -126,7 +126,7 @@ def surprisal_band_sample(
     for band, frac in fractions.items():
         keep = keep | (
             (F.col("band") == band)
-            & (sample_bucket("doc_id") < int(frac * BUCKETS))
+            & (sample_bucket("doc_id") < round(frac * BUCKETS))
         )
     return banded.filter(keep).select(
         "doc_id", "band", "avg_surprisal"

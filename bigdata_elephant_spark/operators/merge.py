@@ -72,9 +72,20 @@ def latest_state(
 ) -> DataFrame:
     """Compact a CDC/change stream to current state: the max-order
     row per key; if ``op_col`` is given, keys whose latest op is the
-    delete op disappear entirely (tombstone semantics)."""
+    delete op disappear entirely (tombstone semantics).
+
+    Ties on ``order_cols`` (two updates for one key at the same
+    timestamp — routine in real CDC feeds) are broken by an md5 of
+    the full rendered row, so the survivor is a deterministic
+    function of row CONTENT, never of shuffle order — reruns and
+    repartitionings always compact to the same state."""
+    from bigdata_elephant_spark.operators.reconcile import (
+        row_signature,
+    )
+
     w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc() for c in order_cols]
+        *[F.col(c).desc() for c in order_cols],
+        F.md5(row_signature(changes, sorted(changes.columns))).asc(),
     )
     ranked = changes.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1

@@ -899,7 +899,13 @@ def wav_window_rms(
             StructField("rms", DoubleType()),
         ]
     )
-    return df.mapInPandas(batches, schema=schema)
+    # project to (id, media) BEFORE the Arrow exchange — every
+    # other decoder here does; shipping unused wide columns
+    # through Arrow wastes the hot path and can fail on
+    # Arrow-unfriendly types
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=schema
+    )
 
 
 def video_scene_cuts(
@@ -953,4 +959,10 @@ def video_scene_cuts(
             StructField("is_cut", BooleanType()),
         ]
     )
-    return df.mapInPandas(batches, schema=schema)
+    # project to (id, media) BEFORE the Arrow exchange — every
+    # other decoder here does; shipping unused wide columns
+    # through Arrow wastes the hot path and can fail on
+    # Arrow-unfriendly types
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=schema
+    )

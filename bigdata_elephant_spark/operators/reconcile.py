@@ -48,7 +48,12 @@ def row_signature(df: DataFrame, cols: list[str]):
 
 
 def _sided(df: DataFrame, key_cols: list[str], n_buckets: int):
-    value_cols = [c for c in df.columns if c not in key_cols]
+    # value columns are rendered in SORTED-NAME order, not each
+    # side's physical column order — otherwise two semantically
+    # identical tables written with different column orders (a
+    # routine migration artifact) would hash every row as 'changed'
+    # and defeat the bucket pruning entirely.
+    value_cols = sorted(c for c in df.columns if c not in key_cols)
     return df.select(
         *key_cols,
         row_signature(df, key_cols + value_cols).alias("_sig"),
@@ -65,7 +70,16 @@ def table_diff(
     """``(key..., status)`` for every key where the tables differ:
     ``missing_b`` (in a only), ``missing_a`` (in b only), ``changed``
     (present in both, any column different). Identical rows emit
-    nothing. Keys must be unique per side (a dimension/merge key)."""
+    nothing. Keys must be unique per side (a dimension/merge key).
+    Column ORDER may differ between the sides (signatures render in
+    sorted-name order); the column SET must match — a loud error
+    beats a diff that flags every row."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            "table_diff: column sets differ: "
+            f"a-only={sorted(set(a.columns) - set(b.columns))} "
+            f"b-only={sorted(set(b.columns) - set(a.columns))}"
+        )
     va, vb = _sided(a, key_cols, n_buckets), _sided(b, key_cols, n_buckets)
 
     def fingerprint(v):

@@ -36,9 +36,14 @@ def hash_sample(
     ``[offset*10000, (offset+fraction)*10000)`` — e.g.
     ``hash_sample(df, "doc_id", 0.8)`` for train and
     ``hash_sample(df, "doc_id", 0.1, offset=0.8)`` for val are
-    disjoint by construction."""
-    lo = int(offset * BUCKETS)
-    hi = int((offset + fraction) * BUCKETS)
+    disjoint by construction.
+
+    Boundaries use round(), not int(): truncation turns float
+    artifacts like (0.7+0.1)*10000 == 7999.999... into 7999,
+    silently dropping bucket 7999 from every split of a partition
+    whose offsets accumulate error."""
+    lo = round(offset * BUCKETS)
+    hi = round((offset + fraction) * BUCKETS)
     b = sample_bucket(key)
     return df.filter((b >= lo) & (b < hi))
 
@@ -78,7 +83,8 @@ def stratified_hash_sample(
     keep = F.lit(False)
     for stratum, frac in fractions.items():
         keep = keep | (
-            (F.col(strata_col) == stratum) & (b < int(frac * BUCKETS))
+            (F.col(strata_col) == stratum)
+            & (b < round(frac * BUCKETS))
         )
     return df.filter(keep)
 

@@ -240,9 +240,21 @@ def ivf_centroids(
     """Deterministic coarse centroids: the ``n_cells`` lowest-id
     vectors. A production index swaps in k-means|| centroids; every
     downstream shape (assignment, probing) is unchanged, and this
-    choice is replayable by any engine (no RNG, no iteration)."""
-    return embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    choice is replayable by any engine (no RNG, no iteration).
+
+    "Lowest-id" is literal — ``orderBy(id).limit(n)`` (a
+    TakeOrderedAndProject, one pass, k rows), NOT ``id < n``: the
+    ids of a filtered subset or any non-synthetic table are sparse,
+    and the filter form would silently return fewer (or zero)
+    centroids there. Cell ids keep the raw vector id (cell ids need
+    not be dense; on dense 0-based ids the two forms coincide)."""
+    return (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+        )
     )
 
 
@@ -619,7 +631,16 @@ def kmeans_parallel_seeds(
 
     for r in range(rounds):
         d2 = _d2_to(list(cand.values()))
-        phi = embeddings.agg(F.sum(d2).alias("phi")).first()["phi"]
+        # phi summed as exact DECIMAL over the already-6-decimal
+        # d2 values (the repo's decimal-sum discipline): a plain
+        # double sum is partial-aggregation-order nondeterministic,
+        # and a last-ulp wobble in phi could flip a row whose
+        # sampling coin u sits exactly at the l*d2/phi threshold —
+        # breaking the docstring's replay-identical guarantee.
+        phi_dec = embeddings.agg(
+            F.sum(d2.cast("decimal(30,6)")).alias("phi")
+        ).first()["phi"]
+        phi = float(phi_dec) if phi_dec is not None else 0.0
         if not phi:  # all points coincide with seeds — done sampling
             break
         # u in [0, 1): signed xxhash64 scaled from [-2^63, 2^63) —
@@ -725,9 +746,11 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic per-subspace codebooks ``(sub, code_id, cvec)``:
-    the ``n_codes`` lowest-id vectors, sliced into ``n_sub``
-    contiguous ``sub_dim``-wide pieces (a production index swaps in
-    per-subspace k-means — every downstream shape is unchanged)."""
+    the ``n_codes`` lowest-id vectors (orderBy+limit — correct on
+    sparse id spaces too, see :func:`ivf_centroids`), sliced into
+    ``n_sub`` contiguous ``sub_dim``-wide pieces (a production index
+    swaps in per-subspace k-means — every downstream shape is
+    unchanged)."""
     slices = F.array(
         *[
             F.struct(
@@ -740,7 +763,8 @@ def pq_codebooks(
         ]
     )
     return (
-        embeddings.filter(F.col(id_col) < n_codes)
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
         .select(F.col(id_col).alias("code_id"), F.explode(slices).alias("s"))
         .select("s.sub", "code_id", "s.cvec")
     )

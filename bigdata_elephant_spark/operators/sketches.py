@@ -299,9 +299,18 @@ def cms_point_estimate(
             F.lit(CMS_WIDTH),
         ).alias("col"),
     )
-    return probes.join(F.broadcast(sketch), ["d", "col"]).groupBy(
-        key_col
-    ).agg(F.min("cnt").alias("est"))
+    # LEFT join + coalesce(0): a probed key hashing to an EMPTY cell
+    # must contribute 0 to the min (the CMS answer for an absent key
+    # is 0), not be dropped from the join — an inner join would both
+    # lose all-empty keys from the output and inflate the min for
+    # keys with some empty cells (cf. bloom_probe below).
+    return (
+        probes.join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).alias("est")
+        )
+    )
 
 
 def cms_sql_duckdb(key_expr: str, table: str) -> str:

@@ -248,9 +248,9 @@ probes AS (
     FROM top t, (SELECT unnest(range(0, {CMS_DEPTH})) AS d) dd
 )
 SELECT p.user_id, p.n_exact,
-       min(s.cnt)              AS est,
-       min(s.cnt) - p.n_exact  AS overcount
-FROM probes p JOIN sketch s ON s.d = p.d AND s.col = p.col
+       min(coalesce(s.cnt, 0))              AS est,
+       min(coalesce(s.cnt, 0)) - p.n_exact  AS overcount
+FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.col = p.col
 GROUP BY 1, 2
 ORDER BY user_id
 """

@@ -114,3 +114,44 @@ def test_table_diff_null_vs_empty_not_confused(spark):
     )
     got = {r["k"]: r["status"] for r in table_diff(a, b, ["k"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_table_diff_ignores_column_order(spark):
+    """Two semantically identical tables with different column
+    orders must diff clean; a different column SET errors loudly."""
+    import pytest as _pt
+
+    from bigdata_elephant_spark.operators.reconcile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "k long, s string, v long"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y")], "k long, v long, s string"
+    )
+    assert table_diff(a, b, ["k"]).count() == 0
+    # a genuine change still surfaces
+    b2 = spark.createDataFrame(
+        [(1, 10, "x"), (2, 99, "y")], "k long, v long, s string"
+    )
+    rows = table_diff(a, b2, ["k"]).collect()
+    assert [(r["k"], r["status"]) for r in rows] == [(2, "changed")]
+    with _pt.raises(ValueError, match="column sets differ"):
+        table_diff(a, b.drop("v"), ["k"])
+
+
+def test_latest_state_breaks_ties_deterministically(spark):
+    """Two updates for one key with the SAME order value must
+    compact to the same survivor on every run/partitioning — the
+    md5-of-row tie-break, not shuffle order, decides."""
+    from bigdata_elephant_spark.operators.merge import latest_state
+
+    rows = [(1, 5, "a"), (1, 5, "b"), (2, 3, "c")]
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+    first = latest_state(df, ["k"], ["ts"]).collect()
+    again = latest_state(
+        df.repartition(7), ["k"], ["ts"]
+    ).collect()
+    got = sorted((r["k"], r["v"]) for r in first)
+    assert got == sorted((r["k"], r["v"]) for r in again)
+    assert [k for k, _ in got] == [1, 2]

@@ -71,3 +71,21 @@ def test_mixture_rebalance_up_and_down(spark):
             if r["stratum"] == "small" and r["doc_id"] == doc
         )
         assert epochs == list(range(1, n + 1))
+
+
+def test_hash_sample_float_boundary_offsets(spark, sf_dir):
+    """Regression: offsets whose float sum lands just under a bucket
+    boundary ((0.7+0.1)*10000 == 7999.999...) must not drop or
+    double-count a bucket — the three splits partition the corpus."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r["doc_id"] for r in
+         sampling.hash_sample(docs, "doc_id", 0.7).collect()}
+    b = {r["doc_id"] for r in
+         sampling.hash_sample(docs, "doc_id", 0.1, offset=0.7).collect()}
+    c = {r["doc_id"] for r in
+         sampling.hash_sample(docs, "doc_id", 0.2, offset=0.8).collect()}
+    everything = {r["doc_id"] for r in docs.collect()}
+    assert a | b | c == everything
+    assert not (a & b) and not (b & c) and not (a & c)

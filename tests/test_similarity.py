@@ -468,3 +468,28 @@ def test_ivf_batch_matches_single(spark, sf_dir):
             ).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
+
+
+def test_ivf_works_on_sparse_id_space(spark):
+    """Centroid/codebook seeding must mean 'lowest n ids', not
+    'id < n': a table whose ids start at 1000 (filtered subset,
+    real-world keys) must still yield n centroids and results."""
+    import random
+
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    rows = [
+        (1000 + i, [round(rng.uniform(-1, 1), 4) for _ in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = sim.ivf_centroids(emb, 4)
+    assert cents.count() == 4
+    assert {r["cell_id"] for r in cents.collect()} == {
+        1000, 1001, 1002, 1003
+    }
+    out = sim.ivf_topk(emb, 1005, n_cells=4, n_probe=2, k=3)
+    assert out.count() == 3

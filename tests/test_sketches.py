@@ -348,3 +348,29 @@ def test_rolling_hll_tracks_exact(spark, sf_dir):
         assert abs(r.est_distinct - r.n_exact) <= max(
             0.4 * r.n_exact, 4
         )
+
+
+def test_cms_absent_key_estimates_zero(spark):
+    """A probed key absent from the sketched data must report est=0
+    (empty cells count as 0 toward the min), not vanish from the
+    output or inflate over surviving non-empty cells."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.sketches import (
+        cms_counts,
+        cms_point_estimate,
+    )
+
+    data = spark.createDataFrame(
+        [(f"user{i % 3}",) for i in range(30)], "user_id string"
+    )
+    sketch = cms_counts(data, "user_id")
+    probes = spark.createDataFrame(
+        [("user0",), ("never-seen-key",)], "user_id string"
+    )
+    out = {
+        r["user_id"]: r["est"]
+        for r in cms_point_estimate(sketch, probes, "user_id").collect()
+    }
+    assert out["user0"] >= 10          # never undercounts
+    assert out["never-seen-key"] == 0  # absent key -> 0, present
