@@ -48,26 +48,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
-def cosine_topk(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
+def _exact_rerank(
+    candidates: DataFrame,
+    q: DataFrame,
+    k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors of ``query_vec_id`` by cosine.
-
-    The single query row is broadcast (a 1-row cross join); Spark
-    plans the sort+limit as TakeOrderedAndProject — per-partition
-    heaps, no global sort shuffle.
-    """
-    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    """Shared exact-cosine tail used by every top-k variant: compute
+    each candidate's norm, broadcast-cross the one-row query frame
+    (``_qvec``, ``_qnrm``), round the cosine to 6 decimals, order
+    desc with the id tie-break, limit k (TakeOrderedAndProject).
+    One definition so the scoring/rounding/tie-break contract cannot
+    drift between the retrieval paths."""
     return (
-        embeddings.filter(F.col(id_col) != query_vec_id)
-        .select(
+        candidates.select(
             id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
         )
         .crossJoin(F.broadcast(q))
@@ -81,6 +76,40 @@ def cosine_topk(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def _query_frame(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row broadcastable ``(_qvec, _qnrm)`` frame for a stored
+    query vector."""
+    return embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of ``query_vec_id`` by cosine.
+
+    The single query row is broadcast (a 1-row cross join); Spark
+    plans the sort+limit as TakeOrderedAndProject — per-partition
+    heaps, no global sort shuffle.
+    """
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    return _exact_rerank(
+        embeddings.filter(F.col(id_col) != query_vec_id),
+        q, k, id_col, vec_col,
     )
 
 
@@ -313,10 +342,7 @@ def ivf_topk(
     the plan below the scan is identical.
     """
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
     probe_cells = (
         cents.crossJoin(F.broadcast(q))
         .select(
@@ -331,22 +357,9 @@ def ivf_topk(
     candidates = embeddings.join(assigned, id_col).join(
         F.broadcast(probe_cells), "cell_id"
     )
-    return (
-        candidates.filter(F.col(id_col) != query_vec_id)
-        .select(
-            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_nrm") * F.col("_qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return _exact_rerank(
+        candidates.filter(F.col(id_col) != query_vec_id),
+        q, k, id_col, vec_col,
     )
 
 
@@ -421,23 +434,11 @@ def ivf_topk_indexed(
             .collect()
         )
     ]
-    return (
-        vecs.filter(F.col("cell_id").isin(probe))
-        .filter(F.col(id_col) != query_vec_id)
-        .select(
-            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_nrm") * F.col("_qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return _exact_rerank(
+        vecs.filter(F.col("cell_id").isin(probe)).filter(
+            F.col(id_col) != query_vec_id
+        ),
+        q, k, id_col, vec_col,
     )
 
 
@@ -881,26 +882,9 @@ def pq_topk(
         .limit(shortlist)
         .select(id_col)
     )
-    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
-    return (
-        embeddings.join(short, id_col)
-        .select(
-            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_nrm") * F.col("_qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    return _exact_rerank(
+        embeddings.join(short, id_col), q, k, id_col, vec_col
     )
 
 
@@ -1140,28 +1124,9 @@ def ivfpq_topk(
         .limit(shortlist)
         .select(id_col)
     )
-    qx = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
-    return (
-        embeddings.join(short, id_col)
-        .select(
-            id_col,
-            vec_col,
-            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
-        )
-        .crossJoin(F.broadcast(qx))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_nrm") * F.col("_qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    qx = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    return _exact_rerank(
+        embeddings.join(short, id_col), qx, k, id_col, vec_col
     )
 
 
@@ -1311,28 +1276,9 @@ def ivfpq_topk_indexed(
         .limit(shortlist)
         .select(id_col)
     )
-    qx = source.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
-    return (
-        source.join(short, id_col)
-        .select(
-            id_col,
-            vec_col,
-            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
-        )
-        .crossJoin(F.broadcast(qx))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_nrm") * F.col("_qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    qx = _query_frame(source, query_vec_id, id_col, vec_col)
+    return _exact_rerank(
+        source.join(short, id_col), qx, k, id_col, vec_col
     )
 
 
