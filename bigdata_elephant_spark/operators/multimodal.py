@@ -348,28 +348,34 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
-def decode_ppm(raw: bytes) -> np.ndarray:
-    """Binary netpbm -> (h, w, channels) uint8 array.
-
-    Supports P6 (RGB) and P5 (grayscale), '#' comments anywhere in
-    the header, and arbitrary whitespace between header tokens."""
-    if raw[:2] not in (b"P5", b"P6"):
-        raise ValueError(f"not a binary netpbm payload: {raw[:2]!r}")
-    channels = 3 if raw[:2] == b"P6" else 1
-    # tokenize the header: magic, width, height, maxval — comments
-    # run '#' to end-of-line; a single whitespace byte ends the
-    # header after maxval, then pixel data begins.
+def _parse_netpbm_at(
+    raw: bytes, offset: int
+) -> tuple[np.ndarray, int]:
+    """Parse ONE binary netpbm (P5 grayscale / P6 RGB) image starting
+    at ``offset`` -> ``((h, w, channels) uint8 array, offset past the
+    pixel data)``. The single header tokenizer shared by the
+    standalone decoder and the video-container frame walk: '#'
+    comments run to end-of-line, arbitrary whitespace separates the
+    width/height/maxval tokens, one whitespace byte ends the header.
+    A truncated header raises instead of spinning forever on empty
+    reads (a corrupt frame must fail the task, not hang the
+    executor)."""
+    magic = raw[offset : offset + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(
+            f"not a binary netpbm payload at offset {offset}: {magic!r}"
+        )
+    channels = 3 if magic == b"P6" else 1
     tokens: list[bytes] = []
-    i = 2
+    i = offset + 2
     tok = b""
     while len(tokens) < 3:
         ch = raw[i : i + 1]
         i += 1
         if ch == b"":
-            # end of input before the header completed — raise instead
-            # of spinning forever on empty reads (a corrupt frame must
-            # fail the task, not hang the executor).
-            raise ValueError("truncated netpbm header")
+            raise ValueError(
+                f"truncated netpbm header at offset {offset}"
+            )
         if ch == b"#":
             while raw[i : i + 1] not in (b"\n", b""):
                 i += 1
@@ -382,9 +388,16 @@ def decode_ppm(raw: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
-    data = np.frombuffer(raw, dtype=np.uint8, count=w * h * channels,
-                         offset=i)
-    return data.reshape(h, w, channels)
+    n = w * h * channels
+    data = np.frombuffer(raw, dtype=np.uint8, count=n, offset=i)
+    return data.reshape(h, w, channels), i + n
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary netpbm -> (h, w, channels) uint8 array (P6 RGB or P5
+    grayscale; see :func:`_parse_netpbm_at` for header handling)."""
+    px, _ = _parse_netpbm_at(raw, 0)
+    return px
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -722,35 +735,9 @@ def wav_sample_stats(
 
 
 def _parse_ppm_at(raw: bytes, offset: int) -> tuple[np.ndarray, int]:
-    """Parse one binary P6 frame starting at ``offset``; returns
-    (pixels, offset past the frame)."""
-    if raw[offset : offset + 2] != b"P6":
-        raise ValueError(f"no P6 frame at offset {offset}")
-    tokens: list[bytes] = []
-    i = offset + 2
-    tok = b""
-    while len(tokens) < 3:
-        ch = raw[i : i + 1]
-        i += 1
-        if ch == b"":
-            raise ValueError(
-                f"truncated P6 header in frame at offset {offset}"
-            )
-        if ch == b"#":
-            while raw[i : i + 1] not in (b"\n", b""):
-                i += 1
-        elif ch.isspace():
-            if tok:
-                tokens.append(tok)
-                tok = b""
-        else:
-            tok += ch
-    w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise ValueError("16-bit netpbm not supported")
-    n = w * h * 3
-    px = np.frombuffer(raw, dtype=np.uint8, count=n, offset=i)
-    return px.reshape(h, w, 3), i + n
+    """One video frame at ``offset`` — delegates to the shared
+    netpbm parser (:func:`_parse_netpbm_at`)."""
+    return _parse_netpbm_at(raw, offset)
 
 
 VIDEO_MAGIC = b"ELV1"
