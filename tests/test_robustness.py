@@ -212,7 +212,9 @@ def test_new_operators_on_empty_inputs(spark):
     est = cms_point_estimate(
         cms_counts(e, "k"), spark.createDataFrame([(1,)], "k long"), "k"
     )
-    assert est.count() == 0  # no sketch cells -> no estimates
+    # empty sketch -> every probed key correctly estimates 0 (the
+    # r5 left-join fix; the old inner join dropped the key entirely)
+    assert [(r["k"], r["est"]) for r in est.collect()] == [(1, 0)]
 
     assert mixture_rebalance(
         spark.createDataFrame([], "doc_id long, stratum string"),
