@@ -213,7 +213,10 @@ def test_pq_plan_broadcast_lut_and_two_topk(spark, sf_dir):
     from bigdata_elephant_spark.plans.llm_queries import q_knn_pq
 
     plan = plan_of(q_knn_pq(spark, sf_dir))
-    assert plan.count("TakeOrderedAndProject") == 2  # top-50, top-10
+    # 4 = ADC top-50 + final top-10, plus the two codebook seed
+    # selections (orderBy(id).limit(n) since the sparse-id fix —
+    # each a k-row per-partition-heap cut, not a sort)
+    assert plan.count("TakeOrderedAndProject") == 4
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
