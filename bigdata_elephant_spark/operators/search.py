@@ -176,6 +176,19 @@ def _bm25_corpus_stats(postings: DataFrame):
     return dl, n_docs, avgdl
 
 
+def query_term_rows(
+    queries: dict[int, str],
+) -> list[tuple[int, str, float]]:
+    """The canonical ``(query_id, word, q_tf)`` expansion of a probe
+    set — ONE definition consumed by both the Spark batch scorer and
+    the DuckDB VALUES oracle, so the two sides cannot drift."""
+    rows = []
+    for qid, qs in sorted(queries.items()):
+        for w, c in sorted(Counter(tokenize_str(qs)).items()):
+            rows.append((int(qid), w, float(c)))
+    return rows
+
+
 def bm25_search_batch(
     spark: SparkSession,
     queries: dict[int, str],
@@ -203,12 +216,9 @@ def bm25_search_batch(
     """
     from pyspark.sql import Window
 
-    rows = []
-    for qid, qs in sorted(queries.items()):
-        for w, c in sorted(Counter(tokenize_str(qs)).items()):
-            rows.append((int(qid), w, float(c)))
     q_terms = spark.createDataFrame(
-        rows, "query_id long, word string, q_tf double"
+        query_term_rows(queries),
+        "query_id long, word string, q_tf double",
     )
     q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
         "query_id", "word_id", "q_tf", "df"

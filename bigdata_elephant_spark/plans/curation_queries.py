@@ -264,11 +264,14 @@ def q_embedding_gram_matrix(
     decimal sum: each scaled long IS the 12-decimal product times
     1e12, the decimal merge is exact, and the final
     round(cast-to-double, 6) matches the single-phase form
-    bit-for-bit. Overflow is ruled out LOUDLY, not assumed: each
-    partial carries its row count and max |term|, and the merge
-    asserts ``cnt * max < 2^62`` (count and max cannot themselves
-    overflow, so the assertion proves the long sum didn't) — at 100
-    TB with 128 MB splits that head-room is ~2000×. Measured at
+    bit-for-bit for |element| up to ~47 (scaled terms < 2^51, where
+    the double scaling round-trip is digit-exact). Both failure
+    modes are ruled out LOUDLY, not assumed: each partial carries
+    its row count and raw min/max term, and the merge asserts
+    ``|term| < 2^51`` (digit-exactness AND no clamped cast — raw
+    min/max expose even a wrap to Long.MinValue) and
+    ``cnt * |term| < 2^62`` (no partial-sum wrap) — at 100 TB with
+    128 MB splits that head-room is ~2000×. Measured at
     sf0.1: 3.9 s (single-phase decimal, single-split scan) → ~1.5 s
     (long partials + core-fanned expansion)."""
     from pyspark.sql import functions as F
@@ -324,21 +327,32 @@ def q_embedding_gram_matrix(
     ).agg(
         F.sum("t").alias("ps"),
         F.count("*").alias("cnt"),
-        F.max(F.abs("t")).alias("mx"),
+        F.max("t").alias("mxp"),
+        F.min("t").alias("mnp"),
     )
-    # decimal(20,0)/decimal literal → exact rational k*1e-12; the
-    # assert proves the long partial could not have wrapped. mx is
-    # NULL when every term in the partial was NULL (a null embedding
-    # element) — no summable terms means no possible overflow, so
-    # coalesce to 0 instead of letting assert_true(NULL) abort with
-    # a misleading overflow message; the null ps then flows through
-    # the merge exactly as the single-phase decimal sum did.
+    # decimal(20,0)/decimal literal → exact rational k*1e-12. The
+    # assert proves BOTH failure modes loudly, from aggregates that
+    # cannot themselves wrap: (a) |term| < 2^51 bounds every scaled
+    # long to the range where the double round-trip
+    # round(round(prod,12)*1e12) recovers the decimal digits
+    # exactly AND where a clamped double→long cast is impossible —
+    # raw min/max are checked separately, so even a clamp to
+    # Long.MinValue (whose abs() stays negative) trips the bound;
+    # (b) cnt * |term|max < 2^62 bounds the partial sum. mxp/mnp
+    # are NULL when every term in the partial was NULL (a null
+    # embedding element) — no summable terms, nothing to overflow —
+    # so they coalesce to 0 and the null ps flows through the merge
+    # exactly as the single-phase decimal sum did.
+    _mag = F.greatest(
+        F.coalesce(F.col("mxp"), F.lit(0)),
+        -F.coalesce(F.col("mnp"), F.lit(0)),
+    ).cast("double")
     safe_ps = F.when(
         F.assert_true(
-            F.col("cnt").cast("double")
-            * F.coalesce(F.col("mx"), F.lit(0)).cast("double")
-            < F.lit(float(2**62)),
-            "gram partial long-sum overflow bound violated",
+            (_mag < F.lit(float(2**51)))
+            & (F.col("cnt").cast("double") * _mag < F.lit(float(2**62))),
+            "gram partial long-sum bound violated (term magnitude "
+            "or partial-sum headroom exceeded)",
         ).isNull(),
         F.col("ps").cast("decimal(20,0)")
         / F.lit(10**12).cast("decimal(13,0)"),

@@ -1115,7 +1115,25 @@ SELECT cell_id, d, c FROM m{KMEANS_ITERS - 1}
 """
 
 
-_IVF_INDEX_CACHE: dict[str, str] = {}
+def _ann_cache_key(sf_dir: str) -> tuple:
+    """Per-process vector-index cache key: absolute path + the
+    embeddings parquet's mtime/size, so a table regenerated at the
+    same path (or the same dir spelled differently) never serves a
+    stale index. Code changes can't happen within one process, so
+    no code stamp is needed here (cf. _index_artifacts, which is
+    cross-process)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = ("nostat",)
+    return (os.path.abspath(sf_dir), *stamp)
+
+
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,12 +1147,13 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = read_table(spark, sf_dir, "embeddings")
-    path = _IVF_INDEX_CACHE.get(sf_dir)
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="elephant_ivf_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
-        _IVF_INDEX_CACHE[sf_dir] = path
+        _IVF_INDEX_CACHE[key] = path
     return similarity.ivf_topk_indexed(
         spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
         source=emb,
@@ -2617,7 +2636,7 @@ SPECS.append(
 )
 
 
-_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def q_knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2634,7 +2653,8 @@ def q_knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = read_table(spark, sf_dir, "embeddings")
-    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    key = _ann_cache_key(sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="elephant_ivfpq_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -2642,7 +2662,7 @@ def q_knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, path, n_cells=IVF_CELLS, n_sub=PQ_SUB,
             sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
         )
-        _IVFPQ_INDEX_CACHE[sf_dir] = path
+        _IVFPQ_INDEX_CACHE[key] = path
     return similarity.ivfpq_topk_indexed(
         spark, path, KNN_QUERY_VEC_ID, source=emb,
         n_probe=IVF_PROBE, shortlist=PQ_SHORTLIST, k=KNN_K,

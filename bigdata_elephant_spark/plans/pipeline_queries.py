@@ -614,10 +614,8 @@ def q_search_hybrid_rrf(
 
 # Bench/diagnostic visibility into whether an _index_artifacts call
 # paid the cold build or hit a warm cache (ADVICE r4): bench.py
-# inspects this to label cold/warm runs. _ARTIFACT_CLEANUPS tracks
-# dirs THIS process built (and will remove at exit).
+# inspects this to label cold/warm runs.
 _ARTIFACT_CACHE_EVENTS: list[dict] = []
-_ARTIFACT_CLEANUPS: set[str] = set()
 
 
 def _index_artifacts(
@@ -625,14 +623,13 @@ def _index_artifacts(
 ) -> tuple[DataFrame, DataFrame]:
     """Materialized vocab/postings parquet for ``sf_dir`` — the
     cli.py build-once artifacts, built on first use into a
-    per-corpus temp dir (atexit-cleaned) and READ on every later
-    call. This is the production search shape: at 100 TB the index
+    per-corpus temp dir (time-bounded sweep-cleaned) and READ on
+    every later call. This is the production search shape: at 100 TB the index
     build is the expensive scan that runs once; each query then
     touches only the (much smaller) parquet artifacts with column
     pruning and predicate pushdown, exactly like the reference's
     build/query job split (Vocabulary.java:133-146 writes the vocab
     dir that Query.java:247-294 reads back)."""
-    import atexit
     import hashlib as _hl
     import os
     import shutil
@@ -651,6 +648,7 @@ def _index_artifacts(
     # only by luck and would poison bench timings).
     import inspect
 
+    from bigdata_elephant_spark.functions import text as _text_mod
     from bigdata_elephant_spark.operators import index as _index_mod
     from bigdata_elephant_spark.operators import vocab as _vocab_mod
 
@@ -661,10 +659,15 @@ def _index_artifacts(
     except OSError:
         stamp = "nostat"
     try:
+        # the stamp must cover EVERY module whose code shapes the
+        # artifact bytes: the builders AND the tokenizer they call
+        # (a tokenize() change alters the postings just as surely
+        # as an index.py change).
         code_stamp = _hl.md5(
             (
                 inspect.getsource(_index_mod)
                 + inspect.getsource(_vocab_mod)
+                + inspect.getsource(_text_mod)
             ).encode()
         ).hexdigest()[:8]
     except OSError:
@@ -681,16 +684,19 @@ def _index_artifacts(
     vocab_p = os.path.join(base, "vocab")
     post_p = os.path.join(base, "postings")
     cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
-    # Cleanup policy: only the BUILDING process removes its own dir
-    # on exit — a pure reader must never yank a shared dir out from
-    # under another live process. Accumulation of dirs whose builder
-    # died before its atexit ran is bounded by a stale sweep: at
-    # build time, sibling cache dirs untouched for >1 day are
-    # removed (any dir a live process cares about has a recent
-    # mtime from its parquet reads or build).
-    if cold and base not in _ARTIFACT_CLEANUPS:
-        _ARTIFACT_CLEANUPS.add(base)
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # Cleanup policy: NO process ever deletes a dir another live
+    # process may be reading — neither reader-atexit (r4) nor
+    # builder-atexit (both yank shared dirs). Instead every USE
+    # touches the dir's mtime (parquet reads alone don't), and cold
+    # builds sweep sibling dirs untouched for >1 day. Accumulation
+    # is bounded by the sweep; a dir disappears only after a full
+    # day with no user.
+    try:
+        if not cold:
+            os.utime(base)
+    except OSError:
+        pass
+    if cold:
         parent = os.path.dirname(base)
         try:
             import time as _time

@@ -557,14 +557,16 @@ def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _batch_qterms_values(queries: dict[int, str]) -> str:
-    from collections import Counter
+    # the SAME expansion the Spark batch scorer broadcasts
+    # (operators/search.py query_term_rows) rendered as VALUES
+    from bigdata_elephant_spark.operators.search import (
+        query_term_rows,
+    )
 
-    from bigdata_elephant_spark.functions.text import tokenize_str
-
-    rows = []
-    for qid, qs in sorted(queries.items()):
-        for w, c in sorted(Counter(tokenize_str(qs)).items()):
-            rows.append(f"({qid}, '{w}', {float(c)})")
+    rows = [
+        f"({qid}, '{w}', {tf})"
+        for qid, w, tf in query_term_rows(queries)
+    ]
     return (
         "qterms(query_id, word, q_tf) AS (SELECT * FROM (VALUES "
         + ", ".join(rows)
