@@ -151,20 +151,43 @@ def main() -> None:
             line += f"{prev_delta[spec.name]:+.1%})"
         print(line, file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "prev_delta": prev_delta,
-                "artifact_cache": cache_events,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    sf = _sf_from_dir(SF_DIR)
+    # Full detail (medians, cross-round deltas, artifact-cache
+    # events) goes to a sidecar file + stderr; the FINAL stdout line
+    # must stay compact — the driver captures only the last ~2000
+    # chars of stdout, and round 5's detail-laden line outgrew that
+    # (BENCH_r05.json parsed: null).
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "prev_delta": prev_delta,
+        "artifact_cache": cache_events,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        # last-ditch shrink: 2-decimal per-query medians still give
+        # the judge per-query numbers; fidelity lives in the sidecar
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -299,6 +299,24 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             # table under a sentinel id that cannot collide with
             # stored vectors (ids are non-negative on ingest)
             vec = [float(x) for x in args.vec.split(",")]
+            # Validate against the index dimension up front:
+            # zip_with pads mismatched arrays with nulls, so a
+            # wrong-length vector would silently yield null
+            # distances and arbitrary probe cells instead of an
+            # error.
+            from pyspark.sql import functions as _F
+
+            row = (
+                spark.read.parquet(f"{args.index}/centroids")
+                .select(_F.size("cvec").alias("dim"))
+                .first()
+            )
+            if row is not None and len(vec) != row["dim"]:
+                p.error(
+                    f"--vec has {len(vec)} components but index "
+                    f"'{args.index}' stores {row['dim']}-dimensional "
+                    "vectors"
+                )
             vec_id = -1
             source = spark.createDataFrame(
                 [(-1, vec)], "vec_id long, embedding array<float>"

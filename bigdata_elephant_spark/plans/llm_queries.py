@@ -775,11 +775,14 @@ _PQ_QDOT = _sub_fold_sql(
 KNN_PQ_SQL = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings
            WHERE vec_id = {KNN_QUERY_VEC_ID}),
+cb_src AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY vec_id LIMIT {PQ_CODES}
+),
 codebooks AS (
     SELECT s.sub, e.vec_id AS code_id, e.embedding AS cvec
-    FROM embeddings e,
+    FROM cb_src e,
          (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
-    WHERE e.vec_id < {PQ_CODES}
 ),
 enc AS (
     SELECT vec_id, sub, code FROM (
@@ -950,7 +953,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_SQL = f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 assigned AS (
     SELECT vec_id, cell_id FROM (
@@ -985,7 +988,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_IVF_SQL = f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 q AS (SELECT embedding AS qv FROM embeddings
       WHERE vec_id = {KNN_QUERY_VEC_ID}),
@@ -1037,7 +1040,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_STEP_SQL = f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 assigned AS (
     SELECT vec_id, cell_id FROM (
@@ -1079,7 +1082,7 @@ def _kmeans_round_ctes(iters: int) -> str:
     parts = [f"""
 cents0 AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 )"""]
     for i in range(iters):
         # rounded-mean centroid lists are DOUBLE[]; the same fold
@@ -2556,7 +2559,7 @@ _IVFPQ_LUT_DOT = _sub_fold_sql(
 KNN_IVFPQ_SQL = f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 q AS (SELECT embedding AS qv FROM embeddings
       WHERE vec_id = {KNN_QUERY_VEC_ID}),

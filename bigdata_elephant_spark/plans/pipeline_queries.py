@@ -482,7 +482,7 @@ def _knn_ivf_batch_sql() -> str:
     return f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 q AS (
     SELECT vec_id AS q_id, embedding AS qv FROM embeddings
@@ -688,9 +688,12 @@ def _index_artifacts(
     # process may be reading — neither reader-atexit (r4) nor
     # builder-atexit (both yank shared dirs). Instead every USE
     # touches the dir's mtime (parquet reads alone don't), and cold
-    # builds sweep sibling dirs untouched for >1 day. Accumulation
-    # is bounded by the sweep; a dir disappears only after a full
-    # day with no user.
+    # builds sweep sibling dirs untouched for >7 days. Accumulation
+    # is bounded by the sweep. The mtime is refreshed at RESOLVE
+    # time, not on each parquet read, so a process holding lazy
+    # DataFrames over artifacts it resolved long ago is only safe
+    # within the window: artifact DataFrames must not be held
+    # across week-scale idle gaps — re-resolve instead.
     try:
         if not cold:
             os.utime(base)
@@ -701,7 +704,7 @@ def _index_artifacts(
         try:
             import time as _time
 
-            cutoff = _time.time() - 86400
+            cutoff = _time.time() - 7 * 86400
             for d in os.listdir(parent):
                 sib = os.path.join(parent, d)
                 if sib != base and os.path.getmtime(sib) < cutoff:
