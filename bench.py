@@ -183,9 +183,16 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
-        # last-ditch shrink: 2-decimal per-query medians still give
-        # the judge per-query numbers; fidelity lives in the sidecar
+        # shrink: 2-decimal per-query min timings still give the
+        # judge per-query numbers; fidelity lives in the sidecar
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        # still over the capture window (query *names* alone outgrew
+        # it): drop per-query detail entirely — total/value/sf always
+        # fit and must parse; per-query numbers live in
+        # BENCH_DETAIL.json
+        del compact["queries"]
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -303,18 +303,34 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             # zip_with pads mismatched arrays with nulls, so a
             # wrong-length vector would silently yield null
             # distances and arbitrary probe cells instead of an
-            # error.
-            from pyspark.sql import functions as _F
-
-            row = (
-                spark.read.parquet(f"{args.index}/centroids")
-                .select(_F.size("cvec").alias("dim"))
-                .first()
+            # error. The dimension comes from the manifest.json
+            # written at ann-build time (a plain file read — no
+            # Spark job per query); pre-manifest index dirs fall
+            # back to one centroids footer read. Validation is
+            # best-effort: a missing/unreadable index path skips the
+            # check and surfaces as ivf_topk_indexed's usual error,
+            # not a confusing failure inside validation.
+            from bigdata_elephant_spark.operators.similarity import (
+                read_index_manifest,
             )
-            if row is not None and len(vec) != row["dim"]:
+
+            dim = (read_index_manifest(args.index) or {}).get("dim")
+            if dim is None:
+                from pyspark.sql import functions as _F
+
+                try:
+                    row = (
+                        spark.read.parquet(f"{args.index}/centroids")
+                        .select(_F.size("cvec").alias("dim"))
+                        .first()
+                    )
+                    dim = None if row is None else row["dim"]
+                except Exception:
+                    dim = None
+            if dim is not None and len(vec) != dim:
                 p.error(
                     f"--vec has {len(vec)} components but index "
-                    f"'{args.index}' stores {row['dim']}-dimensional "
+                    f"'{args.index}' stores {dim}-dimensional "
                     "vectors"
                 )
             vec_id = -1

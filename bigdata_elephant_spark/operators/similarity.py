@@ -363,6 +363,45 @@ def ivf_topk(
     )
 
 
+def write_index_manifest(path: str, **fields) -> None:
+    """Persist a tiny ``manifest.json`` next to the index parquet
+    dirs (dimension, cell/codebook geometry). Callers (the CLI's
+    ``ann-query --vec`` dimension check) read it with a plain file
+    open — no Spark job, no parquet footer scan. Written
+    best-effort: on a non-posix ``path`` (an object-store URI on a
+    real cluster) the local write fails and readers simply fall back
+    to the parquet footer."""
+    import json as _json
+    import os as _os
+
+    try:
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "manifest.json"), "w") as f:
+            _json.dump(fields, f)
+    except OSError:
+        pass
+
+
+def read_index_manifest(path: str) -> dict | None:
+    """The manifest written by :func:`write_index_manifest`, or
+    ``None`` when absent/unreadable (pre-manifest index dirs,
+    object-store paths)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "manifest.json")) as f:
+            out = _json.load(f)
+        return out if isinstance(out, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
+    row = embeddings.select(F.size(vec_col).alias("dim")).first()
+    return None if row is None else int(row["dim"])
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -390,6 +429,10 @@ def build_ivf_index(
         .parquet(f"{path}/vectors")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    write_index_manifest(
+        path, kind="ivf", dim=_vec_dim(embeddings, vec_col),
+        n_cells=n_cells,
+    )
 
 
 def ivf_topk_indexed(
@@ -1183,6 +1226,11 @@ def build_ivfpq_index(
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cbooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    write_index_manifest(
+        path, kind="ivfpq", dim=_vec_dim(embeddings, vec_col),
+        n_cells=n_cells, n_sub=n_sub, sub_dim=sub_dim,
+        n_codes=n_codes,
+    )
 
 
 def ivfpq_topk_indexed(

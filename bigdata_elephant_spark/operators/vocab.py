@@ -88,20 +88,67 @@ def assign_dense_ids_distributed(
     )
 
 
+# Corpus size above which the single-partition id window is replaced
+# by the two-phase partition-offset assigner. A byte threshold on the
+# *input* is the proxy (readable from plan statistics at zero cost —
+# an exact vocabulary row count would need a second corpus-sized
+# aggregation pass before the real one, doubling the dominant scan):
+# by Heaps' law a cleaned natural-language corpus crosses ~10 M
+# distinct tokens in the tens-of-GB range, so 64 GiB is conservative
+# in the direction that matters (switching early costs a few extra
+# vocab-sized jobs; switching late funnels a giant window).
+VOCAB_DISTRIBUTED_IDS_BYTES = 64 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` (file-scan sizes
+    propagate through projections/filters). 0 when unavailable —
+    callers treat unknown as small and keep the always-correct
+    window path; scale deployments force ``id_mode``."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
 def build_vocabulary(
-    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_mode: str = "auto",
 ) -> DataFrame:
     """corpus -> ``(word, word_id, df)``.
 
     ``df`` = number of distinct documents containing the word
     (``Vocabulary.java:103`` — the column the reference's Query later
     misreads as "idf"; see search.py).
+
+    ``id_mode``: ``"window"`` = global ``row_number`` (one-partition
+    funnel, vocabulary-sized — right up to tens of millions of
+    words); ``"distributed"`` = :func:`assign_dense_ids_distributed`
+    (identical ids, parallel windows + offsets);  ``"auto"`` picks
+    ``distributed`` when the corpus plan-statistics size exceeds
+    :data:`VOCAB_DISTRIBUTED_IDS_BYTES` — a driver-side metadata
+    read, so the small-corpus plan is byte-identical to ``"window"``
+    (asserted in tests/test_plans.py).
     """
     tokens = tokenize(corpus, text_col=text_col, id_col=id_col)
     counts = tokens.groupBy("word").agg(
         F.countDistinct(id_col).cast("long").alias("df")
     )
-    return assign_dense_ids(counts, "word").select("word", "word_id", "df")
+    if id_mode == "auto":
+        big = _plan_size_bytes(corpus) > VOCAB_DISTRIBUTED_IDS_BYTES
+        id_mode = "distributed" if big else "window"
+    if id_mode == "distributed":
+        ids = assign_dense_ids_distributed(counts, "word")
+    elif id_mode == "window":
+        ids = assign_dense_ids(counts, "word")
+    else:
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
+    return ids.select("word", "word_id", "df")
 
 
 def update_vocabulary(

@@ -334,16 +334,23 @@ GROUP BY 1
 
 def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salt-and-replicate skew join (operators/skew.py salted_join)
-    under the oracle gate: events (the skewed fact — a hot user_id
-    floods one reducer in a plain shuffle join) joined to customer
-    with the customer side replicated 8x on an explicit salt, then
-    rolled up per (mktsegment, event_type). The oracle is the plain
-    unsalted join + group — equality proves the salt is a pure
-    partitioning trick with identical row-level semantics."""
+    under the oracle gate, on a GENUINELY skewed fixture: the events
+    table's user ids are uniform, so 30% of rows are deterministically
+    remapped to one hot customer (user_id % 10 < 3 -> custkey 1) —
+    the one-key-floods-one-reducer shape AQE's size-based skew split
+    sees at 100 TB. The fact side then joins customer with the
+    customer side replicated 8x on an explicit salt and rolls up per
+    (mktsegment, event_type). The oracle is the plain unsalted join +
+    group over the same remapping — equality proves the salt is a
+    pure partitioning trick with identical row-level semantics even
+    when one key holds ~30% of the fact table."""
     from bigdata_elephant_spark.operators.skew import salted_join
 
+    hot_key = F.when(
+        F.pmod(F.col("user_id"), F.lit(10)) < 3, F.lit(1).cast("long")
+    ).otherwise(F.col("user_id"))
     e = _events(spark, sf_dir).select(
-        F.col("user_id").alias("c_custkey"), "event_type",
+        hot_key.alias("c_custkey"), "event_type",
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
     c = read_table(spark, sf_dir, "customer").select(
@@ -361,7 +368,12 @@ SELECT c.c_mktsegment, e.event_type,
        count(*) AS n_events,
        CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 4) AS DOUBLE)
            AS sum_value
-FROM events e JOIN customer c ON c.c_custkey = e.user_id
+FROM (
+    SELECT CASE WHEN user_id % 10 < 3 THEN 1 ELSE user_id END
+               AS user_id,
+           event_type, value
+    FROM events
+) e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1, 2
 """
 

@@ -2563,6 +2563,10 @@ WITH cents AS (
 ),
 q AS (SELECT embedding AS qv FROM embeddings
       WHERE vec_id = {KNN_QUERY_VEC_ID}),
+cb_src AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY vec_id LIMIT {PQ_CODES}
+),
 assigned AS (
     SELECT vec_id, cell_id FROM (
         SELECT e.vec_id, c.cell_id,
@@ -2583,11 +2587,10 @@ enc AS (
         FROM embeddings e
         JOIN assigned ae ON ae.vec_id = e.vec_id
         JOIN cents ce ON ce.cell_id = ae.cell_id
-        CROSS JOIN embeddings b
+        CROSS JOIN cb_src b
         JOIN assigned ab ON ab.vec_id = b.vec_id
         JOIN cents cb ON cb.cell_id = ab.cell_id
         CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
-        WHERE b.vec_id < {PQ_CODES}
     ) WHERE rn = 1
 ),
 probe AS (
@@ -2604,7 +2607,7 @@ lut AS (
     FROM probe p
     CROSS JOIN q
     CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
-    JOIN embeddings b ON b.vec_id < {PQ_CODES}
+    CROSS JOIN cb_src b
     JOIN assigned ab ON ab.vec_id = b.vec_id
     JOIN cents cb ON cb.cell_id = ab.cell_id
 ),

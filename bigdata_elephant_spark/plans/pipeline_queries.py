@@ -618,35 +618,19 @@ def q_search_hybrid_rrf(
 _ARTIFACT_CACHE_EVENTS: list[dict] = []
 
 
-def _index_artifacts(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Materialized vocab/postings parquet for ``sf_dir`` — the
-    cli.py build-once artifacts, built on first use into a
-    per-corpus temp dir (time-bounded sweep-cleaned) and READ on
-    every later call. This is the production search shape: at 100 TB the index
-    build is the expensive scan that runs once; each query then
-    touches only the (much smaller) parquet artifacts with column
-    pruning and predicate pushdown, exactly like the reference's
-    build/query job split (Vocabulary.java:133-146 writes the vocab
-    dir that Query.java:247-294 reads back)."""
+def _artifact_base(sf_dir: str) -> str:
+    """The per-corpus artifact cache dir for ``sf_dir``.
+
+    Cache key = corpus path + its parquet mtime/size + a stamp of
+    the builder code itself: a regenerated corpus at the same path
+    OR a change to build_vocabulary/build_index invalidates the
+    artifacts instead of silently serving a stale index across
+    processes (an old-code index would pass oracle parity only by
+    luck and would poison bench timings)."""
     import hashlib as _hl
-    import os
-    import shutil
-    import tempfile
-
-    from bigdata_elephant_spark.operators.index import build_index
-    from bigdata_elephant_spark.operators.vocab import (
-        build_vocabulary,
-    )
-
-    # Cache key = corpus path + its parquet mtime/size + a stamp of
-    # the builder code itself: a regenerated corpus at the same
-    # path OR a change to build_vocabulary/build_index invalidates
-    # the artifacts instead of silently serving a stale index
-    # across processes (an old-code index would pass oracle parity
-    # only by luck and would poison bench timings).
     import inspect
+    import os
+    import tempfile
 
     from bigdata_elephant_spark.functions import text as _text_mod
     from bigdata_elephant_spark.operators import index as _index_mod
@@ -676,11 +660,34 @@ def _index_artifacts(
         # can never serve an index built by different code.
         code_stamp = f"pid{os.getpid()}"
     key = f"{os.path.abspath(sf_dir)}|{stamp}|{code_stamp}"
-    base = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         "elephant_index_artifacts",
         _hl.md5(key.encode()).hexdigest()[:12],
     )
+
+
+def _index_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized vocab/postings parquet for ``sf_dir`` — the
+    cli.py build-once artifacts, built on first use into a
+    per-corpus temp dir (time-bounded sweep-cleaned) and READ on
+    every later call. This is the production search shape: at 100 TB the index
+    build is the expensive scan that runs once; each query then
+    touches only the (much smaller) parquet artifacts with column
+    pruning and predicate pushdown, exactly like the reference's
+    build/query job split (Vocabulary.java:133-146 writes the vocab
+    dir that Query.java:247-294 reads back)."""
+    import os
+    import shutil
+
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+    )
+
+    base = _artifact_base(sf_dir)
     vocab_p = os.path.join(base, "vocab")
     post_p = os.path.join(base, "postings")
     cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))

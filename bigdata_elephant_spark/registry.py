@@ -55,62 +55,50 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-5 ROTATION. The driver-verified union across r01-r04 is
-    # 187 of 208 queries; this window finishes the job: the 21
-    # never-gated entries lead (completing 208/208 driver-verified),
-    # followed by the new round-5 query (search_batch), the four
-    # queries whose code or oracle changed this round
-    # (embedding_gram_matrix two-phase long/decimal sum is in the
-    # never-gated set; media_features lazy VALUES oracle;
-    # search_hybrid_indexed version-stamped artifact cache;
-    # pagerank_dangling per-iteration checkpoint; pagerank_dupgraph
-    # shares graph.py), tag-coverage anchors
-    # (docs_stream_curate: streaming/stateful; weighted_sample_orders:
-    # layout), and regression re-gates of the oldest/highest-value
-    # green rows (the full reference pipeline, the dedup family, the
-    # ANN family). Everything not listed either holds a green driver
-    # row from r01-r04 OR is one of the three queries added late in
-    # round 5 after the window filled (search_batch_indexed,
-    # knn_ivfpq_indexed, knn_ivf_batch share oracles/operators with
-    # in-window twins; all four are local-gate green at both SFs and
-    # are first in line for the round-6 window) — all under the
-    # driver-faithful local gate at every SF
-    # (tests/test_oracle_parity.py).
+    # ROUND-7 ROTATION. r6 verified the round-5 list; this window
+    # finishes the remaining verification gap: the three queries that
+    # have NEVER had a driver row (added after the round-5 window
+    # filled) lead, then every oracle edited in round 6 but not
+    # driver-re-gated that round (the `vec_id < N` -> `ORDER BY
+    # vec_id LIMIT N` sparse-id fixes; knn_ivfpq's oracle got the
+    # same fix again THIS round for its PQ codebook seeds), then the
+    # round-7 additions (the skew-mitigation pair gets its first
+    # driver row per the r6 verdict; vocab_build re-gates the new
+    # distributed-id threshold; the *_indexed family re-gates the
+    # artifact read-side mtime touch; knn_ivf_indexed re-gates the
+    # index manifest write), then regression anchors
+    # (pagerank_dupgraph is the r6 drift watch). q1_pricing_fast is
+    # deliberately NOT in the window: it is the rows-only double-sum
+    # production twin whose driver row can only ever read
+    # `no_oracle` (r5+r6 burned a slot recording that); it stays
+    # bench-gated and twin-equivalence-tested
+    # (tests/test_numeric_modes.py) while its slot verifies a real
+    # oracle. Everything not listed holds a green driver row from
+    # r01-r06 and stays under the driver-faithful local gate at every
+    # SF (tests/test_oracle_parity.py).
     #
-    # --- never-gated (finish 208/208) ---
-    "search_reference_indexed",
-    "q1_pricing_fast",  # declared rows-only production twin
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_ship_delay_priority",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shipments",
-    "q22_dormant_customers",
-    "window_value_funcs",
-    "order_aging",
-    "eval_contamination",
-    "lang_id_ngram",
-    "lang_id_profiles",
-    "token_counts",
-    "pandas_token_counts",
-    "media_frame_sample",
-    "kmv_distinct_users",
-    "embedding_gram_matrix",  # r5: two-phase long/decimal sum
-    # --- new in round 5 ---
-    "search_batch",  # probe-set BM25: one plan, per-query top-k
-    # --- changed code/oracle this round ---
-    "media_features",  # oracle now lazily built + memoized
-    "search_hybrid_indexed",  # code-version-stamped artifact cache
-    "pagerank_dangling",  # checkpoint every round w/ dangling
-    "pagerank_dupgraph",
-    # --- tag-coverage anchors ---
-    "docs_stream_curate",
-    "weighted_sample_orders",
-    # --- regression re-gates (oldest green rows first) ---
-    "vocab_build",
+    # --- never driver-gated (finish 211/211 oracled queries) ---
+    "search_batch_indexed",
+    "knn_ivfpq_indexed",
+    "knn_ivf_batch",
+    # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
+    "knn_pq",
+    "semantic_dedup_pairs",
+    "kmeans_step",
+    "kmeans_train",
+    # --- oracle edited THIS round (PQ codebook sparse-id fix) ---
+    "knn_ivfpq",
+    # --- first driver rows for the skew-mitigation operators ---
+    "skew_salted_join_events",
+    "skew_safe_user_stats",
+    # --- code changed this round ---
+    "vocab_build",  # distributed dense-id path behind size threshold
+    "search_reference_indexed",  # artifact resolve touches mtime
+    "search_hybrid_indexed",
+    "knn_ivf_indexed",  # ann index now writes a manifest
+    # --- regression re-gates / drift anchors ---
+    "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
+    "pagerank_dangling",
     "doc_meta",
     "postings_build",
     "search_reference",
@@ -120,9 +108,8 @@ GATE_PRIORITY = (
     "llm_pipeline_e2e",
     "knn_cosine",
     "knn_ivf",
-    "knn_ivfpq",
-    "knn_ivf_indexed",
     "knn_batch",
+    "search_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",
@@ -131,7 +118,21 @@ GATE_PRIORITY = (
     "decontaminate_eval",
     "simhash_signatures",
     "near_dup_embeddings",
-    "asof_events_orders",  # temporal anchor + r4 drift re-gate
+    "asof_events_orders",
+    "docs_stream_curate",  # streaming/stateful anchor
+    "weighted_sample_orders",  # layout anchor
+    "media_features",
+    "media_frame_sample",
+    "token_counts",
+    "pandas_token_counts",
+    "lang_id_ngram",
+    "eval_contamination",
+    "kmv_distinct_users",
+    "embedding_gram_matrix",
+    "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
+    "window_value_funcs",
+    "q9_product_profit",
+    "lang_id_profiles",
 )
 
 

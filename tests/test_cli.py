@@ -190,3 +190,44 @@ def test_cli_ann_pq_build_then_query(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
         (str(r["vec_id"]), str(r["cos_sim"])) for r in inline
     ]
+
+
+def test_cli_ann_vec_dim_validation(spark, sf_dir, tmp_path):
+    """ann-build writes a manifest.json; ann-query --vec validates
+    the literal vector's dimension against it with a plain file read
+    (no Spark job per query), falls back to one centroids footer
+    read on pre-manifest index dirs, and skips validation entirely
+    on an unreadable index path so the query's own error surfaces
+    instead of a confusing failure inside validation."""
+    import io
+    import json
+    import os
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "4"])
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["kind"] == "ivf"
+    assert man["n_cells"] == 4
+    assert man["dim"] > 2
+
+    bad = ["ann-query", "--index", idx, "--vec=0.5,0.5", "-k", "1"]
+    # manifest path: mismatch is an argparse error (SystemExit)
+    with pytest.raises(SystemExit):
+        main(bad, spark=spark, out=io.StringIO())
+
+    # pre-manifest dir: the footer fallback still catches it
+    os.remove(os.path.join(idx, "manifest.json"))
+    with pytest.raises(SystemExit):
+        main(bad, spark=spark, out=io.StringIO())
+
+    # missing index path: validation skips; the query itself raises
+    with pytest.raises(AnalysisException):
+        main(["ann-query", "--index", str(tmp_path / "nope"),
+              "--vec=0.5,0.5", "-k", "1"],
+             spark=spark, out=io.StringIO())

@@ -54,6 +54,18 @@ def test_vocab_partial_aggregation(spark, sf_dir):
     assert "partial_count" in plan or "merge_count" in plan
 
 
+def test_vocab_auto_small_corpus_keeps_window_path(spark, sf_dir):
+    """id_mode='auto' on a small corpus must produce the plain
+    single-window plan — the threshold decision is a driver-side
+    metadata read (vocab._plan_size_bytes), never a partition-id
+    two-phase plan or an extra counting job."""
+    corpus = read_table(spark, sf_dir, "documents")
+    plan = plan_of(build_vocabulary(corpus))
+    assert "SinglePartition" in plan          # the id window funnel
+    assert "spark_partition_id" not in plan   # distributed path off
+    assert "Scan ExistingRDD" not in plan     # no localCheckpoint
+
+
 def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     """Hot paths must stay JVM-side: no BatchEvalPython / ArrowEvalPython
     in any registered batch query plan."""

@@ -47,6 +47,40 @@ def test_vocabulary(vocab):
     assert [rows[w][0] for w in words] == list(range(len(words)))
 
 
+def test_vocabulary_id_mode_equivalence(spark, sf_dir, monkeypatch):
+    """The three id paths assign IDENTICAL ids: the distributed
+    partition-offset assigner and the auto threshold switch are pure
+    partitioning tricks (vocab.py:40-88); any divergence would remap
+    every id in a persisted postings artifact."""
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators import vocab as vocab_mod
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = sorted(
+        tuple(r) for r in
+        build_vocabulary(docs, id_mode="window").collect()
+    )
+    dist = sorted(
+        tuple(r) for r in
+        build_vocabulary(docs, id_mode="distributed").collect()
+    )
+    assert dist == base
+    # auto flips to the distributed path once the corpus
+    # plan-statistics size crosses the threshold — same rows
+    monkeypatch.setattr(
+        vocab_mod, "VOCAB_DISTRIBUTED_IDS_BYTES", 0
+    )
+    auto = sorted(
+        tuple(r) for r in
+        build_vocabulary(docs, id_mode="auto").collect()
+    )
+    assert auto == base
+    with _pytest.raises(ValueError):
+        build_vocabulary(docs, id_mode="bogus")
+
+
 def test_postings(corpus, vocab):
     postings = build_index(corpus, vocab)
     v = {r["word"]: r["word_id"] for r in vocab.collect()}
