@@ -118,14 +118,20 @@ def pagerank(
         # TWICE per iteration (contribs join + dm aggregate), so an
         # un-checkpointed round would recompute the whole previous
         # plan for the dm scan — checkpoint every round there.
-        # eager=False: truncate lineage WITHOUT spending a dedicated
-        # materialization job per checkpoint — the blocks persist as
-        # a side effect of the next action that touches them, and
-        # every later consumer (including the dangling-mass scan)
-        # reads the cached blocks. Measured at sf0.1: 4.8s -> 4.3s
-        # (plain), 4.6s -> 3.7s (dangling).
-        if handle_dangling or i % 2 == 1 or i == iterations - 1:
+        # Checkpoint laziness differs by path, each way measured in
+        # isolation (tools/pagerank_bisect.py, best-of-5 at sf0.1):
+        # - dangling: eager=False wins (4.6s -> 3.7s) — ranks has two
+        #   consumers per round, and the lazy blocks persist as a
+        #   side effect of whichever touches them first;
+        # - plain: EAGER wins (3.77s vs 4.05s min) — with a single
+        #   consumer per round the lazy variant just deepens the
+        #   next job's plan to 4 join levels on alternate rounds,
+        #   and the dedicated materialization job is cheaper than
+        #   the deeper-pipeline recompute.
+        if handle_dangling:
             ranks = ranks.localCheckpoint(eager=False)
+        elif i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -485,6 +485,87 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_batch_indexed(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF top-k over a :func:`build_ivf_index` layout — the
+    high-QPS shape (:func:`ivf_topk_batch`: one plan for the whole
+    probe set) on the amortized layout (:func:`ivf_topk_indexed`:
+    cell assignment persisted, probes prune partitions).
+
+    Probe selection mirrors the inline batch form (per-query rank
+    window over the |Q| x n_cells distance table — metadata-sized,
+    broadcast); the UNION of every query's probe cells is collected
+    driver-side (<= n_cells ids, index metadata) and becomes one
+    static partition filter on the cell_id-partitioned vectors, so
+    the whole batch costs a single pruned scan. Each candidate is
+    then scored only for the queries probing its cell (broadcast
+    equi-join), per-query top-k via the ``row_number() <= k`` window
+    (plans as ``WindowGroupLimit``). Results match
+    :func:`ivf_topk_batch` row-for-row when the index was built with
+    the same ``n_cells`` (equivalence-tested; shares its oracle)."""
+    from pyspark.sql import Window
+
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    src = source if source is not None else vecs
+    q = src.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    w_p = Window.partitionBy("q_id").orderBy(
+        F.col("d").asc(), F.col("cell_id").asc()
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias(
+                "d"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_p))
+        .filter(F.col("_rn") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    cell_union = [
+        r["cell_id"]
+        for r in probes.select("cell_id").distinct().collect()
+    ]
+    candidates = (
+        vecs.filter(F.col("cell_id").isin(cell_union))
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+    )
+    scored = candidates.select(
+        "q_id",
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (F.sqrt(_norm2(F.col(vec_col))) * F.col("_qnrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cell_mean_centroids(
     embeddings: DataFrame,
     assigned: DataFrame,

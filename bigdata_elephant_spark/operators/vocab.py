@@ -67,6 +67,11 @@ def assign_dense_ids_distributed(
             F.count("*").alias("cnt")
         ).collect()
     }
+    if not counts:
+        # empty input: create_map() with zero entries has no valid
+        # key type to index by — the plain window on an empty frame
+        # yields the same (empty) result with the right schema
+        return assign_dense_ids(df, order_col, id_col)
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -104,12 +109,17 @@ def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for ``df`` (file-scan sizes
     propagate through projections/filters). 0 when unavailable —
     callers treat unknown as small and keep the always-correct
-    window path; scale deployments force ``id_mode``."""
+    window path; scale deployments force ``id_mode``. Stat-less
+    leaves (LogicalRDD from ``createDataFrame``-over-RDD, some
+    connectors) report ``spark.sql.defaultSizeInBytes`` =
+    Long.MaxValue as a never-broadcast sentinel, not a measurement —
+    treat anything that large as unknown too."""
     try:
-        return int(
+        size = int(
             df._jdf.queryExecution().optimizedPlan().stats()
             .sizeInBytes()
         )
+        return 0 if size >= (1 << 62) else size
     except Exception:
         return 0
 

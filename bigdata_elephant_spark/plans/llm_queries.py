@@ -1139,24 +1139,34 @@ def _ann_cache_key(sf_dir: str) -> tuple:
 _IVF_INDEX_CACHE: dict[tuple, str] = {}
 
 
+def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-process materialized IVF index for ``sf_dir``'s embeddings
+    (built once per corpus stamp into a temp dir; see
+    ``_ann_cache_key`` — a regenerated table at the same path never
+    serves a stale index). Shared by every *_indexed ANN query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="elephant_ivf_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
+        _IVF_INDEX_CACHE[key] = path
+    return path
+
+
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a *materialized* index (operators/similarity.py
     ``build_ivf_index``): cell assignment persisted partitioned by
     cell_id, so the probe is partition pruning instead of the inline
     O(n·n_cells) recompute of ``knn_ivf``. Semantics (probe cells,
     scoring, ordering) are identical, hence the same oracle."""
-    import atexit
-    import shutil
-    import tempfile
-
     emb = read_table(spark, sf_dir, "embeddings")
-    key = _ann_cache_key(sf_dir)
-    path = _IVF_INDEX_CACHE.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="elephant_ivf_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
-        _IVF_INDEX_CACHE[key] = path
+    path = ivf_index_path(spark, sf_dir)
     return similarity.ivf_topk_indexed(
         spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
         source=emb,

@@ -472,6 +472,32 @@ def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "vec_id")
 
 
+def q_knn_ivf_batch_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched IVF ANN over the MATERIALIZED index
+    (operators/similarity.py ivf_topk_batch_indexed): the whole
+    probe set answered by ONE partition-pruned scan of the union of
+    probed cells — the knn_ivf_batch -> indexed split mirroring
+    search_batch -> search_batch_indexed. Identical rows to the
+    inline batch form (same probe/scoring semantics over the same
+    cell geometry), hence the shared oracle."""
+    from bigdata_elephant_spark.operators.similarity import (
+        ivf_topk_batch_indexed,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import (
+        IVF_PROBE,
+        ivf_index_path,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = ivf_index_path(spark, sf_dir)
+    return ivf_topk_batch_indexed(
+        spark, path, BATCH_QUERY_IDS, n_probe=IVF_PROBE, k=BATCH_K,
+        source=emb,
+    ).orderBy("q_id", "vec_id")
+
+
 def _knn_ivf_batch_sql() -> str:
     from bigdata_elephant_spark.plans.llm_queries import (
         IVF_CELLS,
@@ -2601,6 +2627,13 @@ SPECS = [
     QuerySpec(
         "knn_ivf_batch",
         q_knn_ivf_batch,
+        _knn_ivf_batch_sql,
+        tags=("similarity", "index", "batch"),
+        bench=True,
+    ),
+    QuerySpec(
+        "knn_ivf_batch_indexed",
+        q_knn_ivf_batch_indexed,
         _knn_ivf_batch_sql,
         tags=("similarity", "index", "batch"),
         bench=True,

@@ -81,6 +81,8 @@ GATE_PRIORITY = (
     "search_batch_indexed",
     "knn_ivfpq_indexed",
     "knn_ivf_batch",
+    # --- NEW this round (gated immediately, not next round) ---
+    "knn_ivf_batch_indexed",
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -132,7 +134,6 @@ GATE_PRIORITY = (
     "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
     "window_value_funcs",
     "q9_product_profit",
-    "lang_id_profiles",
 )
 
 

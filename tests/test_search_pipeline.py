@@ -79,6 +79,20 @@ def test_vocabulary_id_mode_equivalence(spark, sf_dir, monkeypatch):
     assert auto == base
     with _pytest.raises(ValueError):
         build_vocabulary(docs, id_mode="bogus")
+    # stat-less sources (createDataFrame over an RDD reports the
+    # Long.MaxValue never-broadcast sentinel, not a size) must stay
+    # on the window path under auto
+    rdd_docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, "alpha beta"), (2, "beta gamma")]
+        ),
+        "doc_id long, text string",
+    )
+    assert vocab_mod._plan_size_bytes(rdd_docs) == 0
+    # empty input: the distributed assigner degrades to the window
+    # path instead of building an un-indexable empty map
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert build_vocabulary(empty, id_mode="distributed").count() == 0
 
 
 def test_postings(corpus, vocab):

@@ -470,6 +470,35 @@ def test_ivf_batch_matches_single(spark, sf_dir):
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
 
 
+def test_ivf_batch_indexed_matches_inline_batch(spark, sf_dir, tmp_path):
+    """The indexed batch scorer is the inline batch scorer over the
+    materialized layout — identical rows per query, and the whole
+    batch must read the index through ONE statically partition-pruned
+    scan (the probed-cell union in PartitionFilters)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    qids = [0, 3, 7]
+    inline = sim.ivf_topk_batch(
+        emb, qids, n_cells=8, n_probe=2, k=5
+    ).orderBy("q_id", "vec_id").collect()
+    out = sim.ivf_topk_batch_indexed(
+        spark, path, qids, n_probe=2, k=5, source=emb
+    )
+    indexed = out.orderBy("q_id", "vec_id").collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "cell_id" in ln and " in " in ln.lower() for ln in scan_lines
+    ), f"no partition filter on cell_id:\n{plan[:2000]}"
+
+
 def test_ivf_works_on_sparse_id_space(spark):
     """Centroid/codebook seeding must mean 'lowest n ids', not
     'id < n': a table whose ids start at 1000 (filtered subset,

@@ -48,7 +48,7 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          "search_batch", "search_batch_indexed",
          "search_reference", "search_reference_indexed",
          "knn_ivfpq", "knn_ivfpq_indexed",
-         "knn_batch", "knn_ivf_batch")
+         "knn_batch", "knn_ivf_batch", "knn_ivf_batch_indexed")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
@@ -125,6 +125,13 @@ def main() -> None:
         "Decade-slope = log10(t_sf1 / t_sf0.1): 1.0 = linear, "
         "<1 = sublinear (overhead still amortizing), >1 = "
         "superlinear — the red flag.\n\n"
+        "The indexed/batch rows pair each inline scorer with its "
+        "materialized-artifact twin: the twin's near-flat slope is "
+        "the amortization the artifact exists to buy — an indexed "
+        "query's cost is the probe (partition-pruned scan + "
+        "metadata-sized lookups), not the corpus, so a 10x corpus "
+        "moves it barely at all while the inline twin re-pays the "
+        "full scan.\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
