@@ -435,6 +435,37 @@ def build_ivf_index(
     )
 
 
+def update_ivf_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-only IVF maintenance — the ANN index's day-2
+    operation (the FAISS ``add()`` contract): assign ONLY the delta
+    batch to the FROZEN centroid geometry and append its rows to the
+    cell_id-partitioned vectors. Delta-cost, not corpus-cost: the
+    base segment's files are untouched bytes, the centroid table is
+    read (metadata-sized) but never retrained — drift bad enough to
+    warrant new geometry is a rebuild, exactly as in FAISS. With
+    append-only id growth (delta ids above the base's — the normal
+    ingest shape) the base's seed set equals the union's, so queries
+    over the updated layout return precisely what a fresh
+    :func:`build_ivf_index` over base+delta returns
+    (equivalence-tested); with interleaved ids the geometry differs
+    from a rebuild's but stays a valid frozen quantization, exactly
+    like FAISS after add()."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(delta, cents, id_col, vec_col)
+    (
+        delta.join(assigned, id_col)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -1173,6 +1173,46 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_INC_SPLIT = 400
+_IVF_INC_CACHE: dict[tuple, str] = {}
+
+
+def q_ivf_topk_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN day-2 maintenance under the oracle gate
+    (operators/similarity.py ``update_ivf_index``): the index is
+    built from vectors with id < 400 only, then the rest arrive as
+    an append-only delta assigned to the FROZEN centroids and
+    appended to the cell-partitioned layout — the FAISS add()
+    contract, delta-cost. Because the union's lowest-id seeds all
+    lie in the base batch, the updated layout answers queries
+    exactly like a full build — hence the shared ``knn_ivf``
+    oracle: a wrong frozen-geometry assignment or a lost/duplicated
+    delta row hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_INC_CACHE.get(key)
+    if path is None:
+        base = emb.filter(F.col("vec_id") < IVF_INC_SPLIT)
+        delta = emb.filter(F.col("vec_id") >= IVF_INC_SPLIT)
+        path = tempfile.mkdtemp(prefix="elephant_ivf_inc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(base, path, n_cells=IVF_CELLS)
+        similarity.update_ivf_index(spark, path, delta)
+        _IVF_INC_CACHE[key] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb,
+    )
+
+
 def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decoding under the oracle gate: valid binary P6
     payloads are synthesized from a closed-form pixel formula
@@ -2462,6 +2502,8 @@ SPECS = [
               ("llm", "similarity", "iterative")),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
               ("llm", "similarity", "index"), bench=True),
+    QuerySpec("knn_ivf_incremental", q_ivf_topk_incremental,
+              KNN_IVF_SQL, ("llm", "similarity", "index", "merge")),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,

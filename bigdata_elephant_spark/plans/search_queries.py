@@ -344,6 +344,31 @@ def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_vocabulary(build_vocabulary(base), delta)
 
 
+def q_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental postings maintenance (operators/index.py
+    update_index) — the day-2 operation completing
+    ``vocab_incremental_update``: index ONLY the delta batch (docs >=
+    400) against the incrementally-updated vocabulary and union with
+    the base segment's postings, whose rows are untouched bytes.
+    Delta-cost, not corpus-cost: at 100 TB the base postings are a
+    persisted artifact nobody rescans; here the whole chain stays one
+    lazy plan and the oracle replays both the two-tier id assignment
+    and the two-segment postings union."""
+    from bigdata_elephant_spark.operators.index import (
+        build_index,
+        update_index,
+    )
+    from bigdata_elephant_spark.operators.vocab import update_vocabulary
+
+    corpus = read_table(spark, sf_dir, "documents")
+    base = corpus.filter(F.col("doc_id") < VOCAB_SPLIT_DOC)
+    delta = corpus.filter(F.col("doc_id") >= VOCAB_SPLIT_DOC)
+    v_base = build_vocabulary(base)
+    v_inc = update_vocabulary(v_base, delta)
+    p_base = build_index(base, v_base)
+    return update_index(delta, v_inc, p_base)
+
+
 def _toks_cte_for(name: str, pred: str) -> str:
     return f"""{name} AS (
     SELECT doc_id, word FROM (
@@ -395,10 +420,56 @@ SELECT word, word_id, df FROM new_words
 """
 
 
+# Shares the incremental-vocab CTE chain: base postings probe only
+# the BASE vocabulary (that is what existed at base build time);
+# delta postings probe the updated vocabulary (old ids preserved,
+# new words appended after max id).
+INDEX_INCREMENTAL_SQL = f"""
+WITH {_toks_cte_for("base_toks", f"doc_id < {VOCAB_SPLIT_DOC}")},
+{_toks_cte_for("delta_toks", f"doc_id >= {VOCAB_SPLIT_DOC}")},
+base_vocab AS (
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT)
+               AS word_id
+    FROM (SELECT DISTINCT word FROM base_toks)
+),
+new_words AS (
+    SELECT word,
+           (SELECT max(word_id) FROM base_vocab)
+               + CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+               AS word_id
+    FROM (
+        SELECT DISTINCT word FROM delta_toks
+        WHERE word NOT IN (SELECT word FROM base_vocab)
+    )
+),
+full_vocab AS (
+    SELECT word, word_id FROM base_vocab
+    UNION ALL
+    SELECT word, word_id FROM new_words
+),
+base_post AS (
+    SELECT t.doc_id, v.word_id, CAST(count(*) AS BIGINT) AS tf
+    FROM base_toks t JOIN base_vocab v USING (word)
+    GROUP BY 1, 2
+),
+delta_post AS (
+    SELECT t.doc_id, v.word_id, CAST(count(*) AS BIGINT) AS tf
+    FROM delta_toks t JOIN full_vocab v USING (word)
+    GROUP BY 1, 2
+)
+SELECT doc_id, word_id, tf FROM base_post
+UNION ALL
+SELECT doc_id, word_id, tf FROM delta_post
+"""
+
+
 SPECS = [
     QuerySpec("vocab_build", q_vocab, VOCAB_SQL, ("search", "agg"), bench=True),
     QuerySpec("vocab_incremental_update", q_vocab_incremental,
               VOCAB_INCREMENTAL_SQL, ("search", "agg", "merge")),
+    QuerySpec("index_incremental_update", q_index_incremental,
+              INDEX_INCREMENTAL_SQL, ("search", "agg", "merge")),
     QuerySpec(
         "search_phrase",
         q_search_phrase,

@@ -62,11 +62,14 @@ GATE_PRIORITY = (
     # driver-re-gated that round (the `vec_id < N` -> `ORDER BY
     # vec_id LIMIT N` sparse-id fixes; knn_ivfpq's oracle got the
     # same fix again THIS round for its PQ codebook seeds), then the
-    # round-7 additions (the skew-mitigation pair gets its first
-    # driver row per the r6 verdict; vocab_build re-gates the new
-    # distributed-id threshold; the *_indexed family re-gates the
-    # artifact read-side mtime touch; knn_ivf_indexed re-gates the
-    # index manifest write), then regression anchors
+    # round-7 additions (three NEW operators — batch+indexed ANN,
+    # incremental postings, incremental IVF — gated the round they
+    # were written, unlike the r5 stragglers; the skew-mitigation
+    # pair gets its first driver row per the r6 verdict; vocab_build
+    # re-gates the new distributed-id threshold; the *_indexed
+    # family re-gates the artifact read-side mtime touch;
+    # knn_ivf_indexed re-gates the index manifest write), then
+    # regression anchors
     # (pagerank_dupgraph is the r6 drift watch). q1_pricing_fast is
     # deliberately NOT in the window: it is the rows-only double-sum
     # production twin whose driver row can only ever read
@@ -77,12 +80,16 @@ GATE_PRIORITY = (
     # r01-r06 and stays under the driver-faithful local gate at every
     # SF (tests/test_oracle_parity.py).
     #
-    # --- never driver-gated (finish 211/211 oracled queries) ---
+    # --- never driver-gated (with the three new round-7 queries
+    # below, green rows here mean all 214 oracled queries have been
+    # driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",
     "knn_ivf_batch",
     # --- NEW this round (gated immediately, not next round) ---
     "knn_ivf_batch_indexed",
+    "index_incremental_update",
+    "knn_ivf_incremental",
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -126,14 +133,12 @@ GATE_PRIORITY = (
     "media_features",
     "media_frame_sample",
     "token_counts",
-    "pandas_token_counts",
     "lang_id_ngram",
     "eval_contamination",
     "kmv_distinct_users",
     "embedding_gram_matrix",
     "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
-    "window_value_funcs",
-    "q9_product_profit",
+    "window_value_funcs",  # window-function family anchor
 )
 
 

@@ -499,6 +499,49 @@ def test_ivf_batch_indexed_matches_inline_batch(spark, sf_dir, tmp_path):
     ), f"no partition filter on cell_id:\n{plan[:2000]}"
 
 
+def test_ivf_incremental_update_equals_full_build(spark, sf_dir, tmp_path):
+    """build on base + update_ivf_index(delta) must answer queries
+    exactly like one build over base+delta (append-only id growth:
+    the union's seed set lies in the base), and the delta rows must
+    land in the same cells the full build assigns."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    split = 400
+    base = emb.filter(F.col("vec_id") < split)
+    delta = emb.filter(F.col("vec_id") >= split)
+
+    inc_path = str(tmp_path / "inc")
+    sim.build_ivf_index(base, inc_path, n_cells=8)
+    sim.update_ivf_index(spark, inc_path, delta)
+    full_path = str(tmp_path / "full")
+    sim.build_ivf_index(emb, full_path, n_cells=8)
+
+    inc_vecs = spark.read.parquet(f"{inc_path}/vectors")
+    full_vecs = spark.read.parquet(f"{full_path}/vectors")
+    assert inc_vecs.count() == emb.count()  # nothing lost/duplicated
+    a = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in inc_vecs.select("vec_id", "cell_id").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in full_vecs.select("vec_id", "cell_id").collect()
+    )
+    assert a == b  # frozen-geometry assignment == rebuild assignment
+
+    q_inc = sim.ivf_topk_indexed(
+        spark, inc_path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    q_full = sim.ivf_topk_indexed(
+        spark, full_path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in q_inc] == [tuple(r) for r in q_full]
+
+
 def test_ivf_works_on_sparse_id_space(spark):
     """Centroid/codebook seeding must mean 'lowest n ids', not
     'id < n': a table whose ids start at 1000 (filtered subset,
