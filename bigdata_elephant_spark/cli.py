@@ -191,6 +191,18 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "(with --pq)")
 
     sp = sub.add_parser(
+        "ann-add",
+        help="append a delta batch of vectors to a saved IVF index "
+             "(FAISS add() contract: assigned to the frozen "
+             "centroids, base segment untouched)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet with the NEW (vec_id, embedding) "
+                         "rows only — ids already in the index are "
+                         "appended blindly, exactly like FAISS add()")
+
+    sp = sub.add_parser(
         "curate",
         help="curation pipeline: quality filter -> near-dup "
              "survivor drop -> temperature mixture; writes the "
@@ -272,6 +284,14 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             )
         else:
             build_ivf_index(emb, args.out, n_cells=args.cells)
+    elif args.cmd == "ann-add":
+        from bigdata_elephant_spark.operators.similarity import (
+            update_ivf_index,
+        )
+
+        update_ivf_index(
+            spark, args.index, spark.read.parquet(args.embeddings)
+        )
     elif args.cmd == "ann-query" and args.pq:
         from bigdata_elephant_spark.operators.similarity import (
             ivfpq_topk_indexed,

@@ -456,7 +456,45 @@ def update_ivf_index(
     (equivalence-tested); with interleaved ids the geometry differs
     from a rebuild's but stays a valid frozen quantization, exactly
     like FAISS after add()."""
+    man = read_index_manifest(path) or {}
+    kind = man.get("kind")
+    if kind is not None and kind != "ivf":
+        raise ValueError(
+            f"index at {path!r} is kind={kind!r}: update_ivf_index "
+            "appends to the plain IVF vectors layout only — an "
+            "IVFPQ add needs the delta PQ-encoded into codes/, "
+            "which is a rebuild"
+        )
     cents = spark.read.parquet(f"{path}/centroids")
+    dim = man.get("dim")
+    if dim is None:
+        row = cents.select(F.size("cvec").alias("d")).first()
+        dim = None if row is None else int(row["d"])
+    if dim is not None:
+        # In-plan dimension guard, validated in the same pass that
+        # assigns cells (no extra delta scan): a wrong-length vector
+        # would otherwise null-pad through zip_with, get a null L2
+        # to every centroid, and silently sink into one cell with
+        # null scores forever. FAISS add() asserts d; so do we.
+        delta = delta.withColumn(
+            vec_col,
+            F.when(
+                F.size(vec_col) == dim, F.col(vec_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("update_ivf_index: delta vector id="),
+                        F.col(id_col).cast("string"),
+                        F.lit(" has "),
+                        F.size(vec_col).cast("string"),
+                        F.lit(
+                            f" components but the index stores "
+                            f"{dim}-dimensional vectors"
+                        ),
+                    )
+                )
+            ),
+        )
     assigned = ivf_assign(delta, cents, id_col, vec_col)
     (
         delta.join(assigned, id_col)

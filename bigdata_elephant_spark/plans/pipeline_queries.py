@@ -738,12 +738,19 @@ def _index_artifacts(
             import time as _time
 
             cutoff = _time.time() - 7 * 86400
-            for d in os.listdir(parent):
-                sib = os.path.join(parent, d)
+            sibs = os.listdir(parent)
+        except OSError:
+            sibs = []
+        for d in sibs:
+            sib = os.path.join(parent, d)
+            # per-sibling containment: a concurrent sweep may have
+            # already removed this entry between listdir and stat —
+            # that must not abort the rest of the sweep
+            try:
                 if sib != base and os.path.getmtime(sib) < cutoff:
                     shutil.rmtree(sib, ignore_errors=True)
-        except OSError:
-            pass
+            except OSError:
+                continue
     if cold:
         corpus = _docs(spark, sf_dir)
         build_vocabulary(corpus).write.mode("overwrite").parquet(

@@ -384,10 +384,12 @@ def _toks_cte_for(name: str, pred: str) -> str:
 )"""
 
 
-VOCAB_INCREMENTAL_SQL = f"""
-WITH {_toks_cte_for("base_toks", f"doc_id < {VOCAB_SPLIT_DOC}")},
-{_toks_cte_for("delta_toks", f"doc_id >= {VOCAB_SPLIT_DOC}")},
-base_vocab AS (
+# The two-tier id-assignment chain (base ids alphabetical-dense,
+# existing words frozen, new words appended after max id) exists
+# ONCE and is shared by BOTH incremental oracles — hand-syncing two
+# literal copies of the contract is exactly the divergence class the
+# sparse-id seed fixes kept chasing.
+_TWO_TIER_VOCAB_CTES = """base_vocab AS (
     SELECT word,
            CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT)
                AS word_id,
@@ -413,38 +415,29 @@ new_words AS (
            d.ddf AS df
     FROM delta_df d
     WHERE d.word NOT IN (SELECT word FROM base_vocab)
-)
+)"""
+
+
+VOCAB_INCREMENTAL_SQL = f"""
+WITH {_toks_cte_for("base_toks", f"doc_id < {VOCAB_SPLIT_DOC}")},
+{_toks_cte_for("delta_toks", f"doc_id >= {VOCAB_SPLIT_DOC}")},
+{_TWO_TIER_VOCAB_CTES}
 SELECT word, word_id, df FROM updated
 UNION ALL
 SELECT word, word_id, df FROM new_words
 """
 
 
-# Shares the incremental-vocab CTE chain: base postings probe only
-# the BASE vocabulary (that is what existed at base build time);
-# delta postings probe the updated vocabulary (old ids preserved,
-# new words appended after max id).
+# Base postings probe only the BASE vocabulary (what existed at base
+# build time); delta postings probe the updated vocabulary (base ids
+# frozen, new words after max) — both id tiers come verbatim from
+# _TWO_TIER_VOCAB_CTES above.
 INDEX_INCREMENTAL_SQL = f"""
 WITH {_toks_cte_for("base_toks", f"doc_id < {VOCAB_SPLIT_DOC}")},
 {_toks_cte_for("delta_toks", f"doc_id >= {VOCAB_SPLIT_DOC}")},
-base_vocab AS (
-    SELECT word,
-           CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT)
-               AS word_id
-    FROM (SELECT DISTINCT word FROM base_toks)
-),
-new_words AS (
-    SELECT word,
-           (SELECT max(word_id) FROM base_vocab)
-               + CAST(row_number() OVER (ORDER BY word) AS BIGINT)
-               AS word_id
-    FROM (
-        SELECT DISTINCT word FROM delta_toks
-        WHERE word NOT IN (SELECT word FROM base_vocab)
-    )
-),
+{_TWO_TIER_VOCAB_CTES},
 full_vocab AS (
-    SELECT word, word_id FROM base_vocab
+    SELECT word, word_id FROM updated
     UNION ALL
     SELECT word, word_id FROM new_words
 ),

@@ -231,3 +231,56 @@ def test_cli_ann_vec_dim_validation(spark, sf_dir, tmp_path):
         main(["ann-query", "--index", str(tmp_path / "nope"),
               "--vec=0.5,0.5", "-k", "1"],
              spark=spark, out=io.StringIO())
+
+
+def test_cli_ann_add_then_query_matches_full_build(spark, sf_dir, tmp_path):
+    """ann-build on a base slice + ann-add of the delta must answer
+    queries exactly like ann-build over everything (append-only id
+    growth keeps the seed geometry identical)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    emb = spark.read.parquet(emb_path)
+    emb.filter("vec_id < 400").write.parquet(base_p)
+    emb.filter("vec_id >= 400").write.parquet(delta_p)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    _run(spark, ["ann-build", "--embeddings", base_p,
+                 "--out", inc, "--cells", "8"])
+    _run(spark, ["ann-add", "--index", inc,
+                 "--embeddings", delta_p])
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", full, "--cells", "8"])
+    q = ["ann-query", "--vec-id", "0", "-k", "5", "--probe", "3"]
+    got = _parse(_run(spark, q + ["--index", inc]))
+    want = _parse(_run(spark, q + ["--index", full]))
+    assert got == want and len(got) == 5
+
+
+def test_cli_ann_add_rejects_bad_dim_and_pq_index(spark, sf_dir, tmp_path):
+    """ann-add must refuse (a) delta vectors whose dimension doesn't
+    match the index — a silent null-padded zip_with would sink them
+    into one cell with null scores forever — and (b) IVFPQ indexes,
+    where appending raw vectors would write a stray dir pq queries
+    never read."""
+    import pytest
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "4"])
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(900000, [0.1, 0.2, 0.3])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(bad)
+    with pytest.raises(Exception, match="components but the index"):
+        main(["ann-add", "--index", idx, "--embeddings", bad],
+             spark=spark, out=io.StringIO())
+
+    pq_idx = str(tmp_path / "ivfpq")
+    _run(spark, ["ann-build", "--pq", "--embeddings", emb_path,
+                 "--out", pq_idx, "--cells", "4", "--codes", "8"])
+    with pytest.raises(ValueError, match="kind='ivfpq'"):
+        main(["ann-add", "--index", pq_idx, "--embeddings", emb_path],
+             spark=spark, out=io.StringIO())
