@@ -192,9 +192,10 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
 
     sp = sub.add_parser(
         "ann-add",
-        help="append a delta batch of vectors to a saved IVF index "
-             "(FAISS add() contract: assigned to the frozen "
-             "centroids, base segment untouched)",
+        help="append a delta batch of vectors to a saved ANN index "
+             "(FAISS add() contract: quantizers stay frozen, base "
+             "segment untouched; IVF vs IVF-PQ is dispatched from "
+             "the index manifest)",
     )
     sp.add_argument("--index", required=True)
     sp.add_argument("--embeddings", required=True,
@@ -285,13 +286,25 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         else:
             build_ivf_index(emb, args.out, n_cells=args.cells)
     elif args.cmd == "ann-add":
+        import os
+
         from bigdata_elephant_spark.operators.similarity import (
+            read_index_manifest,
             update_ivf_index,
+            update_ivfpq_index,
         )
 
-        update_ivf_index(
-            spark, args.index, spark.read.parquet(args.embeddings)
-        )
+        kind = (read_index_manifest(args.index) or {}).get("kind")
+        if kind is None:
+            # pre-manifest dirs: the layouts are disjoint — IVFPQ
+            # has codes/, plain IVF has vectors/
+            kind = (
+                "ivfpq"
+                if os.path.isdir(os.path.join(args.index, "codes"))
+                else "ivf"
+            )
+        fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
+        fn(spark, args.index, spark.read.parquet(args.embeddings))
     elif args.cmd == "ann-query" and args.pq:
         from bigdata_elephant_spark.operators.similarity import (
             ivfpq_topk_indexed,

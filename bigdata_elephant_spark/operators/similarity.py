@@ -1383,6 +1383,101 @@ def build_ivfpq_index(
     )
 
 
+def update_ivfpq_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-only IVF-PQ maintenance — FAISS ``IndexIVFPQ.add()``:
+    assign the delta batch to the FROZEN coarse centroids, compute
+    residuals, PQ-encode them against the FROZEN codebooks, and
+    append the new codes to the cell-partitioned codes table. Both
+    quantizers are read (metadata-sized broadcasts) and never
+    retrained; the base codes files are untouched bytes. With
+    append-only id growth both seed sets (centroids AND residual
+    codebooks — residuals of the lowest-id vectors are unchanged
+    when the geometry is) lie in the base batch, so the updated
+    layout answers :func:`ivfpq_topk_indexed` queries exactly like a
+    fresh :func:`build_ivfpq_index` over base+delta
+    (equivalence-tested)."""
+    man = read_index_manifest(path) or {}
+    kind = man.get("kind")
+    if kind is not None and kind != "ivfpq":
+        raise ValueError(
+            f"index at {path!r} is kind={kind!r}: "
+            "update_ivfpq_index appends PQ codes — use "
+            "update_ivf_index for a plain IVF layout"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    cbooks = spark.read.parquet(f"{path}/codebooks")
+    # PQ geometry from the manifest; pre-manifest dirs infer it from
+    # the codebook table itself (n_sub distinct subspaces, each
+    # cvec slice sub_dim wide)
+    n_sub = man.get("n_sub")
+    sub_dim = man.get("sub_dim")
+    if n_sub is None or sub_dim is None:
+        row = (
+            cbooks.agg(
+                (F.max("sub") + 1).alias("ns"),
+                F.max(F.size("cvec")).alias("sd"),
+            ).first()
+        )
+        n_sub = int(row["ns"])
+        sub_dim = int(row["sd"])
+    dim = man.get("dim")
+    if dim is None:
+        row = cents.select(F.size("cvec").alias("d")).first()
+        dim = None if row is None else int(row["d"])
+    if dim is not None:
+        # same in-plan dimension guard as update_ivf_index
+        delta = delta.withColumn(
+            vec_col,
+            F.when(
+                F.size(vec_col) == dim, F.col(vec_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "update_ivfpq_index: delta vector id="
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(" has "),
+                        F.size(vec_col).cast("string"),
+                        F.lit(
+                            f" components but the index stores "
+                            f"{dim}-dimensional vectors"
+                        ),
+                    )
+                )
+            ),
+        )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    assign = ivf_assign(delta, cents, id_col, vec_col)
+    resid = persist_tracked(
+        delta.join(assign, id_col)
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("resid"),
+        )
+    )
+    codes = pq_encode(resid, cbooks, n_sub, sub_dim, id_col, "resid")
+    (
+        codes.join(resid.select(id_col, "cell_id"), id_col)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/codes")
+    )
+
+
 def ivfpq_topk_indexed(
     spark,
     index_path: str,

@@ -2738,6 +2738,59 @@ SPECS.append(
 )
 
 
+_IVFPQ_INC_CACHE: dict[tuple, str] = {}
+
+
+def q_knn_ivfpq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ day-2 maintenance under the oracle gate
+    (operators/similarity.py ``update_ivfpq_index`` — FAISS
+    ``IndexIVFPQ.add()``): the index is trained on vectors with id <
+    400 only; the rest arrive as a delta assigned to the FROZEN
+    coarse centroids and PQ-encoded against the FROZEN residual
+    codebooks, appended to the cell-partitioned codes. Append-only
+    id growth keeps both seed sets in the base batch, so the
+    updated layout answers queries exactly like a full build —
+    hence the shared ``knn_ivfpq`` oracle: a wrong frozen-geometry
+    residual, a stale codebook, or a lost delta code
+    hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = _ann_cache_key(sf_dir)
+    path = _IVFPQ_INC_CACHE.get(key)
+    if path is None:
+        base = emb.filter(F.col("vec_id") < IVF_INC_SPLIT)
+        delta = emb.filter(F.col("vec_id") >= IVF_INC_SPLIT)
+        path = tempfile.mkdtemp(prefix="elephant_ivfpq_inc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivfpq_index(
+            base, path, n_cells=IVF_CELLS, n_sub=PQ_SUB,
+            sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+        )
+        similarity.update_ivfpq_index(spark, path, delta)
+        _IVFPQ_INC_CACHE[key] = path
+    return similarity.ivfpq_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, source=emb,
+        n_probe=IVF_PROBE, shortlist=PQ_SHORTLIST, k=KNN_K,
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "knn_ivfpq_incremental",
+        q_knn_ivfpq_incremental,
+        KNN_IVFPQ_SQL,
+        ("llm", "similarity", "index", "merge"),
+    )
+)
+
+
 # --------------------------------------------------- PMI co-occurrence
 
 PMI_MIN_CO = 5

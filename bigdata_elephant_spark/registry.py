@@ -90,6 +90,7 @@ GATE_PRIORITY = (
     "knn_ivf_batch_indexed",
     "index_incremental_update",
     "knn_ivf_incremental",
+    "knn_ivfpq_incremental",
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -131,7 +132,6 @@ GATE_PRIORITY = (
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor
     "media_features",
-    "media_frame_sample",
     "token_counts",
     "lang_id_ngram",
     "eval_contamination",

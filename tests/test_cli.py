@@ -257,13 +257,19 @@ def test_cli_ann_add_then_query_matches_full_build(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 5
 
 
-def test_cli_ann_add_rejects_bad_dim_and_pq_index(spark, sf_dir, tmp_path):
-    """ann-add must refuse (a) delta vectors whose dimension doesn't
+def test_cli_ann_add_rejects_bad_dim_and_wrong_kind(spark, sf_dir, tmp_path):
+    """ann-add must refuse delta vectors whose dimension doesn't
     match the index — a silent null-padded zip_with would sink them
-    into one cell with null scores forever — and (b) IVFPQ indexes,
-    where appending raw vectors would write a stray dir pq queries
-    never read."""
+    into one cell with null scores forever — and the update
+    operators must refuse the other kind's layout (appending raw
+    vectors to an IVFPQ dir would write a dir pq queries never
+    read; the CLI dispatches by manifest so users can't hit this)."""
     import pytest
+
+    from bigdata_elephant_spark.operators.similarity import (
+        update_ivf_index,
+        update_ivfpq_index,
+    )
 
     emb_path = f"{sf_dir}/embeddings.parquet"
     idx = str(tmp_path / "ivf")
@@ -281,6 +287,36 @@ def test_cli_ann_add_rejects_bad_dim_and_pq_index(spark, sf_dir, tmp_path):
     pq_idx = str(tmp_path / "ivfpq")
     _run(spark, ["ann-build", "--pq", "--embeddings", emb_path,
                  "--out", pq_idx, "--cells", "4", "--codes", "8"])
+    emb = spark.read.parquet(emb_path)
     with pytest.raises(ValueError, match="kind='ivfpq'"):
-        main(["ann-add", "--index", pq_idx, "--embeddings", emb_path],
+        update_ivf_index(spark, pq_idx, emb)
+    with pytest.raises(ValueError, match="kind='ivf'"):
+        update_ivfpq_index(spark, idx, emb)
+    with pytest.raises(Exception, match="components but the index"):
+        main(["ann-add", "--index", pq_idx, "--embeddings", bad],
              spark=spark, out=io.StringIO())
+
+
+def test_cli_ann_add_pq_matches_full_build(spark, sf_dir, tmp_path):
+    """ann-add on an IVF-PQ index (manifest-dispatched) must encode
+    the delta against the frozen quantizers so queries match a full
+    rebuild (append-only ids keep both seed sets in the base)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    emb = spark.read.parquet(emb_path)
+    emb.filter("vec_id < 400").write.parquet(base_p)
+    emb.filter("vec_id >= 400").write.parquet(delta_p)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    _run(spark, ["ann-build", "--pq", "--embeddings", base_p,
+                 "--out", inc, "--cells", "8", "--codes", "8"])
+    _run(spark, ["ann-add", "--index", inc, "--embeddings", delta_p])
+    _run(spark, ["ann-build", "--pq", "--embeddings", emb_path,
+                 "--out", full, "--cells", "8", "--codes", "8"])
+    q = ["ann-query", "--pq", "--embeddings", emb_path,
+         "--vec-id", "0", "-k", "5", "--probe", "3",
+         "--shortlist", "30"]
+    got = _parse(_run(spark, q + ["--index", inc]))
+    want = _parse(_run(spark, q + ["--index", full]))
+    assert got == want and len(got) == 5
