@@ -204,6 +204,14 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "appended blindly, exactly like FAISS add()")
 
     sp = sub.add_parser(
+        "ann-compact",
+        help="rewrite an index so each cell holds one file again "
+             "(undoes the small-files tax of repeated ann-add; "
+             "maintenance-window operation)",
+    )
+    sp.add_argument("--index", required=True)
+
+    sp = sub.add_parser(
         "curate",
         help="curation pipeline: quality filter -> near-dup "
              "survivor drop -> temperature mixture; writes the "
@@ -305,6 +313,12 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             )
         fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
         fn(spark, args.index, spark.read.parquet(args.embeddings))
+    elif args.cmd == "ann-compact":
+        from bigdata_elephant_spark.operators.similarity import (
+            compact_index,
+        )
+
+        compact_index(spark, args.index)
     elif args.cmd == "ann-query" and args.pq:
         from bigdata_elephant_spark.operators.similarity import (
             ivfpq_topk_indexed,

@@ -504,6 +504,51 @@ def update_ivf_index(
     )
 
 
+def compact_index(spark, path: str) -> None:
+    """Rewrite an index's corpus-sized table (``vectors/`` for IVF,
+    ``codes/`` for IVF-PQ — dispatched from the manifest) so each
+    cell holds ONE file again. Every :func:`update_ivf_index` /
+    :func:`update_ivfpq_index` append adds a file per touched cell;
+    after many small deltas a probe pays per-file open/footer costs
+    that dwarf the data — the classic small-files tax, and the same
+    compaction cycle every LSM-ish layout (Iceberg/Delta OPTIMIZE,
+    Lucene segment merges) runs. One shuffle keyed on ``cell_id``
+    co-locates each cell, so the rewrite emits exactly one file per
+    cell; rows/values are untouched (query-equivalence is tested).
+
+    Swap is write-aside + rename (posix paths; an object-store
+    deployment swaps via its catalog/atomic-commit instead) and is a
+    MAINTENANCE-WINDOW operation: a reader holding the old dir open
+    mid-swap loses its files, same as a Lucene merge without
+    refcounts."""
+    import os
+    import shutil
+
+    man = read_index_manifest(path) or {}
+    kind = man.get("kind")
+    if kind is None:
+        kind = (
+            "ivfpq"
+            if os.path.isdir(os.path.join(path, "codes"))
+            else "ivf"
+        )
+    sub = "codes" if kind == "ivfpq" else "vectors"
+    src = os.path.join(path, sub)
+    tmp = os.path.join(path, f"{sub}__compact_tmp")
+    old = os.path.join(path, f"{sub}__compact_old")
+    df = spark.read.parquet(src)
+    (
+        df.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -297,6 +297,44 @@ def test_cli_ann_add_rejects_bad_dim_and_wrong_kind(spark, sf_dir, tmp_path):
              spark=spark, out=io.StringIO())
 
 
+def test_cli_ann_compact_pq_layout(spark, sf_dir, tmp_path):
+    """ann-compact must dispatch to the IVF-PQ ``codes/`` table from
+    the manifest, merge each fragmented cell back to one file, and
+    leave query answers bit-identical."""
+    import glob
+    import os
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    base_p = str(tmp_path / "base.parquet")
+    d1_p = str(tmp_path / "d1.parquet")
+    d2_p = str(tmp_path / "d2.parquet")
+    emb.filter("vec_id < 300").write.parquet(base_p)
+    emb.filter("vec_id >= 300 and vec_id < 400").write.parquet(d1_p)
+    emb.filter("vec_id >= 400").write.parquet(d2_p)
+
+    idx = str(tmp_path / "pq")
+    _run(spark, ["ann-build", "--pq", "--embeddings", base_p,
+                 "--out", idx, "--cells", "8", "--codes", "8"])
+    _run(spark, ["ann-add", "--index", idx, "--embeddings", d1_p])
+    _run(spark, ["ann-add", "--index", idx, "--embeddings", d2_p])
+
+    def files_per_cell():
+        return [
+            len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in glob.glob(f"{idx}/codes/cell_id=*")
+        ]
+
+    q = ["ann-query", "--pq", "--index", idx, "--embeddings",
+         emb_path, "--vec-id", "0", "-k", "5", "--probe", "3",
+         "--shortlist", "30"]
+    before = _parse(_run(spark, q))
+    assert max(files_per_cell()) > 1
+    _run(spark, ["ann-compact", "--index", idx])
+    assert set(files_per_cell()) == {1}
+    assert _parse(_run(spark, q)) == before
+
+
 def test_cli_ann_add_pq_matches_full_build(spark, sf_dir, tmp_path):
     """ann-add on an IVF-PQ index (manifest-dispatched) must encode
     the delta against the frozen quantizers so queries match a full

@@ -565,3 +565,47 @@ def test_ivf_works_on_sparse_id_space(spark):
     }
     out = sim.ivf_topk(emb, 1005, n_cells=4, n_probe=2, k=3)
     assert out.count() == 3
+
+
+def test_compact_index_merges_small_files(spark, sf_dir, tmp_path):
+    """Repeated update_ivf_index appends leave multiple files per
+    cell; compact_index must bring every cell back to ONE file with
+    query results unchanged."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter("vec_id < 300"), path, n_cells=8)
+    sim.update_ivf_index(
+        spark, path, emb.filter("vec_id >= 300 and vec_id < 400")
+    )
+    sim.update_ivf_index(spark, path, emb.filter("vec_id >= 400"))
+
+    def files_per_cell():
+        out = {}
+        for d in glob.glob(f"{path}/vectors/cell_id=*"):
+            out[os.path.basename(d)] = len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")]
+            )
+        return out
+
+    before = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert max(files_per_cell().values()) > 1  # appends fragmented
+    sim.compact_index(spark, path)
+    after_files = files_per_cell()
+    assert set(after_files.values()) == {1}
+    after = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # total row count preserved exactly
+    n = spark.read.parquet(f"{path}/vectors").count()
+    assert n == emb.count()
