@@ -207,7 +207,8 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "ann-compact",
         help="rewrite an index so each cell holds one file again "
              "(undoes the small-files tax of repeated ann-add; "
-             "maintenance-window operation)",
+             "snapshot commit — readers of the old generation are "
+             "unaffected, one prior generation is retained)",
     )
     sp.add_argument("--index", required=True)
 

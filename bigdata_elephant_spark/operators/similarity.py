@@ -376,8 +376,14 @@ def write_index_manifest(path: str, **fields) -> None:
 
     try:
         _os.makedirs(path, exist_ok=True)
-        with open(_os.path.join(path, "manifest.json"), "w") as f:
+        tmp = _os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
             _json.dump(fields, f)
+        # Atomic pointer flip (POSIX rename semantics): readers see
+        # either the old manifest or the new one, never a torn file.
+        # This is what makes the versioned-table swap in
+        # :func:`compact_index` snapshot-safe.
+        _os.replace(tmp, _os.path.join(path, "manifest.json"))
     except OSError:
         pass
 
@@ -395,6 +401,48 @@ def read_index_manifest(path: str) -> dict | None:
         return out if isinstance(out, dict) else None
     except (OSError, ValueError):
         return None
+
+
+def _table_path(path: str, sub: str) -> str:
+    """Resolve an index's logical table (``vectors`` / ``codes``) to
+    its CURRENT physical dir through the manifest's ``tables``
+    pointer map — the Iceberg-snapshot idea at its smallest: writers
+    publish a new physical dir (``vectors_v2``) and atomically flip
+    the pointer; a reader plans from whatever version the manifest
+    named when it looked, never from a dir being swapped underneath
+    it. Indexes without a manifest (or without a ``tables`` entry —
+    everything built before compaction ran) resolve to the plain
+    ``{path}/{sub}`` layout unchanged."""
+    import os as _os
+
+    man = read_index_manifest(path) or {}
+    tables = man.get("tables")
+    cur = tables.get(sub) if isinstance(tables, dict) else None
+    return _os.path.join(path, cur if isinstance(cur, str) else sub)
+
+
+def _expire_versions(path: str, sub: str, keep=()) -> None:
+    """Best-effort removal of stale ``{sub}_v*`` generation dirs
+    (and the unversioned ``{sub}`` when not kept). Builds call this
+    after rewriting an index in place — their fresh manifest no
+    longer points at any versioned dir, so the old generations are
+    unreachable and only waste disk."""
+    import os as _os
+    import shutil as _shutil
+
+    try:
+        entries = _os.listdir(path)
+    except OSError:
+        return
+    for d in entries:
+        full = _os.path.join(path, d)
+        if d in keep or not _os.path.isdir(full):
+            continue
+        if d == sub or (
+            d.startswith(f"{sub}_v")
+            and d.rsplit("_v", 1)[1].isdigit()
+        ):
+            _shutil.rmtree(full, ignore_errors=True)
 
 
 def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
@@ -433,6 +481,7 @@ def build_ivf_index(
         path, kind="ivf", dim=_vec_dim(embeddings, vec_col),
         n_cells=n_cells,
     )
+    _expire_versions(path, "vectors", keep=("vectors",))
 
 
 def update_ivf_index(
@@ -500,7 +549,7 @@ def update_ivf_index(
         delta.join(assigned, id_col)
         .write.mode("append")
         .partitionBy("cell_id")
-        .parquet(f"{path}/vectors")
+        .parquet(_table_path(path, "vectors"))
     )
 
 
@@ -516,11 +565,33 @@ def compact_index(spark, path: str) -> None:
     co-locates each cell, so the rewrite emits exactly one file per
     cell; rows/values are untouched (query-equivalence is tested).
 
-    Swap is write-aside + rename (posix paths; an object-store
-    deployment swaps via its catalog/atomic-commit instead) and is a
-    MAINTENANCE-WINDOW operation: a reader holding the old dir open
-    mid-swap loses its files, same as a Lucene merge without
-    refcounts."""
+    The swap is a SNAPSHOT COMMIT, not an in-place rename: the
+    compacted rows land in a fresh versioned dir (``vectors_v1``,
+    ``vectors_v2``, ...), then the manifest's ``tables`` pointer
+    flips to it atomically (:func:`write_index_manifest`
+    writes-aside + ``os.replace``). Readers resolve the physical dir
+    through :func:`_table_path` at plan time, so a query planned
+    before the flip keeps scanning the old — still intact — version
+    while new queries pick up the new one: no maintenance window,
+    the Iceberg/Delta commit protocol in miniature (an object-store
+    deployment flips the pointer via its catalog instead of a posix
+    rename). Exactly one previous generation is retained for those
+    in-flight readers; generations older than that are expired
+    (Iceberg ``expire_snapshots``), bounding disk at ~2x one copy.
+
+    Requires a manifest-writable ``path``: if the pointer flip
+    cannot be persisted the new version would be invisible to every
+    reader, so the new dir is removed, the old layout left
+    untouched, and ``OSError`` raised rather than silently doubling
+    storage.
+
+    Single-maintenance-writer assumption: an append racing the
+    compaction can land in the retiring generation after its rows
+    were already copied forward, and the flip would drop it.
+    Serialize :func:`update_ivf_index`/:func:`update_ivfpq_index`
+    with compaction (a full Iceberg/Delta deployment rejects the
+    losing commit via optimistic concurrency on the catalog; a
+    json-file manifest has no compare-and-swap to build that on)."""
     import os
     import shutil
 
@@ -533,20 +604,30 @@ def compact_index(spark, path: str) -> None:
             else "ivf"
         )
     sub = "codes" if kind == "ivfpq" else "vectors"
-    src = os.path.join(path, sub)
-    tmp = os.path.join(path, f"{sub}__compact_tmp")
-    old = os.path.join(path, f"{sub}__compact_old")
-    df = spark.read.parquet(src)
+    tables = man.get("tables")
+    cur = tables.get(sub, sub) if isinstance(tables, dict) else sub
+    ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
+    nxt = f"{sub}_v{ver + 1}"
+    df = spark.read.parquet(os.path.join(path, cur))
     (
         df.repartition("cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_id")
-        .parquet(tmp)
+        .parquet(os.path.join(path, nxt))
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old, ignore_errors=True)
+    man.setdefault("tables", {})[sub] = nxt
+    man["kind"] = kind
+    write_index_manifest(path, **man)
+    flipped = (read_index_manifest(path) or {}).get("tables") or {}
+    if flipped.get(sub) != nxt:
+        shutil.rmtree(os.path.join(path, nxt), ignore_errors=True)
+        raise OSError(
+            f"compact_index: could not persist the manifest pointer "
+            f"flip at {path!r}; old layout left untouched"
+        )
+    # Expire everything older than the generation just replaced —
+    # `cur` itself stays for readers that planned before the flip.
+    _expire_versions(path, sub, keep=(cur, nxt))
 
 
 def ivf_topk_indexed(
@@ -571,7 +652,7 @@ def ivf_topk_indexed(
     Scoring is identical to :func:`ivf_topk`, so results match the
     inline variant row-for-row (equivalence-tested).
     """
-    vecs = spark.read.parquet(f"{index_path}/vectors")
+    vecs = spark.read.parquet(_table_path(index_path, "vectors"))
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col) == query_vec_id).select(
@@ -627,7 +708,7 @@ def ivf_topk_batch_indexed(
     the same ``n_cells`` (equivalence-tested; shares its oracle)."""
     from pyspark.sql import Window
 
-    vecs = spark.read.parquet(f"{index_path}/vectors")
+    vecs = spark.read.parquet(_table_path(index_path, "vectors"))
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col).isin(query_ids)).select(
@@ -1426,6 +1507,7 @@ def build_ivfpq_index(
         n_cells=n_cells, n_sub=n_sub, sub_dim=sub_dim,
         n_codes=n_codes,
     )
+    _expire_versions(path, "codes", keep=("codes",))
 
 
 def update_ivfpq_index(
@@ -1519,7 +1601,7 @@ def update_ivfpq_index(
         codes.join(resid.select(id_col, "cell_id"), id_col)
         .write.mode("append")
         .partitionBy("cell_id")
-        .parquet(f"{path}/codes")
+        .parquet(_table_path(path, "codes"))
     )
 
 
@@ -1545,7 +1627,7 @@ def ivfpq_topk_indexed(
     :func:`ivfpq_topk`, row-for-row (equivalence-tested)."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbooks = spark.read.parquet(f"{index_path}/codebooks")
-    codes = spark.read.parquet(f"{index_path}/codes")
+    codes = spark.read.parquet(_table_path(index_path, "codes"))
     meta = (
         cbooks.agg(
             (F.max("sub") + 1).alias("n_sub"),

@@ -319,10 +319,15 @@ def test_cli_ann_compact_pq_layout(spark, sf_dir, tmp_path):
     _run(spark, ["ann-add", "--index", idx, "--embeddings", d1_p])
     _run(spark, ["ann-add", "--index", idx, "--embeddings", d2_p])
 
+    from bigdata_elephant_spark.operators.similarity import (
+        _table_path,
+    )
+
     def files_per_cell():
+        cur = _table_path(idx, "codes")
         return [
             len([f for f in os.listdir(d) if f.endswith(".parquet")])
-            for d in glob.glob(f"{idx}/codes/cell_id=*")
+            for d in glob.glob(f"{cur}/cell_id=*")
         ]
 
     q = ["ann-query", "--pq", "--index", idx, "--embeddings",

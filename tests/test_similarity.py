@@ -569,12 +569,12 @@ def test_ivf_works_on_sparse_id_space(spark):
 
 def test_compact_index_merges_small_files(spark, sf_dir, tmp_path):
     """Repeated update_ivf_index appends leave multiple files per
-    cell; compact_index must bring every cell back to ONE file with
-    query results unchanged."""
+    cell; compact_index must bring every cell back to ONE file (in a
+    NEW versioned dir the manifest points at) with query results
+    unchanged, while the previous generation stays on disk for
+    readers that planned before the pointer flip."""
     import glob
     import os
-
-    from pyspark.sql import functions as F
 
     from bigdata_elephant_spark.operators import similarity as sim
     from bigdata_elephant_spark.sources.corpus import read_table
@@ -587,25 +587,77 @@ def test_compact_index_merges_small_files(spark, sf_dir, tmp_path):
     )
     sim.update_ivf_index(spark, path, emb.filter("vec_id >= 400"))
 
-    def files_per_cell():
-        out = {}
-        for d in glob.glob(f"{path}/vectors/cell_id=*"):
-            out[os.path.basename(d)] = len(
-                [f for f in os.listdir(d) if f.endswith(".parquet")]
+    def files_per_cell(d):
+        return {
+            os.path.basename(c): len(
+                [f for f in os.listdir(c) if f.endswith(".parquet")]
             )
-        return out
+            for c in glob.glob(f"{d}/cell_id=*")
+        }
 
     before = sim.ivf_topk_indexed(
         spark, path, 0, n_probe=3, k=5, source=emb
     ).collect()
-    assert max(files_per_cell().values()) > 1  # appends fragmented
+    old_dir = sim._table_path(path, "vectors")
+    assert max(files_per_cell(old_dir).values()) > 1  # fragmented
+    # a reader that planned BEFORE the compaction commit
+    held = spark.read.parquet(old_dir)
     sim.compact_index(spark, path)
-    after_files = files_per_cell()
-    assert set(after_files.values()) == {1}
+    new_dir = sim._table_path(path, "vectors")
+    assert new_dir != old_dir  # snapshot commit, not in-place swap
+    assert set(files_per_cell(new_dir).values()) == {1}
+    # previous generation retained for in-flight readers
+    assert os.path.isdir(old_dir)
+    assert held.count() == emb.count()
     after = sim.ivf_topk_indexed(
         spark, path, 0, n_probe=3, k=5, source=emb
     ).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
-    # total row count preserved exactly
-    n = spark.read.parquet(f"{path}/vectors").count()
-    assert n == emb.count()
+    assert spark.read.parquet(new_dir).count() == emb.count()
+    # a second commit expires the oldest generation, keeps one back
+    sim.compact_index(spark, path)
+    third = sim._table_path(path, "vectors")
+    assert third not in (old_dir, new_dir)
+    assert not os.path.isdir(old_dir) and os.path.isdir(new_dir)
+    # a rebuild resets to the unversioned layout and expires the rest
+    sim.build_ivf_index(emb, path, n_cells=8)
+    assert sim._table_path(path, "vectors") == f"{path}/vectors"
+    assert not os.path.isdir(third) and not os.path.isdir(new_dir)
+    rebuilt = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in rebuilt]
+
+
+def test_update_after_compact_appends_to_current_version(
+    spark, sf_dir, tmp_path
+):
+    """An incremental add issued AFTER a compaction commit must land
+    in the version dir the manifest currently points at (not the
+    retired unversioned dir), so queries keep seeing one coherent
+    snapshot: base-compact-add answers exactly like a full build."""
+    import os
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter("vec_id < 400"), path, n_cells=8)
+    sim.compact_index(spark, path)
+    cur = sim._table_path(path, "vectors")
+    assert cur.endswith("vectors_v1")
+    n_before = spark.read.parquet(cur).count()
+    sim.update_ivf_index(spark, path, emb.filter("vec_id >= 400"))
+    assert spark.read.parquet(cur).count() == emb.count()
+    assert n_before < emb.count()
+
+    full = str(tmp_path / "full")
+    sim.build_ivf_index(emb, full, n_cells=8)
+    got = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    want = sim.ivf_topk_indexed(
+        spark, full, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
