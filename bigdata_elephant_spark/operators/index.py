@@ -163,7 +163,15 @@ def update_index(
     delta-cost instead of corpus-cost. Word-level results are
     identical to a full rebuild (unit-proven); only the id
     assignment of new words differs (append-after-max vs global
-    alphabetical re-rank), which is the price of id stability."""
+    alphabetical re-rank), which is the price of id stability.
+
+    Append-only by DOC identity too (Lucene ``addDocument``, not
+    ``updateDocument``): a delta row reusing an existing ``doc_id``
+    adds a second posting per shared term instead of replacing the
+    old ones. Re-ingest = anti-join the old segment on ``doc_id``
+    first (delete) then append — checking here would cost a
+    corpus-sized distinct over the base postings on every delta
+    batch, defeating the delta-cost contract."""
     delta = build_index(
         corpus_delta, vocab_updated, text_col=text_col, id_col=id_col
     )

@@ -1213,6 +1213,53 @@ def q_ivf_topk_incremental(
     )
 
 
+_IVF_COMPACT_CACHE: dict[tuple, str] = {}
+
+
+def q_ivf_topk_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index COMPACTION under the oracle gate
+    (operators/similarity.py ``compact_index``): the index is built
+    from vectors with id < 400, fragmented by two incremental adds
+    (one extra file per touched cell each — the small-files tax),
+    then compacted. Compaction is a snapshot commit: the
+    cell_id-keyed rewrite lands in a fresh ``vectors_v1`` generation
+    and the manifest pointer flips atomically, so the query here
+    plans against the rewritten generation. Rows/values must be
+    untouched by the rewrite — hence the shared ``knn_ivf`` oracle:
+    a row lost or duplicated by the rewrite, or a pointer flip
+    serving a half-written generation, hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_COMPACT_CACHE.get(key)
+    if path is None:
+        mid = IVF_INC_SPLIT + 50
+        base = emb.filter(F.col("vec_id") < IVF_INC_SPLIT)
+        d1 = emb.filter(
+            (F.col("vec_id") >= IVF_INC_SPLIT)
+            & (F.col("vec_id") < mid)
+        )
+        d2 = emb.filter(F.col("vec_id") >= mid)
+        path = tempfile.mkdtemp(prefix="elephant_ivf_compact_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(base, path, n_cells=IVF_CELLS)
+        similarity.update_ivf_index(spark, path, d1)
+        similarity.update_ivf_index(spark, path, d2)
+        similarity.compact_index(spark, path)
+        _IVF_COMPACT_CACHE[key] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb,
+    )
+
+
 def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decoding under the oracle gate: valid binary P6
     payloads are synthesized from a closed-form pixel formula
@@ -2503,6 +2550,8 @@ SPECS = [
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf_incremental", q_ivf_topk_incremental,
+              KNN_IVF_SQL, ("llm", "similarity", "index", "merge")),
+    QuerySpec("knn_ivf_compacted", q_ivf_topk_compacted,
               KNN_IVF_SQL, ("llm", "similarity", "index", "merge")),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),

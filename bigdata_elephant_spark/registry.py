@@ -91,6 +91,7 @@ GATE_PRIORITY = (
     "index_incremental_update",
     "knn_ivf_incremental",
     "knn_ivfpq_incremental",
+    "knn_ivf_compacted",  # snapshot-commit compaction rewrite
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -136,7 +137,9 @@ GATE_PRIORITY = (
     "lang_id_ngram",
     "eval_contamination",
     "kmv_distinct_users",
-    "embedding_gram_matrix",
+    # (embedding_gram_matrix anchor retired from the window to make
+    # room for knn_ivf_compacted's first driver row — it holds a
+    # green r6 row and stays under the local gate)
     "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
     "window_value_funcs",  # window-function family anchor
 )
