@@ -204,6 +204,17 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "appended blindly, exactly like FAISS add()")
 
     sp = sub.add_parser(
+        "ann-delete",
+        help="tombstone ids out of a saved ANN index (FAISS "
+             "remove_ids contract at tombstone cost: queries hide "
+             "them immediately, the next ann-compact applies the "
+             "delete physically and retires the tombstones)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--ids", required=True,
+                    help="comma-separated vec_ids to delete")
+
+    sp = sub.add_parser(
         "ann-compact",
         help="rewrite an index so each cell holds one file again "
              "(undoes the small-files tax of repeated ann-add; "
@@ -314,6 +325,15 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             )
         fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
         fn(spark, args.index, spark.read.parquet(args.embeddings))
+    elif args.cmd == "ann-delete":
+        from bigdata_elephant_spark.operators.similarity import (
+            delete_from_index,
+        )
+
+        delete_from_index(
+            spark, args.index,
+            [int(s) for s in args.ids.split(",") if s.strip()],
+        )
     elif args.cmd == "ann-compact":
         from bigdata_elephant_spark.operators.similarity import (
             compact_index,

@@ -445,6 +445,130 @@ def _expire_versions(path: str, sub: str, keep=()) -> None:
             _shutil.rmtree(full, ignore_errors=True)
 
 
+def _tombstones(spark, path: str) -> DataFrame | None:
+    """The index's PENDING tombstone set — ids deleted by
+    :func:`delete_from_index` since the last compaction — or ``None``
+    when no deletes are pending. Resolved through the manifest's
+    ``tables`` pointer like every other index table, so the
+    compaction that physically applied the tombstones atomically
+    retires them for new readers (the flipped pointer names a fresh,
+    still-empty generation) in the same manifest commit that
+    publishes the rewritten vectors; an in-flight reader keeps the
+    matched (vectors, tombstones) pair it planned with."""
+    import os as _os
+
+    d = _table_path(path, "tombstones")
+    if not _os.path.isdir(d):
+        return None
+    try:
+        return spark.read.parquet(d)
+    except Exception:
+        # a dir with no parquet (interrupted write) = no tombstones
+        return None
+
+
+def _live_rows(
+    spark, path: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Hide tombstoned ids from an indexed read. The tombstone set is
+    bounded by deletes-since-last-compaction — index METADATA under
+    the maintenance contract (compact when it grows), hence the
+    explicit broadcast: the anti-join is a map-side filter on the
+    corpus scan, never a shuffle of it."""
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return df
+    tcol = tomb.columns[0]
+    return df.join(
+        F.broadcast(tomb.select(F.col(tcol).alias(id_col)).distinct()),
+        id_col,
+        "left_anti",
+    )
+
+
+def delete_from_index(
+    spark, path: str, ids, id_col: str = "vec_id"
+) -> None:
+    """LSM-style DELETE for a saved ANN index (the FAISS
+    ``remove_ids`` contract at Lucene cost): append the ids to a
+    tombstone table next to the index instead of rewriting any
+    corpus-sized file. Visibility is immediate — every indexed read
+    (:func:`ivf_topk_indexed`, :func:`ivf_topk_batch_indexed`,
+    :func:`ivfpq_topk_indexed`) anti-joins the broadcast tombstone
+    set — and the next :func:`compact_index` applies the deletes
+    physically and retires the tombstones in the same atomic
+    manifest commit. Delta-cost, not corpus-cost: the write is
+    tombstone-sized; the read-side tax is a broadcast map-side
+    filter.
+
+    ``ids`` is a list of ids or a single-column DataFrame (the scale
+    shape — e.g. the losing side of a dedup pass). Ids already
+    tombstoned are not re-appended (the dedup anti-join below is
+    tombstone-sized); ids absent from the index are harmless no-ops,
+    exactly like FAISS ``remove_ids``.
+
+    Re-adding a tombstoned id is refused by
+    :func:`update_ivf_index` / :func:`update_ivfpq_index` until a
+    compaction has applied the delete — with one append-only
+    tombstone table there is no ordering between a delete and a
+    later re-add, so the anti-join would silently hide the new row
+    (the reason Lucene orders them with per-segment docvalue
+    generations)."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(
+            ids[ids.columns[0]].cast("long").alias(id_col)
+        )
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    tomb = tomb.distinct()
+    existing = _tombstones(spark, path)
+    if existing is not None:
+        tcol = existing.columns[0]
+        tomb = tomb.join(
+            F.broadcast(
+                existing.select(F.col(tcol).alias(id_col))
+            ),
+            id_col,
+            "left_anti",
+        )
+    tomb.coalesce(1).write.mode("append").parquet(
+        _table_path(path, "tombstones")
+    )
+
+
+def _reject_tombstoned_delta(
+    spark, path: str, delta: DataFrame, id_col: str, op: str
+) -> None:
+    """Refuse an append whose ids intersect the pending tombstones
+    (see :func:`delete_from_index`). One delta-sized semi-join
+    against the broadcast tombstone set, and only when deletes are
+    actually pending — the common no-tombstone append pays a single
+    ``isdir``."""
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return
+    tcol = tomb.columns[0]
+    hit = (
+        delta.join(
+            F.broadcast(tomb.select(F.col(tcol).alias(id_col))),
+            id_col,
+            "left_semi",
+        )
+        .select(id_col)
+        .first()
+    )
+    if hit is not None:
+        raise ValueError(
+            f"{op}: delta id={hit[id_col]} is tombstoned by a "
+            f"pending delete_from_index at {path!r}; run "
+            "compact_index first to apply the delete, then re-add "
+            "(an append-only tombstone table cannot order a delete "
+            "against a later re-add of the same id)"
+        )
+
+
 def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
     row = embeddings.select(F.size(vec_col).alias("dim")).first()
     return None if row is None else int(row["dim"])
@@ -482,6 +606,10 @@ def build_ivf_index(
         n_cells=n_cells,
     )
     _expire_versions(path, "vectors", keep=("vectors",))
+    # A rebuild resets the index's whole lifetime, including pending
+    # deletes — stale tombstones surviving into the new life would
+    # silently hide freshly indexed rows that happen to reuse an id.
+    _expire_versions(path, "tombstones")
 
 
 def update_ivf_index(
@@ -544,6 +672,9 @@ def update_ivf_index(
                 )
             ),
         )
+    _reject_tombstoned_delta(
+        spark, path, delta, id_col, "update_ivf_index"
+    )
     assigned = ivf_assign(delta, cents, id_col, vec_col)
     (
         delta.join(assigned, id_col)
@@ -563,7 +694,10 @@ def compact_index(spark, path: str) -> None:
     compaction cycle every LSM-ish layout (Iceberg/Delta OPTIMIZE,
     Lucene segment merges) runs. One shuffle keyed on ``cell_id``
     co-locates each cell, so the rewrite emits exactly one file per
-    cell; rows/values are untouched (query-equivalence is tested).
+    cell; live rows/values are untouched (query-equivalence is
+    tested), and any tombstones pending from
+    :func:`delete_from_index` are applied physically during the
+    rewrite and retired in the same commit.
 
     The swap is a SNAPSHOT COMMIT, not an in-place rename: the
     compacted rows land in a fresh versioned dir (``vectors_v1``,
@@ -609,6 +743,29 @@ def compact_index(spark, path: str) -> None:
     ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
     nxt = f"{sub}_v{ver + 1}"
     df = spark.read.parquet(os.path.join(path, cur))
+    # Apply pending deletes physically while the rows are being
+    # rewritten anyway (Lucene applies docvalue deletes on merge for
+    # the same reason): the compacted generation holds live rows
+    # only, and the SAME manifest commit that publishes it flips the
+    # tombstone pointer to a fresh — still-empty — generation, so
+    # new readers never pair the rewritten rows with already-applied
+    # tombstones (which would be harmless but wasteful) and never
+    # see a half-applied state. In-flight readers keep their
+    # matched (rows, tombstones) pair; both retiring dirs are
+    # retained one generation.
+    tomb = _tombstones(spark, path)
+    tcur = (
+        tables.get("tombstones", "tombstones")
+        if isinstance(tables, dict)
+        else "tombstones"
+    )
+    if tomb is not None:
+        tcol = tomb.columns[0]
+        df = df.join(F.broadcast(tomb.distinct()), tcol, "left_anti")
+        tver = int(tcur.rsplit("_v", 1)[1]) if "_v" in tcur else 0
+        man.setdefault("tables", {})["tombstones"] = (
+            f"tombstones_v{tver + 1}"
+        )
     (
         df.repartition("cell_id")
         .write.mode("overwrite")
@@ -628,6 +785,13 @@ def compact_index(spark, path: str) -> None:
     # Expire everything older than the generation just replaced —
     # `cur` itself stays for readers that planned before the flip.
     _expire_versions(path, sub, keep=(cur, nxt))
+    if tomb is not None:
+        # The applied tombstones retire on the same schedule: keep
+        # the generation in-flight readers of `cur` planned with;
+        # the new pointer names a dir that does not exist yet (the
+        # empty tombstone set) and is created only by a future
+        # delete_from_index.
+        _expire_versions(path, "tombstones", keep=(tcur,))
 
 
 def ivf_topk_indexed(
@@ -652,7 +816,12 @@ def ivf_topk_indexed(
     Scoring is identical to :func:`ivf_topk`, so results match the
     inline variant row-for-row (equivalence-tested).
     """
-    vecs = spark.read.parquet(_table_path(index_path, "vectors"))
+    vecs = _live_rows(
+        spark,
+        index_path,
+        spark.read.parquet(_table_path(index_path, "vectors")),
+        id_col,
+    )
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col) == query_vec_id).select(
@@ -708,7 +877,12 @@ def ivf_topk_batch_indexed(
     the same ``n_cells`` (equivalence-tested; shares its oracle)."""
     from pyspark.sql import Window
 
-    vecs = spark.read.parquet(_table_path(index_path, "vectors"))
+    vecs = _live_rows(
+        spark,
+        index_path,
+        spark.read.parquet(_table_path(index_path, "vectors")),
+        id_col,
+    )
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col).isin(query_ids)).select(
@@ -1508,6 +1682,8 @@ def build_ivfpq_index(
         n_codes=n_codes,
     )
     _expire_versions(path, "codes", keep=("codes",))
+    # rebuild resets pending deletes (see build_ivf_index)
+    _expire_versions(path, "tombstones")
 
 
 def update_ivfpq_index(
@@ -1582,6 +1758,9 @@ def update_ivfpq_index(
         )
     from bigdata_elephant_spark.session import persist_tracked
 
+    _reject_tombstoned_delta(
+        spark, path, delta, id_col, "update_ivfpq_index"
+    )
     assign = ivf_assign(delta, cents, id_col, vec_col)
     resid = persist_tracked(
         delta.join(assign, id_col)
@@ -1627,7 +1806,12 @@ def ivfpq_topk_indexed(
     :func:`ivfpq_topk`, row-for-row (equivalence-tested)."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbooks = spark.read.parquet(f"{index_path}/codebooks")
-    codes = spark.read.parquet(_table_path(index_path, "codes"))
+    codes = _live_rows(
+        spark,
+        index_path,
+        spark.read.parquet(_table_path(index_path, "codes")),
+        id_col,
+    )
     meta = (
         cbooks.agg(
             (F.max("sub") + 1).alias("n_sub"),

@@ -363,3 +363,36 @@ def test_cli_ann_add_pq_matches_full_build(spark, sf_dir, tmp_path):
     got = _parse(_run(spark, q + ["--index", inc]))
     want = _parse(_run(spark, q + ["--index", full]))
     assert got == want and len(got) == 5
+
+
+def test_cli_ann_delete_then_compact(spark, sf_dir, tmp_path):
+    """ann-delete hides the ids from ann-query immediately
+    (tombstone-cost), and a following ann-compact applies the delete
+    physically with the ranking unchanged."""
+    from bigdata_elephant_spark.operators.similarity import (
+        _table_path,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    q = ["ann-query", "--index", idx, "--vec-id", "0",
+         "-k", "5", "--probe", "3"]
+    base = _parse(_run(spark, q))
+    victims = [base[0]["vec_id"], base[2]["vec_id"]]
+    _run(spark, ["ann-delete", "--index", idx,
+                 "--ids", ",".join(victims)])
+    after = _parse(_run(spark, q))
+    assert len(after) == 5
+    assert not set(victims) & {r["vec_id"] for r in after}
+    survivors = [r["vec_id"] for r in base
+                 if r["vec_id"] not in victims]
+    assert [r["vec_id"] for r in after][:3] == survivors
+    _run(spark, ["ann-compact", "--index", idx])
+    n_emb = spark.read.parquet(emb_path).count()
+    assert (
+        spark.read.parquet(_table_path(idx, "vectors")).count()
+        == n_emb - 2
+    )
+    assert _parse(_run(spark, q)) == after

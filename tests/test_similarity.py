@@ -661,3 +661,165 @@ def test_update_after_compact_appends_to_current_version(
         spark, full, 0, n_probe=3, k=5, source=emb
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_delete_from_index_hides_rows_immediately(
+    spark, sf_dir, tmp_path
+):
+    """delete_from_index is tombstone-cost: the vectors layout is
+    untouched bytes, yet the deleted id vanishes from indexed reads
+    at once (broadcast anti-join). Deleting an absent id is a no-op
+    and re-deleting an id does not grow the tombstone table."""
+    import glob
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    before = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    victim = before[0]["vec_id"]
+    vec_files = sorted(glob.glob(f"{path}/vectors/**/*.parquet",
+                                 recursive=True))
+    sim.delete_from_index(spark, path, [victim, 10_000_000])
+    assert vec_files == sorted(
+        glob.glob(f"{path}/vectors/**/*.parquet", recursive=True)
+    )  # no corpus rewrite
+    after = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    got = [r["vec_id"] for r in after]
+    assert victim not in got
+    # survivors keep their relative order; a new 5th fills in
+    assert got[:4] == [r["vec_id"] for r in before[1:5]]
+    tomb = spark.read.parquet(sim._table_path(path, "tombstones"))
+    assert tomb.count() == 2
+    sim.delete_from_index(spark, path, [victim])  # idempotent
+    assert spark.read.parquet(
+        sim._table_path(path, "tombstones")
+    ).count() == 2
+
+
+def test_delete_hidden_from_batch_and_ivfpq_paths(
+    spark, sf_dir, tmp_path
+):
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    base = sim.ivf_topk_batch_indexed(
+        spark, path, [0, 7], n_probe=3, k=5, source=emb
+    ).collect()
+    victims = sorted({r["vec_id"] for r in base})[:2]
+    sim.delete_from_index(spark, path, victims)
+    got = sim.ivf_topk_batch_indexed(
+        spark, path, [0, 7], n_probe=3, k=5, source=emb
+    ).collect()
+    assert not {r["vec_id"] for r in got} & set(victims)
+    assert {r["q_id"] for r in got} == {0, 7}
+    assert all(
+        sum(1 for r in got if r["q_id"] == q) == 5 for q in (0, 7)
+    )
+
+    pq = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(
+        emb, pq, n_cells=8, n_sub=4, sub_dim=16, n_codes=8
+    )
+    base = sim.ivfpq_topk_indexed(
+        spark, pq, 0, source=emb, n_probe=3, shortlist=20, k=5
+    ).collect()
+    victim = base[0]["vec_id"]
+    sim.delete_from_index(spark, pq, [victim])
+    got = sim.ivfpq_topk_indexed(
+        spark, pq, 0, source=emb, n_probe=3, shortlist=20, k=5
+    ).collect()
+    assert victim not in {r["vec_id"] for r in got}
+    assert len(got) == 5
+
+
+def test_compact_applies_and_retires_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """Compaction physically drops tombstoned rows (the rewritten
+    generation holds live rows only), retires the tombstones in the
+    same manifest commit (the flipped pointer names an empty
+    generation), keeps the retiring pair for in-flight readers, and
+    unblocks re-adding a previously deleted id."""
+    import os
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    sim.delete_from_index(spark, path, [3, 8, 13])
+    pre = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    old_tomb = sim._table_path(path, "tombstones")
+    sim.compact_index(spark, path)
+    cur = sim._table_path(path, "vectors")
+    assert spark.read.parquet(cur).count() == n - 3  # applied
+    new_tomb = sim._table_path(path, "tombstones")
+    assert new_tomb != old_tomb
+    assert not os.path.isdir(new_tomb)  # empty generation
+    assert os.path.isdir(old_tomb)  # retained for held readers
+    post = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in pre] == [tuple(r) for r in post]
+    # the id is re-addable now that the delete is applied
+    sim.update_ivf_index(spark, path, emb.filter("vec_id = 3"))
+    assert spark.read.parquet(cur).count() == n - 2
+
+
+def test_update_rejects_readding_tombstoned_id(
+    spark, sf_dir, tmp_path
+):
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter("vec_id < 400"), path, n_cells=8)
+    sim.delete_from_index(spark, path, [401])
+    with _pytest.raises(ValueError, match="tombstoned"):
+        sim.update_ivf_index(
+            spark, path, emb.filter("vec_id >= 400")
+        )
+    # non-intersecting deltas append fine with tombstones pending
+    sim.update_ivf_index(
+        spark, path, emb.filter("vec_id >= 400 and vec_id <> 401")
+    )
+
+
+def test_rebuild_resets_tombstones(spark, sf_dir, tmp_path):
+    """A fresh build over the same path starts a new index lifetime:
+    tombstones from the previous life must not hide new rows that
+    reuse an id."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    top = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    victim = top[0]["vec_id"]
+    sim.delete_from_index(spark, path, [victim])
+    sim.build_ivf_index(emb, path, n_cells=8)
+    assert sim._tombstones(spark, path) is None
+    again = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb
+    ).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
