@@ -176,3 +176,58 @@ def update_index(
         corpus_delta, vocab_updated, text_col=text_col, id_col=id_col
     )
     return old_postings.unionByName(delta)
+
+
+def delete_docs(
+    postings: DataFrame, doc_ids, id_col: str = "doc_id"
+) -> DataFrame:
+    """Logical document delete for a postings segment — the Lucene
+    ``deleteDocuments`` half of update semantics: drop every posting
+    of the given docs with a broadcast anti-join. ``doc_ids`` is a
+    list or a single-column DataFrame (the scale shape — e.g. the
+    losing side of a dedup pass); delete batches are delta-scale, so
+    the broadcast makes the delete a map-side filter on the postings
+    scan, never a shuffle of it. Ids with no postings are harmless
+    no-ops. Works unchanged on the positional layout (same
+    ``doc_id`` key). The same anti-join applies to the doc-metadata
+    table; term df in the vocabulary intentionally keeps counting
+    deleted docs until a vocabulary rebuild, exactly like Lucene
+    stats before a merge."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(
+            doc_ids[doc_ids.columns[0]].cast("long").alias(id_col)
+        ).distinct()
+    else:
+        ids = postings.sparkSession.createDataFrame(
+            [(int(i),) for i in doc_ids], f"{id_col} long"
+        )
+    return postings.join(F.broadcast(ids), id_col, "left_anti")
+
+
+def reingest_docs(
+    corpus_delta: DataFrame,
+    vocab_updated: DataFrame,
+    old_postings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document UPSERT — Lucene ``updateDocument``: delete-then-append
+    as one lazy plan. The anti-join keys on exactly the delta's doc
+    ids (delta-scale, broadcast), so re-ingesting changed documents
+    costs the delta index pass plus one broadcast-filtered pass over
+    the base segment — never a base re-index. Unlike plain
+    :func:`update_index`, a delta row reusing an existing ``doc_id``
+    REPLACES that document's postings instead of stacking a second
+    set (the doubled-tf hazard its docstring warns about)."""
+    survivors = delete_docs(
+        old_postings,
+        corpus_delta.select(id_col).distinct(),
+        id_col=id_col,
+    )
+    return update_index(
+        corpus_delta,
+        vocab_updated,
+        survivors,
+        text_col=text_col,
+        id_col=id_col,
+    )

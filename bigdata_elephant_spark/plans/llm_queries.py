@@ -1025,6 +1025,23 @@ LIMIT {KNN_K}
 """
 
 
+# Deterministic delete set for the tombstone-delete gates: every
+# fifth id. The query vector (vec_id 0) stays live; the centroid
+# seeds and cell assignments are FROZEN at build time, so the oracle
+# keeps computing them over the full table and only the candidate
+# scan excludes the deleted ids — exactly what a tombstone anti-join
+# (or the compaction that applies it) must produce.
+KNN_DELETE_MOD = 5
+KNN_DELETE_REM = 3
+
+KNN_IVF_DELETED_SQL = KNN_IVF_SQL.replace(
+    f"WHERE e.vec_id <> {KNN_QUERY_VEC_ID}",
+    f"WHERE e.vec_id <> {KNN_QUERY_VEC_ID} "
+    f"AND e.vec_id % {KNN_DELETE_MOD} <> {KNN_DELETE_REM}",
+)
+assert KNN_IVF_DELETED_SQL != KNN_IVF_SQL
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full Lloyd (k-means) iteration on the embeddings: assign
     every vector to its nearest centroid (broadcast argmin,
@@ -1254,6 +1271,82 @@ def q_ivf_topk_compacted(
         similarity.update_ivf_index(spark, path, d2)
         similarity.compact_index(spark, path)
         _IVF_COMPACT_CACHE[key] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb,
+    )
+
+
+_IVF_DELETE_CACHE: dict[tuple, str] = {}
+_IVF_DELETE_COMPACT_CACHE: dict[tuple, str] = {}
+
+
+def _deleted_ids(emb: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return emb.filter(
+        F.col("vec_id") % KNN_DELETE_MOD == KNN_DELETE_REM
+    ).select("vec_id")
+
+
+def q_ivf_topk_deleted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tombstone DELETE under the oracle gate
+    (operators/similarity.py ``delete_from_index``): the index is
+    built over the full table, then every fifth id is deleted —
+    appended to the index's tombstone table, no corpus rewrite —
+    and the query must hide them immediately via the broadcast
+    anti-join on the indexed read. The oracle is the ``knn_ivf``
+    ranking with the delete predicate on the candidate scan ONLY
+    (centroid geometry and cell assignments stay frozen at their
+    build-time values): a tombstone that leaks a deleted row into
+    the top-k, or over-deletes a live one, hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_DELETE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="elephant_ivf_del_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
+        similarity.delete_from_index(spark, path, _deleted_ids(emb))
+        _IVF_DELETE_CACHE[key] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb,
+    )
+
+
+def q_ivf_topk_delete_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletes SURVIVING compaction under the oracle gate: same
+    build + tombstone delete as ``knn_ivf_deleted``, then
+    ``compact_index`` applies the tombstones physically (the
+    rewritten generation holds live rows only) and retires them in
+    the same atomic manifest commit. Shares ``knn_ivf_deleted``'s
+    oracle: a deleted row resurrected by the rewrite, a live row
+    dropped with the dead ones, or a retired tombstone still
+    filtering (harmless here but wrong if the id were re-added)
+    hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = _ann_cache_key(sf_dir)
+    path = _IVF_DELETE_COMPACT_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="elephant_ivf_delc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(emb, path, n_cells=IVF_CELLS)
+        similarity.delete_from_index(spark, path, _deleted_ids(emb))
+        similarity.compact_index(spark, path)
+        _IVF_DELETE_COMPACT_CACHE[key] = path
     return similarity.ivf_topk_indexed(
         spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
         source=emb,
@@ -2553,6 +2646,12 @@ SPECS = [
               KNN_IVF_SQL, ("llm", "similarity", "index", "merge")),
     QuerySpec("knn_ivf_compacted", q_ivf_topk_compacted,
               KNN_IVF_SQL, ("llm", "similarity", "index", "merge")),
+    QuerySpec("knn_ivf_deleted", q_ivf_topk_deleted,
+              KNN_IVF_DELETED_SQL,
+              ("llm", "similarity", "index", "merge")),
+    QuerySpec("knn_ivf_delete_compacted", q_ivf_topk_delete_compacted,
+              KNN_IVF_DELETED_SQL,
+              ("llm", "similarity", "index", "merge")),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,

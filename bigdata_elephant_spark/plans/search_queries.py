@@ -369,6 +369,79 @@ def q_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_index(delta, v_inc, p_base)
 
 
+REINGEST_MOD = 7
+REINGEST_SUFFIX = " query"
+
+
+def q_search_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document UPSERT under the oracle gate (operators/index.py
+    ``reingest_docs`` — Lucene ``updateDocument``): the full corpus
+    is indexed, then every ``doc_id % 7 == 0`` document arrives
+    AGAIN with edited text (one extra query term appended), is
+    delete-then-appended against the FROZEN vocabulary, and the
+    reference search runs over the upserted segment. The oracle
+    recomputes the vocabulary from the ORIGINAL corpus (frozen ids
+    and df, exactly what the engine holds) but the postings from the
+    EDITED text. Every failure mode moves the scores: a no-op upsert
+    misses the edits, a failed delete stacks old+new postings
+    (doubled tf), a failed re-add drops the docs, and a vocabulary
+    accidentally rebuilt over the edits shifts df."""
+    from bigdata_elephant_spark.operators.index import reingest_docs
+
+    corpus = _corpus(spark, sf_dir)
+    vocab = persist_tracked(build_vocabulary(corpus))
+    postings = build_index(corpus, vocab)
+    delta = corpus.filter(
+        F.col("doc_id") % REINGEST_MOD == 0
+    ).withColumn("text", F.concat(F.col("text"), F.lit(REINGEST_SUFFIX)))
+    upserted = reingest_docs(delta, vocab, postings)
+    return search(
+        spark, DEFAULT_QUERY, vocab, upserted, k=DEFAULT_K,
+        scoring="reference",
+    ).select("doc_id", "score")
+
+
+_MOD_TOKS_CTE = f"""mod_raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(
+               regexp_replace(lower(
+                   CASE WHEN doc_id % {REINGEST_MOD} = 0
+                        THEN text || '{REINGEST_SUFFIX}'
+                        ELSE text END),
+                   '[^a-z0-9]+', ' ', 'g'),
+               '\\s+')) AS word
+    FROM documents
+),
+mod_toks AS (
+    SELECT doc_id, word FROM mod_raw
+    WHERE word <> ''
+      AND NOT regexp_full_match(word, '[0-9]+')
+      AND NOT ({_REPEAT4_LIKE})
+)"""
+
+# vocab (ids AND df) frozen on the original corpus; postings over the
+# edited text — the exact relation reingest_docs leaves behind.
+SEARCH_REINGEST_SQL = f"""
+WITH {TOKS_CTE}, {VOCAB_CTE}, {_MOD_TOKS_CTE},
+postings AS (
+    SELECT t.doc_id, v.word_id, CAST(count(*) AS BIGINT) AS tf
+    FROM mod_toks t JOIN vocab v USING (word)
+    GROUP BY t.doc_id, v.word_id
+),
+{_qterms_values(DEFAULT_QUERY)}
+SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           round(sum((p.tf / v.df) * (q.q_tf / v.df)), 6) AS score
+    FROM postings p
+    JOIN vocab v USING (word_id)
+    JOIN qterms q USING (word)
+    GROUP BY p.doc_id
+)
+ORDER BY score DESC, doc_id
+LIMIT {DEFAULT_K}
+"""
+
+
 def _toks_cte_for(name: str, pred: str) -> str:
     return f"""{name} AS (
     SELECT doc_id, word FROM (
@@ -463,6 +536,8 @@ SPECS = [
               VOCAB_INCREMENTAL_SQL, ("search", "agg", "merge")),
     QuerySpec("index_incremental_update", q_index_incremental,
               INDEX_INCREMENTAL_SQL, ("search", "agg", "merge")),
+    QuerySpec("search_reingest", q_search_reingest,
+              SEARCH_REINGEST_SQL, ("search", "agg", "merge")),
     QuerySpec(
         "search_phrase",
         q_search_phrase,

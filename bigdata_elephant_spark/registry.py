@@ -80,8 +80,8 @@ GATE_PRIORITY = (
     # r01-r06 and stays under the driver-faithful local gate at every
     # SF (tests/test_oracle_parity.py).
     #
-    # --- never driver-gated (with the three new round-7 queries
-    # below, green rows here mean all 214 oracled queries have been
+    # --- never driver-gated (with the new round-7 queries below,
+    # green rows here mean all 219 oracled queries have been
     # driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",
@@ -92,6 +92,9 @@ GATE_PRIORITY = (
     "knn_ivf_incremental",
     "knn_ivfpq_incremental",
     "knn_ivf_compacted",  # snapshot-commit compaction rewrite
+    "knn_ivf_deleted",  # tombstone delete, read-side anti-join
+    "knn_ivf_delete_compacted",  # compaction applies + retires them
+    "search_reingest",  # doc upsert: delete-then-append, frozen vocab
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -117,7 +120,11 @@ GATE_PRIORITY = (
     "vocab_incremental_update",
     "search_hybrid_rrf",
     "llm_pipeline_e2e",
-    "knn_cosine",
+    # (knn_cosine, simhash_signatures and near_dup_embeddings retired
+    # from the window to make room for the two tombstone-delete gates
+    # and the doc-upsert gate — all three hold green r6 rows, their
+    # families stay covered in-window by knn_ivf*/knn_batch and the
+    # dedup_* block, and all stay under the local gate at every SF)
     "knn_ivf",
     "knn_batch",
     "search_batch",
@@ -127,8 +134,6 @@ GATE_PRIORITY = (
     "incremental_dedup",
     "duplicate_passages",
     "decontaminate_eval",
-    "simhash_signatures",
-    "near_dup_embeddings",
     "asof_events_orders",
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor

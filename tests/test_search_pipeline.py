@@ -393,3 +393,73 @@ def test_bm25_batch_matches_single(spark, sf_dir):
         assert [r["rank"] for r in by_q.get(qid, [])] == list(
             range(1, len(got) + 1)
         )
+
+
+def test_delete_docs_removes_all_postings(corpus, vocab):
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.index import (
+        build_index,
+        delete_docs,
+    )
+
+    postings = build_index(corpus, vocab)
+    kept = delete_docs(postings, [2, 3, 999])  # 999: absent, no-op
+    assert kept.filter(F.col("doc_id").isin([2, 3])).count() == 0
+    assert (
+        kept.count()
+        == postings.filter(~F.col("doc_id").isin([2, 3])).count()
+    )
+    # DataFrame form (the scale shape) gives the same survivors
+    ids_df = corpus.filter(F.col("doc_id").isin([2, 3])).select(
+        "doc_id"
+    )
+    kept2 = delete_docs(postings, ids_df)
+    assert {tuple(r) for r in kept.collect()} == {
+        tuple(r) for r in kept2.collect()
+    }
+
+
+def test_reingest_docs_replaces_not_stacks(spark, corpus, vocab):
+    """Re-ingesting a doc with edited text must REPLACE its postings
+    (Lucene updateDocument), never stack a second set; untouched docs
+    keep byte-identical postings; and an identity re-ingest (same
+    text) is a no-op on the relation."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.index import (
+        build_index,
+        reingest_docs,
+    )
+
+    postings = build_index(corpus, vocab)
+
+    def rows(p):
+        return {(r["doc_id"], r["word_id"], r["tf"])
+                for r in p.collect()}
+
+    # identity re-ingest: same text -> same relation
+    same = reingest_docs(
+        corpus.filter("doc_id = 1"), vocab, postings
+    )
+    assert rows(same) == rows(postings)
+
+    # edited re-ingest: doc 1 becomes "good good" (tf changes, terms
+    # drop); frozen vocab keeps ids
+    edited = corpus.filter("doc_id = 1").withColumn(
+        "text", F.lit("good good")
+    )
+    up = reingest_docs(edited, vocab, postings)
+    wid = {
+        r["word"]: r["word_id"] for r in vocab.collect()
+    }
+    got = rows(up)
+    assert (1, wid["good"], 2) in got
+    assert not any(
+        d == 1 and w in (wid["the"], wid["person"])
+        for d, w, _ in got
+    )
+    # untouched docs identical
+    assert {t for t in got if t[0] != 1} == {
+        t for t in rows(postings) if t[0] != 1
+    }
