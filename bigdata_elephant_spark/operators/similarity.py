@@ -113,6 +113,123 @@ def cosine_topk(
     )
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    lam: float = 0.5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`` — the standard
+    answer to near-duplicate-saturated neighbor lists in retrieval
+    and training-data curation (a plain top-k returns ten copies of
+    the same document; MMR trades relevance for coverage).
+
+    Two stages, scale-split like every reranker: (1) the DISTRIBUTED
+    part — one exact relevance scan for the top-``shortlist``
+    candidates (rounded cosine, id tie-break,
+    ``TakeOrderedAndProject``) — is the only corpus-scale work; (2)
+    the greedy selection runs on the collected shortlist (≤
+    ``shortlist`` rows + a ``shortlist²`` pair-similarity table —
+    the FAISS/reranker window, index-metadata scale like probe-cell
+    collection, NOT a corpus collect). Pair similarities are
+    computed JVM-side with the same fold order as every other cosine
+    here, so the greedy transcript is engine-replayable: selection
+    compares unrounded doubles derived from rounded-to-6 inputs by
+    identical IEEE ops (one multiply each, a subtract, a max over
+    the same set), ties broken by id; only the output rounds.
+    Returns ``(rank, id, mmr_score)``; ``mmr_score`` of the first
+    pick is ``λ·rel`` (empty-selection penalty = 0). ``lam=1``
+    degenerates to plain relevance top-k (unit-tested)."""
+    spark = embeddings.sparkSession
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    cand = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            vec_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    rows = cand.collect()  # shortlist-sized: the reranker window
+    schema = f"rank long, {id_col} long, mmr_score double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # pair similarities over the collected window — a tiny local
+    # relation, but scored JVM-side so the fold order (and therefore
+    # every bit of the greedy transcript) matches the corpus scan's
+    cdf = spark.createDataFrame(rows, cand.schema)
+    sims = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in (
+            cdf.select(
+                F.col(id_col).alias("ia"), F.col(vec_col).alias("va")
+            )
+            .crossJoin(
+                cdf.select(
+                    F.col(id_col).alias("ib"),
+                    F.col(vec_col).alias("vb"),
+                )
+            )
+            .filter(F.col("ia") != F.col("ib"))
+            .select(
+                "ia",
+                "ib",
+                F.round(
+                    cosine_expr(F.col("va"), F.col("vb")), 6
+                ).alias("s"),
+            )
+            .collect()
+        )
+    }
+    rel = {r[id_col]: r["rel"] for r in rows}
+    oml = 1.0 - lam
+    chosen: list = []
+    selected: list[tuple[int, int, float]] = []
+    remaining = sorted(rel)  # id asc: first strict max wins ties
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for vid in remaining:
+            if chosen:
+                score = lam * rel[vid] - oml * max(
+                    sims[(vid, s)] for s in chosen
+                )
+            else:
+                score = lam * rel[vid]
+            if best is None or score > best[1]:
+                best = (vid, score)
+        vid, score = best
+        selected.append((rank, vid, score))
+        chosen.append(vid)
+        remaining.remove(vid)
+    return (
+        spark.createDataFrame(selected, schema)
+        # output rounding JVM-side: Spark round is HALF_UP (ties away
+        # from zero), same as the oracle engine's round — Python's
+        # round() is half-even and must not touch these values
+        .select(
+            "rank", id_col, F.round("mmr_score", 6).alias("mmr_score")
+        )
+        .orderBy("rank")
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Fixed pseudo-random hyperplanes (reproducible in any engine)."""
     rng = random.Random(seed)

@@ -1025,6 +1025,92 @@ LIMIT {KNN_K}
 """
 
 
+MMR_K = 5
+MMR_SHORTLIST = 20
+MMR_LAMBDA = 0.5
+
+
+def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (operators/similarity.py ``mmr_topk``):
+    greedy λ·rel − (1−λ)·max-sim-to-selected over the exact
+    top-20 relevance shortlist. The oracle UNROLLS the greedy
+    selection — one CTE pair per rank (argmax over the remaining
+    candidates against the accumulated selected set), the same
+    spell-out-the-iterations technique as the kmeans_rounds oracle —
+    so the full transcript (shortlist cut, every pick, every
+    penalty) is verified, not just the final set membership."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        emb, KNN_QUERY_VEC_ID, k=MMR_K, lam=MMR_LAMBDA,
+        shortlist=MMR_SHORTLIST,
+    )
+
+
+def _mmr_oracle(k: int, shortlist: int, lam: float) -> str:
+    """Greedy MMR unrolled to SQL: rank 1 is argmax of λ·rel; each
+    later rank re-scores the remaining candidates against the
+    accumulated ``sel{i}`` set (max over the rounded pair sims) and
+    takes the argmax with the id tie-break. Scores stay unrounded
+    through selection (identical IEEE ops on rounded-to-6 inputs in
+    both engines); only the output rounds — mirroring mmr_topk."""
+    oml = 1.0 - lam
+    steps = [
+        f"s1 AS (SELECT vec_id, {lam!r}*rel AS mmr FROM cands "
+        f"ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    finals = [
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
+        "round(mmr, 6) AS mmr_score FROM s1"
+    ]
+    for i in range(2, k + 1):
+        steps.append(f"""r{i} AS (
+    SELECT c.vec_id, {lam!r}*c.rel - {oml!r}*max(s.s) AS mmr
+    FROM cands c JOIN sims s ON s.ia = c.vec_id
+    WHERE s.ib IN (SELECT vec_id FROM sel{i - 1})
+      AND c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    GROUP BY c.vec_id, c.rel
+)""")
+        steps.append(
+            f"s{i} AS (SELECT vec_id, mmr FROM r{i} "
+            f"ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+        steps.append(
+            f"sel{i} AS (SELECT vec_id FROM sel{i - 1} "
+            f"UNION ALL SELECT vec_id FROM s{i})"
+        )
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, round(mmr, 6) "
+            f"FROM s{i}"
+        )
+    nl = ",\n".join(steps)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {KNN_QUERY_VEC_ID}),
+cands AS (
+    SELECT vec_id, embedding, rel FROM (
+        SELECT e.vec_id, e.embedding,
+               round({_dot_sql('e.embedding', 'q.qv')}
+                     / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                        * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS rel
+        FROM embeddings e, q
+        WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+    ) ORDER BY rel DESC, vec_id LIMIT {shortlist}
+),
+sims AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, {_COS_AB} AS s
+    FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+),
+{nl}
+SELECT rank, vec_id, mmr_score FROM (
+    {" UNION ALL ".join(finals)}
+) ORDER BY rank
+"""
+
+
+KNN_MMR_SQL = _mmr_oracle(MMR_K, MMR_SHORTLIST, MMR_LAMBDA)
+
+
 # Deterministic delete set for the tombstone-delete gates: every
 # fifth id. The query vector (vec_id 0) stays live; the centroid
 # seeds and cell assignments are FROZEN at build time, so the oracle
@@ -2654,6 +2740,8 @@ SPECS = [
               ("llm", "similarity", "index", "merge")),
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
+    QuerySpec("knn_mmr", q_knn_mmr, KNN_MMR_SQL,
+              ("llm", "similarity", "topk")),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,
               DOC_EMBEDDING_JOIN_SQL, ("llm", "multimodal", "join")),
     QuerySpec("near_dup_embeddings", q_near_dup_exact, NEAR_DUP_EXACT_SQL,

@@ -81,7 +81,7 @@ GATE_PRIORITY = (
     # SF (tests/test_oracle_parity.py).
     #
     # --- never driver-gated (with the new round-7 queries below,
-    # green rows here mean all 219 oracled queries have been
+    # green rows here mean all 220 oracled queries have been
     # driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",
@@ -95,6 +95,7 @@ GATE_PRIORITY = (
     "knn_ivf_deleted",  # tombstone delete, read-side anti-join
     "knn_ivf_delete_compacted",  # compaction applies + retires them
     "search_reingest",  # doc upsert: delete-then-append, frozen vocab
+    "knn_mmr",  # MMR-diversified top-k, greedy transcript unrolled
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -120,11 +121,12 @@ GATE_PRIORITY = (
     "vocab_incremental_update",
     "search_hybrid_rrf",
     "llm_pipeline_e2e",
-    # (knn_cosine, simhash_signatures and near_dup_embeddings retired
-    # from the window to make room for the two tombstone-delete gates
-    # and the doc-upsert gate — all three hold green r6 rows, their
-    # families stay covered in-window by knn_ivf*/knn_batch and the
-    # dedup_* block, and all stay under the local gate at every SF)
+    # (knn_cosine, simhash_signatures, near_dup_embeddings and
+    # duplicate_passages retired from the window to make room for the
+    # two tombstone-delete gates, the doc-upsert gate and the MMR
+    # gate — all four hold green r6 rows, their families stay covered
+    # in-window by knn_ivf*/knn_batch and the dedup_* block, and all
+    # stay under the local gate at every SF)
     "knn_ivf",
     "knn_batch",
     "search_batch",
@@ -132,7 +134,6 @@ GATE_PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_groups",
     "incremental_dedup",
-    "duplicate_passages",
     "decontaminate_eval",
     "asof_events_orders",
     "docs_stream_curate",  # streaming/stateful anchor

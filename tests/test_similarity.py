@@ -823,3 +823,65 @@ def test_rebuild_resets_tombstones(spark, sf_dir, tmp_path):
         spark, path, 0, n_probe=3, k=5, source=emb
     ).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_mmr_lambda_one_degenerates_to_relevance_topk(emb_df):
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    top = sim.cosine_topk(emb_df, 0, k=5).collect()
+    mmr = sim.mmr_topk(emb_df, 0, k=5, lam=1.0, shortlist=20).collect()
+    assert [r["vec_id"] for r in mmr] == [r["vec_id"] for r in top]
+    assert [r["rank"] for r in mmr] == [1, 2, 3, 4, 5]
+    # lam=1: mmr_score == relevance
+    assert [r["mmr_score"] for r in mmr] == [
+        r["cos_sim"] for r in top
+    ]
+
+
+def test_mmr_breaks_near_duplicate_saturation(spark):
+    """A query whose relevance top-k is saturated by near-copies of
+    one document: plain top-k returns the copies; MMR keeps the best
+    copy and spends the other slots on the distinct directions."""
+    import numpy as np
+
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(42)
+    q = rng.normal(size=16)
+    q /= np.linalg.norm(q)
+    rows = [(0, [float(x) for x in q])]
+    # ids 1-4: jittered near-copies of the query direction
+    for i in range(1, 5):
+        v = q + 0.01 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    # ids 10-13: distinct directions, mildly similar to q
+    for j, i in enumerate(range(10, 14)):
+        d = rng.normal(size=16)
+        d -= (d @ q) * q  # orthogonalize
+        v = 0.6 * q + 0.8 * d / np.linalg.norm(d)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    top = [r["vec_id"] for r in sim.cosine_topk(emb, 0, k=4).collect()]
+    assert set(top) == {1, 2, 3, 4}  # saturated by the copies
+    mmr = [
+        r["vec_id"]
+        for r in sim.mmr_topk(
+            emb, 0, k=4, lam=0.5, shortlist=8
+        ).collect()
+    ]
+    assert len(set(mmr) & {10, 11, 12, 13}) >= 2  # diversified
+    assert mmr[0] in {1, 2, 3, 4}  # best copy still leads
+
+
+def test_mmr_small_candidate_set_and_empty(spark, emb_df):
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    tiny = emb_df.filter("vec_id < 3")
+    out = sim.mmr_topk(tiny, 0, k=10, shortlist=20).collect()
+    assert [r["rank"] for r in out] == [1, 2]  # only 2 candidates
+    none = sim.mmr_topk(
+        emb_df.filter("vec_id = 0"), 0, k=5
+    ).collect()
+    assert none == []
