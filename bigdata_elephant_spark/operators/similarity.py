@@ -480,6 +480,72 @@ def ivf_topk(
     )
 
 
+def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a metadata-side filter result (any single-column
+    frame of ids) to a distinct ``id_col`` long column."""
+    return allowed.select(
+        allowed[allowed.columns[0]].cast("long").alias(id_col)
+    ).distinct()
+
+
+def ivf_topk_filtered(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    allowed: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED ANN — a metadata predicate composed with vector
+    search (the vector-DB "filtered search" / FAISS ``IDSelector``
+    shape, and the curation question "nearest neighbors among docs
+    WHERE lang='en' AND quality > q"). ``allowed`` is a
+    single-column frame of ids satisfying the predicate, evaluated
+    on the METADATA side (e.g. ``documents.filter(...).select
+    ("doc_id")``) — keeping the operator modality-agnostic and the
+    predicate pushed down to the metadata scan, which prunes its
+    own columns/partitions independently of the vector layout.
+
+    Semantics follow FAISS: the filter restricts CANDIDATES, never
+    the quantizer — probe-cell geometry is computed on the full
+    table, then the probed candidates semi-join the allowed set (a
+    broadcast map-side filter when the predicate is selective,
+    which is the common case). The standard recall caveat applies
+    and is the caller's dial: a fixed ``n_probe`` yields fewer than
+    ``k`` results when the filter thins the probed cells — escalate
+    ``n_probe`` (or pre-partition the index by the hot predicate
+    column) exactly as the vector-DB filtered-search playbook says.
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "cell_id")
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    candidates = (
+        embeddings.join(assigned, id_col)
+        .join(F.broadcast(probe_cells), "cell_id")
+        .join(
+            F.broadcast(_allowed_ids(allowed, id_col)),
+            id_col,
+            "left_semi",
+        )
+    )
+    return _exact_rerank(
+        candidates.filter(F.col(id_col) != query_vec_id),
+        q, k, id_col, vec_col,
+    )
+
+
 def write_index_manifest(path: str, **fields) -> None:
     """Persist a tiny ``manifest.json`` next to the index parquet
     dirs (dimension, cell/codebook geometry). Callers (the CLI's
@@ -560,6 +626,31 @@ def _expire_versions(path: str, sub: str, keep=()) -> None:
             and d.rsplit("_v", 1)[1].isdigit()
         ):
             _shutil.rmtree(full, ignore_errors=True)
+
+
+def _parquet_files_exist(d: str) -> bool:
+    import os as _os
+
+    return any(
+        f.endswith(".parquet")
+        for _, _, fs in _os.walk(d)
+        for f in fs
+    )
+
+
+def _index_rows(spark, path: str, sub: str) -> DataFrame | None:
+    """The index's current ``sub`` generation, or ``None`` when it
+    holds no parquet files — the legitimate EMPTY-INDEX state a
+    compaction leaves behind when every row was tombstoned (a
+    partitioned write of zero rows emits no schema-bearing file, so
+    a blind ``read.parquet`` would die with UNABLE_TO_INFER_SCHEMA).
+    Readers translate ``None`` into an empty, correctly-typed
+    result; appends into the empty generation work unchanged (the
+    partitioned layout is re-established by the first delta)."""
+    d = _table_path(path, sub)
+    if not _parquet_files_exist(d):
+        return None
+    return spark.read.parquet(d)
 
 
 def _tombstones(spark, path: str) -> DataFrame | None:
@@ -859,6 +950,11 @@ def compact_index(spark, path: str) -> None:
     cur = tables.get(sub, sub) if isinstance(tables, dict) else sub
     ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
     nxt = f"{sub}_v{ver + 1}"
+    if not _parquet_files_exist(os.path.join(path, cur)):
+        # already-empty generation (a previous compaction applied a
+        # delete-everything tombstone set): nothing to rewrite, and
+        # any pending tombstones hide nothing — no-op.
+        return
     df = spark.read.parquet(os.path.join(path, cur))
     # Apply pending deletes physically while the rows are being
     # rewritten anyway (Lucene applies docvalue deletes on merge for
@@ -920,8 +1016,14 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     source: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Read-side IVF top-k over a :func:`build_ivf_index` layout.
+
+    ``allowed`` (optional) composes a metadata predicate with the
+    probe — :func:`ivf_topk_filtered` semantics on the materialized
+    layout: the semi-join lands ON the statically pruned scan, so
+    filtered search still touches only the probed partitions.
 
     The query vector comes from ``source`` (the base table — at scale
     a point lookup / the caller's own vector), never from a scan of
@@ -933,12 +1035,12 @@ def ivf_topk_indexed(
     Scoring is identical to :func:`ivf_topk`, so results match the
     inline variant row-for-row (equivalence-tested).
     """
-    vecs = _live_rows(
-        spark,
-        index_path,
-        spark.read.parquet(_table_path(index_path, "vectors")),
-        id_col,
-    )
+    raw = _index_rows(spark, index_path, "vectors")
+    if raw is None:  # every row tombstoned + compacted: empty index
+        return spark.createDataFrame(
+            [], f"{id_col} long, cos_sim double"
+        )
+    vecs = _live_rows(spark, index_path, raw, id_col)
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col) == query_vec_id).select(
@@ -958,12 +1060,16 @@ def ivf_topk_indexed(
             .collect()
         )
     ]
-    return _exact_rerank(
-        vecs.filter(F.col("cell_id").isin(probe)).filter(
-            F.col(id_col) != query_vec_id
-        ),
-        q, k, id_col, vec_col,
+    candidates = vecs.filter(F.col("cell_id").isin(probe)).filter(
+        F.col(id_col) != query_vec_id
     )
+    if allowed is not None:
+        candidates = candidates.join(
+            F.broadcast(_allowed_ids(allowed, id_col)),
+            id_col,
+            "left_semi",
+        )
+    return _exact_rerank(candidates, q, k, id_col, vec_col)
 
 
 def ivf_topk_batch_indexed(
@@ -994,12 +1100,12 @@ def ivf_topk_batch_indexed(
     the same ``n_cells`` (equivalence-tested; shares its oracle)."""
     from pyspark.sql import Window
 
-    vecs = _live_rows(
-        spark,
-        index_path,
-        spark.read.parquet(_table_path(index_path, "vectors")),
-        id_col,
-    )
+    raw = _index_rows(spark, index_path, "vectors")
+    if raw is None:  # every row tombstoned + compacted: empty index
+        return spark.createDataFrame(
+            [], f"q_id long, {id_col} long, cos_sim double"
+        )
+    vecs = _live_rows(spark, index_path, raw, id_col)
     cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col).isin(query_ids)).select(
@@ -1923,12 +2029,12 @@ def ivfpq_topk_indexed(
     :func:`ivfpq_topk`, row-for-row (equivalence-tested)."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbooks = spark.read.parquet(f"{index_path}/codebooks")
-    codes = _live_rows(
-        spark,
-        index_path,
-        spark.read.parquet(_table_path(index_path, "codes")),
-        id_col,
-    )
+    raw = _index_rows(spark, index_path, "codes")
+    if raw is None:  # every row tombstoned + compacted: empty index
+        return spark.createDataFrame(
+            [], f"{id_col} long, cos_sim double"
+        )
+    codes = _live_rows(spark, index_path, raw, id_col)
     meta = (
         cbooks.agg(
             (F.max("sub") + 1).alias("n_sub"),

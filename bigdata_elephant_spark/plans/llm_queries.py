@@ -1025,6 +1025,63 @@ LIMIT {KNN_K}
 """
 
 
+KNN_FILTER_LANG = "en"
+
+# The knn_ivf ranking restricted to candidates whose DOCUMENT passes
+# the metadata predicate — probe geometry and cell assignments stay
+# computed on the full table (FAISS IDSelector semantics: the filter
+# restricts candidates, never the quantizer).
+KNN_IVF_FILTERED_SQL = KNN_IVF_SQL.replace(
+    f"WHERE e.vec_id <> {KNN_QUERY_VEC_ID}",
+    f"WHERE e.vec_id <> {KNN_QUERY_VEC_ID} "
+    f"AND e.vec_id IN (SELECT doc_id FROM documents "
+    f"WHERE lang = '{KNN_FILTER_LANG}')",
+)
+assert KNN_IVF_FILTERED_SQL != KNN_IVF_SQL
+
+
+def _lang_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == KNN_FILTER_LANG)
+        .select("doc_id")
+    )
+
+
+def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN under the oracle gate (operators/similarity.py
+    ``ivf_topk_filtered``): top-k among the probed cells' vectors
+    whose DOCUMENT (doc_id == vec_id) is English — the predicate is
+    evaluated on the metadata table and semi-joined into the
+    candidate set, while probe geometry stays computed on the full
+    table. A filter applied too early (quantizer trained on the
+    subset), too late (post-filtering the unfiltered top-k), or not
+    at all each produces a different ranking and hash-mismatches."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_filtered(
+        emb, KNN_QUERY_VEC_ID, _lang_allowed(spark, sf_dir),
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, k=KNN_K,
+    )
+
+
+def q_knn_ivf_filtered_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same filtered search over the MATERIALIZED IVF layout:
+    the metadata semi-join lands on the statically partition-pruned
+    scan, so filtered search still touches only the probed cells.
+    Shares ``knn_ivf_filtered``'s oracle (same relation, different
+    storage)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = ivf_index_path(spark, sf_dir)
+    return similarity.ivf_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, n_probe=IVF_PROBE, k=KNN_K,
+        source=emb, allowed=_lang_allowed(spark, sf_dir),
+    )
+
+
 MMR_K = 5
 MMR_SHORTLIST = 20
 MMR_LAMBDA = 0.5
@@ -2742,6 +2799,12 @@ SPECS = [
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_mmr", q_knn_mmr, KNN_MMR_SQL,
               ("llm", "similarity", "topk")),
+    QuerySpec("knn_ivf_filtered", q_knn_ivf_filtered,
+              KNN_IVF_FILTERED_SQL,
+              ("llm", "similarity", "join", "topk")),
+    QuerySpec("knn_ivf_filtered_indexed", q_knn_ivf_filtered_indexed,
+              KNN_IVF_FILTERED_SQL,
+              ("llm", "similarity", "join", "topk", "index")),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,
               DOC_EMBEDDING_JOIN_SQL, ("llm", "multimodal", "join")),
     QuerySpec("near_dup_embeddings", q_near_dup_exact, NEAR_DUP_EXACT_SQL,

@@ -81,7 +81,7 @@ GATE_PRIORITY = (
     # SF (tests/test_oracle_parity.py).
     #
     # --- never driver-gated (with the new round-7 queries below,
-    # green rows here mean all 220 oracled queries have been
+    # green rows here mean all 222 oracled queries have been
     # driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",
@@ -96,6 +96,8 @@ GATE_PRIORITY = (
     "knn_ivf_delete_compacted",  # compaction applies + retires them
     "search_reingest",  # doc upsert: delete-then-append, frozen vocab
     "knn_mmr",  # MMR-diversified top-k, greedy transcript unrolled
+    "knn_ivf_filtered",  # metadata-predicate filtered ANN
+    "knn_ivf_filtered_indexed",  # same, on the pruned layout
     # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
     "knn_pq",
     "semantic_dedup_pairs",
@@ -121,12 +123,13 @@ GATE_PRIORITY = (
     "vocab_incremental_update",
     "search_hybrid_rrf",
     "llm_pipeline_e2e",
-    # (knn_cosine, simhash_signatures, near_dup_embeddings and
-    # duplicate_passages retired from the window to make room for the
-    # two tombstone-delete gates, the doc-upsert gate and the MMR
-    # gate — all four hold green r6 rows, their families stay covered
-    # in-window by knn_ivf*/knn_batch and the dedup_* block, and all
-    # stay under the local gate at every SF)
+    # (knn_cosine, simhash_signatures, near_dup_embeddings,
+    # duplicate_passages, decontaminate_eval and lang_id_ngram
+    # retired from the window to make room for the round's six new
+    # gates — all hold green r6 rows, their families stay covered
+    # in-window (similarity by knn_ivf*/knn_batch, dedup by the
+    # dedup_* block, text by token_counts/eval_contamination), and
+    # all stay under the local gate at every SF)
     "knn_ivf",
     "knn_batch",
     "search_batch",
@@ -134,13 +137,11 @@ GATE_PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_groups",
     "incremental_dedup",
-    "decontaminate_eval",
     "asof_events_orders",
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor
     "media_features",
     "token_counts",
-    "lang_id_ngram",
     "eval_contamination",
     "kmv_distinct_users",
     # (embedding_gram_matrix anchor retired from the window to make

@@ -885,3 +885,82 @@ def test_mmr_small_candidate_set_and_empty(spark, emb_df):
         emb_df.filter("vec_id = 0"), 0, k=5
     ).collect()
     assert none == []
+
+
+def test_filtered_ann_inline_and_indexed(spark, sf_dir, tmp_path):
+    """Filtered search returns only allowed ids, ranks them exactly
+    as the unfiltered scorer ranks that subset within the SAME probe
+    cells (FAISS IDSelector: the filter never moves the quantizer),
+    and the indexed form matches the inline form row-for-row."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = sim.ivf_topk_filtered(
+        emb, 0, allowed, n_cells=8, n_probe=3, k=5
+    ).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    # subset consistency: the allowed ids ranked by the unfiltered
+    # scorer over the same probe (big k), filtered down, must agree
+    big = sim.ivf_topk(emb, 0, n_cells=8, n_probe=3, k=10_000).collect()
+    want = [r["vec_id"] for r in big if r["vec_id"] % 2 == 0][:5]
+    assert [r["vec_id"] for r in got] == want
+
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    idx = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=3, k=5, source=emb, allowed=allowed
+    ).collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in got]
+    # selective filter thins probed cells below k: fewer rows, never
+    # an error (the documented n_probe-escalation dial)
+    tiny = emb.filter(F.col("vec_id").isin([2, 4])).select("vec_id")
+    assert (
+        sim.ivf_topk_filtered(
+            emb, 0, tiny, n_cells=8, n_probe=1, k=5
+        ).count()
+        <= 2
+    )
+
+
+def test_delete_everything_compact_then_readd(spark, sf_dir, tmp_path):
+    """The empty-index edge: tombstoning EVERY row and compacting
+    leaves a generation with no parquet files (a partitioned write
+    of zero rows emits none). Queries must return empty typed
+    results, a second compaction must no-op, and a re-add must
+    revive the index to exactly a fresh build's answers."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 30")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=4)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    sim.delete_from_index(spark, path, ids)
+    sim.compact_index(spark, path)
+    empty = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=2, k=3, source=emb
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "cos_sim"]
+    assert (
+        sim.ivf_topk_batch_indexed(
+            spark, path, [0, 1], n_probe=2, k=3, source=emb
+        ).count()
+        == 0
+    )
+    sim.compact_index(spark, path)  # no-op on the empty generation
+    sim.update_ivf_index(spark, path, emb)  # revive
+    got = sim.ivf_topk_indexed(
+        spark, path, 0, n_probe=2, k=3, source=emb
+    ).collect()
+    full = str(tmp_path / "full")
+    sim.build_ivf_index(emb, full, n_cells=4)
+    want = sim.ivf_topk_indexed(
+        spark, full, 0, n_probe=2, k=3, source=emb
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
