@@ -306,24 +306,17 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         else:
             build_ivf_index(emb, args.out, n_cells=args.cells)
     elif args.cmd == "ann-add":
-        import os
-
         from bigdata_elephant_spark.operators.similarity import (
-            read_index_manifest,
+            index_kind,
             update_ivf_index,
             update_ivfpq_index,
         )
 
-        kind = (read_index_manifest(args.index) or {}).get("kind")
-        if kind is None:
-            # pre-manifest dirs: the layouts are disjoint — IVFPQ
-            # has codes/, plain IVF has vectors/
-            kind = (
-                "ivfpq"
-                if os.path.isdir(os.path.join(args.index, "codes"))
-                else "ivf"
-            )
-        fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
+        fn = (
+            update_ivfpq_index
+            if index_kind(args.index) == "ivfpq"
+            else update_ivf_index
+        )
         fn(spark, args.index, spark.read.parquet(args.embeddings))
     elif args.cmd == "ann-delete":
         from bigdata_elephant_spark.operators.similarity import (

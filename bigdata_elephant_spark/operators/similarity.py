@@ -154,7 +154,12 @@ def mmr_topk(
             vec_col,
             F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
         )
-        .crossJoin(F.broadcast(q))
+        # a zero-norm (or null) vector has no cosine — unrankable,
+        # and under ANSI mode the division would RAISE rather than
+        # null out; guard both sides of the divisor before dividing
+        # (a zero-norm query yields the empty result, not an error)
+        .filter(F.col("_nrm") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("_qnrm") > 0)))
         .select(
             id_col,
             vec_col,
@@ -666,13 +671,15 @@ def _tombstones(spark, path: str) -> DataFrame | None:
     import os as _os
 
     d = _table_path(path, "tombstones")
-    if not _os.path.isdir(d):
+    # The only legitimate "no deletes pending" states are no dir and
+    # a dir with no parquet files (interrupted write). Anything else
+    # must READ — a swallowed read error here would silently
+    # resurface deleted rows (and let update_* re-append tombstoned
+    # ids), so genuine faults (permissions, corrupt footer) must
+    # propagate loudly instead of degrading to "no tombstones".
+    if not _parquet_files_exist(d):
         return None
-    try:
-        return spark.read.parquet(d)
-    except Exception:
-        # a dir with no parquet (interrupted write) = no tombstones
-        return None
+    return spark.read.parquet(d)
 
 
 def _live_rows(
@@ -723,14 +730,14 @@ def delete_from_index(
     (the reason Lucene orders them with per-segment docvalue
     generations)."""
     if isinstance(ids, DataFrame):
-        tomb = ids.select(
-            ids[ids.columns[0]].cast("long").alias(id_col)
-        )
+        tomb = _allowed_ids(ids, id_col)
     else:
+        if not ids:
+            return  # nothing to delete; don't flip into
+            # "deletes pending" (every read would pay the anti-join)
         tomb = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
-        )
-    tomb = tomb.distinct()
+        ).distinct()
     existing = _tombstones(spark, path)
     if existing is not None:
         tcol = existing.columns[0]
@@ -741,6 +748,10 @@ def delete_from_index(
             id_col,
             "left_anti",
         )
+    if tomb.first() is None:
+        return  # empty delta (all already tombstoned / empty frame):
+        # a 0-row append would still write a schema-bearing file and
+        # permanently flip the index into the deletes-pending state
     tomb.coalesce(1).write.mode("append").parquet(
         _table_path(path, "tombstones")
     )
@@ -775,6 +786,49 @@ def _reject_tombstoned_delta(
             "(an append-only tombstone table cannot order a delete "
             "against a later re-add of the same id)"
         )
+
+
+def _verify_pointer_reset(path: str, sub: str, op: str) -> None:
+    """A REBUILD writes the plain ``{path}/{sub}`` layout and resets
+    the manifest (no ``tables`` pointer). ``write_index_manifest``
+    is deliberately best-effort (object-store paths have no posix
+    manifest at all — readers there fall back to the plain layout,
+    which is exactly what the rebuild wrote). The one dangerous
+    state is a manifest that EXISTS but could not be overwritten: a
+    surviving stale pointer still names an old versioned generation,
+    and expiring that generation would leave every reader resolving
+    a deleted dir — a fully populated index silently serving empty
+    results. Verify before the caller expires; compact_index guards
+    its flip the same way."""
+    import os as _os
+
+    man = read_index_manifest(path)
+    cur = ((man or {}).get("tables") or {}).get(sub)
+    if isinstance(cur, str) and cur != sub:
+        raise OSError(
+            f"{op}: could not reset the manifest pointer at "
+            f"{path!r} (it still names {cur!r}); the rebuilt "
+            f"{_os.path.join(path, sub)} is on disk but readers "
+            "keep resolving the previous generation — fix the "
+            "manifest (permissions/disk) and rebuild"
+        )
+
+
+def index_kind(path: str) -> str:
+    """'ivf' or 'ivfpq', from the manifest when present, else from
+    the layout (IVFPQ has ``codes/``, plain IVF has ``vectors/``) —
+    the ONE dispatch rule shared by maintenance entry points
+    (``ann-add``, ``compact_index``)."""
+    import os as _os
+
+    kind = (read_index_manifest(path) or {}).get("kind")
+    if kind is not None:
+        return kind
+    return (
+        "ivfpq"
+        if _os.path.isdir(_os.path.join(path, "codes"))
+        else "ivf"
+    )
 
 
 def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
@@ -813,6 +867,7 @@ def build_ivf_index(
         path, kind="ivf", dim=_vec_dim(embeddings, vec_col),
         n_cells=n_cells,
     )
+    _verify_pointer_reset(path, "vectors", "build_ivf_index")
     _expire_versions(path, "vectors", keep=("vectors",))
     # A rebuild resets the index's whole lifetime, including pending
     # deletes — stale tombstones surviving into the new life would
@@ -938,22 +993,42 @@ def compact_index(spark, path: str) -> None:
     import shutil
 
     man = read_index_manifest(path) or {}
-    kind = man.get("kind")
-    if kind is None:
-        kind = (
-            "ivfpq"
-            if os.path.isdir(os.path.join(path, "codes"))
-            else "ivf"
-        )
+    kind = index_kind(path)
     sub = "codes" if kind == "ivfpq" else "vectors"
     tables = man.get("tables")
     cur = tables.get(sub, sub) if isinstance(tables, dict) else sub
     ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
     nxt = f"{sub}_v{ver + 1}"
     if not _parquet_files_exist(os.path.join(path, cur)):
-        # already-empty generation (a previous compaction applied a
-        # delete-everything tombstone set): nothing to rewrite, and
-        # any pending tombstones hide nothing — no-op.
+        # Already-empty generation (a previous compaction applied a
+        # delete-everything tombstone set): nothing to rewrite. But
+        # pending tombstones must STILL retire — they hide nothing,
+        # yet while pending they tax every read with the anti-join
+        # and permanently refuse re-adding those ids (the ValueError
+        # in update_* prescribes "run compact_index first", which
+        # must therefore work here).
+        if _tombstones(spark, path) is not None:
+            tcur = (
+                tables.get("tombstones", "tombstones")
+                if isinstance(tables, dict)
+                else "tombstones"
+            )
+            tver = (
+                int(tcur.rsplit("_v", 1)[1]) if "_v" in tcur else 0
+            )
+            tnxt = f"tombstones_v{tver + 1}"
+            man.setdefault("tables", {})["tombstones"] = tnxt
+            man["kind"] = kind
+            write_index_manifest(path, **man)
+            flipped = (
+                (read_index_manifest(path) or {}).get("tables") or {}
+            )
+            if flipped.get("tombstones") != tnxt:
+                raise OSError(
+                    "compact_index: could not persist the tombstone "
+                    f"pointer flip at {path!r}"
+                )
+            _expire_versions(path, "tombstones", keep=(tcur,))
         return
     df = spark.read.parquet(os.path.join(path, cur))
     # Apply pending deletes physically while the rows are being
@@ -1035,13 +1110,16 @@ def ivf_topk_indexed(
     Scoring is identical to :func:`ivf_topk`, so results match the
     inline variant row-for-row (equivalence-tested).
     """
+    # centroids first: a bogus/missing index path must surface as
+    # the read error, not be mistaken for the (legitimate) empty
+    # generation a delete-everything compaction leaves behind
+    cents = spark.read.parquet(f"{index_path}/centroids")
     raw = _index_rows(spark, index_path, "vectors")
     if raw is None:  # every row tombstoned + compacted: empty index
         return spark.createDataFrame(
             [], f"{id_col} long, cos_sim double"
         )
     vecs = _live_rows(spark, index_path, raw, id_col)
-    cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec"),
@@ -1100,13 +1178,14 @@ def ivf_topk_batch_indexed(
     the same ``n_cells`` (equivalence-tested; shares its oracle)."""
     from pyspark.sql import Window
 
+    # centroids first: see ivf_topk_indexed (missing path must raise)
+    cents = spark.read.parquet(f"{index_path}/centroids")
     raw = _index_rows(spark, index_path, "vectors")
     if raw is None:  # every row tombstoned + compacted: empty index
         return spark.createDataFrame(
             [], f"q_id long, {id_col} long, cos_sim double"
         )
     vecs = _live_rows(spark, index_path, raw, id_col)
-    cents = spark.read.parquet(f"{index_path}/centroids")
     src = source if source is not None else vecs
     q = src.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
@@ -1904,6 +1983,7 @@ def build_ivfpq_index(
         n_cells=n_cells, n_sub=n_sub, sub_dim=sub_dim,
         n_codes=n_codes,
     )
+    _verify_pointer_reset(path, "codes", "build_ivfpq_index")
     _expire_versions(path, "codes", keep=("codes",))
     # rebuild resets pending deletes (see build_ivf_index)
     _expire_versions(path, "tombstones")

@@ -1152,6 +1152,8 @@ cands AS (
                         * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS rel
         FROM embeddings e, q
         WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+          AND {_dot_sql('e.embedding', 'e.embedding')} > 0
+          AND {_dot_sql('q.qv', 'q.qv')} > 0
     ) ORDER BY rel DESC, vec_id LIMIT {shortlist}
 ),
 sims AS (

@@ -964,3 +964,107 @@ def test_delete_everything_compact_then_readd(spark, sf_dir, tmp_path):
         spark, full, 0, n_probe=2, k=3, source=emb
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_mmr_ignores_unrankable_zero_vector(spark):
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero norm: NULL cosine, unrankable
+        (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = sim.mmr_topk(emb, 0, k=4, shortlist=10).collect()
+    got = [r["vec_id"] for r in out]
+    assert 2 not in got and set(got) == {1, 3}
+
+
+def test_delete_empty_set_is_a_noop(spark, sf_dir, tmp_path):
+    """Deleting nothing must not flip the index into the
+    deletes-pending state (which would tax every read with the
+    anti-join and every append with the tombstone check)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 30")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=4)
+    sim.delete_from_index(spark, path, [])
+    sim.delete_from_index(spark, path, emb.filter("vec_id > 999").select("vec_id"))
+    assert sim._tombstones(spark, path) is None
+    # re-deleting only already-tombstoned ids is also append-free
+    sim.delete_from_index(spark, path, [3])
+    import glob
+
+    d = sim._table_path(path, "tombstones")
+    n_files = len(glob.glob(f"{d}/*.parquet"))
+    sim.delete_from_index(spark, path, [3])
+    assert len(glob.glob(f"{d}/*.parquet")) == n_files
+
+
+def test_compact_on_empty_generation_retires_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """Deletes filed while the index is empty must still be
+    retireable — the update_* ValueError prescribes compact_index,
+    so compact_index must work on the empty generation too."""
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 30")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=4)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    sim.delete_from_index(spark, path, ids)
+    sim.compact_index(spark, path)  # applies: generation now empty
+    sim.delete_from_index(spark, path, [5])  # pending on empty gen
+    with _pytest.raises(ValueError, match="tombstoned"):
+        sim.update_ivf_index(spark, path, emb.filter("vec_id = 5"))
+    sim.compact_index(spark, path)  # must retire, not no-op
+    assert sim._tombstones(spark, path) is None
+    sim.update_ivf_index(spark, path, emb.filter("vec_id = 5"))
+    assert (
+        sim.ivf_topk_indexed(
+            spark, path, 5, n_probe=4, k=3, source=emb
+        ).count()
+        == 0  # only vec 5 lives; it is the query, so no candidates
+    )
+
+
+def test_rebuild_raises_when_manifest_pointer_cannot_reset(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If a rebuild cannot reset a surviving versioned pointer, it
+    must raise instead of expiring the generation readers still
+    resolve (a populated index silently serving empty results)."""
+    import pytest as _pytest
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 30")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=4)
+    sim.compact_index(spark, path)  # pointer -> vectors_v1
+    old = sim._table_path(path, "vectors")
+    monkeypatch.setattr(
+        sim, "write_index_manifest", lambda *a, **kw: None
+    )
+    with _pytest.raises(OSError, match="manifest pointer"):
+        sim.build_ivf_index(emb, path, n_cells=4)
+    monkeypatch.undo()
+    # the generation the stale pointer names was NOT expired:
+    # readers keep working against the old snapshot
+    assert (
+        sim.ivf_topk_indexed(
+            spark, path, 0, n_probe=2, k=3, source=emb
+        ).count()
+        == 3
+    )
+    assert sim._table_path(path, "vectors") == old
