@@ -178,8 +178,12 @@ def mmr_topk(
         return spark.createDataFrame([], schema)
     # pair similarities over the collected window — a tiny local
     # relation, but scored JVM-side so the fold order (and therefore
-    # every bit of the greedy transcript) matches the corpus scan's
-    cdf = spark.createDataFrame(rows, cand.schema)
+    # every bit of the greedy transcript) matches the corpus scan's.
+    # repartition(1) is load-bearing: without the exchange, Catalyst
+    # constant-folds the Project over the LocalRelation at OPTIMIZER
+    # time — interpreted, per-row, no codegen — and the shortlist²
+    # higher-order cosine expressions take seconds instead of ms
+    cdf = spark.createDataFrame(rows, cand.schema).repartition(1)
     sims = {
         (r["ia"], r["ib"]): r["s"]
         for r in (

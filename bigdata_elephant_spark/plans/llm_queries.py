@@ -2800,13 +2800,14 @@ SPECS = [
     QuerySpec("knn_ivf", q_ivf_topk, KNN_IVF_SQL,
               ("llm", "similarity"), bench=True),
     QuerySpec("knn_mmr", q_knn_mmr, KNN_MMR_SQL,
-              ("llm", "similarity", "topk")),
+              ("llm", "similarity", "topk"), bench=True),
     QuerySpec("knn_ivf_filtered", q_knn_ivf_filtered,
               KNN_IVF_FILTERED_SQL,
               ("llm", "similarity", "join", "topk")),
     QuerySpec("knn_ivf_filtered_indexed", q_knn_ivf_filtered_indexed,
               KNN_IVF_FILTERED_SQL,
-              ("llm", "similarity", "join", "topk", "index")),
+              ("llm", "similarity", "join", "topk", "index"),
+              bench=True),
     QuerySpec("doc_embedding_join", q_doc_embedding_join,
               DOC_EMBEDDING_JOIN_SQL, ("llm", "multimodal", "join")),
     QuerySpec("near_dup_embeddings", q_near_dup_exact, NEAR_DUP_EXACT_SQL,

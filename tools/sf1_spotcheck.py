@@ -48,7 +48,14 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          "search_batch", "search_batch_indexed",
          "search_reference", "search_reference_indexed",
          "knn_ivfpq", "knn_ivfpq_indexed",
-         "knn_batch", "knn_ivf_batch", "knn_ivf_batch_indexed")
+         "knn_batch", "knn_ivf_batch", "knn_ivf_batch_indexed",
+         # round-7 additions: the filtered pair demonstrates the
+         # metadata semi-join composing with (inline vs pruned)
+         # scans; deleted shows the tombstone anti-join tax at 10x;
+         # MMR is shortlist-bound after one scan (expect near the
+         # plain scan's slope)
+         "knn_ivf_filtered", "knn_ivf_filtered_indexed",
+         "knn_ivf_deleted", "knn_mmr")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
