@@ -189,6 +189,14 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     sp.add_argument("--shortlist", type=int, default=50,
                     help="ADC shortlist size before exact re-rank "
                          "(with --pq)")
+    sp.add_argument("--allowed", default=None,
+                    help="FILTERED search: parquet whose first "
+                         "column is the ids passing a metadata "
+                         "predicate (evaluate the predicate "
+                         "upstream, e.g. over the documents table); "
+                         "candidates outside it are excluded, probe "
+                         "geometry is unchanged — raise --probe if "
+                         "a selective filter returns fewer than k")
 
     sp = sub.add_parser(
         "ann-add",
@@ -202,6 +210,14 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     help="parquet with the NEW (vec_id, embedding) "
                          "rows only — ids already in the index are "
                          "appended blindly, exactly like FAISS add()")
+
+    sp = sub.add_parser(
+        "ann-stats",
+        help="index health/observability: geometry, current "
+             "generation, per-cell file counts (the small-files "
+             "tax ann-compact undoes), pending tombstones",
+    )
+    sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
         "ann-delete",
@@ -346,6 +362,11 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                 source=spark.read.parquet(args.embeddings),
                 n_probe=args.probe, shortlist=args.shortlist,
                 k=args.k,
+                allowed=(
+                    spark.read.parquet(args.allowed)
+                    if args.allowed
+                    else None
+                ),
             ),
             out,
         )
@@ -402,7 +423,59 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             ivf_topk_indexed(
                 spark, args.index, vec_id,
                 n_probe=args.probe, k=args.k, source=source,
+                allowed=(
+                    spark.read.parquet(args.allowed)
+                    if args.allowed
+                    else None
+                ),
             ),
+            out,
+        )
+    elif args.cmd == "ann-stats":
+        import os
+
+        from bigdata_elephant_spark.operators.similarity import (
+            _parquet_files_exist,
+            _table_path,
+            _tombstones,
+            index_kind,
+            read_index_manifest,
+        )
+
+        kind = index_kind(args.index)
+        sub_t = "codes" if kind == "ivfpq" else "vectors"
+        man = read_index_manifest(args.index) or {}
+        cur = _table_path(args.index, sub_t)
+        files_per_cell: dict[str, int] = {}
+        if os.path.isdir(cur):
+            for d in sorted(os.listdir(cur)):
+                full = os.path.join(cur, d)
+                if d.startswith("cell_id=") and os.path.isdir(full):
+                    files_per_cell[d.split("=", 1)[1]] = len(
+                        [f for f in os.listdir(full)
+                         if f.endswith(".parquet")]
+                    )
+        n_rows = (
+            spark.read.parquet(cur).count()
+            if _parquet_files_exist(cur)
+            else 0
+        )
+        tomb = _tombstones(spark, args.index)
+        stats = [
+            ("kind", kind),
+            ("dim", str(man.get("dim", "?"))),
+            ("n_cells", str(man.get("n_cells", "?"))),
+            ("generation", os.path.basename(cur)),
+            ("rows", str(n_rows)),
+            ("populated_cells", str(len(files_per_cell))),
+            ("files", str(sum(files_per_cell.values()))),
+            ("max_files_per_cell",
+             str(max(files_per_cell.values(), default=0))),
+            ("tombstones_pending",
+             "0" if tomb is None else str(tomb.count())),
+        ]
+        _print_rows(
+            spark.createDataFrame(stats, "stat string, value string"),
             out,
         )
     elif args.cmd == "batch":

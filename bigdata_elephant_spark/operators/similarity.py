@@ -2101,6 +2101,7 @@ def ivfpq_topk_indexed(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k over a :func:`build_ivfpq_index` layout: probe
     the ``n_probe`` nearest cells, build the per-cell ADC lookup
@@ -2176,9 +2177,20 @@ def ivfpq_topk_indexed(
     # them so the codes scan is STATIC partition pruning on the
     # cell_id layout, not a join the planner may or may not prune.
     probe_ids = [r["cell_id"] for r in probe.select("cell_id").collect()]
+    cand_codes = codes.filter(F.col("cell_id").isin(probe_ids)).filter(
+        F.col(id_col) != query_vec_id
+    )
+    if allowed is not None:
+        # filtered search (see ivf_topk_filtered): the predicate's id
+        # set excludes candidates on the pruned codes scan; the ADC
+        # shortlist then forms over allowed ids only
+        cand_codes = cand_codes.join(
+            F.broadcast(_allowed_ids(allowed, id_col)),
+            id_col,
+            "left_semi",
+        )
     short = (
-        codes.filter(F.col("cell_id").isin(probe_ids))
-        .filter(F.col(id_col) != query_vec_id)
+        cand_codes
         .join(F.broadcast(lut), ["cell_id", "sub"])
         .filter(F.col("code") == F.col("code_id"))
         .groupBy(id_col)

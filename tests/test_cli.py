@@ -396,3 +396,63 @@ def test_cli_ann_delete_then_compact(spark, sf_dir, tmp_path):
         == n_emb - 2
     )
     assert _parse(_run(spark, q)) == after
+
+
+def test_cli_ann_query_allowed_filter(spark, sf_dir, tmp_path):
+    """ann-query --allowed restricts candidates to the id set
+    (filtered search); matches the ivf_topk_filtered operator."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.similarity import (
+        ivf_topk_filtered,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    allowed_p = str(tmp_path / "allowed")
+    emb.filter(F.col("vec_id") % 2 == 0).select("vec_id").write.parquet(
+        allowed_p
+    )
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    rows = _parse(_run(spark, [
+        "ann-query", "--index", idx, "--vec-id", "0",
+        "-k", "5", "--probe", "3", "--allowed", allowed_p,
+    ]))
+    assert len(rows) == 5
+    assert all(int(r["vec_id"]) % 2 == 0 for r in rows)
+    want = ivf_topk_filtered(
+        emb, 0, emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"),
+        n_cells=8, n_probe=3, k=5,
+    ).collect()
+    assert [r["vec_id"] for r in rows] == [
+        str(r["vec_id"]) for r in want
+    ]
+
+
+def test_cli_ann_stats(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    _run(spark, ["ann-delete", "--index", idx, "--ids", "1,2"])
+    got = {r["stat"]: r["value"] for r in _parse(
+        _run(spark, ["ann-stats", "--index", idx])
+    )}
+    assert got["kind"] == "ivf"
+    assert got["n_cells"] == "8"
+    assert got["generation"] == "vectors"
+    assert int(got["rows"]) == emb.count()  # tombstones are logical
+    assert got["tombstones_pending"] == "2"
+    assert int(got["populated_cells"]) <= 8
+    assert int(got["max_files_per_cell"]) >= 1
+    _run(spark, ["ann-compact", "--index", idx])
+    got = {r["stat"]: r["value"] for r in _parse(
+        _run(spark, ["ann-stats", "--index", idx])
+    )}
+    assert got["generation"] == "vectors_v1"
+    assert int(got["rows"]) == emb.count() - 2  # applied
+    assert got["tombstones_pending"] == "0"
+    assert int(got["max_files_per_cell"]) == 1

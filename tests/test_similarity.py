@@ -1068,3 +1068,28 @@ def test_rebuild_raises_when_manifest_pointer_cannot_reset(
         == 3
     )
     assert sim._table_path(path, "vectors") == old
+
+
+def test_ivfpq_indexed_allowed_filter(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pq = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(
+        emb, pq, n_cells=8, n_sub=4, sub_dim=16, n_codes=8
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = sim.ivfpq_topk_indexed(
+        spark, pq, 0, source=emb, n_probe=3, shortlist=20, k=5,
+        allowed=allowed,
+    ).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    # unfiltered result over the same layout differs (odd ids exist)
+    base = sim.ivfpq_topk_indexed(
+        spark, pq, 0, source=emb, n_probe=3, shortlist=20, k=5
+    ).collect()
+    assert any(r["vec_id"] % 2 == 1 for r in base)
