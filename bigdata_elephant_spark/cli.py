@@ -212,6 +212,21 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "appended blindly, exactly like FAISS add()")
 
     sp = sub.add_parser(
+        "ann-batch",
+        help="batch cosine top-k over a saved IVF index: the whole "
+             "probe set answered by ONE statically partition-pruned "
+             "scan (union of every query's probe cells)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--vec-ids", required=True,
+                    help="comma-separated stored vector ids to query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--probe", type=int, default=4)
+    sp.add_argument("--embeddings", default=None,
+                    help="source table for the query vectors "
+                         "(defaults to the index's own rows)")
+
+    sp = sub.add_parser(
         "ann-stats",
         help="index health/observability: geometry, current "
              "generation, per-cell file counts (the small-files "
@@ -428,6 +443,28 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     if args.allowed
                     else None
                 ),
+            ),
+            out,
+        )
+    elif args.cmd == "ann-batch":
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators.similarity import (
+            ivf_topk_batch_indexed,
+        )
+
+        _print_rows(
+            ivf_topk_batch_indexed(
+                spark, args.index,
+                [int(s) for s in args.vec_ids.split(",") if s.strip()],
+                n_probe=args.probe, k=args.k,
+                source=(
+                    spark.read.parquet(args.embeddings)
+                    if args.embeddings
+                    else None
+                ),
+            ).orderBy(
+                F.asc("q_id"), F.desc("cos_sim"), F.asc("vec_id")
             ),
             out,
         )

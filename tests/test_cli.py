@@ -456,3 +456,22 @@ def test_cli_ann_stats(spark, sf_dir, tmp_path):
     assert int(got["rows"]) == emb.count() - 2  # applied
     assert got["tombstones_pending"] == "0"
     assert int(got["max_files_per_cell"]) == 1
+
+
+def test_cli_ann_batch_matches_single_queries(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8"])
+    rows = _parse(_run(spark, [
+        "ann-batch", "--index", idx, "--vec-ids", "0,7",
+        "-k", "3", "--probe", "3",
+    ]))
+    assert {r["q_id"] for r in rows} == {"0", "7"}
+    for q in ("0", "7"):
+        single = _parse(_run(spark, [
+            "ann-query", "--index", idx, "--vec-id", q,
+            "-k", "3", "--probe", "3",
+        ]))
+        got = [r["vec_id"] for r in rows if r["q_id"] == q]
+        assert got == [r["vec_id"] for r in single]

@@ -1093,3 +1093,36 @@ def test_ivfpq_indexed_allowed_filter(spark, sf_dir, tmp_path):
         spark, pq, 0, source=emb, n_probe=3, shortlist=20, k=5
     ).collect()
     assert any(r["vec_id"] % 2 == 1 for r in base)
+
+
+def test_delete_equals_allowed_complement(spark, sf_dir, tmp_path):
+    """Metamorphic identity tying the two candidate-restriction
+    mechanisms together: querying an index with ids D tombstoned
+    must equal querying the SAME (un-deleted) index with
+    allowed = all-ids-minus-D — both restrict candidates under
+    frozen probe geometry, one persistently, one per-query."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sim.build_ivf_index(emb, a, n_cells=8)
+    sim.build_ivf_index(emb, b, n_cells=8)
+    dele = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id")
+    live = emb.filter(F.col("vec_id") % 3 != 1).select("vec_id")
+    sim.delete_from_index(spark, a, dele)
+    got = sim.ivf_topk_indexed(
+        spark, a, 0, n_probe=3, k=7, source=emb
+    ).collect()
+    want = sim.ivf_topk_indexed(
+        spark, b, 0, n_probe=3, k=7, source=emb, allowed=live
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and the identity survives physical application
+    sim.compact_index(spark, a)
+    after = sim.ivf_topk_indexed(
+        spark, a, 0, n_probe=3, k=7, source=emb
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
