@@ -321,6 +321,135 @@ FROM expanded WHERE copies > 0
 """
 
 
+# --------------------------------------------- BPE tokenizer training
+
+N_MERGES = 8
+SUBWORD_TOP_N = 30
+ENCODE_TOP_N = 100
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge-rule table (operators/bpe.py): one corpus
+    scan to the (word, freq) vocabulary, then 8 deterministic
+    argmax-merge rounds. The oracle unrolls the identical rounds."""
+    from bigdata_elephant_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=N_MERGES)
+    return merges.orderBy("merge_rank")
+
+
+def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_elephant_spark.operators.bpe import (
+        bpe_subword_vocab,
+        bpe_train,
+    )
+
+    _, wf = bpe_train(_docs(spark, sf_dir), n_merges=N_MERGES)
+    return bpe_subword_vocab(wf, top_n=SUBWORD_TOP_N)
+
+
+def q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encodings of the 100 most frequent words under the learned
+    rules — the trained vocabulary IS the encoding table for every
+    in-vocab word, so this reads it straight off ``final_wf``
+    (content-verified via an md5 over the positional subword join;
+    the driver canonicalizer can't hash raw array columns)."""
+    from bigdata_elephant_spark.operators.bpe import bpe_train
+
+    _, wf = bpe_train(_docs(spark, sf_dir), n_merges=N_MERGES)
+    return (
+        wf.select(
+            "word",
+            F.size("syms").alias("n_subwords"),
+            F.md5(F.array_join("syms", " ")).alias("subwords_fp"),
+            "freq",
+        )
+        .orderBy(F.desc("freq"), "word")
+        .limit(ENCODE_TOP_N)
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """The unrolled training chain: w0 (char-split vocab) then for
+    each round k: pair counts p{k}, argmax m{k}, rewritten vocab
+    w{k}. The rewrite is a left string-fold (list_reduce) matching
+    the Spark array fold's non-overlap rule exactly."""
+    from bigdata_elephant_spark.plans.llm_queries import DOC_TOKS_CTE
+
+    parts = [
+        DOC_TOKS_CTE,
+        """w0 AS (
+    SELECT word,
+           list_transform(range(1, length(word) + 1),
+                          i -> word[i:i]) AS syms,
+           CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(toks) AS word FROM doc_toks)
+    GROUP BY word
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+    SELECT pr.l AS lhs, pr.r AS rhs,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM (
+        SELECT unnest(list_transform(
+                   range(1, len(syms)),
+                   i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr,
+               freq
+        FROM w{k - 1} WHERE len(syms) >= 2
+    )
+    GROUP BY pr.l, pr.r
+)""")
+        parts.append(f"""m{k} AS (
+    SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+    FROM p{k} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)""")
+        parts.append(f"""w{k} AS (
+    SELECT word,
+           CASE WHEN len(syms) < 2 THEN syms
+                ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+                         WHEN regexp_extract(acc, '[^ ]+$') = m{k}.lhs
+                              AND x = m{k}.rhs
+                         THEN regexp_replace(acc, '[^ ]+$', m{k}.merged)
+                         ELSE acc || ' ' || x END), ' ')
+           END AS syms, freq
+    FROM w{k - 1}, m{k}
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, lhs, rhs, "
+        f"merged, pair_count FROM m{k}"
+        for k in range(1, N_MERGES + 1)
+    )
+    return (
+        f"{_bpe_ctes(N_MERGES)}\nSELECT * FROM ({rows}) "
+        "ORDER BY merge_rank"
+    )
+
+
+def _bpe_subword_vocab_sql() -> str:
+    return f"""{_bpe_ctes(N_MERGES)}
+SELECT subword, CAST(sum(freq) AS BIGINT) AS freq
+FROM (SELECT unnest(syms) AS subword, freq FROM w{N_MERGES})
+GROUP BY subword
+ORDER BY freq DESC, subword
+LIMIT {SUBWORD_TOP_N}
+"""
+
+
+def _bpe_encode_sql() -> str:
+    return f"""{_bpe_ctes(N_MERGES)}
+SELECT word, CAST(len(syms) AS INTEGER) AS n_subwords,
+       md5(array_to_string(syms, ' ')) AS subwords_fp, freq
+FROM w{N_MERGES}
+ORDER BY freq DESC, word
+LIMIT {ENCODE_TOP_N}
+"""
+
+
 SPECS = [
     QuerySpec("doc_chunks", q_doc_chunks, DOC_CHUNKS_SQL,
               ("llm", "chunking")),
@@ -335,4 +464,10 @@ SPECS = [
     QuerySpec("assemble_training_corpus", q_assemble_training_corpus,
               _assemble_sql(), ("llm", "pipeline", "chunking"),
               bench=True),
+    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_sql,
+              ("llm", "text", "tokenizer"), bench=True),
+    QuerySpec("bpe_subword_vocab", q_bpe_subword_vocab,
+              _bpe_subword_vocab_sql, ("llm", "text", "tokenizer")),
+    QuerySpec("bpe_encode_sample", q_bpe_encode_sample,
+              _bpe_encode_sql, ("llm", "text", "tokenizer")),
 ]

@@ -130,9 +130,15 @@ GATE_PRIORITY = (
     # in-window (similarity by knn_ivf*/knn_batch, dedup by the
     # dedup_* block, text by token_counts/eval_contamination), and
     # all stay under the local gate at every SF)
+    # --- NEW: BPE tokenizer training (gated the round it ships;
+    # knn_batch/search_batch/token_counts retired to make room — each
+    # holds green rows from multiple rounds, and their families stay
+    # in-window via knn_ivf_batch(_indexed), search_batch_indexed,
+    # and the bpe_*/eval_contamination text block) ---
+    "bpe_merges",
+    "bpe_subword_vocab",
+    "bpe_encode_sample",
     "knn_ivf",
-    "knn_batch",
-    "search_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",
@@ -141,7 +147,6 @@ GATE_PRIORITY = (
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor
     "media_features",
-    "token_counts",
     "eval_contamination",
     "kmv_distinct_users",
     # (embedding_gram_matrix anchor retired from the window to make

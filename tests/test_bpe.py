@@ -1,0 +1,169 @@
+"""BPE merge training (operators/bpe.py).
+
+The registry oracles (tests/test_oracle_parity.py: bpe_merges,
+bpe_subword_vocab, bpe_encode_sample) hash-verify the trained rules
+and vocabulary against a fully unrolled DuckDB replay; these tests
+pin the algorithmic edges the corpus may not exercise — the
+left-to-right non-overlap rule, merged-symbol cascading, rule-order
+sensitivity of the encoder — plus the invariants any trainer must
+hold (monotone corpus compression, count conservation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_elephant_spark.operators import bpe
+
+
+def _wf(spark, rows):
+    """(word, freq) literal vocab -> the trainer's char-split shape."""
+    return spark.createDataFrame(rows, ["word", "freq"]).select(
+        "word", F.split("word", "").alias("syms"), "freq"
+    )
+
+
+def test_merge_fold_non_overlapping(spark):
+    """`bbbb` merges to [bb, bb], never [bb, b, b] (the fused tail
+    must not re-match as lhs) — and an odd run leaves the orphan."""
+    df = _wf(spark, [("bbbb", 1), ("bbb", 1), ("b", 1)])
+    out = {
+        r["word"]: r["syms"]
+        for r in df.withColumn(
+            "syms", bpe._merge_fold(F.col("syms"), "b", "b", "bb")
+        ).collect()
+    }
+    assert out["bbbb"] == ["bb", "bb"]
+    assert out["bbb"] == ["bb", "b"]
+    assert out["b"] == ["b"]
+
+
+def test_pair_counts_weighted_and_overlapping(spark):
+    """Counts weight by word freq and count every adjacent position:
+    `aaa` (freq 5) contributes 2*5 (a,a) pairs."""
+    counts = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in bpe._pair_counts(
+            _wf(spark, [("aaa", 5), ("ab", 3), ("a", 99)])
+        ).collect()
+    }
+    assert counts == {("a", "a"): 10, ("a", "b"): 3}
+
+
+def test_train_greedy_sequence_and_cascade(spark):
+    """On a crafted vocab the argmax sequence is checkable by hand,
+    including a cascaded merge (rule 2 consumes rule 1's output)."""
+    docs = spark.createDataFrame(
+        [(1, "the the the the thy")], ["doc_id", "text"]
+    )
+    merges, wf = bpe.bpe_train(docs, n_merges=3)
+    got = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in merges.orderBy("merge_rank").collect()]
+    # 'the' x4, 'thy' x1: (t,h)=5 wins, then (th,e)=4, then (th,y)=1
+    assert got == [("t", "h", "th", 5), ("th", "e", "the", 4),
+                   ("th", "y", "thy", 1)]
+    final = {r["word"]: r["syms"] for r in wf.collect()}
+    assert final == {"the": ["the"], "thy": ["thy"]}
+
+
+def test_subword_count_conservation(spark, sf_dir):
+    """Every merge conserves total character mass: sum over subwords
+    of freq*len(subword) equals the pre-merge character count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, wf = bpe.bpe_train(docs, n_merges=4)
+    chars_after = wf.select(
+        F.sum(
+            F.aggregate(
+                F.transform("syms", lambda s: F.length(s)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            * F.col("freq")
+        ).alias("n")
+    ).collect()[0]["n"]
+    chars_before = (
+        bpe.word_frequencies(docs)
+        .select(F.sum(F.length("word") * F.col("freq")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert chars_after == chars_before
+
+
+def test_train_compresses_monotonically(spark, sf_dir):
+    """Each round strictly reduces the total symbol count by exactly
+    that round's pair_count (each merge fuses pair_count adjacent
+    occurrences into one symbol)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, wf = bpe.bpe_train(docs, n_merges=3)
+    n_syms_final = wf.select(
+        F.sum(F.size("syms") * F.col("freq")).alias("n")
+    ).collect()[0]["n"]
+    n_syms_start = (
+        bpe.word_frequencies(docs)
+        .select(F.sum(F.length("word") * F.col("freq")).alias("n"))
+        .collect()[0]["n"]
+    )
+    total_merged = sum(r["pair_count"] for r in merges.collect())
+    assert n_syms_final == n_syms_start - total_merged
+
+
+def test_encode_applies_rules_in_order(spark):
+    """The encoder is order-sensitive: rules [(a,b),(ab,c)] encode
+    'abc' as [abc], while the reversed order cannot (no 'ab' symbol
+    exists when (ab,c) runs first)."""
+    docs = spark.createDataFrame([(1, "abc abc")], ["doc_id", "text"])
+    fwd = bpe.bpe_encode(
+        docs, [("a", "b", "ab"), ("ab", "c", "abc")]
+    ).collect()
+    assert all(r["subwords"] == ["abc"] for r in fwd)
+    rev = bpe.bpe_encode(
+        docs, [("ab", "c", "abc"), ("a", "b", "ab")]
+    ).collect()
+    assert all(r["subwords"] == ["ab", "c"] for r in rev)
+
+
+def test_encode_matches_trained_vocab(spark, sf_dir):
+    """Encoding fresh text with the learned rules reproduces the
+    trainer's own final word representations (train/inference
+    round-trip)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, wf = bpe.bpe_train(docs, n_merges=5)
+    rules = [(r["lhs"], r["rhs"], r["merged"])
+             for r in merges.orderBy("merge_rank").collect()]
+    enc = (
+        bpe.bpe_encode(docs.limit(20), rules)
+        .select("word", "subwords")
+        .distinct()
+    )
+    joined = enc.join(
+        wf.select("word", F.col("syms").alias("trained")), "word"
+    ).collect()
+    assert joined and all(
+        r["subwords"] == r["trained"] for r in joined
+    )
+
+
+def test_train_exhausts_gracefully(spark):
+    """More requested merges than learnable pairs: the loop stops at
+    exhaustion instead of emitting degenerate rules."""
+    docs = spark.createDataFrame([(1, "ab ab cd")], ["doc_id", "text"])
+    merges, wf = bpe.bpe_train(docs, n_merges=10)
+    got = merges.orderBy("merge_rank").collect()
+    assert [r["merged"] for r in got] == ["ab", "cd"]
+    assert {tuple(r["syms"]) for r in wf.collect()} == {("ab",), ("cd",)}
+
+
+@pytest.mark.parametrize("word,rules,want", [
+    ("mississippi", [("s", "s", "ss"), ("ss", "i", "ssi")],
+     ["m", "i", "ssi", "ssi", "p", "p", "i"]),
+    ("aaaa", [("a", "a", "aa"), ("aa", "aa", "aaaa")], ["aaaa"]),
+])
+def test_fold_golden(spark, word, rules, want):
+    df = spark.createDataFrame([(word,)], ["word"]).select(
+        F.split("word", "").alias("syms")
+    )
+    col = F.col("syms")
+    for lhs, rhs, merged in rules:
+        col = bpe._merge_fold(col, lhs, rhs, merged)
+    assert df.select(col.alias("out")).collect()[0]["out"] == want
