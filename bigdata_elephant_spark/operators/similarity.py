@@ -1687,6 +1687,182 @@ def pq_topk(
     )
 
 
+# ------------------------------------------------- SQ8 scalar quantizer
+
+
+def sq8_stats(
+    embeddings: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension quantization range as ONE 1-row broadcastable
+    frame: ``vmin`` (array<double>) and ``vstep = (max-min)/255``
+    (0.0 for a constant dimension — its codes collapse to 0 and
+    decode back to the constant). The FAISS ``ScalarQuantizer
+    QT_8bit`` train step: one corpus scan, ``2*dim`` min/max
+    aggregates, all map-side partial — the result is metadata-sized
+    however large the corpus."""
+    el = lambda d: F.element_at(F.col(vec_col), d + 1).cast(  # noqa: E731
+        "double"
+    )
+    row = embeddings.agg(
+        *[F.min(el(d)).alias(f"_mn{d}") for d in range(dim)],
+        *[F.max(el(d)).alias(f"_mx{d}") for d in range(dim)],
+    )
+    return row.select(
+        F.array(*[F.col(f"_mn{d}") for d in range(dim)]).alias("vmin"),
+        F.array(
+            *[
+                ((F.col(f"_mx{d}") - F.col(f"_mn{d}")) / F.lit(255.0))
+                for d in range(dim)
+            ]
+        ).alias("vstep"),
+    )
+
+
+def _sq8_code(x: Column, mn: Column, step: Column) -> Column:
+    """One dimension's code: ``clamp(floor((x-mn)/step + .5), 0, 255)``.
+    ``floor(v + 0.5)`` instead of ``round`` — engines disagree on
+    half-way ties (Spark HALF_UP, DuckDB half-away, Python
+    half-even); floor+0.5 is one IEEE add and one floor on both.
+    The step==0 guard keeps ANSI mode from raising on constant
+    dimensions (Spark 4 raises on divide-by-zero, it does not null)."""
+    return (
+        F.when(step == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((x.cast("double") - mn) / step + F.lit(0.5)),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            )
+        )
+        .cast("int")
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes: array<int>)`` — 4x smaller than float32 (the
+    arrays would pack to 1 byte/dim in a binary sink; int keeps them
+    oracle-comparable). One scan, expression-only: the stats frame is
+    a 1-row broadcast cross join, the per-dim encode runs inside
+    codegen via a zip over the pre-zipped (min, step) pairs."""
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    return embeddings.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.zip_with(
+            F.col(vec_col),
+            st,
+            lambda x, s: _sq8_code(
+                x, s.getField("vmin"), s.getField("vstep")
+            ),
+        ).alias("codes"),
+    )
+
+
+def _sq8_recon(codes: Column, stats_zip: Column) -> Column:
+    """Decode: ``vmin + code*step`` per dimension (exactly two IEEE
+    ops, same shape both engines)."""
+    return F.zip_with(
+        codes,
+        stats_zip,
+        lambda c, s: s.getField("vmin")
+        + c.cast("double") * s.getField("vstep"),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: the query stays exact float, every
+    database vector is scored from its decoded 8-bit reconstruction
+    (the FAISS ``SQ8,Flat`` scan). Scoring, rounding (6), ordering
+    and the id tie-break match :func:`_exact_rerank`'s contract, but
+    over ``recon`` — the result is the honest compressed-domain
+    ranking, quantization error included, which is what
+    ``sq8_reconstruction_report`` then bounds."""
+    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    codes = sq8_encode(embeddings, stats, id_col, vec_col)
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    return (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, _sq8_recon(F.col("codes"), st).alias("_recon"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col("_recon"), F.col("_qvec"))
+                / (F.sqrt(_norm2(F.col("_recon"))) * F.col("_qnrm")),
+                6,
+            ).alias("sq8_sim"),
+        )
+        .orderBy(F.desc("sq8_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_reconstruction_report(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label quantization-error audit ``(label, n_vecs, avg_err2,
+    max_err2)``: the post-build trust gate for the SQ8 codes (the
+    same role ``ann_recall_report`` plays for the LSH index). Per-row
+    squared reconstruction error is one fixed-order fold rounded to
+    6; the group average runs over exact decimal sums so partition
+    order can't move a digit."""
+    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    codes = sq8_encode(embeddings, stats, id_col, vec_col)
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    err2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                _sq8_recon(F.col("codes"), st),
+                lambda x, r: (x.cast("double") - r)
+                * (x.cast("double") - r),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    per_row = (
+        embeddings.join(codes, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(label_col, err2.alias("_err2"))
+    )
+    return (
+        per_row.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("_err2").cast("decimal(38,6)")).alias("_s"),
+            F.max("_err2").alias("max_err2"),
+        )
+        .select(
+            label_col,
+            "n_vecs",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_vecs"), 6
+            ).alias("avg_err2"),
+            "max_err2",
+        )
+        .orderBy(label_col)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

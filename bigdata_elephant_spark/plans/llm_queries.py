@@ -816,6 +816,96 @@ LIMIT {KNN_K}
 """
 
 
+# --------------------------------------------- SQ8 scalar quantizer
+
+
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-SQ8-shaped ANN (similarity.py::sq8_topk): per-dimension
+    min/max train (one scan, metadata-sized result), 8-bit encode,
+    asymmetric scan — the exact float query against every decoded
+    reconstruction. The oracle replays train/encode/decode/score
+    with the identical floor(x+0.5) code rounding and fold order."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, KNN_QUERY_VEC_ID, k=KNN_K)
+
+
+def q_sq8_reconstruction_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label quantization-error audit for the SQ8 codes — the
+    post-build trust gate (ann_recall_report's role for the LSH
+    index): exact-decimal-summed avg and max squared reconstruction
+    error per label."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_reconstruction_report(emb)
+
+
+_SQ8_STATS_CTE = f"""st AS (
+    SELECT list(mn ORDER BY d) AS vmin, list(sp ORDER BY d) AS vstep
+    FROM (
+        SELECT i AS d,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               (max(CAST(embedding[i] AS DOUBLE))
+                - min(CAST(embedding[i] AS DOUBLE))) / 255.0 AS sp
+        FROM embeddings, range(1, {EMBED_DIM + 1}) t(i)
+        GROUP BY i
+    )
+),
+codes AS (
+    SELECT vec_id,
+           list_transform(range(1, {EMBED_DIM + 1}), i -> CASE
+               WHEN st.vstep[i] = 0.0 THEN 0
+               ELSE CAST(least(greatest(
+                        floor((CAST(embedding[i] AS DOUBLE)
+                               - st.vmin[i]) / st.vstep[i] + 0.5),
+                        0), 255) AS INTEGER) END) AS codes
+    FROM embeddings, st
+),
+recon AS (
+    SELECT vec_id,
+           list_transform(range(1, {EMBED_DIM + 1}),
+               i -> st.vmin[i]
+                    + CAST(codes[i] AS DOUBLE) * st.vstep[i]) AS rv
+    FROM codes, st
+)"""
+
+KNN_SQ8_SQL = f"""
+WITH {_SQ8_STATS_CTE},
+q AS (SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = {KNN_QUERY_VEC_ID})
+SELECT vec_id, sq8_sim FROM (
+    SELECT r.vec_id,
+           round({_dot_sql('r.rv', 'q.qv')}
+                 / (sqrt({_dot_sql('r.rv', 'r.rv')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS sq8_sim
+    FROM recon r, q
+    WHERE r.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY sq8_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+_SQ8_ERR2 = (
+    f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - r.rv[i]) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - r.rv[i])), "
+    "(x, y) -> x + y)"
+)
+
+SQ8_REPORT_SQL = f"""
+WITH {_SQ8_STATS_CTE},
+err AS (
+    SELECT e.label, round({_SQ8_ERR2}, 6) AS err2
+    FROM embeddings e JOIN recon r USING (vec_id)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(err2 AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS avg_err2,
+       max(err2) AS max_err2
+FROM err GROUP BY label ORDER BY label
+"""
+
+
 def _plane_sql(p: list[float]) -> str:
     return "([" + ", ".join(repr(v) for v in p) + "]::DOUBLE[])"
 
@@ -2783,6 +2873,10 @@ SPECS = [
               KNN_COSINE_LSH_MULTIPROBE_SQL, ("llm", "similarity")),
     QuerySpec("knn_pq", q_knn_pq, KNN_PQ_SQL,
               ("llm", "similarity", "index"), bench=True),
+    QuerySpec("knn_sq8", q_knn_sq8, KNN_SQ8_SQL,
+              ("llm", "similarity", "index"), bench=True),
+    QuerySpec("sq8_reconstruction_report", q_sq8_reconstruction_report,
+              SQ8_REPORT_SQL, ("llm", "similarity", "index")),
     QuerySpec("kmeanspp_seeds", q_kmeanspp_seeds, _kpp_oracle(KPP_K),
               ("llm", "similarity", "iterative")),
     QuerySpec("knn_ivf_indexed", q_ivf_topk_indexed, KNN_IVF_SQL,

@@ -121,7 +121,6 @@ GATE_PRIORITY = (
     "search_reference",
     "search_phrase",
     "vocab_incremental_update",
-    "search_hybrid_rrf",
     "llm_pipeline_e2e",
     # (knn_cosine, simhash_signatures, near_dup_embeddings,
     # duplicate_passages, decontaminate_eval and lang_id_ngram
@@ -138,11 +137,16 @@ GATE_PRIORITY = (
     "bpe_merges",
     "bpe_subword_vocab",
     "bpe_encode_sample",
+    # --- NEW: SQ8 scalar-quantized ANN + its error audit (swapped
+    # for incremental_dedup / search_hybrid_rrf — r3-r6 greens whose
+    # families keep dedup_exact/minhash/groups and
+    # search_hybrid_indexed in-window) ---
+    "knn_sq8",
+    "sq8_reconstruction_report",
     "knn_ivf",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",
-    "incremental_dedup",
     "asof_events_orders",
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor

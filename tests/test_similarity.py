@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_elephant_spark.operators import similarity
 
@@ -1126,3 +1127,88 @@ def test_delete_equals_allowed_complement(spark, sf_dir, tmp_path):
         spark, a, 0, n_probe=3, k=7, source=emb
     ).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+# ------------------------------------------------- SQ8 scalar quantizer
+
+
+def test_sq8_codes_in_range_and_extremes(spark, sf_dir):
+    """Every code lands in [0, 255]; each dimension's corpus min
+    encodes to 0 and its max to 255 (the range endpoints are exactly
+    representable by construction)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    stats = sim.sq8_stats(emb, sim._vec_dim(emb, "embedding"))
+    codes = sim.sq8_encode(emb, stats)
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert rng["lo"] == 0 and rng["hi"] == 255
+    per_dim = codes.select(
+        F.posexplode("codes").alias("d", "c")
+    ).groupBy("d").agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    bad = per_dim.filter(
+        (F.col("lo") != 0) | (F.col("hi") != 255)
+    ).count()
+    assert bad == 0  # every dim uses its full range endpoints
+
+
+def test_sq8_constant_dimension_roundtrip(spark):
+    """A constant dimension has step 0: encode must not divide by
+    zero (Spark 4 ANSI raises) and decode returns the constant
+    exactly."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rows = [(i, [float(i), 7.5]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    ).repartition(2)
+    stats = sim.sq8_stats(emb, 2)
+    codes = sim.sq8_encode(emb, stats)
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    recon = codes.crossJoin(F.broadcast(stats)).select(
+        "vec_id", sim._sq8_recon(F.col("codes"), st).alias("rv")
+    ).collect()
+    for r in recon:
+        assert r["rv"][1] == 7.5  # constant dim reconstructs exactly
+
+
+def test_sq8_topk_close_to_exact(spark, sf_dir):
+    """8-bit quantization barely moves cosine ranks: the SQ8 top-10
+    overlaps the exact top-10 in >=8 ids and similarity deltas are
+    < 5e-3 on matching ids (testdata embeddings are near-orthogonal,
+    so cosines are small and the relative wobble larger)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    approx = {r["vec_id"]: r["sq8_sim"]
+              for r in sim.sq8_topk(emb, 0, k=10).collect()}
+    exact = {r["vec_id"]: r["cos_sim"]
+             for r in sim.cosine_topk(emb, 0, k=10).collect()}
+    shared = set(approx) & set(exact)
+    assert len(shared) >= 8
+    assert all(abs(approx[v] - exact[v]) < 5e-3 for v in shared)
+
+
+def test_sq8_report_bounds_error(spark, sf_dir):
+    """The per-label audit is consistent: max >= avg >= 0 per label,
+    counts sum to the corpus, and the worst-case error respects the
+    analytic bound sum_d (step_d/2)^2 (each dim off by at most half
+    a step, plus rounding slack)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rep = sim.sq8_reconstruction_report(emb).collect()
+    assert sum(r["n_vecs"] for r in rep) == emb.count()
+    for r in rep:
+        assert 0.0 <= r["avg_err2"] <= r["max_err2"]
+    stats = sim.sq8_stats(emb, sim._vec_dim(emb, "embedding"))
+    steps = stats.collect()[0]["vstep"]
+    bound = sum((s / 2.0) * (s / 2.0) for s in steps) + 1e-6
+    assert all(r["max_err2"] <= bound for r in rep)
