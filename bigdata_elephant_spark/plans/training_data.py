@@ -373,7 +373,15 @@ def _bpe_ctes(n_merges: int) -> str:
     """The unrolled training chain: w0 (char-split vocab) then for
     each round k: pair counts p{k}, argmax m{k}, rewritten vocab
     w{k}. The rewrite is a left string-fold (list_reduce) matching
-    the Spark array fold's non-overlap rule exactly."""
+    the Spark array fold's non-overlap rule exactly.
+
+    Precondition: the corpus must support all ``n_merges`` rounds
+    (an exhausted round would make ``m{k}`` empty and the cross join
+    annihilate ``w{k}``, where the Spark loop instead stops early —
+    tests/test_bpe.py::test_train_exhausts_gracefully pins the
+    operator's behavior). Any natural-language corpus supports 8
+    merges; the tiniest gate SF (sf0.001) trains 8 with room to
+    spare."""
     from bigdata_elephant_spark.plans.llm_queries import DOC_TOKS_CTE
 
     parts = [

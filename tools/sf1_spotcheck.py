@@ -55,7 +55,12 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # MMR is shortlist-bound after one scan (expect near the
          # plain scan's slope)
          "knn_ivf_filtered", "knn_ivf_filtered_indexed",
-         "knn_ivf_deleted", "knn_mmr")
+         "knn_ivf_deleted", "knn_mmr",
+         # BPE trains on the vocab table, so a 10x corpus should
+         # move only the one tokenize scan (sublinear); SQ8's
+         # asymmetric scan is a full pass over reconstructions
+         # (expect ~the exact-knn slope)
+         "bpe_merges", "knn_sq8")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
