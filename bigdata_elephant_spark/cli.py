@@ -255,6 +255,32 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     sp.add_argument("--index", required=True)
 
     sp = sub.add_parser(
+        "bpe-train",
+        help="learn BPE merge rules over a corpus (one tokenize "
+             "scan, then vocab-sized merge rounds); prints the "
+             "ordered rule table and optionally persists it (with "
+             "the trained word->subwords vocabulary alongside) for "
+             "bpe-encode",
+    )
+    corpus_args(sp)
+    sp.add_argument("--merges", type=int, default=8)
+    sp.add_argument("--out", default=None,
+                    help="artifact dir: <out>/merges + <out>/vocab "
+                         "parquet tables")
+
+    sp = sub.add_parser(
+        "bpe-encode",
+        help="tokenize a corpus with rules learned by bpe-train "
+             "--out; prints (doc_id, word, subwords) for the first "
+             "--limit docs (rules apply as plan literals — no "
+             "per-row join)",
+    )
+    corpus_args(sp)
+    sp.add_argument("--rules", required=True,
+                    help="artifact dir written by bpe-train --out")
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser(
         "curate",
         help="curation pipeline: quality filter -> near-dup "
              "survivor drop -> temperature mixture; writes the "
@@ -280,6 +306,40 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         corpus = _load_corpus(spark, args.corpus, args.glob)
         vocab = spark.read.parquet(args.vocab)
         _write(build_index(corpus, vocab), args.out)
+    elif args.cmd == "bpe-train":
+        from bigdata_elephant_spark.operators.bpe import bpe_train
+
+        merges, wf = bpe_train(
+            _load_corpus(spark, args.corpus, args.glob),
+            n_merges=args.merges,
+        )
+        if args.out:
+            _write(merges, f"{args.out}/merges")
+            _write(wf, f"{args.out}/vocab")
+        _print_rows(merges.orderBy("merge_rank"), out)
+    elif args.cmd == "bpe-encode":
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators.bpe import bpe_encode
+
+        rules = [
+            (r["lhs"], r["rhs"], r["merged"])
+            for r in spark.read.parquet(f"{args.rules}/merges")
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        docs = _load_corpus(spark, args.corpus, args.glob)
+        ids = docs.select("doc_id").orderBy("doc_id").limit(args.limit)
+        _print_rows(
+            bpe_encode(docs.join(F.broadcast(ids), "doc_id"), rules)
+            .select(
+                "doc_id", "word",
+                F.array_join("subwords", " ").alias("subwords"),
+            )
+            .distinct()
+            .orderBy("doc_id", "word"),
+            out,
+        )
     elif args.cmd == "curate":
         from pyspark.sql import functions as F
 

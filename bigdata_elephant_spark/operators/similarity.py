@@ -1775,6 +1775,32 @@ def _sq8_recon(codes: Column, stats_zip: Column) -> Column:
     )
 
 
+def _sq8_score_tail(
+    codes: DataFrame, stats: DataFrame, q: DataFrame, k: int, id_col: str
+) -> Column:
+    """Shared asymmetric-scan tail: decode every candidate's codes,
+    score against the exact query, top-k by (rounded sim, id). One
+    definition so the SQ8 scoring contract cannot drift between the
+    flat and IVF-pruned paths (the same role :func:`_exact_rerank`
+    plays for the exact retrievers)."""
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    return (
+        codes.crossJoin(F.broadcast(stats))
+        .select(id_col, _sq8_recon(F.col("codes"), st).alias("_recon"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col("_recon"), F.col("_qvec"))
+                / (F.sqrt(_norm2(F.col("_recon"))) * F.col("_qnrm")),
+                6,
+            ).alias("sq8_sim"),
+        )
+        .orderBy(F.desc("sq8_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -1792,23 +1818,49 @@ def sq8_topk(
     stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
     codes = sq8_encode(embeddings, stats, id_col, vec_col)
     q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
-    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
-    return (
-        codes.filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(stats))
-        .select(id_col, _sq8_recon(F.col("codes"), st).alias("_recon"))
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col("_recon"), F.col("_qvec"))
-                / (F.sqrt(_norm2(F.col("_recon"))) * F.col("_qnrm")),
-                6,
-            ).alias("sq8_sim"),
-        )
-        .orderBy(F.desc("sq8_sim"), F.asc(id_col))
-        .limit(k)
+    return _sq8_score_tail(
+        codes.filter(F.col(id_col) != query_vec_id), stats, q, k, id_col
     )
+
+
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``IVF{n},SQ8`` factory composition: coarse-quantizer cell
+    pruning (:func:`ivf_topk`'s probe — at scale, static partition
+    pruning over a cell_id layout) + the SQ8 asymmetric scan of
+    :func:`sq8_topk` over only the probed candidates. Both halves
+    train on the FULL table (FAISS semantics: pruning restricts
+    candidates, never the quantizers); the code table is 4x smaller
+    than the vectors, so the probed read is n_probe/n_cells of a
+    quarter of the raw bytes."""
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "cell_id")
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    codes = sq8_encode(embeddings, stats, id_col, vec_col)
+    candidates = (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(probe_cells), "cell_id")
+        .filter(F.col(id_col) != query_vec_id)
+    )
+    return _sq8_score_tail(candidates, stats, q, k, id_col)
 
 
 def sq8_reconstruction_report(

@@ -1115,6 +1115,61 @@ LIMIT {KNN_K}
 """
 
 
+def q_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF{n},SQ8 factory composition (similarity.py::
+    ivf_sq8_topk): coarse cell pruning + the SQ8 asymmetric scan
+    over probed candidates only; both quantizers train on the full
+    table. Oracle = knn_ivf's probe/assignment CTEs feeding
+    knn_sq8's decode/score tail."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_sq8_topk(
+        emb, KNN_QUERY_VEC_ID, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        k=KNN_K,
+    )
+
+
+KNN_IVF_SQ8_SQL = f"""
+WITH {_SQ8_STATS_CTE},
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+q AS (SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = {KNN_QUERY_VEC_ID}),
+probe AS (
+    SELECT cell_id FROM (
+        SELECT c.cell_id, round({_l2_sql('c.cvec', 'q.qv')}, 6) AS d
+        FROM cents c, q
+        ORDER BY d, cell_id LIMIT {IVF_PROBE}
+    )
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+)
+SELECT vec_id, sq8_sim FROM (
+    SELECT r.vec_id,
+           round({_dot_sql('r.rv', 'q.qv')}
+                 / (sqrt({_dot_sql('r.rv', 'r.rv')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS sq8_sim
+    FROM recon r
+    JOIN assigned s ON s.vec_id = r.vec_id
+    JOIN probe p ON p.cell_id = s.cell_id
+    CROSS JOIN q
+    WHERE r.vec_id <> {KNN_QUERY_VEC_ID}
+)
+ORDER BY sq8_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
+
 KNN_FILTER_LANG = "en"
 
 # The knn_ivf ranking restricted to candidates whose DOCUMENT passes
@@ -2875,6 +2930,8 @@ SPECS = [
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_sq8", q_knn_sq8, KNN_SQ8_SQL,
               ("llm", "similarity", "index"), bench=True),
+    QuerySpec("knn_ivf_sq8", q_knn_ivf_sq8, KNN_IVF_SQ8_SQL,
+              ("llm", "similarity", "index")),
     QuerySpec("sq8_reconstruction_report", q_sq8_reconstruction_report,
               SQ8_REPORT_SQL, ("llm", "similarity", "index")),
     QuerySpec("kmeanspp_seeds", q_kmeanspp_seeds, _kpp_oracle(KPP_K),

@@ -143,6 +143,8 @@ GATE_PRIORITY = (
     # search_hybrid_indexed in-window) ---
     "knn_sq8",
     "sq8_reconstruction_report",
+    "knn_ivf_sq8",  # IVF,SQ8 factory composition (eval_contamination
+    # retired — r4-r6 greens; text family stays via the bpe_* block)
     "knn_ivf",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -151,7 +153,6 @@ GATE_PRIORITY = (
     "docs_stream_curate",  # streaming/stateful anchor
     "weighted_sample_orders",  # layout anchor
     "media_features",
-    "eval_contamination",
     "kmv_distinct_users",
     # (embedding_gram_matrix anchor retired from the window to make
     # room for knn_ivf_compacted's first driver row — it holds a

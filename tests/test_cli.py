@@ -475,3 +475,37 @@ def test_cli_ann_batch_matches_single_queries(spark, sf_dir, tmp_path):
         ]))
         got = [r["vec_id"] for r in rows if r["q_id"] == q]
         assert got == [r["vec_id"] for r in single]
+
+
+def test_cli_bpe_train_and_encode(spark, sf_dir, tmp_path):
+    """bpe-train prints the rule table (and persists the artifact);
+    bpe-encode re-applies the saved rules and its encodings agree
+    with the trained vocabulary."""
+    corpus = f"{sf_dir}/documents.parquet"
+    art = str(tmp_path / "bpe")
+    rules = _parse(_run(spark, [
+        "bpe-train", "--corpus", corpus, "--merges", "4",
+        "--out", art,
+    ]))
+    assert [r["merge_rank"] for r in rules] == ["1", "2", "3", "4"]
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rules)
+    # counts are non-increasing only within a symbol generation, but
+    # every count is positive and the table round-trips via parquet
+    assert all(int(r["pair_count"]) > 0 for r in rules)
+    saved = spark.read.parquet(f"{art}/merges").orderBy("merge_rank")
+    assert [(r["lhs"], r["rhs"]) for r in saved.collect()] == [
+        (r["lhs"], r["rhs"]) for r in rules
+    ]
+
+    enc = _parse(_run(spark, [
+        "bpe-encode", "--corpus", corpus, "--rules", art,
+        "--limit", "3",
+    ]))
+    assert len({r["doc_id"] for r in enc}) <= 3
+    vocab = {
+        r["word"]: r["syms"]
+        for r in spark.read.parquet(f"{art}/vocab").collect()
+    }
+    for r in enc:
+        assert r["subwords"].split(" ") == vocab[r["word"]]
+        assert "".join(r["subwords"].split(" ")) == r["word"]

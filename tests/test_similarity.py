@@ -1212,3 +1212,26 @@ def test_sq8_report_bounds_error(spark, sf_dir):
     steps = stats.collect()[0]["vstep"]
     bound = sum((s / 2.0) * (s / 2.0) for s in steps) + 1e-6
     assert all(r["max_err2"] <= bound for r in rep)
+
+
+def test_ivf_sq8_full_probe_equals_flat_sq8(spark, sf_dir):
+    """Probing every cell makes IVF,SQ8 exactly the flat SQ8 scan
+    (same identity test_ivf_full_probe_equals_exact pins for the
+    exact path): pruning must restrict candidates and change nothing
+    else. A reduced probe stays a subset of the flat ranking's
+    universe (every returned id belongs to a probed cell)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = sim.sq8_topk(emb, 0, k=7).collect()
+    full = sim.ivf_sq8_topk(
+        emb, 0, n_cells=8, n_probe=8, k=7
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in flat]
+    pruned = sim.ivf_sq8_topk(emb, 0, n_cells=8, n_probe=2, k=7)
+    flat_sims = {r["vec_id"]: r["sq8_sim"]
+                 for r in sim.sq8_topk(emb, 0, k=10**6).collect()}
+    for r in pruned.collect():
+        # pruning never changes a candidate's score, only membership
+        assert flat_sims[r["vec_id"]] == r["sq8_sim"]
