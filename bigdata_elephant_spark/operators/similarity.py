@@ -1777,22 +1777,32 @@ def _sq8_recon(codes: Column, stats_zip: Column) -> Column:
 
 def _sq8_score_tail(
     codes: DataFrame, stats: DataFrame, q: DataFrame, k: int, id_col: str
-) -> Column:
+) -> DataFrame:
     """Shared asymmetric-scan tail: decode every candidate's codes,
     score against the exact query, top-k by (rounded sim, id). One
     definition so the SQ8 scoring contract cannot drift between the
     flat and IVF-pruned paths (the same role :func:`_exact_rerank`
-    plays for the exact retrievers)."""
+    plays for the exact retrievers).
+
+    Zero-norm reconstructions are dropped BEFORE the division — a
+    NONZERO vector whose every component lies within half a step of
+    the grid zero reconstructs to exactly [0,...,0], and Spark 4's
+    ANSI mode raises on the divide (the mmr_topk crash class; the
+    oracles carry the same norm>0 predicate). Such a vector has no
+    defined cosine against anything — excluding it is the ranking
+    the exact scorer would give the true zero vector."""
     st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
     return (
         codes.crossJoin(F.broadcast(stats))
         .select(id_col, _sq8_recon(F.col("codes"), st).alias("_recon"))
+        .withColumn("_nrm", F.sqrt(_norm2(F.col("_recon"))))
+        .filter(F.col("_nrm") > 0)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(
                 _dot(F.col("_recon"), F.col("_qvec"))
-                / (F.sqrt(_norm2(F.col("_recon"))) * F.col("_qnrm")),
+                / (F.col("_nrm") * F.col("_qnrm")),
                 6,
             ).alias("sq8_sim"),
         )
@@ -1815,7 +1825,12 @@ def sq8_topk(
     over ``recon`` — the result is the honest compressed-domain
     ranking, quantization error included, which is what
     ``sq8_reconstruction_report`` then bounds."""
-    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:  # empty input: typed-empty result, like the
+        return embeddings.limit(0).select(  # exact/indexed paths
+            id_col, F.lit(0.0).alias("sq8_sim")
+        )
+    stats = sq8_stats(embeddings, dim, vec_col)
     codes = sq8_encode(embeddings, stats, id_col, vec_col)
     q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
     return _sq8_score_tail(
@@ -1840,6 +1855,11 @@ def ivf_sq8_topk(
     candidates, never the quantizers); the code table is 4x smaller
     than the vectors, so the probed read is n_probe/n_cells of a
     quarter of the raw bytes."""
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
+        return embeddings.limit(0).select(
+            id_col, F.lit(0.0).alias("sq8_sim")
+        )
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     q = _query_frame(embeddings, query_vec_id, id_col, vec_col)
     probe_cells = (
@@ -1853,7 +1873,7 @@ def ivf_sq8_topk(
         .select("cell_id")
     )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    stats = sq8_stats(embeddings, dim, vec_col)
     codes = sq8_encode(embeddings, stats, id_col, vec_col)
     candidates = (
         codes.join(assigned, id_col)
@@ -1875,7 +1895,15 @@ def sq8_reconstruction_report(
     squared reconstruction error is one fixed-order fold rounded to
     6; the group average runs over exact decimal sums so partition
     order can't move a digit."""
-    stats = sq8_stats(embeddings, _vec_dim(embeddings, vec_col), vec_col)
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
+        return embeddings.limit(0).select(
+            label_col,
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.lit(0.0).alias("avg_err2"),
+            F.lit(0.0).alias("max_err2"),
+        )
+    stats = sq8_stats(embeddings, dim, vec_col)
     codes = sq8_encode(embeddings, stats, id_col, vec_col)
     st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
     err2 = F.round(

@@ -869,6 +869,8 @@ recon AS (
     FROM codes, st
 )"""
 
+_SQ8_NORM_PRED = f"{_dot_sql('r.rv', 'r.rv')} > 0"
+
 KNN_SQ8_SQL = f"""
 WITH {_SQ8_STATS_CTE},
 q AS (SELECT embedding AS qv FROM embeddings
@@ -879,18 +881,17 @@ SELECT vec_id, sq8_sim FROM (
                  / (sqrt({_dot_sql('r.rv', 'r.rv')})
                     * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS sq8_sim
     FROM recon r, q
-    WHERE r.vec_id <> {KNN_QUERY_VEC_ID}
+    -- zero-norm reconstructions dropped, mirroring the Spark-side
+    -- ANSI divide-by-zero guard (_sq8_score_tail)
+    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> {KNN_QUERY_VEC_ID}
 )
 ORDER BY sq8_sim DESC, vec_id
 LIMIT {KNN_K}
 """
 
-_SQ8_ERR2 = (
-    f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
-    "i -> (CAST(e.embedding[i] AS DOUBLE) - r.rv[i]) "
-    "* (CAST(e.embedding[i] AS DOUBLE) - r.rv[i])), "
-    "(x, y) -> x + y)"
-)
+# the shared L2 fold template (the CAST on the already-DOUBLE rv
+# is a no-op, so the arithmetic is unchanged)
+_SQ8_ERR2 = _l2_sql('e.embedding', 'r.rv')
 
 SQ8_REPORT_SQL = f"""
 WITH {_SQ8_STATS_CTE},
@@ -1162,7 +1163,7 @@ SELECT vec_id, sq8_sim FROM (
     JOIN assigned s ON s.vec_id = r.vec_id
     JOIN probe p ON p.cell_id = s.cell_id
     CROSS JOIN q
-    WHERE r.vec_id <> {KNN_QUERY_VEC_ID}
+    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> {KNN_QUERY_VEC_ID}
 )
 ORDER BY sq8_sim DESC, vec_id
 LIMIT {KNN_K}

@@ -1235,3 +1235,39 @@ def test_ivf_sq8_full_probe_equals_flat_sq8(spark, sf_dir):
     for r in pruned.collect():
         # pruning never changes a candidate's score, only membership
         assert flat_sims[r["vec_id"]] == r["sq8_sim"]
+
+
+def test_sq8_zero_reconstruction_guard(spark):
+    """A NONZERO vector whose components all sit within half a
+    quantization step of the grid zero reconstructs to exactly
+    [0,...,0]; scoring must drop it (no defined cosine) instead of
+    raising Spark 4's ANSI DIVIDE_BY_ZERO — the adversarial-review
+    repro for the mmr_topk crash class."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rows = [(0, [1.0, 2.0]), (1, [-128.0, -128.0]),
+            (2, [127.0, 127.0]), (3, [0.3, 0.3])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = sim.sq8_topk(emb, 0, k=10).collect()  # must not raise
+    assert 3 not in {r["vec_id"] for r in got}  # zero-recon dropped
+    assert {r["vec_id"] for r in got} == {1, 2}
+    ivf = sim.ivf_sq8_topk(emb, 0, n_cells=2, n_probe=2, k=10).collect()
+    assert 3 not in {r["vec_id"] for r in ivf}
+
+
+def test_sq8_empty_input_typed_empty(spark):
+    """Empty embeddings: all three SQ8 entry points return typed
+    empty frames (the d74e2ff convention), never a TypeError from
+    range(None)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert sim.sq8_topk(emb, 0).collect() == []
+    assert sim.ivf_sq8_topk(emb, 0).collect() == []
+    rep = sim.sq8_reconstruction_report(emb)
+    assert rep.collect() == []
+    assert rep.columns == ["label", "n_vecs", "avg_err2", "max_err2"]
