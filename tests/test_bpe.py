@@ -167,3 +167,46 @@ def test_fold_golden(spark, word, rules, want):
     for lhs, rhs, merged in rules:
         col = bpe._merge_fold(col, lhs, rhs, merged)
     assert df.select(col.alias("out")).collect()[0]["out"] == want
+
+
+def _py_merge(syms, lhs, rhs, merged):
+    """Pure-Python reference of the left-to-right non-overlap fold."""
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == lhs and x == rhs:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def test_fold_matches_python_reference_exhaustively(spark):
+    """EVERY word up to length 6 over {a, b} (126 words), under each
+    of three rules — including the adversarial self-merge rules
+    (a,a) and (b,b) where overlap handling matters most. One Spark
+    job per rule; the Python fold is the independent referee."""
+    from itertools import product
+
+    words = [
+        "".join(p)
+        for n in range(1, 7)
+        for p in product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["word"]).select(
+        "word", F.split("word", "").alias("syms")
+    )
+    for lhs, rhs in [("a", "b"), ("a", "a"), ("b", "b")]:
+        merged = lhs + rhs
+        got = {
+            r["word"]: r["out"]
+            for r in df.select(
+                "word",
+                bpe._merge_fold(F.col("syms"), lhs, rhs, merged).alias(
+                    "out"
+                ),
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == _py_merge(list(w), lhs, rhs, merged), (
+                w, lhs, rhs, got[w],
+            )

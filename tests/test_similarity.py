@@ -1271,3 +1271,40 @@ def test_sq8_empty_input_typed_empty(spark):
     rep = sim.sq8_reconstruction_report(emb)
     assert rep.collect() == []
     assert rep.columns == ["label", "n_vecs", "avg_err2", "max_err2"]
+
+
+def test_sq8_encode_matches_numpy_reference(spark):
+    """sq8_stats/sq8_encode against an independent NumPy float64
+    replica of the same IEEE expression tree (min/max per dim,
+    step=(mx-mn)/255, clamp(floor((x-mn)/step+0.5)))."""
+    import numpy as np
+
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(42)
+    m = rng.normal(scale=3.0, size=(40, 5)).astype(np.float32)
+    m[:, 3] = 1.25  # constant dimension
+    rows = [(i, [float(x) for x in m[i]]) for i in range(len(m))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(4)
+    stats = sim.sq8_stats(emb, 5)
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sim.sq8_encode(emb, stats).collect()
+    }
+    md = m.astype(np.float64)
+    mn, mx = md.min(axis=0), md.max(axis=0)
+    step = (mx - mn) / 255.0
+    for i in range(len(m)):
+        for d in range(5):
+            if step[d] == 0.0:
+                want = 0
+            else:
+                want = int(
+                    min(
+                        max(np.floor((md[i, d] - mn[d]) / step[d] + 0.5), 0),
+                        255,
+                    )
+                )
+            assert codes[i][d] == want, (i, d, codes[i][d], want)
