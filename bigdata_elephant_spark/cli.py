@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--cells", type=int, default=16)
     sp.add_argument("--pq", action="store_true")
+    sp.add_argument("--sq8", action="store_true",
+                    help="store SQ8 scalar-quantized codes instead "
+                         "of raw vectors (FAISS IVFx,SQ8: 4x "
+                         "smaller probes, asymmetric scoring)")
     sp.add_argument("--sub", type=int, default=4,
                     help="PQ subspaces (with --pq)")
     sp.add_argument("--sub-dim", type=int, default=16,
@@ -386,14 +390,19 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         from bigdata_elephant_spark.operators.similarity import (
             build_ivf_index,
             build_ivfpq_index,
+            build_ivfsq8_index,
         )
 
+        if args.pq and args.sq8:
+            p.error("--pq and --sq8 are mutually exclusive layouts")
         emb = spark.read.parquet(args.embeddings)
         if args.pq:
             build_ivfpq_index(
                 emb, args.out, n_cells=args.cells, n_sub=args.sub,
                 sub_dim=args.sub_dim, n_codes=args.codes,
             )
+        elif args.sq8:
+            build_ivfsq8_index(emb, args.out, n_cells=args.cells)
         else:
             build_ivf_index(emb, args.out, n_cells=args.cells)
     elif args.cmd == "ann-add":
@@ -403,11 +412,19 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             update_ivfpq_index,
         )
 
-        fn = (
-            update_ivfpq_index
-            if index_kind(args.index) == "ivfpq"
-            else update_ivf_index
-        )
+        kind = index_kind(args.index)
+        if kind == "ivfsq8":
+            # SQ8 range stats are trained once over the build corpus;
+            # a delta outside [vmin, vmax] would mis-encode (clamp to
+            # the old range) — unlike IVF/IVFPQ appends, which reuse
+            # frozen geometry losslessly. FAISS retrains the SQ on
+            # rebuild for the same reason.
+            p.error(
+                "ann-add is not supported for an --sq8 index: the "
+                "per-dimension range is trained at build time and a "
+                "delta can exceed it — rebuild with ann-build --sq8"
+            )
+        fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
         fn(spark, args.index, spark.read.parquet(args.embeddings))
     elif args.cmd == "ann-delete":
         from bigdata_elephant_spark.operators.similarity import (
@@ -447,10 +464,53 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         )
     elif args.cmd == "ann-query":
         from bigdata_elephant_spark.operators.similarity import (
+            index_kind,
             ivf_topk_indexed,
+            ivfsq8_topk_indexed,
         )
 
         vec_id, source = args.vec_id, None
+        if index_kind(args.index) == "ivfsq8":
+            # asymmetric scan: the query must come exact from a raw
+            # source (--embeddings for a stored id, or --vec)
+            if args.vec is not None:
+                from bigdata_elephant_spark.operators.similarity import (
+                    read_index_manifest,
+                )
+
+                vec = [float(x) for x in args.vec.split(",")]
+                dim = (read_index_manifest(args.index) or {}).get("dim")
+                if dim is not None and len(vec) != dim:
+                    p.error(
+                        f"--vec has {len(vec)} components but index "
+                        f"'{args.index}' stores {dim}-dimensional "
+                        "vectors"
+                    )
+                vec_id = -1
+                source = spark.createDataFrame(
+                    [(-1, vec)], "vec_id long, embedding array<float>"
+                )
+            elif args.embeddings is None:
+                p.error(
+                    "an --sq8 index stores quantized codes only: "
+                    "query by --vec, or pass --embeddings so "
+                    "--vec-id can fetch the exact query vector"
+                )
+            else:
+                source = spark.read.parquet(args.embeddings)
+            _print_rows(
+                ivfsq8_topk_indexed(
+                    spark, args.index, vec_id, source=source,
+                    n_probe=args.probe, k=args.k,
+                    allowed=(
+                        spark.read.parquet(args.allowed)
+                        if args.allowed
+                        else None
+                    ),
+                ),
+                out,
+            )
+            return 0
         if args.vec is not None:
             # literal query vector: ship it as a one-row source
             # table under a sentinel id that cannot collide with
@@ -540,7 +600,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         )
 
         kind = index_kind(args.index)
-        sub_t = "codes" if kind == "ivfpq" else "vectors"
+        sub_t = "codes" if kind in ("ivfpq", "ivfsq8") else "vectors"
         man = read_index_manifest(args.index) or {}
         cur = _table_path(args.index, sub_t)
         files_per_cell: dict[str, int] = {}

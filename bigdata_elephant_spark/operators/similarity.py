@@ -953,7 +953,8 @@ def update_ivf_index(
 
 def compact_index(spark, path: str) -> None:
     """Rewrite an index's corpus-sized table (``vectors/`` for IVF,
-    ``codes/`` for IVF-PQ — dispatched from the manifest) so each
+    ``codes/`` for IVF-PQ and IVF,SQ8 — dispatched from the
+    manifest) so each
     cell holds ONE file again. Every :func:`update_ivf_index` /
     :func:`update_ivfpq_index` append adds a file per touched cell;
     after many small deltas a probe pays per-file open/footer costs
@@ -998,7 +999,7 @@ def compact_index(spark, path: str) -> None:
 
     man = read_index_manifest(path) or {}
     kind = index_kind(path)
-    sub = "codes" if kind == "ivfpq" else "vectors"
+    sub = "codes" if kind in ("ivfpq", "ivfsq8") else "vectors"
     tables = man.get("tables")
     cur = tables.get(sub, sub) if isinstance(tables, dict) else sub
     ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
@@ -1940,6 +1941,106 @@ def sq8_reconstruction_report(
             "max_err2",
         )
         .orderBy(label_col)
+    )
+
+
+def build_ivfsq8_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write-side ``IVF{n},SQ8`` materialization — the FAISS
+    index-file shape for this factory string:
+
+    - ``{path}/centroids`` — ``(cell_id, cvec)`` (coarse quantizer),
+    - ``{path}/sq8_stats`` — the ONE-row per-dim (vmin, vstep) frame,
+    - ``{path}/codes`` — ``(vec_id, codes)`` partitioned by
+      ``cell_id``: a probe is static partition pruning over a table
+      4x smaller than the raw vectors.
+
+    Both quantizers train on the full table, exactly as
+    :func:`ivf_sq8_topk` does inline, so a query over this layout
+    returns identical rows (equivalence-tested)."""
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
+        raise ValueError(
+            "build_ivfsq8_index: embeddings input is empty — an SQ8 "
+            "range cannot be trained on zero rows"
+        )
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    stats = sq8_stats(embeddings, dim, vec_col)
+    codes = sq8_encode(embeddings, stats, id_col, vec_col)
+    (
+        codes.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/codes")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    stats.write.mode("overwrite").parquet(f"{path}/sq8_stats")
+    write_index_manifest(
+        path, kind="ivfsq8", dim=dim, n_cells=n_cells
+    )
+    _verify_pointer_reset(path, "codes", "build_ivfsq8_index")
+    _expire_versions(path, "codes", keep=("codes",))
+    _expire_versions(path, "tombstones")
+
+
+def ivfsq8_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec_id: int,
+    source: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """``IVF,SQ8`` top-k over a :func:`build_ivfsq8_index` layout:
+    probe the ``n_probe`` nearest cells (centroid table is index
+    metadata), statically partition-prune the codes scan to the
+    probed cells, decode + score via the shared SQ8 tail. The query
+    vector comes exact from ``source``; only quantized codes are
+    read corpus-side. Scoring is identical to :func:`ivf_sq8_topk`,
+    row-for-row (equivalence-tested); ``allowed`` composes filtered
+    search on the pruned scan exactly like the IVF/IVF-PQ layouts."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    stats = spark.read.parquet(f"{index_path}/sq8_stats")
+    raw = _index_rows(spark, index_path, "codes")
+    if raw is None:  # every row tombstoned + compacted: empty index
+        return spark.createDataFrame(
+            [], f"{id_col} long, sq8_sim double"
+        )
+    codes = _live_rows(spark, index_path, raw, id_col)
+    q = _query_frame(source, query_vec_id, id_col, vec_col)
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "cell_id")
+        .limit(n_probe)
+    )
+    # Probe-cell ids are index METADATA (n_probe ints) — collect so
+    # the codes scan is STATIC partition pruning on the cell_id
+    # layout, not a join the planner may or may not prune.
+    probe_ids = [r["cell_id"] for r in probe.collect()]
+    cand = codes.filter(F.col("cell_id").isin(probe_ids)).filter(
+        F.col(id_col) != query_vec_id
+    )
+    if allowed is not None:
+        cand = cand.join(
+            F.broadcast(_allowed_ids(allowed, id_col)),
+            id_col,
+            "left_semi",
+        )
+    return _sq8_score_tail(
+        cand.select(id_col, "codes"), stats, q, k, id_col
     )
 
 

@@ -1171,6 +1171,45 @@ LIMIT {KNN_K}
 
 
 
+_IVFSQ8_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def ivfsq8_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-process materialized IVF,SQ8 index for ``sf_dir``'s
+    embeddings (same lifecycle as :func:`ivf_index_path`)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _ann_cache_key(sf_dir)
+    path = _IVFSQ8_INDEX_CACHE.get(key)
+    if path is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="elephant_ivfsq8_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivfsq8_index(emb, path, n_cells=IVF_CELLS)
+        _IVFSQ8_INDEX_CACHE[key] = path
+    return path
+
+
+def q_ivfsq8_topk_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF,SQ8 over the *materialized* layout (similarity.py
+    ``build_ivfsq8_index``): codes persisted partitioned by cell_id
+    (4x smaller than the vectors), probe = static partition pruning,
+    per-dim range stats read as index metadata. Semantics identical
+    to the inline ``knn_ivf_sq8`` — hence the shared oracle: a stale
+    stats frame, wrong cell routing, or a lost code row
+    hash-mismatches."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = ivfsq8_index_path(spark, sf_dir)
+    return similarity.ivfsq8_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, source=emb, n_probe=IVF_PROBE,
+        k=KNN_K,
+    )
+
+
 KNN_FILTER_LANG = "en"
 
 # The knn_ivf ranking restricted to candidates whose DOCUMENT passes
@@ -2933,6 +2972,8 @@ SPECS = [
               ("llm", "similarity", "index"), bench=True),
     QuerySpec("knn_ivf_sq8", q_knn_ivf_sq8, KNN_IVF_SQ8_SQL,
               ("llm", "similarity", "index")),
+    QuerySpec("knn_ivf_sq8_indexed", q_ivfsq8_topk_indexed,
+              KNN_IVF_SQ8_SQL, ("llm", "similarity", "index")),
     QuerySpec("sq8_reconstruction_report", q_sq8_reconstruction_report,
               SQ8_REPORT_SQL, ("llm", "similarity", "index")),
     QuerySpec("kmeanspp_seeds", q_kmeanspp_seeds, _kpp_oracle(KPP_K),

@@ -145,7 +145,9 @@ GATE_PRIORITY = (
     "sq8_reconstruction_report",
     "knn_ivf_sq8",  # IVF,SQ8 factory composition (eval_contamination
     # retired — r4-r6 greens; text family stays via the bpe_* block)
-    "knn_ivf",
+    "knn_ivf_sq8_indexed",  # same oracle over the persisted layout
+    # (knn_ivf retired — its oracle stays gate-exercised through
+    # knn_ivf_indexed/incremental/compacted, all in-window)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",

@@ -509,3 +509,53 @@ def test_cli_bpe_train_and_encode(spark, sf_dir, tmp_path):
     for r in enc:
         assert r["subwords"].split(" ") == vocab[r["word"]]
         assert "".join(r["subwords"].split(" ")) == r["word"]
+
+
+def test_cli_ann_build_sq8_and_query(spark, sf_dir, tmp_path):
+    """ann-build --sq8 writes the codes layout; ann-query
+    auto-dispatches on the manifest kind (stored-id query needs
+    --embeddings for the exact query vector; --vec works without);
+    ann-add refuses (range trained at build time); ann-stats reads
+    the codes table."""
+    import pytest
+
+    idx = str(tmp_path / "sq8idx")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", idx, "--cells", "8", "--sq8"])
+
+    rows = _parse(_run(spark, [
+        "ann-query", "--index", idx, "--vec-id", "0",
+        "--embeddings", emb_path, "-k", "5", "--probe", "3",
+    ]))
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(emb_path)
+    want = sim.ivf_sq8_topk(
+        emb, 0, n_cells=8, n_probe=3, k=5
+    ).collect()
+    assert [r["vec_id"] for r in rows] == [
+        str(r["vec_id"]) for r in want
+    ]
+
+    # literal-vector query: no --embeddings needed
+    qv = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    lit = _parse(_run(spark, [
+        "ann-query", "--index", idx,
+        "--vec=" + ",".join(str(x) for x in qv),
+        "-k", "5", "--probe", "3",
+    ]))
+    assert len(lit) == 5
+
+    # stored-id without --embeddings: clear argparse error
+    with pytest.raises(SystemExit):
+        _run(spark, ["ann-query", "--index", idx, "--vec-id", "0"])
+    # appends refused for the SQ8 layout
+    with pytest.raises(SystemExit):
+        _run(spark, ["ann-add", "--index", idx,
+                     "--embeddings", emb_path])
+
+    stats = _parse(_run(spark, ["ann-stats", "--index", idx]))
+    got = {r["stat"]: r["value"] for r in stats}
+    assert got["kind"] == "ivfsq8"
+    assert int(got["rows"]) == emb.count()

@@ -1308,3 +1308,67 @@ def test_sq8_encode_matches_numpy_reference(spark):
                     )
                 )
             assert codes[i][d] == want, (i, d, codes[i][d], want)
+
+
+def test_ivfsq8_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The materialized IVF,SQ8 layout returns the inline scorer's
+    rows exactly, and its codes scan is statically partition-pruned
+    to the probed cells."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq8")
+    sim.build_ivfsq8_index(emb, path, n_cells=8)
+    inline = sim.ivf_sq8_topk(
+        emb, 0, n_cells=8, n_probe=3, k=5
+    ).collect()
+    indexed_df = sim.ivfsq8_topk_indexed(
+        spark, path, 0, source=emb, n_probe=3, k=5
+    )
+    assert [tuple(r) for r in indexed_df.collect()] == [
+        tuple(r) for r in inline
+    ]
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "cell_id" in ln and " in " in ln.lower() for ln in scan_lines
+    ), f"no partition filter on cell_id:\n{plan[:2000]}"
+
+
+def test_ivfsq8_delete_and_compact_lifecycle(spark, sf_dir, tmp_path):
+    """Tombstone deletes hide rows immediately on the SQ8 layout,
+    compaction applies them physically (codes/ generation flip), and
+    results are unchanged across the flip."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq8")
+    sim.build_ivfsq8_index(emb, path, n_cells=8)
+    before = sim.ivfsq8_topk_indexed(
+        spark, path, 0, source=emb, n_probe=8, k=3
+    ).collect()
+    victims = [r["vec_id"] for r in before]
+    sim.delete_from_index(spark, path, victims)
+    after = sim.ivfsq8_topk_indexed(
+        spark, path, 0, source=emb, n_probe=8, k=3
+    ).collect()
+    assert not ({r["vec_id"] for r in after} & set(victims))
+    sim.compact_index(spark, path)
+    compacted = sim.ivfsq8_topk_indexed(
+        spark, path, 0, source=emb, n_probe=8, k=3
+    ).collect()
+    assert [tuple(r) for r in compacted] == [tuple(r) for r in after]
+
+
+def test_ivfsq8_build_rejects_empty(spark):
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        sim.build_ivfsq8_index(emb, "/tmp/never-written-ivfsq8")

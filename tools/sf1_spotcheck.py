@@ -59,8 +59,11 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # BPE trains on the vocab table, so a 10x corpus should
          # move only the one tokenize scan (sublinear); SQ8's
          # asymmetric scan is a full pass over reconstructions
-         # (expect ~the exact-knn slope)
-         "bpe_merges", "knn_sq8")
+         # (expect ~the exact-knn slope); the persisted IVF,SQ8
+         # pair shows the pruned-codes amortization vs its inline
+         # twin, like every *_indexed row above
+         "bpe_merges", "knn_sq8",
+         "knn_ivf_sq8", "knn_ivf_sq8_indexed")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
