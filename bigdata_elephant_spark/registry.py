@@ -80,9 +80,9 @@ GATE_PRIORITY = (
     # r01-r06 and stays under the driver-faithful local gate at every
     # SF (tests/test_oracle_parity.py).
     #
-    # --- never driver-gated (with the new round-7 queries below,
-    # green rows here mean all 222 oracled queries have been
-    # driver-verified at least once) ---
+    # --- never driver-gated (with the round-7 additions below —
+    # all of which sit in this window — green rows here mean all 229
+    # oracled queries have been driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",
     "knn_ivf_batch",
