@@ -1531,6 +1531,146 @@ ORDER BY q_id
 """
 
 
+def q_sq8_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@k of the SQ8 compressed-domain ranking against exact
+    cosine for the probe batch — the companion trust gate to
+    `sq8_reconstruction_report` (that one bounds geometric error;
+    this one measures what actually matters, the ranking). Same
+    construction as `ann_recall_report` with the LSH retriever
+    swapped for the asymmetric SQ8 scan."""
+    from bigdata_elephant_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        _sq8_recon,
+        _vec_dim,
+        cosine_topk_batch,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = cosine_topk_batch(emb, BATCH_QUERY_IDS, k=BATCH_K)
+    stats = sq8_stats(emb, _vec_dim(emb, "embedding"))
+    codes = sq8_encode(emb, stats)
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    recon = (
+        codes.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id", _sq8_recon(F.col("codes"), st).alias("_rv")
+        )
+        .withColumn("_nrm", F.sqrt(_norm2(F.col("_rv"))))
+        .filter(F.col("_nrm") > 0)
+    )
+    q = emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_qvec"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("_qnrm"),
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("_rv"), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("sq8_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("sq8_sim"), F.asc("vec_id")
+    )
+    sq = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= BATCH_K
+    )
+    hits = (
+        ex.join(sq.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.lit(BATCH_K), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _sq8_recall_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _SQ8_NORM_PRED,
+        _SQ8_STATS_CTE,
+        _dot_sql,
+    )
+
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    sq8 = (
+        f"round({_dot_sql('r.rv', 'q.qv')}"
+        f" / (sqrt({_dot_sql('r.rv', 'r.rv')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    return f"""
+WITH {_SQ8_STATS_CTE},
+q AS (
+    SELECT vec_id AS q_id, embedding AS qv
+    FROM embeddings WHERE vec_id IN ({ids})
+),
+exs AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+),
+ex AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM exs
+    ) WHERE rn <= {BATCH_K}
+),
+sqs AS (
+    SELECT q.q_id, r.vec_id, {sq8} AS sq8_sim
+    FROM recon r, q
+    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> q.q_id
+),
+sqt AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sq8_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM sqs
+    ) WHERE rn <= {BATCH_K}
+),
+hits AS (
+    SELECT e.q_id, count(*) AS c
+    FROM ex e JOIN sqt s
+      ON e.q_id = s.q_id AND e.vec_id = s.vec_id
+    GROUP BY 1
+)
+SELECT q.q_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.c, 0) / {BATCH_K}, 6) AS recall
+FROM q LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
 # --------------------------------------- quantile normalization
 
 
@@ -2719,6 +2859,12 @@ SPECS = [
         "ann_recall_report",
         q_ann_recall_report,
         _ann_recall_sql(),
+        tags=("similarity", "index"),
+    ),
+    QuerySpec(
+        "sq8_recall_report",
+        q_sq8_recall_report,
+        _sq8_recall_sql,
         tags=("similarity", "index"),
     ),
     QuerySpec(

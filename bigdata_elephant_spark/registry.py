@@ -115,7 +115,6 @@ GATE_PRIORITY = (
     "knn_ivf_indexed",  # ann index now writes a manifest
     # --- regression re-gates / drift anchors ---
     "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
-    "pagerank_dangling",
     "doc_meta",
     "postings_build",
     "search_reference",
@@ -148,6 +147,9 @@ GATE_PRIORITY = (
     "knn_ivf_sq8_indexed",  # same oracle over the persisted layout
     # (knn_ivf retired — its oracle stays gate-exercised through
     # knn_ivf_indexed/incremental/compacted, all in-window)
+    "sq8_recall_report",  # ranking trust gate for the SQ8 family
+    # (pagerank_dangling retired — r6 green; graph family stays
+    # in-window via the pagerank_dupgraph drift anchor)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",
