@@ -84,6 +84,46 @@ def _print_rows(df: DataFrame, file) -> None:
         )
 
 
+def _literal_vec_source(p, spark, args):
+    """Parse ``--vec`` into the one-row sentinel source table (id -1
+    cannot collide with stored vectors — ids are non-negative on
+    ingest), validating length against the index dimension up front:
+    zip_with pads mismatched arrays with nulls, so a wrong-length
+    vector would silently yield null distances and arbitrary probe
+    cells instead of an error. The dimension comes from the
+    manifest.json written at ann-build time (a plain file read — no
+    Spark job per query); pre-manifest dirs fall back to one
+    centroids footer read. Validation is best-effort: a missing or
+    unreadable index path skips the check and surfaces as the query
+    function's usual error. ONE definition for every index kind."""
+    from bigdata_elephant_spark.operators.similarity import (
+        read_index_manifest,
+    )
+
+    vec = [float(x) for x in args.vec.split(",")]
+    dim = (read_index_manifest(args.index) or {}).get("dim")
+    if dim is None:
+        from pyspark.sql import functions as F
+
+        try:
+            row = (
+                spark.read.parquet(f"{args.index}/centroids")
+                .select(F.size("cvec").alias("dim"))
+                .first()
+            )
+            dim = None if row is None else row["dim"]
+        except Exception:
+            dim = None
+    if dim is not None and len(vec) != dim:
+        p.error(
+            f"--vec has {len(vec)} components but index "
+            f"'{args.index}' stores {dim}-dimensional vectors"
+        )
+    return spark.createDataFrame(
+        [(-1, vec)], "vec_id long, embedding array<float>"
+    )
+
+
 def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     p = argparse.ArgumentParser(prog="bigdata_elephant_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -441,131 +481,77 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         )
 
         compact_index(spark, args.index)
-    elif args.cmd == "ann-query" and args.pq:
-        from bigdata_elephant_spark.operators.similarity import (
-            ivfpq_topk_indexed,
-        )
-
-        if args.vec is not None or args.embeddings is None:
-            p.error("--pq queries need --vec-id and --embeddings")
-        _print_rows(
-            ivfpq_topk_indexed(
-                spark, args.index, args.vec_id,
-                source=spark.read.parquet(args.embeddings),
-                n_probe=args.probe, shortlist=args.shortlist,
-                k=args.k,
-                allowed=(
-                    spark.read.parquet(args.allowed)
-                    if args.allowed
-                    else None
-                ),
-            ),
-            out,
-        )
     elif args.cmd == "ann-query":
         from bigdata_elephant_spark.operators.similarity import (
             index_kind,
             ivf_topk_indexed,
+            ivfpq_topk_indexed,
             ivfsq8_topk_indexed,
         )
 
+        # Dispatch on the INDEX KIND first (manifest, with a layout
+        # fallback that distinguishes all three kinds): flag-first
+        # routing sent "--pq on an sq8 index" into a raw read error
+        # and "no flag on an ivfpq index" into the IVF reader, which
+        # finds no vectors/ and silently prints zero rows from a
+        # populated index.
+        kind = index_kind(args.index)
+        if args.pq and kind != "ivfpq":
+            p.error(
+                f"--pq passed but index '{args.index}' is "
+                f"kind={kind} — the flag is only meaningful (and "
+                "optional) for an ivfpq layout"
+            )
+        allowed = (
+            spark.read.parquet(args.allowed) if args.allowed else None
+        )
         vec_id, source = args.vec_id, None
-        if index_kind(args.index) == "ivfsq8":
+        if args.vec is not None:
+            vec_id, source = -1, _literal_vec_source(p, spark, args)
+        if kind == "ivfpq":
+            if source is not None or args.embeddings is None:
+                p.error(
+                    "an ivfpq index needs --vec-id and --embeddings "
+                    "(ADC probes the codes; the exact re-rank reads "
+                    "the raw vectors)"
+                )
+            _print_rows(
+                ivfpq_topk_indexed(
+                    spark, args.index, vec_id,
+                    source=spark.read.parquet(args.embeddings),
+                    n_probe=args.probe, shortlist=args.shortlist,
+                    k=args.k, allowed=allowed,
+                ),
+                out,
+            )
+        elif kind == "ivfsq8":
             # asymmetric scan: the query must come exact from a raw
             # source (--embeddings for a stored id, or --vec)
-            if args.vec is not None:
-                from bigdata_elephant_spark.operators.similarity import (
-                    read_index_manifest,
-                )
-
-                vec = [float(x) for x in args.vec.split(",")]
-                dim = (read_index_manifest(args.index) or {}).get("dim")
-                if dim is not None and len(vec) != dim:
+            if source is None:
+                if args.embeddings is None:
                     p.error(
-                        f"--vec has {len(vec)} components but index "
-                        f"'{args.index}' stores {dim}-dimensional "
-                        "vectors"
+                        "an --sq8 index stores quantized codes "
+                        "only: query by --vec, or pass --embeddings "
+                        "so --vec-id can fetch the exact query "
+                        "vector"
                     )
-                vec_id = -1
-                source = spark.createDataFrame(
-                    [(-1, vec)], "vec_id long, embedding array<float>"
-                )
-            elif args.embeddings is None:
-                p.error(
-                    "an --sq8 index stores quantized codes only: "
-                    "query by --vec, or pass --embeddings so "
-                    "--vec-id can fetch the exact query vector"
-                )
-            else:
                 source = spark.read.parquet(args.embeddings)
             _print_rows(
                 ivfsq8_topk_indexed(
                     spark, args.index, vec_id, source=source,
-                    n_probe=args.probe, k=args.k,
-                    allowed=(
-                        spark.read.parquet(args.allowed)
-                        if args.allowed
-                        else None
-                    ),
+                    n_probe=args.probe, k=args.k, allowed=allowed,
                 ),
                 out,
             )
-            return 0
-        if args.vec is not None:
-            # literal query vector: ship it as a one-row source
-            # table under a sentinel id that cannot collide with
-            # stored vectors (ids are non-negative on ingest)
-            vec = [float(x) for x in args.vec.split(",")]
-            # Validate against the index dimension up front:
-            # zip_with pads mismatched arrays with nulls, so a
-            # wrong-length vector would silently yield null
-            # distances and arbitrary probe cells instead of an
-            # error. The dimension comes from the manifest.json
-            # written at ann-build time (a plain file read — no
-            # Spark job per query); pre-manifest index dirs fall
-            # back to one centroids footer read. Validation is
-            # best-effort: a missing/unreadable index path skips the
-            # check and surfaces as ivf_topk_indexed's usual error,
-            # not a confusing failure inside validation.
-            from bigdata_elephant_spark.operators.similarity import (
-                read_index_manifest,
-            )
-
-            dim = (read_index_manifest(args.index) or {}).get("dim")
-            if dim is None:
-                from pyspark.sql import functions as _F
-
-                try:
-                    row = (
-                        spark.read.parquet(f"{args.index}/centroids")
-                        .select(_F.size("cvec").alias("dim"))
-                        .first()
-                    )
-                    dim = None if row is None else row["dim"]
-                except Exception:
-                    dim = None
-            if dim is not None and len(vec) != dim:
-                p.error(
-                    f"--vec has {len(vec)} components but index "
-                    f"'{args.index}' stores {dim}-dimensional "
-                    "vectors"
-                )
-            vec_id = -1
-            source = spark.createDataFrame(
-                [(-1, vec)], "vec_id long, embedding array<float>"
-            )
-        _print_rows(
-            ivf_topk_indexed(
-                spark, args.index, vec_id,
-                n_probe=args.probe, k=args.k, source=source,
-                allowed=(
-                    spark.read.parquet(args.allowed)
-                    if args.allowed
-                    else None
+        else:
+            _print_rows(
+                ivf_topk_indexed(
+                    spark, args.index, vec_id,
+                    n_probe=args.probe, k=args.k, source=source,
+                    allowed=allowed,
                 ),
-            ),
-            out,
-        )
+                out,
+            )
     elif args.cmd == "ann-batch":
         from pyspark.sql import functions as F
 

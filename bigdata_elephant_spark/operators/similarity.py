@@ -819,20 +819,27 @@ def _verify_pointer_reset(path: str, sub: str, op: str) -> None:
 
 
 def index_kind(path: str) -> str:
-    """'ivf' or 'ivfpq', from the manifest when present, else from
-    the layout (IVFPQ has ``codes/``, plain IVF has ``vectors/``) —
-    the ONE dispatch rule shared by maintenance entry points
-    (``ann-add``, ``compact_index``)."""
+    """'ivf', 'ivfpq' or 'ivfsq8', from the manifest when present,
+    else from the layout (plain IVF has ``vectors/``; both quantized
+    layouts have ``codes/``, disambiguated by IVF,SQ8's
+    ``sq8_stats/`` table) — the ONE dispatch rule shared by
+    maintenance and query entry points (``ann-add``, ``ann-query``,
+    ``compact_index``). The layout fallback matters: the manifest
+    write is best-effort, and a mis-guess here would route an SQ8
+    index into the IVF reader, which finds no ``vectors/`` and
+    silently serves empty results from a populated index."""
     import os as _os
 
     kind = (read_index_manifest(path) or {}).get("kind")
     if kind is not None:
         return kind
-    return (
-        "ivfpq"
-        if _os.path.isdir(_os.path.join(path, "codes"))
-        else "ivf"
-    )
+    if _os.path.isdir(_os.path.join(path, "codes")):
+        return (
+            "ivfsq8"
+            if _os.path.isdir(_os.path.join(path, "sq8_stats"))
+            else "ivfpq"
+        )
+    return "ivf"
 
 
 def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
@@ -1087,6 +1094,56 @@ def compact_index(spark, path: str) -> None:
         _expire_versions(path, "tombstones", keep=(tcur,))
 
 
+def _probe_cell_ids(
+    cents: DataFrame, q: DataFrame, n_probe: int
+) -> list:
+    """The ``n_probe`` cell ids nearest the query — index METADATA
+    (ints collected off the broadcast centroid table) so the
+    candidate scan can filter ``cell_id IN (...)`` as STATIC
+    partition pruning. ONE definition pins the probe contract
+    (rounded L2, cell_id tie-break) across every indexed layout;
+    a tie-break fix applied here cannot diverge the layouts from
+    their shared oracles. ``q`` is a 1-row frame with ``_qvec``."""
+    return [
+        r["cell_id"]
+        for r in (
+            cents.crossJoin(F.broadcast(q))
+            .select(
+                "cell_id",
+                F.round(
+                    _l2sq(F.col("cvec"), F.col("_qvec")), 6
+                ).alias("d"),
+            )
+            .orderBy("d", "cell_id")
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+
+
+def _pruned_candidates(
+    rows: DataFrame,
+    probe_ids: list,
+    query_vec_id: int,
+    id_col: str,
+    allowed: DataFrame | None,
+) -> DataFrame:
+    """Shared candidate restriction for the indexed layouts: prune to
+    the probed cells, drop the query row, compose the optional
+    filtered-search id set as a broadcast semi-join ON the pruned
+    scan."""
+    cand = rows.filter(F.col("cell_id").isin(probe_ids)).filter(
+        F.col(id_col) != query_vec_id
+    )
+    if allowed is not None:
+        cand = cand.join(
+            F.broadcast(_allowed_ids(allowed, id_col)),
+            id_col,
+            "left_semi",
+        )
+    return cand
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -1130,28 +1187,10 @@ def ivf_topk_indexed(
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
     )
-    probe = [
-        r.cell_id
-        for r in (
-            cents.crossJoin(F.broadcast(q))
-            .select(
-                "cell_id",
-                F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
-            )
-            .orderBy("d", "cell_id")
-            .limit(n_probe)
-            .collect()
-        )
-    ]
-    candidates = vecs.filter(F.col("cell_id").isin(probe)).filter(
-        F.col(id_col) != query_vec_id
+    probe = _probe_cell_ids(cents, q, n_probe)
+    candidates = _pruned_candidates(
+        vecs, probe, query_vec_id, id_col, allowed
     )
-    if allowed is not None:
-        candidates = candidates.join(
-            F.broadcast(_allowed_ids(allowed, id_col)),
-            id_col,
-            "left_semi",
-        )
     return _exact_rerank(candidates, q, k, id_col, vec_col)
 
 
@@ -2017,28 +2056,10 @@ def ivfsq8_topk_indexed(
         )
     codes = _live_rows(spark, index_path, raw, id_col)
     q = _query_frame(source, query_vec_id, id_col, vec_col)
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cell_id",
-            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias("d"),
-        )
-        .orderBy("d", "cell_id")
-        .limit(n_probe)
+    probe_ids = _probe_cell_ids(cents, q, n_probe)
+    cand = _pruned_candidates(
+        codes, probe_ids, query_vec_id, id_col, allowed
     )
-    # Probe-cell ids are index METADATA (n_probe ints) — collect so
-    # the codes scan is STATIC partition pruning on the cell_id
-    # layout, not a join the planner may or may not prune.
-    probe_ids = [r["cell_id"] for r in probe.collect()]
-    cand = codes.filter(F.col("cell_id").isin(probe_ids)).filter(
-        F.col(id_col) != query_vec_id
-    )
-    if allowed is not None:
-        cand = cand.join(
-            F.broadcast(_allowed_ids(allowed, id_col)),
-            id_col,
-            "left_semi",
-        )
     return _sq8_score_tail(
         cand.select(id_col, "codes"), stats, q, k, id_col
     )

@@ -81,7 +81,7 @@ GATE_PRIORITY = (
     # SF (tests/test_oracle_parity.py).
     #
     # --- never driver-gated (with the round-7 additions below —
-    # all of which sit in this window — green rows here mean all 229
+    # all of which sit in this window — green rows here mean all 230
     # oracled queries have been driver-verified at least once) ---
     "search_batch_indexed",
     "knn_ivfpq_indexed",

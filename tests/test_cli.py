@@ -559,3 +559,48 @@ def test_cli_ann_build_sq8_and_query(spark, sf_dir, tmp_path):
     got = {r["stat"]: r["value"] for r in stats}
     assert got["kind"] == "ivfsq8"
     assert int(got["rows"]) == emb.count()
+
+
+def test_cli_ann_query_kind_first_dispatch(spark, sf_dir, tmp_path):
+    """The review's two dispatch traps, pinned: (a) a manifest-less
+    SQ8 index is still recognized by layout (sq8_stats/ dir), never
+    routed into the IVF reader that would print empty rows from a
+    populated index; (b) an ivfpq index queried WITHOUT --pq
+    dispatches by kind (a missing --embeddings is a clean argparse
+    error, not silent empty output), and --pq on a non-pq index is
+    a clean error too."""
+    import os
+
+    import pytest
+
+    from bigdata_elephant_spark.operators.similarity import index_kind
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    sq8 = str(tmp_path / "sq8")
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", sq8, "--cells", "8", "--sq8"])
+    os.remove(f"{sq8}/manifest.json")
+    assert index_kind(sq8) == "ivfsq8"
+    rows = _parse(_run(spark, [
+        "ann-query", "--index", sq8, "--vec-id", "0",
+        "--embeddings", emb_path, "-k", "3", "--probe", "8",
+    ]))
+    assert len(rows) == 3  # populated index must answer
+
+    pq = str(tmp_path / "pq")
+    _run(spark, ["ann-build", "--embeddings", emb_path,
+                 "--out", pq, "--cells", "8", "--pq"])
+    with pytest.raises(SystemExit):  # kind-dispatched: --embeddings
+        _run(spark, ["ann-query", "--index", pq, "--vec-id", "0"])
+    no_flag = _parse(_run(spark, [
+        "ann-query", "--index", pq, "--vec-id", "0",
+        "--embeddings", emb_path, "-k", "3",
+    ]))
+    with_flag = _parse(_run(spark, [
+        "ann-query", "--index", pq, "--vec-id", "0",
+        "--embeddings", emb_path, "-k", "3", "--pq",
+    ]))
+    assert no_flag == with_flag and len(no_flag) == 3
+    with pytest.raises(SystemExit):  # --pq on a non-pq layout
+        _run(spark, ["ann-query", "--index", sq8, "--vec-id", "0",
+                     "--embeddings", emb_path, "--pq"])
