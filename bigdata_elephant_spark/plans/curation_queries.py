@@ -390,6 +390,117 @@ FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------ DSIR importance resampling
+
+DSIR_M = curation.DSIR_BUCKETS
+DSIR_SELECT_N = 100
+DSIR_SAMPLE_N = 50
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_target(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return docs.filter(F.col("lang") == DSIR_TARGET_LANG).select(
+        "doc_id"
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) deterministic top-n selection: the
+    documents whose hashed-ngram profile best matches the English
+    subset. Extends the reference surface (the reference pipeline
+    stops at the TF index, ``Indexer.java:151-165``)."""
+    docs = _docs(spark, sf_dir)
+    return curation.dsir_select(
+        docs, _dsir_target(docs), n=DSIR_SELECT_N, m=DSIR_M
+    )
+
+
+def q_dsir_gumbel_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance *resampling* (Gumbel-top-k, derandomized with
+    the repo's md5 uniforms) — reproducible sampling ∝ exp(logw)."""
+    docs = _docs(spark, sf_dir)
+    return curation.dsir_gumbel_sample(
+        docs, _dsir_target(docs), n=DSIR_SAMPLE_N, m=DSIR_M
+    )
+
+
+_DSIR_SCORES_CTES = f"""{DOC_TOKS_CTE},
+doc_grams AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(toks) AS g FROM doc_toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM doc_toks
+    )
+),
+doc_b AS (
+    SELECT doc_id, ({h32_sql_duckdb('g')} % {DSIR_M}) AS b,
+           count(*) AS c
+    FROM doc_grams GROUP BY 1, 2
+),
+dist AS (
+    SELECT b,
+           CAST(sum(c) AS BIGINT) AS qc,
+           CAST(coalesce(
+               sum(CASE WHEN d.lang = '{DSIR_TARGET_LANG}'
+                   THEN c END), 0) AS BIGINT) AS pc
+    FROM doc_b JOIN documents d USING (doc_id)
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(qc) AS BIGINT) AS qt,
+           CAST(sum(pc) AS BIGINT) AS pt
+    FROM dist
+),
+lam AS (
+    -- four ln calls in the exact left-associated order of the Spark
+    -- expression (dsir_bucket_logratios); rounded+decimal so the
+    -- per-doc sum is exact on both engines
+    SELECT b,
+           CAST(round(ln(pc + 1) - ln(pt + {DSIR_M})
+                      - ln(qc + 1) + ln(qt + {DSIR_M}),
+                      6) AS DECIMAL(18,6)) AS lam
+    FROM dist, tot
+),
+scores AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(CAST(sum(c * lam) AS DOUBLE), 6) AS logw
+    FROM doc_b JOIN lam USING (b)
+    GROUP BY 1
+)"""
+
+DSIR_SELECT_SQL = f"""
+WITH {_DSIR_SCORES_CTES}
+SELECT doc_id, n_grams, logw
+FROM scores
+ORDER BY logw DESC, doc_id
+LIMIT {DSIR_SELECT_N}
+"""
+
+_DSIR_U = (
+    "("
+    + h32_sql_duckdb("(CAST(doc_id AS VARCHAR) || ':dsir')")
+    + " + 1) / 4294967297.0"
+)
+
+DSIR_GUMBEL_SQL = f"""
+WITH {_DSIR_SCORES_CTES}
+SELECT doc_id, logw,
+       round(logw - ln(-ln({_DSIR_U})), 6) AS gkey
+FROM scores
+ORDER BY gkey DESC, doc_id
+LIMIT {DSIR_SAMPLE_N}
+"""
+
+
 SPECS = [
     QuerySpec(
         "surprisal_band_sample",
@@ -423,5 +534,18 @@ SPECS = [
         EMBEDDING_GRAM_SQL,
         tags=("similarity", "agg"),
         bench=True,
+    ),
+    QuerySpec(
+        "dsir_select",
+        q_dsir_select,
+        DSIR_SELECT_SQL,
+        tags=("curation", "llm"),
+        bench=True,
+    ),
+    QuerySpec(
+        "dsir_gumbel_sample",
+        q_dsir_gumbel_sample,
+        DSIR_GUMBEL_SQL,
+        tags=("curation", "llm"),
     ),
 ]

@@ -115,12 +115,19 @@ GATE_PRIORITY = (
     "knn_ivf_indexed",  # ann index now writes a manifest
     # --- regression re-gates / drift anchors ---
     "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
-    "doc_meta",
     "postings_build",
     "search_reference",
     "search_phrase",
-    "vocab_incremental_update",
     "llm_pipeline_e2e",
+    # --- NEW: DSIR hashed-ngram importance resampling (gated the
+    # round it ships; doc_meta and vocab_incremental_update retired
+    # to make room — doc_meta is r1-r6 green and stays exercised as
+    # postings_build's ingest dependency, vocab_incremental_update is
+    # r6 green with the incremental family still in-window via
+    # index_incremental_update/search_reingest; both stay under the
+    # local gate at every SF) ---
+    "dsir_select",
+    "dsir_gumbel_sample",
     # (knn_cosine, simhash_signatures, near_dup_embeddings,
     # duplicate_passages, decontaminate_eval and lang_id_ngram
     # retired from the window to make room for the round's six new

@@ -195,3 +195,109 @@ def test_gram_matrix_ignores_empty_embeddings(spark, tmp_path):
     assert got[(0, 1)] == 2.0 + 12.0
     assert got[(1, 1)] == 4.0 + 16.0
     assert all(r["gram"] is not None for r in rows)
+
+
+# ---------------------------------- DSIR importance resampling
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _dsir_expected(corpus, target_ids, m):
+    """Fully-unrolled Python replica of the DSIR score pipeline."""
+    from bigdata_elephant_spark.functions.text import tokenize_str
+
+    doc_b: dict[int, dict[int, int]] = {}
+    for doc_id, text in corpus:
+        toks = tokenize_str(text)
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        if not grams:
+            continue
+        h = doc_b.setdefault(doc_id, {})
+        for g in grams:
+            b = _h32_py(g) % m
+            h[b] = h.get(b, 0) + 1
+    qc: dict[int, int] = {}
+    pc: dict[int, int] = {}
+    for doc_id, h in doc_b.items():
+        for b, c in h.items():
+            qc[b] = qc.get(b, 0) + c
+            if doc_id in target_ids:
+                pc[b] = pc.get(b, 0) + c
+    qt, pt = sum(qc.values()), sum(pc.values())
+    lam = {
+        b: round(
+            math.log(pc.get(b, 0) + 1)
+            - math.log(pt + m)
+            - math.log(qc[b] + 1)
+            + math.log(qt + m),
+            6,
+        )
+        for b in qc
+    }
+    return {
+        doc_id: (
+            sum(h.values()),
+            round(sum(c * lam[b] for b, c in h.items()), 6),
+        )
+        for doc_id, h in doc_b.items()
+    }
+
+
+_DSIR_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox naps near the lazy dog"),
+    (3, "stock ticker closes up on earnings call report"),
+    (4, "ticker tape earnings report stock stock stock"),
+    (5, "1234 !!!! aaaa"),  # every token filtered: no feature mass
+]
+
+
+def test_dsir_scores_match_bruteforce(spark):
+    m = 8  # small bucket count forces collisions through the math
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in _DSIR_CORPUS]
+    )
+    tgt = spark.createDataFrame([Row(doc_id=1)])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in curation.dsir_scores(docs, tgt, m=m).collect()
+    }
+    assert got == _dsir_expected(_DSIR_CORPUS, {1}, m)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in _DSIR_CORPUS]
+    )
+    tgt = spark.createDataFrame([Row(doc_id=1)])
+    top = curation.dsir_select(docs, tgt, n=2).collect()
+    # doc 2 shares almost all its grams with the target doc 1; the
+    # finance docs 3/4 share none — the target pair must lead
+    assert {r["doc_id"] for r in top} == {1, 2}
+    # filtered-out doc 5 is absent entirely
+    all_ids = {
+        r["doc_id"]
+        for r in curation.dsir_scores(docs, tgt).collect()
+    }
+    assert 5 not in all_ids and all_ids == {1, 2, 3, 4}
+
+
+def test_dsir_gumbel_is_reproducible_and_exact(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in _DSIR_CORPUS]
+    )
+    tgt = spark.createDataFrame([Row(doc_id=1)])
+    a = curation.dsir_gumbel_sample(docs, tgt, n=3).collect()
+    b = curation.dsir_gumbel_sample(docs, tgt, n=3).collect()
+    assert a == b  # derandomized: reruns are byte-identical
+    for r in a:
+        u = (_h32_py(f"{r['doc_id']}:dsir") + 1) / (2**32 + 1)
+        assert r["gkey"] == round(
+            r["logw"] - math.log(-math.log(u)), 6
+        )
