@@ -509,3 +509,106 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
             ).alias("avg_bigram_surprisal"),
         )
     )
+
+
+def kn_perplexity_scores(
+    docs: DataFrame, discount: float = 0.75
+) -> DataFrame:
+    """Per-doc log-perplexity under an interpolated Kneser-Ney
+    bigram LM trained on the corpus itself → ``(doc_id, n_bigrams,
+    kn_logppl)``; docs with fewer than 2 tokens drop.
+
+    The KenLM/CCNet-style perplexity filter (public recipe:
+    Heafield 2011, Wenzek et al. 2020), one order down: for each
+    observed bigram,
+
+    ``P_KN(w2|w1) = (c2 − d)/c1(w1)
+                  + (d · N1+(w1,·)/c1(w1)) · (N1+(·,w2)/B)``
+
+    where ``c1`` counts bigram starts, ``N1+(w1,·)`` /``N1+(·,w2)``
+    are distinct right/left continuations, and ``B`` is the number
+    of distinct bigram types — the continuation probability that
+    makes KN rank versatile words above merely frequent ones.
+    Scoring the training corpus means every scored bigram is
+    observed (``c2 ≥ 1``), so the unseen-event backoff branch never
+    fires and the whole model is exact count arithmetic.
+
+    Cross-engine discipline: ``−ln P_KN`` runs once per distinct
+    BIGRAM TYPE with one fixed parenthesization (the oracle mirrors
+    it verbatim), rounded to 6 decimals and cast to exact decimal,
+    so per-doc sums are order-independent. ``kn_logppl`` is the mean
+    surprisal (``ppl = exp(kn_logppl)`` — left to the caller so no
+    second transcendental enters the parity surface).
+
+    Plan shape: ONE corpus-sized aggregation (the bigram-type count
+    ``c2``); ``c1``, both continuation counts and ``B`` all derive
+    from that type table, not from the stream. The scored type
+    table broadcasts back onto the persisted bigram stream (same
+    contract as ``bigram_surprisal_scores``; at vocabularies past
+    the broadcast threshold the join degrades to a hash shuffle on
+    ``bg`` — the type table is Zipf-bounded far below corpus size).
+    """
+    toks = docs.select(
+        "doc_id", tokens_array("text").alias("__toks")
+    )
+    n = F.size("__toks")
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("__toks", 1, n - 1),
+                    F.slice(F.col("__toks"), 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    bigrams = persist_tracked(bigrams)
+    c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
+    typed = c2.select(
+        "bg",
+        "c2",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    typed = persist_tracked(typed)
+    lefts = typed.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("nf")
+    )
+    rights = typed.groupBy("w2").agg(F.count("*").alias("nb"))
+    btot = typed.agg(F.count("*").alias("btypes"))
+    d = F.lit(float(discount))
+    s = (
+        typed.join(F.broadcast(lefts), "w1")
+        .join(F.broadcast(rights), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bg",
+            F.round(
+                -F.log(
+                    ((F.col("c2") - d) / F.col("c1"))
+                    + (
+                        ((d * F.col("nf")) / F.col("c1"))
+                        * (F.col("nb") / F.col("btypes"))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s_bg"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(s), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("s_bg").cast("double") / F.count("*"), 6
+            ).alias("kn_logppl"),
+        )
+    )

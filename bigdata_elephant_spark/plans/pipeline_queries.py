@@ -1011,6 +1011,66 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------ Kneser-Ney perplexity filter
+
+
+def q_kn_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_elephant_spark.operators.textstats import (
+        kn_perplexity_scores,
+    )
+
+    return kn_perplexity_scores(
+        _docs(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+# The KenLM/CCNet perplexity-filter shape: interpolated Kneser-Ney.
+# Every scored bigram is observed (LM trained on the scored corpus),
+# so the model is exact count arithmetic; the -ln runs once per
+# bigram TYPE with this exact parenthesization on both engines.
+KN_PERPLEXITY_SQL = f"""
+WITH {{doc_toks}},
+bgs AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+    FROM doc_toks, unnest(range(1, len(toks))) AS t(i)
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1),
+typed AS (
+    SELECT bg, c2,
+           split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2
+    FROM c2
+),
+lefts AS (
+    SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+           count(*) AS nf
+    FROM typed GROUP BY 1
+),
+rights AS (SELECT w2, count(*) AS nb FROM typed GROUP BY 1),
+btot AS (SELECT count(*) AS btypes FROM typed),
+s AS (
+    SELECT t.bg,
+           CAST(round(-ln(
+               ((t.c2 - 0.75) / l.c1)
+               + (((0.75 * l.nf) / l.c1)
+                  * (CAST(r.nb AS DOUBLE) / b.btypes))
+           ), 6) AS DECIMAL(18,6)) AS s_bg
+    FROM typed t
+    JOIN lefts l USING (w1)
+    JOIN rights r USING (w2)
+    CROSS JOIN btot b
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(s.s_bg) AS DOUBLE) / count(*), 6)
+           AS kn_logppl
+FROM bgs b JOIN s USING (bg)
+GROUP BY 1
+ORDER BY doc_id
+""".format(doc_toks=DOC_TOKS_CTE)
+
+
 # --------------------------------------------- per-type trend
 
 
@@ -2816,6 +2876,13 @@ SPECS = [
         "bigram_surprisal",
         q_bigram_surprisal,
         BIGRAM_SURPRISAL_SQL,
+        tags=("text", "llm"),
+        bench=True,
+    ),
+    QuerySpec(
+        "kn_perplexity",
+        q_kn_perplexity,
+        KN_PERPLEXITY_SQL,
         tags=("text", "llm"),
         bench=True,
     ),

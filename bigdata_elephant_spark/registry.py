@@ -157,7 +157,11 @@ GATE_PRIORITY = (
     "sq8_recall_report",  # ranking trust gate for the SQ8 family
     # (pagerank_dangling retired — r6 green; graph family stays
     # in-window via the pagerank_dupgraph drift anchor)
-    "dedup_exact",
+    # --- NEW: Kneser-Ney perplexity filter (gated the round it
+    # ships; dedup_exact retired — r1-r6 green on a trivially stable
+    # md5-groupBy, with the dedup family still in-window via
+    # dedup_minhash_lsh/dedup_groups and under the local gate) ---
+    "kn_perplexity",
     "dedup_minhash_lsh",
     "dedup_groups",
     "asof_events_orders",

@@ -390,3 +390,62 @@ def test_neyman_alloc_totals_and_determinism(spark, sf_dir):
         100,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_kn_perplexity_matches_hand_model(spark):
+    import math
+
+    from bigdata_elephant_spark.operators.textstats import (
+        kn_perplexity_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat dog"), (2, "cat dog"), (3, "dog bird")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.kn_logppl)
+        for r in kn_perplexity_scores(docs).collect()
+    }
+    # corpus bigram types: "cat dog"=3, "dog cat"=1, "dog bird"=1.
+    # lefts: cat -> c1=3, nf=1; dog -> c1=2, nf=2.
+    # rights: dog nb=1, cat nb=1, bird nb=1. B=3 types. d=0.75.
+    d, B = 0.75, 3
+    def pkn(c2, c1, nf, nb):
+        return ((c2 - d) / c1) + (((d * nf) / c1) * (nb / B))
+    s_cd = round(-math.log(pkn(3, 3, 1, 1)), 6)
+    s_dc = round(-math.log(pkn(1, 2, 2, 1)), 6)
+    s_db = round(-math.log(pkn(1, 2, 2, 1)), 6)
+    assert out[1] == (3, round((2 * s_cd + s_dc) / 3, 6))
+    assert out[2] == (1, s_cd)
+    assert out[3] == (1, s_db)
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The KN property: a word seen in MANY distinct contexts gets
+    more continuation mass than an equally frequent word welded to
+    one context — so a novel-context bigram ending in the versatile
+    word scores lower surprisal than one ending in the welded word."""
+    import math
+
+    from bigdata_elephant_spark.operators.textstats import (
+        kn_perplexity_scores,
+    )
+
+    # "san francisco" x4 welds francisco to one left context;
+    # "red" appears after 4 different words. Probes "goes francisco"
+    # vs "goes red": both probe bigrams have c2=1 and share w1.
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco san francisco"),
+            (2, "car red sky red fox red hat red"),
+            (3, "goes francisco"),
+            (4, "goes red"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.kn_logppl
+        for r in kn_perplexity_scores(docs).collect()
+    }
+    assert out[4] < out[3]  # versatile "red" is the better continuation
