@@ -2657,3 +2657,64 @@ def ivf_topk_batch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    highest-cosine vectors with a DIFFERENT label →
+    ``(q_id, vec_id, label, cos_sim)`` — the negatives that sit
+    closest to the decision boundary, which is what embedding-model
+    training wants in its contrastive batches (the public
+    in-batch-negatives / ANCE recipe).
+
+    Same kNN-join shape as :func:`cosine_topk_batch`: the anchor set
+    broadcasts, every corpus partition scores all anchors locally
+    with the label inequality applied ON the scan (a hard negative
+    never materializes same-label pairs), and the per-anchor top-k
+    plans as ``WindowGroupLimit`` (map-side heaps before the
+    shuffle). Zero-norm vectors are filtered on BOTH sides before
+    any division (Spark 4 ANSI raises on divide-by-zero; the oracle
+    mirrors the predicate so row sets stay parity-exact).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    ).filter(F.col("_qnrm") > 0)
+    scored = (
+        embeddings.select(
+            id_col,
+            label_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        .filter(F.col("_nrm") > 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select(
+            "q_id",
+            id_col,
+            label_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("q_id", id_col, label_col, "cos_sim")
+    )

@@ -452,6 +452,63 @@ ORDER BY q_id, vec_id
 """
 
 
+# ------------------------------------ contrastive hard negatives
+
+HN_ANCHORS = 8
+HN_K = 5
+
+
+def q_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-anchor top-k highest-cosine DIFFERENT-label vectors — the
+    boundary-hugging negatives contrastive embedding training mines
+    (in-batch-negatives/ANCE shape). Anchors are the lowest-id
+    vectors via ORDER BY + LIMIT (sparse-id safe)."""
+    from bigdata_elephant_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.orderBy("vec_id").limit(HN_ANCHORS)
+    return hard_negative_topk(emb, anchors, k=HN_K).orderBy(
+        "q_id", "vec_id"
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH anc0 AS (
+    SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+    FROM embeddings ORDER BY vec_id LIMIT {HN_ANCHORS}
+),
+anc AS (
+    SELECT * FROM anc0 WHERE sqrt({_dot_sql('qv', 'qv')}) > 0
+),
+cand AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT a.q_id, c.vec_id, c.label,
+           round({_dot_sql('c.embedding', 'a.qv')}
+                 / (c.nrm * sqrt({_dot_sql('a.qv', 'a.qv')})), 6)
+               AS cos_sim
+    FROM cand c, anc a
+    WHERE c.nrm > 0 AND c.label <> a.q_label
+),
+r AS (
+    SELECT q_id, vec_id, label, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id ASC)
+               AS rn
+    FROM scored
+)
+SELECT q_id, vec_id, label, cos_sim FROM r WHERE rn <= {HN_K}
+ORDER BY q_id, vec_id
+"""
+
+
 def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF ANN (operators/similarity.py ivf_topk_batch): one
     plan answers the whole probe set, each query scoring only its
@@ -2823,6 +2880,12 @@ SPECS = [
         q_dedup_survivors,
         DEDUP_SURVIVORS_SQL,
         tags=("curation", "dedup"),
+    ),
+    QuerySpec(
+        "hard_negative_mining",
+        q_hard_negative_mining,
+        HARD_NEGATIVE_SQL,
+        tags=("llm", "similarity"),
     ),
     QuerySpec(
         "knn_batch",

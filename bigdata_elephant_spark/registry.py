@@ -117,7 +117,6 @@ GATE_PRIORITY = (
     "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
     "postings_build",
     "search_reference",
-    "search_phrase",
     "llm_pipeline_e2e",
     # --- NEW: DSIR hashed-ngram importance resampling (gated the
     # round it ships; doc_meta and vocab_incremental_update retired
@@ -174,6 +173,11 @@ GATE_PRIORITY = (
     # green r6 row and stays under the local gate)
     "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
     "window_value_funcs",  # window-function family anchor
+    # --- NEW: contrastive hard-negative mining (gated the round it
+    # ships; search_phrase retired — r1-r6 green with the search
+    # family still 8-deep in-window via search_reference and the
+    # indexed/batch/reingest block, and under the local gate) ---
+    "hard_negative_mining",
 )
 
 

@@ -1372,3 +1372,44 @@ def test_ivfsq8_build_rejects_empty(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         sim.build_ivfsq8_index(emb, "/tmp/never-written-ivfsq8")
+
+
+def test_hard_negatives_exclude_same_label_and_rank(spark):
+    from bigdata_elephant_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14], 0), # same label, closest — must NOT appear
+        (2, [0.9, 0.44], 1),  # hardest negative
+        (3, [0.0, 1.0], 1),   # orthogonal negative
+        (4, [-1.0, 0.0], 2),  # opposite negative
+        (5, [0.0, 0.0], 1),   # zero-norm: filtered, no ANSI crash
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.filter("vec_id = 0")
+    got = hard_negative_topk(emb, anchors, k=2).collect()
+    assert [(r["vec_id"], r["label"]) for r in got] == [(2, 1), (3, 1)]
+    assert all(r["q_id"] == 0 for r in got)
+    # widen k: the same-label vector and the zero-norm vector never
+    # surface, even when k exceeds the negative pool
+    all_out = hard_negative_topk(emb, anchors, k=10).collect()
+    assert {r["vec_id"] for r in all_out} == {2, 3, 4}
+
+
+def test_hard_negatives_zero_norm_anchor_dropped(spark):
+    from bigdata_elephant_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert (
+        hard_negative_topk(emb, emb.filter("vec_id = 0"), k=3).count()
+        == 0
+    )
