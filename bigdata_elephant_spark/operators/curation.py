@@ -644,6 +644,7 @@ def dsir_bucket_logratios(
     doc_b: DataFrame,
     target_ids: DataFrame,
     m: int = DSIR_BUCKETS,
+    full_domain: bool = False,
 ) -> DataFrame:
     """Per-bucket smoothed log importance ratio
     ``λ_b = ln p̂_target(b) − ln q̂_raw(b)`` → ``(b, lam)``.
@@ -680,6 +681,24 @@ def dsir_bucket_logratios(
             F.sum(F.when(F.col("__t") == 1, F.col("c"))), F.lit(0)
         ).alias("pc"),
     )
+    if full_domain:
+        # Complete the bucket domain with zero-count rows: a frozen λ
+        # table scoring FUTURE batches (:func:`dsir_score_against`)
+        # must define every bucket a new document can hash into —
+        # the smoothed model gives unseen buckets
+        # ``ln((qt+m)/(pt+m))``, it does not drop their mass (the
+        # repo's LEFT+coalesce sketch-probe rule). Self-scoring keeps
+        # the observed-only table (observed ⊆ observed; m−|observed|
+        # dead rows would be noise).
+        domain = (
+            doc_b.sparkSession.range(m)
+            .select(F.col("id").alias("b"))
+        )
+        dist = domain.join(dist, "b", "left").select(
+            "b",
+            F.coalesce("qc", F.lit(0)).alias("qc"),
+            F.coalesce("pc", F.lit(0)).alias("pc"),
+        )
     tot = dist.agg(
         F.sum("qc").alias("qt"), F.sum("pc").alias("pt")
     )
@@ -715,12 +734,38 @@ def dsir_scores(
     """
     doc_b = dsir_doc_buckets(docs, m)
     lam = dsir_bucket_logratios(doc_b, target_ids, m)
+    return _dsir_doc_agg(doc_b, lam)
+
+
+def _dsir_doc_agg(doc_b: DataFrame, lam: DataFrame) -> DataFrame:
+    """Per-doc exact-decimal weight sum over a broadcast λ table."""
     return doc_b.join(F.broadcast(lam), "b").groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),
         F.round(
             F.sum(F.col("c") * F.col("lam")).cast("double"), 6
         ).alias("logw"),
     )
+
+
+def dsir_score_against(
+    delta_docs: DataFrame,
+    lam: DataFrame,
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Admission scoring: DSIR log-weights for an incoming batch
+    against a FROZEN λ table → ``(doc_id, n_grams, logw)``.
+
+    The production incremental path (same contract as the repo's
+    incremental dedup/vocab/index family): the importance model is
+    fit once on the indexed corpus — ``dsir_bucket_logratios(...,
+    full_domain=True)``, so every bucket a new document can hash
+    into is defined — then daily batches are scored by one delta
+    token pass + a broadcast m-row join. The base corpus text is
+    never re-read; refit cadence is a policy knob, not a
+    correctness requirement (λ is add-1 smoothed, so a frozen table
+    remains a proper distribution ratio).
+    """
+    return _dsir_doc_agg(dsir_doc_buckets(delta_docs, m), lam)
 
 
 def dsir_select(

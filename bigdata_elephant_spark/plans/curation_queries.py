@@ -477,6 +477,104 @@ scores AS (
     GROUP BY 1
 )"""
 
+def q_dsir_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission scoring for an incoming batch against a FROZEN λ
+    fit on the indexed corpus (full bucket domain, so unseen buckets
+    carry the smoothed ``ln((qt+m)/(pt+m))`` mass instead of being
+    dropped). Same delta convention as the incremental dedup/vocab
+    queries: two sources play the daily batch, the rest the corpus;
+    the corpus text is never re-read per batch beyond the one-time
+    fit."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCR_NEW_SOURCES,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    base = docs.filter(~is_new)
+    lam = curation.dsir_bucket_logratios(
+        curation.dsir_doc_buckets(base, DSIR_M),
+        _dsir_target(base),
+        DSIR_M,
+        full_domain=True,
+    )
+    return curation.dsir_score_against(
+        docs.filter(is_new), lam, DSIR_M
+    ).orderBy("doc_id")
+
+
+def _dsir_incremental_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCR_NEW_SOURCES,
+    )
+
+    new_in = ", ".join(f"'{s}'" for s in INCR_NEW_SOURCES)
+    return f"""
+WITH {DOC_TOKS_CTE},
+doc_grams AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(toks) AS g FROM doc_toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM doc_toks
+    )
+),
+doc_b AS (
+    SELECT doc_id, ({h32_sql_duckdb('g')} % {DSIR_M}) AS b,
+           count(*) AS c
+    FROM doc_grams GROUP BY 1, 2
+),
+base_b AS (
+    SELECT db.* FROM doc_b db JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ({new_in})
+),
+obs AS (
+    SELECT b,
+           CAST(sum(c) AS BIGINT) AS qc,
+           CAST(coalesce(
+               sum(CASE WHEN d.lang = '{DSIR_TARGET_LANG}'
+                   THEN c END), 0) AS BIGINT) AS pc
+    FROM base_b JOIN documents d USING (doc_id)
+    GROUP BY 1
+),
+dist AS (
+    SELECT i.b,
+           coalesce(o.qc, 0) AS qc,
+           coalesce(o.pc, 0) AS pc
+    FROM (SELECT unnest(range(0, {DSIR_M})) AS b) i
+    LEFT JOIN obs o USING (b)
+),
+tot AS (
+    SELECT CAST(sum(qc) AS BIGINT) AS qt,
+           CAST(sum(pc) AS BIGINT) AS pt
+    FROM dist
+),
+lam AS (
+    SELECT b,
+           CAST(round(ln(pc + 1) - ln(pt + {DSIR_M})
+                      - ln(qc + 1) + ln(qt + {DSIR_M}),
+                      6) AS DECIMAL(18,6)) AS lam
+    FROM dist, tot
+)
+SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_grams,
+       round(CAST(sum(db.c * l.lam) AS DOUBLE), 6) AS logw
+FROM doc_b db
+JOIN documents d USING (doc_id)
+JOIN lam l USING (b)
+WHERE d.source IN ({new_in})
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
 DSIR_SELECT_SQL = f"""
 WITH {_DSIR_SCORES_CTES}
 SELECT doc_id, n_grams, logw
@@ -546,6 +644,12 @@ SPECS = [
         "dsir_gumbel_sample",
         q_dsir_gumbel_sample,
         DSIR_GUMBEL_SQL,
+        tags=("curation", "llm"),
+    ),
+    QuerySpec(
+        "dsir_incremental",
+        q_dsir_incremental,
+        _dsir_incremental_sql,
         tags=("curation", "llm"),
     ),
 ]

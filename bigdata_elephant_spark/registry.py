@@ -115,7 +115,6 @@ GATE_PRIORITY = (
     "knn_ivf_indexed",  # ann index now writes a manifest
     # --- regression re-gates / drift anchors ---
     "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
-    "postings_build",
     "search_reference",
     "llm_pipeline_e2e",
     # --- NEW: DSIR hashed-ngram importance resampling (gated the
@@ -127,6 +126,10 @@ GATE_PRIORITY = (
     # local gate at every SF) ---
     "dsir_select",
     "dsir_gumbel_sample",
+    # dsir_incremental: frozen-λ admission scoring (postings_build
+    # retired for the slot — r1-r6 green, and search_reference
+    # re-derives the full postings lineage in-window every round)
+    "dsir_incremental",
     # (knn_cosine, simhash_signatures, near_dup_embeddings,
     # duplicate_passages, decontaminate_eval and lang_id_ngram
     # retired from the window to make room for the round's six new

@@ -301,3 +301,60 @@ def test_dsir_gumbel_is_reproducible_and_exact(spark):
         assert r["gkey"] == round(
             r["logw"] - math.log(-math.log(u)), 6
         )
+
+
+def test_dsir_incremental_scores_unseen_buckets(spark):
+    """A delta doc hashing into buckets with ZERO base-corpus mass
+    must still be scored — the frozen full-domain λ gives unseen
+    buckets the smoothed ln((qt+m)/(pt+m)), it does not drop them
+    (the LEFT+coalesce sketch-probe rule)."""
+    m = 8
+    base_corpus = [(1, "cat dog cat dog"), (2, "cat dog")]
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in base_corpus]
+    )
+    tgt = spark.createDataFrame([Row(doc_id=1)])
+    lam_df = curation.dsir_bucket_logratios(
+        curation.dsir_doc_buckets(base, m), tgt, m, full_domain=True
+    )
+    lam = {r["b"]: float(r["lam"]) for r in lam_df.collect()}
+    assert set(lam) == set(range(m))  # full domain materialized
+
+    # replicate λ by hand from base counts
+    qc: dict[int, int] = {}
+    pc: dict[int, int] = {}
+    from bigdata_elephant_spark.functions.text import tokenize_str
+
+    for doc_id, text in base_corpus:
+        toks = tokenize_str(text)
+        for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            b = _h32_py(g) % m
+            qc[b] = qc.get(b, 0) + 1
+            if doc_id == 1:
+                pc[b] = pc.get(b, 0) + 1
+    qt, pt = sum(qc.values()), sum(pc.values())
+    for b in range(m):
+        assert lam[b] == round(
+            math.log(pc.get(b, 0) + 1)
+            - math.log(pt + m)
+            - math.log(qc.get(b, 0) + 1)
+            + math.log(qt + m),
+            6,
+        )
+
+    # delta doc with grams disjoint from the base vocabulary
+    delta = spark.createDataFrame(
+        [Row(doc_id=99, text="zebra quokka axolotl")]
+    )
+    got = curation.dsir_score_against(delta, lam_df, m).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 99
+    toks = tokenize_str("zebra quokka axolotl")
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    exp = round(
+        sum(
+            round(lam[_h32_py(g) % m], 6) for g in grams
+        ),
+        6,
+    )
+    assert got[0]["n_grams"] == len(grams)
+    assert got[0]["logw"] == exp
