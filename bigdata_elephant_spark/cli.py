@@ -337,6 +337,27 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     help="output budget as a corpus fraction")
     sp.add_argument("--out", required=True)
 
+    sp = sub.add_parser(
+        "dsir",
+        help="DSIR importance selection: hashed-ngram log-ratio "
+             "scores vs a target subset; top-n deterministic, or "
+             "--sample for derandomized Gumbel-top-k resampling "
+             "(reproducible sampling proportional to exp(logw))",
+    )
+    corpus_args(sp)
+    sp.add_argument("--target-lang", default="en",
+                    help="target subset = docs with this lang "
+                         "column value (needs a lang column)")
+    sp.add_argument("--target-ids", default=None,
+                    help="parquet of doc_id rows defining the "
+                         "target subset (overrides --target-lang)")
+    sp.add_argument("-n", type=int, default=100)
+    sp.add_argument("-m", type=int, default=None,
+                    help="hash buckets (default 256)")
+    sp.add_argument("--sample", action="store_true")
+    sp.add_argument("--out", default=None,
+                    help="write parquet instead of printing")
+
     args = p.parse_args(argv)
     spark = spark or get_spark("elephant-cli")
     out = out or sys.stdout
@@ -402,6 +423,33 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             ),
             args.out,
         )
+    elif args.cmd == "dsir":
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators.curation import (
+            DSIR_BUCKETS,
+            dsir_gumbel_sample,
+            dsir_select,
+        )
+
+        docs = _load_corpus(spark, args.corpus, args.glob)
+        if args.target_ids is not None:
+            tgt = spark.read.parquet(args.target_ids).select("doc_id")
+        else:
+            if "lang" not in docs.columns:
+                p.error(
+                    "corpus has no lang column — pass --target-ids "
+                    "to define the target subset"
+                )
+            tgt = docs.filter(
+                F.col("lang") == args.target_lang
+            ).select("doc_id")
+        fn = dsir_gumbel_sample if args.sample else dsir_select
+        sel = fn(docs, tgt, n=args.n, m=args.m or DSIR_BUCKETS)
+        if args.out:
+            _write(sel, args.out)
+        else:
+            _print_rows(sel, out)
     elif args.cmd == "meta":
         corpus = _load_corpus(spark, args.corpus, args.glob)
         _write(

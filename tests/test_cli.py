@@ -604,3 +604,48 @@ def test_cli_ann_query_kind_first_dispatch(spark, sf_dir, tmp_path):
     with pytest.raises(SystemExit):  # --pq on a non-pq layout
         _run(spark, ["ann-query", "--index", sq8, "--vec-id", "0",
                      "--embeddings", emb_path, "--pq"])
+
+
+def test_cli_dsir_select_and_sample(spark, sf_dir, tmp_path):
+    docs_path = f"{sf_dir}/documents.parquet"
+    got = _parse(_run(spark, [
+        "dsir", "--corpus", docs_path, "-n", "5",
+    ]))
+    assert len(got) == 5
+    from bigdata_elephant_spark.operators.curation import dsir_select
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    tgt = docs.filter(F.col("lang") == "en").select("doc_id")
+    exp = [
+        (str(r["doc_id"]), str(r["logw"]))
+        for r in dsir_select(docs, tgt, n=5).collect()
+    ]
+    assert [(r["doc_id"], r["logw"]) for r in got] == exp
+
+    # gumbel mode writes parquet; reruns are byte-identical
+    out = str(tmp_path / "sel")
+    _run(spark, ["dsir", "--corpus", docs_path, "-n", "7",
+                 "--sample", "--out", out])
+    first = sorted(
+        (r["doc_id"], r["gkey"])
+        for r in spark.read.parquet(out).collect()
+    )
+    _run(spark, ["dsir", "--corpus", docs_path, "-n", "7",
+                 "--sample", "--out", out])
+    again = sorted(
+        (r["doc_id"], r["gkey"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == again and len(first) == 7
+
+
+def test_cli_dsir_needs_target_definition(spark, tmp_path):
+    import pytest
+
+    noLang = str(tmp_path / "nolang")
+    spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    ).write.parquet(noLang)
+    with pytest.raises(SystemExit):
+        _run(spark, ["dsir", "--corpus", noLang])
