@@ -274,3 +274,85 @@ SPECS.append(
         ("streaming", "stateful", "curation", "text"),
     )
 )
+
+
+def q_stream_dsir_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DSIR admission: the importance model (full-domain λ,
+    operators/curation.py) is fit ONCE, batch, on the indexed
+    corpus; documents then land as a file micro-batch stream and
+    each batch is scored by ``foreachBatch`` running the batch
+    operator against the frozen broadcast table.
+
+    ``foreachBatch`` is load-bearing, not a convenience: the score
+    pipeline chains two aggregations (gram histogram, then per-doc
+    weight sum), which Structured Streaming cannot plan inside one
+    streaming query — per micro-batch, the full batch planner runs.
+    Because a document's score depends only on its own grams and the
+    frozen λ, the union of per-batch outputs is invariant to
+    micro-batch boundaries: the result equals the batch
+    ``dsir_incremental`` query row-for-row (the shared oracle), with
+    the idempotent batch_id-partitioned sink making replays
+    exactly-once."""
+    import uuid
+
+    from bigdata_elephant_spark.operators import curation
+    from bigdata_elephant_spark.plans.curation_queries import (
+        DSIR_M,
+        DSIR_TARGET_LANG,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCR_NEW_SOURCES,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    base = docs.filter(~is_new)
+    lam = curation.dsir_bucket_logratios(
+        curation.dsir_doc_buckets(base, DSIR_M),
+        base.filter(F.col("lang") == DSIR_TARGET_LANG).select(
+            "doc_id"
+        ),
+        DSIR_M,
+        full_domain=True,
+    )
+
+    run_id = uuid.uuid4().hex[:8]
+    # atexit-cleaned stage dirs (the streaming module's registry) —
+    # parquet results and checkpoints don't accumulate across runs
+    out_dir = f"{ev._new_stage_dir()}/dsir_{run_id}"
+    ckpt = f"{out_dir}_ckpt"
+    stream = ev.read_documents_stream(spark, sf_dir).filter(is_new)
+    ev.run_stream_to_parquet(
+        stream,
+        out_dir,
+        ckpt,
+        transform=lambda batch: curation.dsir_score_against(
+            batch, lam, DSIR_M
+        ),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "n_grams", "logw")
+        .orderBy("doc_id")
+    )
+
+
+def _stream_dsir_sql() -> str:
+    from bigdata_elephant_spark.plans.curation_queries import (
+        _dsir_incremental_sql,
+    )
+
+    return _dsir_incremental_sql()
+
+
+SPECS.append(
+    QuerySpec(
+        "docs_stream_dsir",
+        q_stream_dsir_admission,
+        _stream_dsir_sql,
+        ("streaming", "curation", "llm"),
+    )
+)

@@ -128,7 +128,12 @@ GATE_PRIORITY = (
     "dsir_gumbel_sample",
     # dsir_incremental: frozen-λ admission scoring (postings_build
     # retired for the slot — r1-r6 green, and search_reference
-    # re-derives the full postings lineage in-window every round)
+    # re-derives the full postings lineage in-window every round).
+    # docs_stream_dsir (its foreachBatch streaming twin) stays under
+    # the local gate BY DESIGN, not oversight: it shares this exact
+    # oracle SQL, and tests/test_streaming.py pins streamed == batch
+    # row-for-row — a driver row would duplicate the dsir_incremental
+    # evidence the window already buys.
     "dsir_incremental",
     # (knn_cosine, simhash_signatures, near_dup_embeddings,
     # duplicate_passages, decontaminate_eval and lang_id_ngram

@@ -441,15 +441,25 @@ def run_stream_to_parquet(
     stream_df: DataFrame,
     path: str,
     checkpoint: str,
+    transform=None,
 ) -> None:
     """Exactly-once-friendly production sink: ``foreachBatch`` writes
     each micro-batch to a ``batch_id=N`` partition with overwrite —
     replays after failure rewrite the same partition instead of
     duplicating rows (idempotence from deterministic batch ids +
     partition overwrite), and the checkpoint dir makes restarts
-    resume from the last committed batch."""
+    resume from the last committed batch.
+
+    ``transform`` (optional, ``DataFrame -> DataFrame``) runs the
+    full BATCH planner on each micro-batch before the write — the
+    standard escape for pipelines Structured Streaming can't plan
+    inside one streaming query (e.g. two chained aggregations). A
+    deterministic transform keeps the replay idempotence: the same
+    batch re-derives the same rows into the same partition."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -385,3 +385,20 @@ def test_docs_stream_curate_matches_batch(spark, sf_dir):
     )
     want = {(r.source, r.keep): r.n for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dsir_equals_batch_incremental(spark, sf_dir):
+    """The stream/batch unification claim, pinned directly: scoring
+    micro-batches against the frozen λ yields row-for-row the batch
+    dsir_incremental result (per-doc scores are independent of
+    micro-batch boundaries)."""
+    from bigdata_elephant_spark.plans.curation_queries import (
+        q_dsir_incremental,
+    )
+    from bigdata_elephant_spark.plans.stream_queries import (
+        q_stream_dsir_admission,
+    )
+
+    streamed = q_stream_dsir_admission(spark, sf_dir).collect()
+    batch = q_dsir_incremental(spark, sf_dir).collect()
+    assert streamed == batch and len(batch) > 0
