@@ -65,9 +65,11 @@ def _meta_cols(corpus: DataFrame) -> tuple[str, ...]:
 def _with_meta(ranked: DataFrame, meta: DataFrame | None) -> DataFrame:
     if meta is None:
         return ranked
-    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.search import project_meta
 
-    return ranked.join(F.broadcast(meta), "doc_id", "left")
+    # k-row semi-join slice, never broadcast(corpus-sized meta) —
+    # reference flaw F4 (Query.java:202-217), see project_meta.
+    return project_meta(ranked, meta)
 
 
 def _write(df: DataFrame, out: str) -> None:

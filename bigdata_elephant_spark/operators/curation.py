@@ -40,8 +40,12 @@ def unigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     ln() runs once per *vocabulary word* (rounded to 6 decimals and
     cast to exact decimal there), so the per-doc sum is an exact
     decimal sum of identical addends on any engine and any
-    partitioning. Two token passes (frequency build + score join);
-    the frequency table broadcasts.
+    partitioning. Two token passes (frequency build + score join).
+    The vocabulary-sized score table joins back UNHINTED: the
+    vocabulary grows with the corpus (Heaps' law, >8 GB at 100 TB)
+    and a forced broadcast hint FAILS past Spark's limit instead of
+    degrading — AQE broadcast-converts it at small scale from
+    runtime sizes; only the 1-row total keeps a hint.
     """
     words = docs.select(
         "doc_id", F.explode(tokens_array("text")).alias("w")
@@ -55,7 +59,7 @@ def unigram_surprisal_scores(docs: DataFrame) -> DataFrame:
         .alias("s_w"),
     )
     return (
-        words.join(F.broadcast(s), ["w"])
+        words.join(s, ["w"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -660,9 +664,12 @@ def dsir_bucket_logratios(
     NOT beat the recompute (2.8 s vs 2.7 s warm — local scans are
     cheap; the repo's standing measurement that corpus-adjacent
     caching loses); at 100 TB, pre-materialize ``dsir_doc_buckets``
-    once with ``sources.sinks.write_bucketed(..., ["b"])`` and feed
-    it to both this function and :func:`dsir_scores` — every pass
-    then reads the compacted histogram, never raw text. λ is rounded
+    once and feed the persisted histogram to both this function and
+    :func:`dsir_scores` — every pass then reads the compacted
+    histogram, never raw text. That path is REAL, not prescription:
+    :func:`dsir_select_from_buckets` + the ``dsir_select_indexed``
+    registry query run exactly it over a per-corpus parquet
+    artifact (``plans.curation_queries._dsir_artifact``). λ is rounded
     to 6 decimals and cast to exact decimal — per-doc scores are then
     exact sums of engine-identical addends (the repo's decimal-sum
     discipline), with the four ``ln`` calls kept in one fixed
@@ -784,6 +791,29 @@ def dsir_select(
     """
     return (
         dsir_scores(docs, target_ids, m)
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(n)
+    )
+
+
+def dsir_select_from_buckets(
+    doc_b: DataFrame,
+    target_ids: DataFrame,
+    n: int,
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """:func:`dsir_select` over a PRE-MATERIALIZED ``(doc_id, b, c)``
+    histogram — the production shape the ``dsir_bucket_logratios``
+    docstring prescribes for 100 TB: the hashed-ngram histogram is
+    built once (one token pass over raw text) and persisted; every
+    selection / refit / re-weighting pass afterwards reads only the
+    compacted histogram (≤ m rows per doc — orders of magnitude
+    smaller than the text) and never re-tokenizes. Identical output
+    to :func:`dsir_select` on the same corpus, because
+    ``dsir_scores`` is a pure function of the histogram."""
+    lam = dsir_bucket_logratios(doc_b, target_ids, m)
+    return (
+        _dsir_doc_agg(doc_b, lam)
         .orderBy(F.desc("logw"), "doc_id")
         .limit(n)
     )

@@ -66,12 +66,18 @@ def search(
 
     If ``doc_meta`` is given, the result is the reference's final
     projection ``(title, url)`` plus ``doc_id, score``
-    (``Query.java:236-240``) via a broadcast lookup join.
+    (``Query.java:236-240``) via :func:`project_meta` — a k-row
+    semi-join slice, not a corpus-sized broadcast.
     ``n_docs`` (corpus size) is required for ``scoring="smooth"``.
     """
     q_terms = compile_query(spark, query)
-    # word -> (word_id, df): tiny join on the (already tiny) vocab.
-    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+    # word -> (word_id, df). Build side = the QUERY terms (a handful
+    # of rows by construction), never the vocab: the vocabulary grows
+    # with the corpus (Heaps' law), and a forced broadcast hint on a
+    # growing table fails outright past Spark's 8 GB limit instead of
+    # degrading. Broadcasting q into vocab is the same inner join
+    # with a build side that is bounded at every scale.
+    q = vocab.join(F.broadcast(q_terms), "word", "inner").select(
         "word_id", "q_tf", "df"
     )
 
@@ -100,8 +106,31 @@ def search(
     ).limit(k + 1 if replicate_off_by_one else k)
 
     if doc_meta is not None:
-        ranked = ranked.join(F.broadcast(doc_meta), "doc_id", "left")
+        ranked = project_meta(ranked, doc_meta)
     return ranked
+
+
+def project_meta(
+    ranked: DataFrame, doc_meta: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach metadata columns to a top-k result
+    (``Query.java:236-240``) without replicating the corpus-sized
+    metadata table.
+
+    The reference loads the WHOLE doc-metadata file into every
+    reducer task (``Query.java:202-217`` — SURVEY §4 flaw F4), and
+    the naive Spark rendering ``ranked.join(broadcast(doc_meta))``
+    reproduces it: the hint forces the corpus-sized side onto the
+    driver and every executor, and fails outright past the 8 GB
+    broadcast limit. Instead, semi-join the metadata scan down to
+    the ranked ids first (the k-row ids broadcast into the scan — a
+    map-side filter, no shuffle of the metadata), then broadcast the
+    resulting <= k-row slice into the left join. Both broadcasts are
+    bounded by k at every corpus size; the shared ranked subtree's
+    shuffle is computed once (exchange reuse)."""
+    ids = ranked.select(id_col)
+    meta_slice = doc_meta.join(F.broadcast(ids), id_col, "semi")
+    return ranked.join(F.broadcast(meta_slice), id_col, "left")
 
 
 def doc_lengths(postings: DataFrame) -> DataFrame:
@@ -133,7 +162,9 @@ def bm25_search(
     normalize by the identical double.
     """
     q_terms = compile_query(spark, query)
-    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+    # Build side = query terms, never the Heaps-growing vocab (same
+    # rationale as search()).
+    q = vocab.join(F.broadcast(q_terms), "word", "inner").select(
         "word_id", "q_tf", "df"
     )
     dl, n_docs, avgdl = _bm25_corpus_stats(postings)
@@ -220,7 +251,9 @@ def bm25_search_batch(
         query_term_rows(queries),
         "query_id long, word string, q_tf double",
     )
-    q = q_terms.join(F.broadcast(vocab), "word", "inner").select(
+    # Build side = the batch's query terms (queries x terms rows),
+    # never the Heaps-growing vocab (same rationale as search()).
+    q = vocab.join(F.broadcast(q_terms), "word", "inner").select(
         "query_id", "word_id", "q_tf", "df"
     )
     dl, n_docs, avgdl = _bm25_corpus_stats(postings)
@@ -328,7 +361,15 @@ def more_like_this(
             F.log(F.lit(float(n_docs))) - F.log("df"), 6
         ).alias("idf"),
     )
-    wp = postings.join(F.broadcast(idf), "word_id").select(
+    from bigdata_elephant_spark.session import maybe_broadcast
+
+    # idf is vocabulary-sized (Heaps-growing): hint only while the
+    # vocab's size estimate is known-small; past that AQE sizes the
+    # join at runtime (a forced hint would fail at the 8 GB cap, not
+    # degrade).
+    wp = postings.join(
+        maybe_broadcast(idf, size_of=vocab), "word_id"
+    ).select(
         "doc_id",
         "word_id",
         "tf",

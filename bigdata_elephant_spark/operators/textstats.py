@@ -448,8 +448,16 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     partitioning-exact (same discipline as the unigram query).
 
     Plan shape: one corpus pass builds the bigram stream (array
-    slice+zip — no self-join); the count tables broadcast back onto
-    it.
+    slice+zip — no self-join); the count tables join back onto it
+    UNHINTED. Distinct bigram types grow ~n^0.7 with corpus size
+    (billions of rows at 100 TB), and a forced ``F.broadcast`` hint
+    does not degrade past the broadcast limit — it overrides
+    ``autoBroadcastJoinThreshold`` unconditionally and FAILS at
+    Spark's 8 GB/driver-memory cap. Unhinted, AQE broadcast-converts
+    the joins at small scale from runtime sizes (same plan, for
+    free) and shuffles on ``bg``/``w1`` at large scale — the
+    correct degradation. Only the 1-row vocabulary-size aggregate
+    keeps an explicit hint (bounded by construction).
     """
     toks = docs.select(
         "doc_id", tokens_array("text").alias("__toks")
@@ -486,7 +494,7 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
         c2.withColumn(
             "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
         )
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .crossJoin(F.broadcast(vocab_size))
         .select(
             "bg",
@@ -500,7 +508,7 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        bigrams.join(F.broadcast(s), "bg")
+        bigrams.join(s, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -543,10 +551,14 @@ def kn_perplexity_scores(
     Plan shape: ONE corpus-sized aggregation (the bigram-type count
     ``c2``); ``c1``, both continuation counts and ``B`` all derive
     from that type table, not from the stream. The scored type
-    table broadcasts back onto the persisted bigram stream (same
-    contract as ``bigram_surprisal_scores``; at vocabularies past
-    the broadcast threshold the join degrades to a hash shuffle on
-    ``bg`` — the type table is Zipf-bounded far below corpus size).
+    table joins back onto the persisted bigram stream UNHINTED
+    (same contract as ``bigram_surprisal_scores``): bigram types
+    grow ~n^0.7 with corpus size, and a forced broadcast hint does
+    NOT degrade past the limit — it overrides
+    ``autoBroadcastJoinThreshold`` unconditionally and fails at the
+    8 GB/driver cap. AQE broadcast-converts these joins at small
+    scale from runtime sizes and shuffles on ``bg`` at large scale.
+    Only the 1-row ``B`` aggregate keeps an explicit hint.
     """
     toks = docs.select(
         "doc_id", tokens_array("text").alias("__toks")
@@ -583,8 +595,8 @@ def kn_perplexity_scores(
     btot = typed.agg(F.count("*").alias("btypes"))
     d = F.lit(float(discount))
     s = (
-        typed.join(F.broadcast(lefts), "w1")
-        .join(F.broadcast(rights), "w2")
+        typed.join(lefts, "w1")
+        .join(rights, "w2")
         .crossJoin(F.broadcast(btot))
         .select(
             "bg",
@@ -603,7 +615,7 @@ def kn_perplexity_scores(
         )
     )
     return (
-        bigrams.join(F.broadcast(s), "bg")
+        bigrams.join(s, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -106,22 +106,14 @@ VOCAB_DISTRIBUTED_IDS_BYTES = 64 << 30
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's sizeInBytes estimate for ``df`` (file-scan sizes
-    propagate through projections/filters). 0 when unavailable —
-    callers treat unknown as small and keep the always-correct
-    window path; scale deployments force ``id_mode``. Stat-less
-    leaves (LogicalRDD from ``createDataFrame``-over-RDD, some
-    connectors) report ``spark.sql.defaultSizeInBytes`` =
-    Long.MaxValue as a never-broadcast sentinel, not a measurement —
-    treat anything that large as unknown too."""
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes()
-        )
-        return 0 if size >= (1 << 62) else size
-    except Exception:
-        return 0
+    """Catalyst's sizeInBytes estimate for ``df`` (see
+    :func:`bigdata_elephant_spark.session.plan_size_bytes` — shared
+    with the broadcast-hint gate). 0 when unavailable — THIS caller
+    treats unknown as small and keeps the always-correct window
+    path; scale deployments force ``id_mode``."""
+    from bigdata_elephant_spark.session import plan_size_bytes
+
+    return plan_size_bytes(df)
 
 
 def build_vocabulary(

@@ -8,9 +8,16 @@ subqueries, JSON extraction, sessionization) — as Catalyst-optimized
 DataFrame/SQL plans with DuckDB oracles.
 
 Scale notes (100 TB stance):
-- Dimension joins (region/nation/customer/supplier/part) are
-  explicitly ``broadcast()`` — no shuffle of the fact table for
-  lookups. ``orders``-``lineitem`` joins shuffle on the join key and
+- Fixed-cardinality dimensions (region = 5 rows, nation = 25) are
+  explicitly ``broadcast()`` — bounded by construction, no shuffle
+  of the fact table for lookups. SF-GROWING dimensions (customer,
+  supplier, part — linear in scale factor, far past Spark's 8 GB
+  broadcast fail point at warehouse scale) use the size-gated
+  ``maybe_broadcast`` instead: the hint applies while Catalyst's
+  size estimate says the build is small (so these plans are
+  byte-identical at test SFs), and past the cap the join is left to
+  AQE's runtime sizing — a forced hint would FAIL there, not
+  degrade. ``orders``-``lineitem`` joins shuffle on the join key and
   rely on AQE for skew; at warehouse scale both sides would be
   bucketed by orderkey to co-locate.
 - Filters are plain column predicates on the scan columns, so they
@@ -35,6 +42,7 @@ from bigdata_elephant_spark.functions.numeric import (
     rate,
 )
 from bigdata_elephant_spark.registry import QuerySpec
+from bigdata_elephant_spark.session import maybe_broadcast
 from bigdata_elephant_spark.sources.corpus import read_table
 
 
@@ -122,7 +130,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             dsum_expr(
@@ -198,7 +206,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(dsum("o_totalprice", 2).alias("total_spent"),
              F.count("*").alias("n_orders"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spent", "n_orders")
         .orderBy(F.desc("total_spent"), "c_custkey")
         .limit(10)
@@ -1014,8 +1022,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("cust_nation"))
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s), l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
         .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1060,7 +1068,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.filter(F.col("l_returnflag") == "R")
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum_expr(
@@ -1101,7 +1109,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                 "total_qty")
     )
@@ -1409,8 +1417,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price()
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust_nat), o["o_custkey"] == cust_nat["c_custkey"])
-        .join(F.broadcast(supp_nat), l["l_suppkey"] == supp_nat["s_suppkey"])
+        .join(maybe_broadcast(cust_nat, size_of=c), o["o_custkey"] == cust_nat["c_custkey"])
+        .join(maybe_broadcast(supp_nat, size_of=s), l["l_suppkey"] == supp_nat["s_suppkey"])
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.sum(
@@ -1466,9 +1474,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         money("p_retailprice") * money("l_quantity") * rate(F.lit(0.5))
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(maybe_broadcast(p), l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(s), l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1503,7 +1511,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     vol = _disc_price()
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(maybe_broadcast(p), l["l_partkey"] == p["p_partkey"])
         .groupBy(
             F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
             .alias("month")
@@ -1560,7 +1568,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rev") == F.col("_max")
     )
     return (
-        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+        top.join(maybe_broadcast(s), top["l_suppkey"] == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -1596,7 +1604,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     w = Window.partitionBy("l_partkey")
-    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    joined = l.join(maybe_broadcast(p), l["l_partkey"] == p["p_partkey"])
     avg_qty = (
         F.sum(money("l_quantity")).over(w).cast("double")
         / F.count("l_quantity").over(w)
@@ -1640,7 +1648,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part join)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(maybe_broadcast(p), l["l_partkey"] == p["p_partkey"])
     b1 = (
         (F.col("p_brand") == "Brand#11")
         & (F.col("p_size").between(1, 15))
@@ -1799,9 +1807,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
     costs = (
-        l.join(F.broadcast(p.select("p_partkey")),
+        l.join(maybe_broadcast(p.select("p_partkey")),
                l.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(elig), l.l_suppkey == elig.s_suppkey)
+        .join(maybe_broadcast(elig, size_of=s), l.l_suppkey == elig.s_suppkey)
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(unit).alias("cost"))
     )
@@ -1905,9 +1913,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     j = l.join(
-        F.broadcast(
+        maybe_broadcast(
             s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-            .select("s_suppkey")
+            .select("s_suppkey"),
+            size_of=s,
         ),
         l.l_suppkey == F.col("s_suppkey"),
     )
@@ -2007,8 +2016,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2045,7 +2054,7 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(12,2)")
     agg = (
-        l.join(F.broadcast(p.select("p_partkey")),
+        l.join(maybe_broadcast(p.select("p_partkey")),
                l.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(
@@ -2115,7 +2124,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        culprits.join(maybe_broadcast(s), culprits.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -78,3 +78,63 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
     return builder.getOrCreate()
+
+
+# ------------------------------------------------------- broadcast gate
+#
+# An explicit F.broadcast() hint is NOT a soft preference: Catalyst
+# honors it unconditionally, overriding autoBroadcastJoinThreshold,
+# and past Spark's hard broadcast limits (8 GB table / driver memory)
+# the job FAILS — it does not degrade to a shuffle join. So a hint is
+# only safe on tables whose size is bounded by construction (a 1-row
+# aggregate, a k-row top-k slice, a fixed dimension like nation).
+# Any table that grows with the corpus/scale-factor must be gated:
+# hint only when a size estimate says it is small, otherwise leave
+# the join unhinted and let AQE pick the strategy from the RUNTIME
+# size (AQE still broadcast-converts small builds for free).
+
+# Well under the 8 GB hard fail point, generously above anything a
+# sane build side should be.
+BROADCAST_HINT_CAP_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan
+    (file-scan byte sizes propagate through projections/filters;
+    joins/aggregates inflate multiplicatively, so gate on the base
+    scan via ``size_of`` when the frame is derived). Returns 0 when
+    unavailable. Stat-less leaves (LogicalRDD from
+    ``createDataFrame``-over-RDD, some connectors) report
+    ``spark.sql.defaultSizeInBytes`` = Long.MaxValue as a
+    never-broadcast sentinel, not a measurement — treated as
+    unknown (0) here; callers decide which direction is safe."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return 0 if size >= (1 << 62) else size
+    except Exception:
+        return 0
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    size_of: DataFrame | None = None,
+    cap_bytes: int = BROADCAST_HINT_CAP_BYTES,
+) -> DataFrame:
+    """Size-gated broadcast hint: ``F.broadcast(df)`` only when the
+    Catalyst size estimate of ``size_of`` (default ``df`` itself) is
+    known and at or below ``cap_bytes``; otherwise ``df`` unhinted,
+    leaving the join strategy to AQE's runtime sizes.
+
+    ``size_of`` exists because join/aggregate stats are
+    multiplicative garbage: for a derived build side (e.g.
+    customer x nation), pass the scan whose size actually bounds the
+    build (the customer scan). Unknown size (0) declines the hint —
+    for a broadcast the safe direction is not hinting."""
+    from pyspark.sql import functions as F
+
+    size = plan_size_bytes(df if size_of is None else size_of)
+    if 0 < size <= cap_bytes:
+        return F.broadcast(df)
+    return df

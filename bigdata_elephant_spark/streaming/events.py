@@ -212,12 +212,18 @@ def enrich_with_users(
     a 100 TB/day stream with reference data (the static side is
     re-read per micro-batch, so slowly-changing dimensions stay
     fresh without restarting the query)."""
-    dim = F.broadcast(
+    from bigdata_elephant_spark.session import maybe_broadcast
+
+    # customer grows with scale factor: size-gate the hint (a forced
+    # broadcast fails past 8 GB instead of degrading). Past the cap
+    # the stream-static join hashes the dimension per micro-batch.
+    dim = maybe_broadcast(
         customer.select(
             F.col("c_custkey").alias("user_id"),
             "c_mktsegment",
             "c_nationkey",
-        )
+        ),
+        size_of=customer,
     )
     return events.join(dim, "user_id", "left").select(
         "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"

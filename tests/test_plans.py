@@ -338,3 +338,61 @@ def test_search_batch_group_limit_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_meta_projection_builds_k_row_side(spark, sf_dir):
+    """The O15 metadata projection (Query.java:236-240) must NEVER
+    broadcast the corpus-sized doc_meta table (reference flaw F4,
+    Query.java:202-217): the plan must semi-join the metadata scan
+    against the k-row ranked ids (ids = the broadcast build) and
+    then broadcast only the <= k-row metadata slice. Evidence in the
+    plan: every BroadcastExchange subtree is rooted on either the
+    ranked top-k subtree (TakeOrderedAndProject) or the already-
+    semi-joined slice — the raw meta scan never feeds an exchange
+    without the semi-join above it."""
+    from bigdata_elephant_spark.operators.index import parse_documents
+    from bigdata_elephant_spark.operators.search import (
+        project_meta, search,
+    )
+
+    corpus = read_table(spark, sf_dir, "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    ranked = search(spark, "hash join query", vocab, postings, k=10)
+    meta = parse_documents(corpus, cols=("doc_id", "lang", "source"))
+    df = project_meta(ranked, meta)
+    plan = plan_of(df)
+    # the semi-join (meta pruned down to the ranked ids) must exist
+    # and be a broadcast semi with the ids as build side
+    assert "LeftSemi, BuildRight" in plan, plan
+    # final attach is a broadcast left join of the k-row slice
+    assert "LeftOuter, BuildRight" in plan, plan
+    # the ranked subtree's expensive exchange is shared, not
+    # recomputed — AQE applies stage reuse at RUNTIME (the static
+    # initial plan prints both subtrees), so assert on the final
+    # adaptive plan after an action
+    df.collect()
+    final = plan_of(df)
+    assert "ReusedExchange" in final, final
+
+
+def test_bigram_type_tables_not_hint_broadcast(spark, sf_dir):
+    """kn_perplexity/bigram_surprisal: the bigram-TYPE score tables
+    grow ~n^0.7 with the corpus — a forced broadcast hint would FAIL
+    (not degrade) past Spark's 8 GB cap at 100 TB. The logical plans
+    must carry no broadcast hint on any multi-row join side; AQE may
+    still broadcast-convert at runtime from actual sizes (that's the
+    point). The only hinted builds allowed are the 1-row scalar
+    aggregates (vocab size V / bigram-type total B)."""
+    from bigdata_elephant_spark.operators.textstats import (
+        bigram_surprisal_scores, kn_perplexity_scores,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    for fn in (bigram_surprisal_scores, kn_perplexity_scores):
+        df = fn(docs)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        # each plan declares exactly one hint: the 1-row scalar
+        assert logical.count("UnresolvedHint BROADCAST") <= 1, (
+            fn.__name__, logical,
+        )
