@@ -701,7 +701,11 @@ def q_search_hybrid_rrf(
 _ARTIFACT_CACHE_EVENTS: list[dict] = []
 
 
-def _artifact_base(sf_dir: str) -> str:
+def _artifact_base(
+    sf_dir: str,
+    modules: tuple | None = None,
+    kind: str = "",
+) -> str:
     """The per-corpus artifact cache dir for ``sf_dir``.
 
     Cache key = corpus path + its parquet mtime/size + a stamp of
@@ -709,15 +713,23 @@ def _artifact_base(sf_dir: str) -> str:
     OR a change to build_vocabulary/build_index invalidates the
     artifacts instead of silently serving a stale index across
     processes (an old-code index would pass oracle parity only by
-    luck and would poison bench timings)."""
+    luck and would poison bench timings).
+
+    ``modules``/``kind`` let other artifact families (the DSIR
+    histogram) reuse this machinery with their OWN code stamp while
+    sharing the parent dir (and therefore the cold-build sweep);
+    the defaults reproduce the inverted-index key exactly."""
     import hashlib as _hl
     import inspect
     import os
     import tempfile
 
-    from bigdata_elephant_spark.functions import text as _text_mod
-    from bigdata_elephant_spark.operators import index as _index_mod
-    from bigdata_elephant_spark.operators import vocab as _vocab_mod
+    if modules is None:
+        from bigdata_elephant_spark.functions import text as _text_mod
+        from bigdata_elephant_spark.operators import index as _index_mod
+        from bigdata_elephant_spark.operators import vocab as _vocab_mod
+
+        modules = (_index_mod, _vocab_mod, _text_mod)
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     try:
@@ -731,18 +743,14 @@ def _artifact_base(sf_dir: str) -> str:
         # (a tokenize() change alters the postings just as surely
         # as an index.py change).
         code_stamp = _hl.md5(
-            (
-                inspect.getsource(_index_mod)
-                + inspect.getsource(_vocab_mod)
-                + inspect.getsource(_text_mod)
-            ).encode()
+            "".join(inspect.getsource(m) for m in modules).encode()
         ).hexdigest()[:8]
     except OSError:
         # Source unavailable (zipapp/frozen): fall back to a
         # per-process stamp — loses cross-process cache reuse but
         # can never serve an index built by different code.
         code_stamp = f"pid{os.getpid()}"
-    key = f"{os.path.abspath(sf_dir)}|{stamp}|{code_stamp}"
+    key = f"{os.path.abspath(sf_dir)}|{stamp}|{code_stamp}|{kind}"
     return os.path.join(
         tempfile.gettempdir(),
         "elephant_index_artifacts",
@@ -750,40 +758,15 @@ def _artifact_base(sf_dir: str) -> str:
     )
 
 
-def _index_artifacts(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Materialized vocab/postings parquet for ``sf_dir`` — the
-    cli.py build-once artifacts, built on first use into a
-    per-corpus temp dir (time-bounded sweep-cleaned) and READ on
-    every later call. This is the production search shape: at 100 TB the index
-    build is the expensive scan that runs once; each query then
-    touches only the (much smaller) parquet artifacts with column
-    pruning and predicate pushdown, exactly like the reference's
-    build/query job split (Vocabulary.java:133-146 writes the vocab
-    dir that Query.java:247-294 reads back)."""
+def _touch_or_sweep(base: str, cold: bool) -> None:
+    """The artifact lifecycle policy shared by every artifact family
+    (see _index_artifacts for the full rationale): warm resolves
+    touch the dir mtime; cold builds sweep sibling dirs untouched
+    for >7 days. No process ever deletes a dir another live process
+    may be reading."""
     import os
     import shutil
 
-    from bigdata_elephant_spark.operators.index import build_index
-    from bigdata_elephant_spark.operators.vocab import (
-        build_vocabulary,
-    )
-
-    base = _artifact_base(sf_dir)
-    vocab_p = os.path.join(base, "vocab")
-    post_p = os.path.join(base, "postings")
-    cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
-    # Cleanup policy: NO process ever deletes a dir another live
-    # process may be reading — neither reader-atexit (r4) nor
-    # builder-atexit (both yank shared dirs). Instead every USE
-    # touches the dir's mtime (parquet reads alone don't), and cold
-    # builds sweep sibling dirs untouched for >7 days. Accumulation
-    # is bounded by the sweep. The mtime is refreshed at RESOLVE
-    # time, not on each parquet read, so a process holding lazy
-    # DataFrames over artifacts it resolved long ago is only safe
-    # within the window: artifact DataFrames must not be held
-    # across week-scale idle gaps — re-resolve instead.
     try:
         if not cold:
             os.utime(base)
@@ -808,6 +791,40 @@ def _index_artifacts(
                     shutil.rmtree(sib, ignore_errors=True)
             except OSError:
                 continue
+
+
+def _index_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized vocab/postings parquet for ``sf_dir`` — the
+    cli.py build-once artifacts, built on first use into a
+    per-corpus temp dir (time-bounded sweep-cleaned) and READ on
+    every later call. This is the production search shape: at 100 TB the index
+    build is the expensive scan that runs once; each query then
+    touches only the (much smaller) parquet artifacts with column
+    pruning and predicate pushdown, exactly like the reference's
+    build/query job split (Vocabulary.java:133-146 writes the vocab
+    dir that Query.java:247-294 reads back)."""
+    import os
+
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.vocab import (
+        build_vocabulary,
+    )
+
+    base = _artifact_base(sf_dir)
+    vocab_p = os.path.join(base, "vocab")
+    post_p = os.path.join(base, "postings")
+    cold = not os.path.exists(os.path.join(post_p, "_SUCCESS"))
+    # Cleanup policy (see _touch_or_sweep): NO process ever deletes
+    # a dir another live process may be reading — neither
+    # reader-atexit (r4) nor builder-atexit (both yank shared dirs).
+    # The mtime is refreshed at RESOLVE time, not on each parquet
+    # read, so a process holding lazy DataFrames over artifacts it
+    # resolved long ago is only safe within the window: artifact
+    # DataFrames must not be held across week-scale idle gaps —
+    # re-resolve instead.
+    _touch_or_sweep(base, cold)
     if cold:
         corpus = _docs(spark, sf_dir)
         build_vocabulary(corpus).write.mode("overwrite").parquet(
