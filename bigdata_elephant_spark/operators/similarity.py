@@ -1734,12 +1734,15 @@ def sq8_stats(
     embeddings: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-dimension quantization range as ONE 1-row broadcastable
-    frame: ``vmin`` (array<double>) and ``vstep = (max-min)/255``
+    frame: ``vmin`` (array<double>), ``vstep = (max-min)/255``
     (0.0 for a constant dimension — its codes collapse to 0 and
-    decode back to the constant). The FAISS ``ScalarQuantizer
-    QT_8bit`` train step: one corpus scan, ``2*dim`` min/max
-    aggregates, all map-side partial — the result is metadata-sized
-    however large the corpus."""
+    decode back to the constant), and ``vmax`` (array<double> — the
+    exact trained maxima, carried so the append-time range check in
+    :func:`update_ivfsq8_index` compares against the TRAINED bound,
+    not the 1-ulp-drifting ``vmin + 255*vstep`` reconstruction). The
+    FAISS ``ScalarQuantizer QT_8bit`` train step: one corpus scan,
+    ``2*dim`` min/max aggregates, all map-side partial — the result
+    is metadata-sized however large the corpus."""
     el = lambda d: F.element_at(F.col(vec_col), d + 1).cast(  # noqa: E731
         "double"
     )
@@ -1755,6 +1758,7 @@ def sq8_stats(
                 for d in range(dim)
             ]
         ).alias("vstep"),
+        F.array(*[F.col(f"_mx{d}") for d in range(dim)]).alias("vmax"),
     )
 
 
@@ -2026,6 +2030,122 @@ def build_ivfsq8_index(
     _verify_pointer_reset(path, "codes", "build_ivfsq8_index")
     _expire_versions(path, "codes", keep=("codes",))
     _expire_versions(path, "tombstones")
+
+
+def update_ivfsq8_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-only ``IVF,SQ8`` maintenance — the FAISS-faithful
+    middle ground between "always rebuild" and "silently clamp":
+    the delta is re-encoded with the FROZEN per-dimension range
+    stats **only when every delta component lies inside the trained
+    range** ``[vmin_d, vmax_d]``; any out-of-range component refuses
+    the append (a clamped code would mis-encode silently — FAISS
+    retrains the scalar quantizer on rebuild for exactly this
+    reason). Inside the range the frozen encode is LOSSLESS relative
+    to a rebuild: a fresh ``sq8_stats`` over base+delta attains the
+    same per-dim min/max (the delta extends no range), so codes,
+    centroids (lowest-id seeds, all in base under append-only id
+    growth) and therefore query results match a full
+    :func:`build_ivfsq8_index` byte-for-byte (equivalence under the
+    shared ``knn_ivf_sq8`` oracle).
+
+    Cost shape: one delta-sized pass for the range check (the stats
+    frame is a 1-row broadcast; the probe short-circuits at the
+    first violation) and one delta-sized encode+assign+append —
+    base code files are untouched bytes, nothing corpus-sized runs.
+    """
+    man = read_index_manifest(path) or {}
+    kind = man.get("kind")
+    if kind is not None and kind != "ivfsq8":
+        raise ValueError(
+            f"index at {path!r} is kind={kind!r}: "
+            "update_ivfsq8_index appends SQ8 codes — use "
+            "update_ivf_index / update_ivfpq_index for those layouts"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    stats = spark.read.parquet(f"{path}/sq8_stats")
+    if "vmax" not in stats.columns:
+        # pre-vmax stats artifact: reconstruct the trained maxima
+        # (1-ulp conservative — a spurious refusal is safe, a
+        # spurious accept is not)
+        stats = stats.withColumn(
+            "vmax",
+            F.zip_with(
+                F.col("vmin"),
+                F.col("vstep"),
+                lambda mn, st: mn + st * F.lit(255.0),
+            ),
+        )
+    dim = man.get("dim")
+    if dim is None:
+        row = cents.select(F.size("cvec").alias("d")).first()
+        dim = None if row is None else int(row["d"])
+    if dim is not None:
+        # same in-plan dimension guard as update_ivf_index
+        delta = delta.withColumn(
+            vec_col,
+            F.when(
+                F.size(vec_col) == dim, F.col(vec_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "update_ivfsq8_index: delta vector id="
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(" has "),
+                        F.size(vec_col).cast("string"),
+                        F.lit(
+                            f" components but the index stores "
+                            f"{dim}-dimensional vectors"
+                        ),
+                    )
+                )
+            ),
+        )
+    _reject_tombstoned_delta(
+        spark, path, delta, id_col, "update_ivfsq8_index"
+    )
+    bounds = F.arrays_zip(F.col("vmin"), F.col("vmax"))
+    viol = (
+        delta.crossJoin(F.broadcast(stats))
+        .filter(
+            F.exists(
+                F.zip_with(
+                    F.col(vec_col),
+                    bounds,
+                    lambda x, b: (
+                        x.cast("double") < b.getField("vmin")
+                    ) | (x.cast("double") > b.getField("vmax")),
+                ),
+                lambda bad: bad,
+            )
+        )
+        .select(id_col)
+        .first()
+    )
+    if viol is not None:
+        raise ValueError(
+            f"update_ivfsq8_index: delta id={viol[id_col]} has a "
+            f"component outside the SQ8 range trained at build time "
+            f"for {path!r} — encoding it with the frozen stats would "
+            "clamp (silent mis-encode). Rebuild with "
+            "build_ivfsq8_index over base+delta (FAISS retrains the "
+            "scalar quantizer on rebuild for the same reason)."
+        )
+    assign = ivf_assign(delta, cents, id_col, vec_col)
+    codes = sq8_encode(delta, stats, id_col, vec_col)
+    (
+        codes.join(assign, id_col)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(_table_path(path, "codes"))
+    )
 
 
 def ivfsq8_topk_indexed(

@@ -1210,6 +1210,77 @@ def q_ivfsq8_topk_indexed(
     )
 
 
+_IVFSQ8_INC_CACHE: dict[tuple, str] = {}
+
+
+def _sq8_range_interior_split(emb):
+    """``(base, delta)`` for the SQ8 append demo: the delta is the
+    ids >= IVF_INC_SPLIT MINUS every carrier of a per-dimension
+    min/max (ties included) — i.e. the largest late batch whose
+    components all lie inside the range the base trains, which is
+    exactly the batch :func:`similarity.update_ivfsq8_index` admits
+    (an overflowing batch is refused and routed to a rebuild; the
+    refusal is test-pinned). Because every per-dim extreme carrier
+    stays in the base, the frozen ``sq8_stats`` EQUAL a rebuild's
+    over base+delta, so the shared full-corpus ``knn_ivf_sq8``
+    oracle stays exact. The extreme-carrier sweep is one
+    component-exploded aggregate (dim-sized result) — delta
+    construction, not query cost."""
+    from pyspark.sql import functions as F
+
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    )
+    ext = comp.groupBy("d").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    carriers = (
+        comp.join(ext, "d")
+        .filter((F.col("x") == F.col("mn")) | (F.col("x") == F.col("mx")))
+        .select("vec_id")
+        .distinct()
+    )
+    delta = emb.filter(F.col("vec_id") >= IVF_INC_SPLIT).join(
+        carriers, "vec_id", "left_anti"
+    )
+    base = emb.join(delta.select("vec_id"), "vec_id", "left_anti")
+    return base, delta
+
+
+def q_ivfsq8_topk_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``IVF,SQ8`` day-2 append under the oracle gate
+    (similarity.py ``update_ivfsq8_index``): the index trains both
+    quantizers on a base batch, then a late batch that lies INSIDE
+    the trained per-dim range is re-encoded with the FROZEN stats
+    and appended — the FAISS-faithful alternative to refusing every
+    SQ8 add (out-of-range batches are still refused; that branch is
+    pinned by tests/test_similarity.py). The frozen encode is
+    lossless relative to a rebuild here (no range extension, seeds
+    in base), hence the shared full-corpus ``knn_ivf_sq8`` oracle:
+    a clamped code, wrong frozen assignment, or lost delta row
+    hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = _ann_cache_key(sf_dir)
+    path = _IVFSQ8_INC_CACHE.get(key)
+    if path is None:
+        base, delta = _sq8_range_interior_split(emb)
+        path = tempfile.mkdtemp(prefix="elephant_ivfsq8_inc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivfsq8_index(base, path, n_cells=IVF_CELLS)
+        similarity.update_ivfsq8_index(spark, path, delta)
+        _IVFSQ8_INC_CACHE[key] = path
+    return similarity.ivfsq8_topk_indexed(
+        spark, path, KNN_QUERY_VEC_ID, source=emb, n_probe=IVF_PROBE,
+        k=KNN_K,
+    )
+
+
 KNN_FILTER_LANG = "en"
 
 # The knn_ivf ranking restricted to candidates whose DOCUMENT passes
@@ -2754,7 +2825,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to exact decimal — so the per-doc summation (the order-
     nondeterministic part) is an exact decimal sum of identical
     addends on both engines. Two passes over tokens (freq build +
-    score join); the freq table broadcasts."""
+    score join). The vocabulary-sized score table joins back
+    UNHINTED: the vocabulary grows with the corpus (Heaps' law,
+    >8 GB at 100 TB) and a forced broadcast hint fails past Spark's
+    limit instead of degrading — AQE broadcast-converts it at small
+    scale from runtime sizes; only the 1-row total keeps a hint."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
@@ -2773,7 +2848,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        words.join(F.broadcast(s), ["w"])
+        words.join(s, ["w"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -2974,6 +3049,9 @@ SPECS = [
               ("llm", "similarity", "index")),
     QuerySpec("knn_ivf_sq8_indexed", q_ivfsq8_topk_indexed,
               KNN_IVF_SQ8_SQL, ("llm", "similarity", "index")),
+    QuerySpec("knn_ivf_sq8_incremental", q_ivfsq8_topk_incremental,
+              KNN_IVF_SQ8_SQL,
+              ("llm", "similarity", "index", "merge")),
     QuerySpec("sq8_reconstruction_report", q_sq8_reconstruction_report,
               SQ8_REPORT_SQL, ("llm", "similarity", "index")),
     QuerySpec("kmeanspp_seeds", q_kmeanspp_seeds, _kpp_oracle(KPP_K),
@@ -3302,7 +3380,10 @@ def q_related_terms_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     order keeps the double bit-identical cross-engine). The pair
     fan-out is a per-doc self-join over DISTINCT tokens — quadratic
     only in per-document vocabulary (bounded by doc length), never
-    corpus-sized; the word-frequency table broadcasts. Pairs below
+    corpus-sized. The word-frequency tables join back UNHINTED
+    (vocabulary-sized = Heaps-growing; a forced broadcast hint
+    fails, not degrades, past Spark's 8 GB cap — AQE converts small
+    builds at runtime); only the 1-row N keeps a hint. Pairs below
     ``PMI_MIN_CO`` co-occurrences drop before the join back."""
     from pyspark.sql import functions as F
 
@@ -3326,8 +3407,8 @@ def q_related_terms_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cw.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
     cb = cw.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
     return (
-        pc.join(F.broadcast(ca), "wa")
-        .join(F.broadcast(cb), "wb")
+        pc.join(ca, "wa")
+        .join(cb, "wb")
         .crossJoin(F.broadcast(n))
         .select(
             "wa",
