@@ -500,21 +500,18 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             index_kind,
             update_ivf_index,
             update_ivfpq_index,
+            update_ivfsq8_index,
         )
 
         kind = index_kind(args.index)
-        if kind == "ivfsq8":
-            # SQ8 range stats are trained once over the build corpus;
-            # a delta outside [vmin, vmax] would mis-encode (clamp to
-            # the old range) — unlike IVF/IVFPQ appends, which reuse
-            # frozen geometry losslessly. FAISS retrains the SQ on
-            # rebuild for the same reason.
-            p.error(
-                "ann-add is not supported for an --sq8 index: the "
-                "per-dimension range is trained at build time and a "
-                "delta can exceed it — rebuild with ann-build --sq8"
-            )
-        fn = update_ivfpq_index if kind == "ivfpq" else update_ivf_index
+        # SQ8 appends re-encode with the FROZEN range stats and are
+        # accepted only while the delta stays inside the trained
+        # [vmin, vmax] (update_ivfsq8_index refuses on overflow —
+        # a clamped code would mis-encode silently; rebuild then).
+        fn = {
+            "ivfpq": update_ivfpq_index,
+            "ivfsq8": update_ivfsq8_index,
+        }.get(kind, update_ivf_index)
         fn(spark, args.index, spark.read.parquet(args.embeddings))
     elif args.cmd == "ann-delete":
         from bigdata_elephant_spark.operators.similarity import (

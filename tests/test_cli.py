@@ -515,8 +515,9 @@ def test_cli_ann_build_sq8_and_query(spark, sf_dir, tmp_path):
     """ann-build --sq8 writes the codes layout; ann-query
     auto-dispatches on the manifest kind (stored-id query needs
     --embeddings for the exact query vector; --vec works without);
-    ann-add refuses (range trained at build time); ann-stats reads
-    the codes table."""
+    ann-add accepts an in-range delta (frozen-stats re-encode) and
+    refuses an out-of-range one (a clamped code would mis-encode);
+    ann-stats reads the codes table."""
     import pytest
 
     idx = str(tmp_path / "sq8idx")
@@ -550,15 +551,38 @@ def test_cli_ann_build_sq8_and_query(spark, sf_dir, tmp_path):
     # stored-id without --embeddings: clear argparse error
     with pytest.raises(SystemExit):
         _run(spark, ["ann-query", "--index", idx, "--vec-id", "0"])
-    # appends refused for the SQ8 layout
-    with pytest.raises(SystemExit):
+
+    # in-range append accepted: a fresh id carrying an existing
+    # vector's components lies inside the trained range by
+    # construction, so the frozen-stats re-encode is lossless
+    from pyspark.sql import functions as F
+
+    new_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    delta_in = emb.filter("vec_id = 0").select(
+        F.lit(new_id).cast("long").alias("vec_id"), "embedding"
+    )
+    din = str(tmp_path / "delta_in")
+    delta_in.write.parquet(din)
+    _run(spark, ["ann-add", "--index", idx, "--embeddings", din])
+
+    # out-of-range append refused with the rebuild hint
+    delta_out = emb.filter("vec_id = 1").select(
+        F.lit(new_id + 1).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(50.0)).cast("float")
+        ).alias("embedding"),
+    )
+    dout = str(tmp_path / "delta_out")
+    delta_out.write.parquet(dout)
+    with pytest.raises(ValueError, match="outside the SQ8 range"):
         _run(spark, ["ann-add", "--index", idx,
-                     "--embeddings", emb_path])
+                     "--embeddings", dout])
 
     stats = _parse(_run(spark, ["ann-stats", "--index", idx]))
     got = {r["stat"]: r["value"] for r in stats}
     assert got["kind"] == "ivfsq8"
-    assert int(got["rows"]) == emb.count()
+    # the in-range append landed; the refused one did not
+    assert int(got["rows"]) == emb.count() + 1
 
 
 def test_cli_ann_query_kind_first_dispatch(spark, sf_dir, tmp_path):

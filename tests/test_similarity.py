@@ -1413,3 +1413,95 @@ def test_hard_negatives_zero_norm_anchor_dropped(spark):
         hard_negative_topk(emb, emb.filter("vec_id = 0"), k=3).count()
         == 0
     )
+
+
+def test_ivfsq8_inrange_append_equals_full_build(
+    spark, sf_dir, tmp_path
+):
+    """build_ivfsq8_index on base + update_ivfsq8_index(delta) must
+    answer queries exactly like one build over base+delta WHEN the
+    delta lies inside the trained range (the registry's
+    knn_ivf_sq8_incremental construction: the delta excludes every
+    per-dimension extreme carrier, so a rebuild's stats equal the
+    frozen ones and the frozen re-encode is lossless)."""
+    from bigdata_elephant_spark.operators import similarity as sim
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _sq8_range_interior_split,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base, delta = _sq8_range_interior_split(emb)
+    assert delta.count() > 0  # the demo split must exercise the append
+
+    inc_path = str(tmp_path / "inc")
+    sim.build_ivfsq8_index(base, inc_path, n_cells=8)
+    sim.update_ivfsq8_index(spark, inc_path, delta)
+    full_path = str(tmp_path / "full")
+    sim.build_ivfsq8_index(emb, full_path, n_cells=8)
+
+    inc_codes = spark.read.parquet(f"{inc_path}/codes")
+    assert inc_codes.count() == emb.count()  # nothing lost/duplicated
+    a = sorted(
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in inc_codes.collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{full_path}/codes").collect()
+    )
+    assert a == b  # frozen-stats codes == rebuild codes, cell-exact
+
+    q_inc = sim.ivfsq8_topk_indexed(
+        spark, inc_path, 0, source=emb, n_probe=3, k=5
+    ).collect()
+    q_full = sim.ivfsq8_topk_indexed(
+        spark, full_path, 0, source=emb, n_probe=3, k=5
+    ).collect()
+    assert [tuple(r) for r in q_inc] == [tuple(r) for r in q_full]
+
+
+def test_ivfsq8_append_refuses_range_overflow(spark, tmp_path):
+    """An SQ8 append whose delta has any component outside the
+    trained [vmin, vmax] must refuse loudly (a clamped code would
+    silently mis-encode); the refused delta must leave the codes
+    table untouched. Constant dimensions refuse any differing value
+    (their trained range is a single point)."""
+    import pytest
+
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float(i % 5), 1.0 + 0.1 * i, 2.0]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "sq8")
+    sim.build_ivfsq8_index(emb, path, n_cells=4)
+    before = spark.read.parquet(f"{path}/codes").count()
+
+    over = spark.createDataFrame(
+        [(100, [0.0, 99.0, 2.0])],  # dim 1 above trained max
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="outside the SQ8 range"):
+        sim.update_ivfsq8_index(spark, path, over)
+
+    const_drift = spark.createDataFrame(
+        [(101, [0.0, 1.5, 2.5])],  # dim 2 is constant in the base
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="outside the SQ8 range"):
+        sim.update_ivfsq8_index(spark, path, const_drift)
+
+    assert spark.read.parquet(f"{path}/codes").count() == before
+
+    ok = spark.createDataFrame(
+        [(102, [2.0, 1.95, 2.0])],  # inside every trained range
+        "vec_id long, embedding array<float>",
+    )
+    sim.update_ivfsq8_index(spark, path, ok)
+    assert (
+        spark.read.parquet(f"{path}/codes").count() == before + 1
+    )
