@@ -1741,6 +1741,305 @@ def q_sq8_recall_report(
     )
 
 
+def _recall_from_topk(ex, approx_topk, k):
+    """Shared recall tail: per-query overlap between the exact top-k
+    ids (``ex``: q_id, vec_id) and an approximate retriever's top-k
+    → ``(q_id, n_hits, recall)``, every probe id present (LEFT +
+    fill-0 — an absent group means recall 0, not an absent row)."""
+    q_ids = ex.select("q_id").distinct()
+    hits = (
+        ex.join(approx_topk.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        q_ids.join(hits, "q_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(k), 6).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def q_ivf_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@k of the IVF cell-pruned ranking against exact cosine
+    for the probe batch — the trust gate the r7 SQ8 family got
+    (`sq8_recall_report`), extended to the IVF family: fixed-seed
+    oracle parity proves the implementation computes what it says,
+    this measures what the PRUNING costs (candidates outside the
+    probed cells are recall loss by design — the n_probe knob). Same
+    construction as `sq8_recall_report` with the SQ8 scan swapped
+    for `ivf_topk_batch`."""
+    from bigdata_elephant_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_topk_batch,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import (
+        IVF_CELLS,
+        IVF_PROBE,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = cosine_topk_batch(emb, BATCH_QUERY_IDS, k=BATCH_K)
+    iv = ivf_topk_batch(
+        emb, BATCH_QUERY_IDS, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        k=BATCH_K,
+    )
+    return _recall_from_topk(ex, iv, BATCH_K)
+
+
+def _ivf_recall_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _l2_sql,
+    )
+
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    # the IVF CTEs are _knn_ivf_batch_sql's, verbatim
+    ivf_part = _knn_ivf_batch_sql().split("SELECT q_id, vec_id, cos_sim FROM r")[0]
+    return f"""{ivf_part}
+,
+exs AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ex AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM exs
+    ) WHERE rn <= {BATCH_K}
+),
+ivk AS (
+    SELECT q_id, vec_id FROM r WHERE rn <= {BATCH_K}
+),
+hits AS (
+    SELECT e.q_id, count(*) AS c
+    FROM ex e JOIN ivk s
+      ON e.q_id = s.q_id AND e.vec_id = s.vec_id
+    GROUP BY 1
+)
+SELECT q.q_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.c, 0) / {BATCH_K}, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
+def q_pq_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@k of the full PQ-ADC + exact-rerank retriever against
+    exact cosine for the probe batch — the PQ family's ranking trust
+    gate. The corpus-side work is batched exactly like knn_batch:
+    ONE codes table serves every query (encode is query-independent),
+    each query contributes only its n_sub x n_codes LUT (broadcast,
+    metadata-sized), the per-query ADC shortlist and the final top-k
+    are rank windows Spark plans as WindowGroupLimit (map-side
+    per-group heaps) — no per-query corpus scan, no global sort."""
+    from pyspark.sql import Window
+
+    from bigdata_elephant_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        cosine_topk_batch,
+        pq_codebooks,
+        pq_encode,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import (
+        PQ_CODES,
+        PQ_SHORTLIST,
+        PQ_SUB,
+        PQ_SUB_DIM,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = cosine_topk_batch(emb, BATCH_QUERY_IDS, k=BATCH_K)
+    cbooks = pq_codebooks(emb, PQ_SUB, PQ_SUB_DIM, PQ_CODES)
+    codes = pq_encode(emb, cbooks, PQ_SUB, PQ_SUB_DIM)
+    q_slices = (
+        emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(sub).alias("sub"),
+                            F.slice(
+                                F.col("embedding"),
+                                sub * PQ_SUB_DIM + 1,
+                                PQ_SUB_DIM,
+                            ).alias("qvec"),
+                        )
+                        for sub in range(PQ_SUB)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "s.sub", "s.qvec")
+    )
+    lut = cbooks.join(F.broadcast(q_slices), "sub").select(
+        "q_id",
+        "sub",
+        "code_id",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
+        .cast("decimal(18,6)")
+        .alias("pd"),
+    )
+    wadc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    short = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"])
+            & (codes["code"] == lut["code_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+        .withColumn("_r", F.row_number().over(wadc))
+        .filter(F.col("_r") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    q = emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_qvec"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("_qnrm"),
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    shortlist = short.select(
+        "q_id", F.col("vec_id").alias("_sid")
+    )
+    reranked = (
+        emb.join(shortlist, F.col("vec_id") == F.col("_sid"))
+        .select("q_id", "vec_id", "embedding")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("_qvec"))
+                / (
+                    F.sqrt(_norm2(F.col("embedding")))
+                    * F.col("_qnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    return _recall_from_topk(ex, reranked, BATCH_K)
+
+
+def _pq_recall_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _PQ_L2,
+        _PQ_QDOT,
+        PQ_CODES,
+        PQ_SHORTLIST,
+        PQ_SUB,
+    )
+
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS qv
+    FROM embeddings WHERE vec_id IN ({_IDS})
+),
+cb_src AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY vec_id LIMIT {PQ_CODES}
+),
+codebooks AS (
+    SELECT s.sub, e.vec_id AS code_id, e.embedding AS cvec
+    FROM cb_src e,
+         (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, c.sub, c.code_id AS code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, c.sub
+                   ORDER BY round({_PQ_L2}, 6), c.code_id) AS rn
+        FROM embeddings e, codebooks c
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT q.q_id, c.sub, c.code_id,
+           CAST(round({_PQ_QDOT}, 6) AS DECIMAL(18,6)) AS pd
+    FROM codebooks c, q
+),
+short AS (
+    SELECT q_id, vec_id FROM (
+        SELECT l.q_id, enc.vec_id,
+               row_number() OVER (
+                   PARTITION BY l.q_id
+                   ORDER BY sum(pd) DESC, enc.vec_id) AS rn
+        FROM enc JOIN lut l
+          ON l.sub = enc.sub AND l.code_id = enc.code
+        WHERE enc.vec_id <> l.q_id
+        GROUP BY l.q_id, enc.vec_id
+    ) WHERE rn <= {PQ_SHORTLIST}
+),
+pqk AS (
+    SELECT q_id, vec_id FROM (
+        SELECT s.q_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN short s ON s.vec_id = e.vec_id
+        JOIN q ON q.q_id = s.q_id
+    ) WHERE rn <= {BATCH_K}
+),
+exs AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ex AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM exs
+    ) WHERE rn <= {BATCH_K}
+),
+hits AS (
+    SELECT e.q_id, count(*) AS c
+    FROM ex e JOIN pqk s
+      ON e.q_id = s.q_id AND e.vec_id = s.vec_id
+    GROUP BY 1
+)
+SELECT q.q_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.c, 0) / {BATCH_K}, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
 def _sq8_recall_sql() -> str:
     from bigdata_elephant_spark.plans.llm_queries import (
         _SQ8_NORM_PRED,
@@ -3007,6 +3306,18 @@ SPECS = [
         q_ann_recall_report,
         _ann_recall_sql(),
         tags=("similarity", "index"),
+    ),
+    QuerySpec(
+        "ivf_recall_report",
+        q_ivf_recall_report,
+        _ivf_recall_sql,
+        tags=("llm", "similarity", "report"),
+    ),
+    QuerySpec(
+        "pq_recall_report",
+        q_pq_recall_report,
+        _pq_recall_sql,
+        tags=("llm", "similarity", "report"),
     ),
     QuerySpec(
         "sq8_recall_report",
