@@ -112,11 +112,90 @@ def _merge_fold(s: Column, lhs: str, rhs: str, merged: str) -> Column:
     )
 
 
+# Per-round collected slice of the pair-count table used to pick a
+# merge batch: metadata-scale (rows, not vocab), bounding every
+# off-slice pair's count by the slice minimum.
+BPE_BATCH_SLICE = 256
+
+# Initial symbol alphabet after the reference tokenizer ([a-z0-9]) —
+# every symbol the vocab table can ever contain is one of these or a
+# previous merge's output, so "is this merged string a brand-new
+# symbol?" is a driver-side set lookup, never a table scan.
+_BPE_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def _select_merge_batch(
+    slice_rows,
+    max_batch: int,
+    known_symbols: set[str],
+    slice_complete: bool = False,
+) -> list[tuple[str, str, str, int]]:
+    """The maximal PREFIX of the count-ordered pair slice that can be
+    merged in one rewrite while reproducing the sequential greedy
+    transcript EXACTLY (parallel-BPE batching, made transcript-safe):
+
+    - pairs must be pairwise symbol-disjoint (including the merged
+      outputs), so no batch member changes another's count;
+    - each merged string must be a brand-new symbol (driver-side set
+      check), so a merge can only CREATE pair types, never boost an
+      existing pair's count;
+    - each member after the first must out-count — strictly — every
+      non-batch pair that shares a symbol with any earlier member
+      (off-slice pairs are bounded by the slice minimum): any pair a
+      prior merge creates inherits its count from such a
+      symbol-sharing pair, so strict dominance means no created pair
+      can out-rank the next member under the (count DESC, lhs, rhs)
+      order.
+
+    The first violation stops the batch (prefix rule — sequential
+    greedy would re-count before touching anything later). Batch
+    size 1 (the plain sequential pick) is always sound, so progress
+    is guaranteed.
+    """
+    if not slice_rows:
+        return []
+    # bound for off-slice pairs (0 when the slice IS the whole table)
+    floor = 0 if slice_complete else int(slice_rows[-1]["pair_count"])
+    batch: list[tuple[str, str, str, int]] = []
+    used: set[str] = set()
+    n_cap = floor
+    for i, r in enumerate(slice_rows):
+        if len(batch) >= max_batch:
+            break
+        lhs, rhs, cnt = r["lhs"], r["rhs"], int(r["pair_count"])
+        merged = lhs + rhs
+        if batch:
+            interacts = (
+                lhs in used or rhs in used or merged in used
+            )
+            if interacts or merged in known_symbols or cnt <= n_cap:
+                break
+        elif merged in known_symbols:
+            # first pick is still sequential-sound, but its merge may
+            # boost an existing pair — nothing may batch after it
+            batch.append((lhs, rhs, merged, cnt))
+            break
+        batch.append((lhs, rhs, merged, cnt))
+        used.update((lhs, rhs, merged))
+        # widen the dominance cap to every later slice pair touching
+        # this member's symbols (earlier slice pairs out-count the
+        # next candidate anyway and stop the prefix via `interacts`)
+        for r2 in slice_rows[i + 1:]:
+            if (
+                r2["lhs"] in used
+                or r2["rhs"] in used
+                or (r2["lhs"] + r2["rhs"]) in used
+            ):
+                n_cap = max(n_cap, int(r2["pair_count"]))
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_batch: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges; return ``(merges, final_wf)``.
 
@@ -125,6 +204,16 @@ def bpe_train(
     under all learned rules, ``(word, syms: array<string>, freq)`` —
     exploding ``syms`` gives the learned subword vocabulary, and each
     row is the finished encoding of its in-vocab word.
+
+    Each round commits up to ``max_batch`` merges in ONE vocab-sized
+    rewrite + ONE pair-count job via :func:`_select_merge_batch` —
+    the parallel-BPE batching that keeps a production 32k-merge
+    vocabulary at ~hundreds of Spark jobs instead of 32k, while
+    reproducing the fully sequential transcript bit-for-bit
+    (``max_batch=1`` IS the sequential trainer; equality is pinned by
+    tests/test_bpe.py at n_merges=64). Interacting pairs fall back to
+    sequential behavior automatically — the batch stops at the first
+    pair whose count a prior member's merge could have changed.
     """
     spark = docs.sparkSession
     wf = word_frequencies(docs, text_col=text_col, id_col=id_col).select(
@@ -133,24 +222,34 @@ def bpe_train(
     # One corpus scan materialized; every round below is vocab-sized.
     wf = wf.localCheckpoint(eager=True)
     rules: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
+    known: set[str] = set(_BPE_ALPHABET)
+    while len(rules) < n_merges:
+        want = n_merges - len(rules)
+        lim = max(BPE_BATCH_SLICE, 4 * min(max_batch, want))
+        slice_rows = (
             _pair_counts(wf)
             .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
+            .limit(lim)
             .collect()
-        )  # 1 row — metadata-scale, like the k-means seed picks
-        if not top:
+        )  # metadata-scale, like the k-means seed picks
+        batch = _select_merge_batch(
+            slice_rows,
+            min(max_batch, want),
+            known,
+            slice_complete=len(slice_rows) < lim,
+        )
+        if not batch:
             break
-        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
-        merged = lhs + rhs
-        rules.append((rank, lhs, rhs, merged, cnt))
-        # Lazy: the NEXT round's argmax job materializes the rewrite
-        # as a side effect (measured 2.41s vs 2.64s eager at sf0.01 —
-        # the per-loop-shape A/B the pagerank bisect prescribes).
-        wf = wf.withColumn(
-            "syms", _merge_fold(F.col("syms"), lhs, rhs, merged)
-        ).localCheckpoint(eager=False)
+        col = F.col("syms")
+        for lhs, rhs, merged, cnt in batch:
+            rules.append((len(rules) + 1, lhs, rhs, merged, cnt))
+            known.add(merged)
+            col = _merge_fold(col, lhs, rhs, merged)
+        # Lazy: the NEXT round's pair-count job materializes the
+        # rewrite as a side effect (measured 2.41s vs 2.64s eager at
+        # sf0.01 — the per-loop-shape A/B the pagerank bisect
+        # prescribes).
+        wf = wf.withColumn("syms", col).localCheckpoint(eager=False)
     return spark.createDataFrame(rules, MERGE_SCHEMA), wf
 
 

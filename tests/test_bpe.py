@@ -210,3 +210,63 @@ def test_fold_matches_python_reference_exhaustively(spark):
             assert got[w] == _py_merge(list(w), lhs, rhs, merged), (
                 w, lhs, rhs, got[w],
             )
+
+
+def test_batched_transcript_equals_sequential(spark, sf_dir):
+    """max_batch>1 must reproduce the fully sequential greedy
+    transcript bit-for-bit — the whole point of the transcript-safe
+    batch criterion (_select_merge_batch): interacting pairs stop the
+    batch, so batching changes the JOB COUNT, never the rules."""
+    from bigdata_elephant_spark.operators import bpe
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    m_seq, _ = bpe.bpe_train(docs, n_merges=40, max_batch=1)
+    m_bat, _ = bpe.bpe_train(docs, n_merges=40, max_batch=16)
+    assert [tuple(r) for r in m_seq.collect()] == [
+        tuple(r) for r in m_bat.collect()
+    ]
+
+
+def test_select_merge_batch_criteria():
+    """Driver-side unit pins of the batch-selection rules."""
+    from bigdata_elephant_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    def row(lhs, rhs, c):
+        return {"lhs": lhs, "rhs": rhs, "pair_count": c}
+
+    known = set("abcdefghijklmnopqrstuvwxyz0123456789")
+
+    # disjoint, strictly dominating pairs batch together
+    rows = [row("a", "b", 100), row("c", "d", 90), row("e", "f", 80)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("a", "b"), ("c", "d"),
+                                          ("e", "f")]
+
+    # an interacting pair stops the batch (prefix rule)
+    rows = [row("a", "b", 100), row("b", "c", 90), row("e", "f", 80)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("a", "b")]
+
+    # dominance: a later member may not tie a pair that shares a
+    # symbol with an earlier member (its count could be the source
+    # of a created pair's count)
+    rows = [row("a", "b", 100), row("a", "c", 90), row("e", "f", 90)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("a", "b")]
+    rows = [row("a", "b", 100), row("e", "f", 90), row("a", "c", 90)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("a", "b")]
+
+    # a merged string colliding with an existing symbol can boost
+    # existing pairs: it merges alone
+    rows = [row("a", "b", 100), row("c", "d", 90)]
+    got = _select_merge_batch(rows, 8, known | {"ab"}, True)
+    assert [(g[0], g[1]) for g in got] == [("a", "b")]
+
+    # incomplete slice: the floor forbids non-dominant additions
+    rows = [row("a", "b", 100), row("c", "d", 100)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=False)
+    assert [(g[0], g[1]) for g in got] == [("a", "b")]
