@@ -55,137 +55,90 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-7 ROTATION. r6 verified the round-5 list; this window
-    # finishes the remaining verification gap: the three queries that
-    # have NEVER had a driver row (added after the round-5 window
-    # filled) lead, then every oracle edited in round 6 but not
-    # driver-re-gated that round (the `vec_id < N` -> `ORDER BY
-    # vec_id LIMIT N` sparse-id fixes; knn_ivfpq's oracle got the
-    # same fix again THIS round for its PQ codebook seeds), then the
-    # round-7 additions (three NEW operators — batch+indexed ANN,
-    # incremental postings, incremental IVF — gated the round they
-    # were written, unlike the r5 stragglers; the skew-mitigation
-    # pair gets its first driver row per the r6 verdict; vocab_build
-    # re-gates the new distributed-id threshold; the *_indexed
-    # family re-gates the artifact read-side mtime touch;
-    # knn_ivf_indexed re-gates the index manifest write), then
-    # regression anchors
-    # (pagerank_dupgraph is the r6 drift watch). q1_pricing_fast is
-    # deliberately NOT in the window: it is the rows-only double-sum
-    # production twin whose driver row can only ever read
-    # `no_oracle` (r5+r6 burned a slot recording that); it stays
-    # bench-gated and twin-equivalence-tested
-    # (tests/test_numeric_modes.py) while its slot verifies a real
-    # oracle. Everything not listed holds a green driver row from
-    # r01-r06 and stays under the driver-faithful local gate at every
-    # SF (tests/test_oracle_parity.py).
+    # ROUND-8 ROTATION. r7 verified the round-7 list (50/50 green,
+    # 235/236 oracled queries driver-verified at least once). This
+    # window (a) gates the round-8 additions the round they ship,
+    # (b) re-gates every query whose CODE changed this round — the
+    # broadcast-hint size-gating sweep (search/BM25/batch/phrase
+    # query compilation, the O15 metadata projection, the vocab
+    # probe, the textstats/PMI score-table joins, the SF-growing
+    # TPC-H dims, the streaming enrichment dim), the batched BPE
+    # trainer, and the SQ8 stats vmax column — and (c) keeps the
+    # standing drift anchors. Everything rotated out holds green
+    # driver rows from earlier rounds and stays under the
+    # driver-faithful local gate at every SF
+    # (tests/test_oracle_parity.py).
     #
-    # --- never driver-gated (with the round-7 additions below —
-    # all of which sit in this window — green rows here mean all 230
-    # oracled queries have been driver-verified at least once) ---
-    "search_batch_indexed",
-    "knn_ivfpq_indexed",
-    "knn_ivf_batch",
-    # --- NEW this round (gated immediately, not next round) ---
-    "knn_ivf_batch_indexed",
-    "index_incremental_update",
-    "knn_ivf_incremental",
-    "knn_ivfpq_incremental",
-    "knn_ivf_compacted",  # snapshot-commit compaction rewrite
-    "knn_ivf_deleted",  # tombstone delete, read-side anti-join
-    "knn_ivf_delete_compacted",  # compaction applies + retires them
-    "search_reingest",  # doc upsert: delete-then-append, frozen vocab
-    "knn_mmr",  # MMR-diversified top-k, greedy transcript unrolled
-    "knn_ivf_filtered",  # metadata-predicate filtered ANN
-    "knn_ivf_filtered_indexed",  # same, on the pruned layout
-    # --- oracle edited r6 (sparse-id seed fix), not re-gated r6 ---
-    "knn_pq",
-    "semantic_dedup_pairs",
-    "kmeans_step",
-    "kmeans_train",
-    # --- oracle edited THIS round (PQ codebook sparse-id fix) ---
-    "knn_ivfpq",
-    # --- first driver rows for the skew-mitigation operators ---
-    "skew_salted_join_events",
-    "skew_safe_user_stats",
-    # --- code changed this round ---
-    "vocab_build",  # distributed dense-id path behind size threshold
-    "search_reference_indexed",  # artifact resolve touches mtime
-    "search_hybrid_indexed",
-    "knn_ivf_indexed",  # ann index now writes a manifest
-    # --- regression re-gates / drift anchors ---
-    "pagerank_dupgraph",  # r6 drift watch (+20% vs r4)
-    "search_reference",
-    "llm_pipeline_e2e",
-    # --- NEW: DSIR hashed-ngram importance resampling (gated the
-    # round it ships; doc_meta and vocab_incremental_update retired
-    # to make room — doc_meta is r1-r6 green and stays exercised as
-    # postings_build's ingest dependency, vocab_incremental_update is
-    # r6 green with the incremental family still in-window via
-    # index_incremental_update/search_reingest; both stay under the
-    # local gate at every SF) ---
-    "dsir_select",
-    "dsir_gumbel_sample",
-    # dsir_incremental: frozen-λ admission scoring (postings_build
-    # retired for the slot — r1-r6 green, and search_reference
-    # re-derives the full postings lineage in-window every round).
-    # docs_stream_dsir (its foreachBatch streaming twin) stays under
-    # the local gate BY DESIGN, not oversight: it shares this exact
-    # oracle SQL, and tests/test_streaming.py pins streamed == batch
-    # row-for-row — a driver row would duplicate the dsir_incremental
-    # evidence the window already buys.
-    "dsir_incremental",
-    # (knn_cosine, simhash_signatures, near_dup_embeddings,
-    # duplicate_passages, decontaminate_eval and lang_id_ngram
-    # retired from the window to make room for the round's six new
-    # gates — all hold green r6 rows, their families stay covered
-    # in-window (similarity by knn_ivf*/knn_batch, dedup by the
-    # dedup_* block, text by token_counts/eval_contamination), and
-    # all stay under the local gate at every SF)
-    # --- NEW: BPE tokenizer training (gated the round it ships;
-    # knn_batch/search_batch/token_counts retired to make room — each
-    # holds green rows from multiple rounds, and their families stay
-    # in-window via knn_ivf_batch(_indexed), search_batch_indexed,
-    # and the bpe_*/eval_contamination text block) ---
+    # --- NEW this round (gated immediately) ---
+    "dsir_select_indexed",  # materialized DSIR histogram twin
+    "knn_ivf_sq8_incremental",  # frozen-stats in-range SQ8 append
+    "ivf_recall_report",  # IVF family ranking trust gate
+    "pq_recall_report",  # PQ family ranking trust gate
+    # docs_stream_dsir: the one oracled query that never had a
+    # driver row (r7 verdict item 4) — closes the count to 236/236.
+    "docs_stream_dsir",
+    # --- batched BPE trainer (one rewrite per transcript-safe
+    # batch instead of one job per merge; sequential transcript
+    # reproduced bit-for-bit, pinned in tests/test_bpe.py) ---
     "bpe_merges",
     "bpe_subword_vocab",
     "bpe_encode_sample",
-    # --- NEW: SQ8 scalar-quantized ANN + its error audit (swapped
-    # for incremental_dedup / search_hybrid_rrf — r3-r6 greens whose
-    # families keep dedup_exact/minhash/groups and
-    # search_hybrid_indexed in-window) ---
-    "knn_sq8",
-    "sq8_reconstruction_report",
-    "knn_ivf_sq8",  # IVF,SQ8 factory composition (eval_contamination
-    # retired — r4-r6 greens; text family stays via the bpe_* block)
-    "knn_ivf_sq8_indexed",  # same oracle over the persisted layout
-    # (knn_ivf retired — its oracle stays gate-exercised through
-    # knn_ivf_indexed/incremental/compacted, all in-window)
-    "sq8_recall_report",  # ranking trust gate for the SQ8 family
-    # (pagerank_dangling retired — r6 green; graph family stays
-    # in-window via the pagerank_dupgraph drift anchor)
-    # --- NEW: Kneser-Ney perplexity filter (gated the round it
-    # ships; dedup_exact retired — r1-r6 green on a trivially stable
-    # md5-groupBy, with the dedup family still in-window via
-    # dedup_minhash_lsh/dedup_groups and under the local gate) ---
+    # --- textstats/PMI: forced broadcast hints dropped on the
+    # vocab- and bigram-type-sized score tables (the r7 verdict's
+    # scale-killer class; AQE now picks the strategy at runtime) ---
     "kn_perplexity",
+    "bigram_surprisal",
+    "unigram_surprisal",
+    "related_terms_pmi",
+    # --- search family: query terms now build side (never the
+    # Heaps-growing vocab), O15 metadata projection semi-joins to
+    # the k-row slice, vocab probe size-gated, positional index
+    # probe size-gated, artifact lifecycle helpers refactored ---
+    "search_reference",
+    "search_reference_indexed",
+    "search_bm25",
+    "search_more_like_this",
+    "search_batch",
+    "search_batch_indexed",
+    "search_phrase",
+    "search_hybrid_indexed",
+    "search_reingest",
+    # --- SQ8 family: sq8_stats now carries the exact trained
+    # maxima (vmax) for the append-time range check ---
+    "knn_sq8",
+    "knn_ivf_sq8",
+    "knn_ivf_sq8_indexed",
+    "sq8_reconstruction_report",
+    "sq8_recall_report",
+    # --- relational: SF-growing dimension hints size-gated
+    # (customer/supplier/part and frames derived from them; plans
+    # byte-identical at gate SF, re-gated to prove it) ---
+    "q3_shipping_priority",
+    "top_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    # --- streaming: enrichment dimension hint size-gated ---
+    "events_stream_enrich",
+    # --- standing anchors / family representatives ---
+    "vocab_build",
+    "knn_ivf_indexed",
+    "pagerank_dupgraph",  # drift watch
+    "llm_pipeline_e2e",
+    "q1_pricing_summary",
     "dedup_minhash_lsh",
     "dedup_groups",
     "asof_events_orders",
-    "docs_stream_curate",  # streaming/stateful anchor
-    "weighted_sample_orders",  # layout anchor
+    "docs_stream_curate",
+    "weighted_sample_orders",
     "media_features",
     "kmv_distinct_users",
-    # (embedding_gram_matrix anchor retired from the window to make
-    # room for knn_ivf_compacted's first driver row — it holds a
-    # green r6 row and stays under the local gate)
-    "q1_pricing_summary",  # exact-decimal twin holds the Q1 gate
-    "window_value_funcs",  # window-function family anchor
-    # --- NEW: contrastive hard-negative mining (gated the round it
-    # ships; search_phrase retired — r1-r6 green with the search
-    # family still 8-deep in-window via search_reference and the
-    # indexed/batch/reingest block, and under the local gate) ---
-    "hard_negative_mining",
+    "window_value_funcs",
 )
 
 

@@ -63,7 +63,22 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # pair shows the pruned-codes amortization vs its inline
          # twin, like every *_indexed row above
          "bpe_merges", "knn_sq8",
-         "knn_ivf_sq8", "knn_ivf_sq8_indexed")
+         "knn_ivf_sq8", "knn_ivf_sq8_indexed",
+         # round-8 additions (r7 verdict item 2): the non-ANN
+         # operators carrying the newest scale claims. DSIR is one
+         # token-stream shuffle + an m-row broadcast (expect ~the
+         # corpus-scan slope); its indexed twin reads the
+         # materialized histogram only (expect near-flat, the
+         # *_indexed pattern); the frozen-lambda admission pass is
+         # delta-sized on a full-corpus-fit lambda; KN perplexity is
+         # one bigram-type aggregation whose score join is now
+         # AQE-planned (the de-hinted path from this round's
+         # broadcast sweep); hard-negative mining is one scan +
+         # WindowGroupLimit heaps; BPE encode folds literal rules in
+         # codegen over one scan
+         "dsir_select", "dsir_select_indexed", "dsir_incremental",
+         "kn_perplexity", "hard_negative_mining",
+         "bpe_encode_sample")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
