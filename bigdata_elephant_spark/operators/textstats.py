@@ -624,3 +624,157 @@ def kn_perplexity_scores(
             ).alias("kn_logppl"),
         )
     )
+
+
+# ------------------------------------------ Gopher repetition filters
+
+# Gopher (Rae et al. 2021, Appendix A1.1 — the public quality-filter
+# recipe reused by MassiveText/Dolma/NeMo-Curator): documents
+# dominated by a single repeated phrase, or with heavy n-gram
+# duplication, are boilerplate/spam. Thresholds are the paper's:
+# a doc is dropped when the top {2,3,4}-gram covers more than
+# {20%, 18%, 16%} of its characters, or (adapted: occurrence
+# fraction, see docstring) duplicate 5-grams exceed 15%.
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP5_THRESHOLD = 0.15
+
+
+def _ngram_array(toks, n: int):
+    """Adjacent word n-grams of a token array as space-joined
+    strings (the slice+zip construction the bigram scorers use —
+    no self-join, no per-position regex re-evaluation)."""
+    size = F.size(toks)
+    if n == 1:
+        return toks
+    parts = [
+        F.slice(toks, i + 1, size - (n - 1)) for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(
+            out, p, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(size >= n, out).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Gopher repetition stats + keep flag →
+    ``(doc_id, chars_total, top2_frac, top3_frac, top4_frac,
+    dup5_frac, keep)``; docs with < 5 tokens drop (every statistic
+    needs its n-gram defined; length-filtering tiny docs is a
+    different filter's job — the oracle's WHERE agrees).
+
+    - ``top{n}_frac`` (n = 2,3,4): fraction of the document's
+      non-space characters covered by occurrences of its single most
+      frequent word n-gram — the paper's "top n-gram character
+      fraction". The top gram ties break lexicographically so the
+      statistic is engine-deterministic; a gram's character length
+      is ``length(gram) − (n−1)`` (single-space joined).
+    - ``dup5_frac``: fraction of 5-gram OCCURRENCES whose 5-gram
+      appears more than once in the doc. The paper counts duplicate
+      CHARACTERS; the occurrence fraction is the
+      overlap-double-counting-free variant the open reimplementations
+      use, kept here because it is exact integer arithmetic on both
+      engines.
+    - ``keep``: all four statistics at or under the published
+      thresholds. The comparisons run as INTEGER cross-products
+      (``num * 100 <= thr * denom``), so no 6-decimal rounding can
+      flip a boundary document between engines.
+
+    Plan shape: one corpus pass computes the token array; each n
+    contributes one explode + one (doc_id, gram) count + one per-doc
+    aggregate — all map-side-partial friendly, no joins between
+    documents, nothing corpus-quadratic. At 100 TB this is four
+    token-stream aggregations keyed by (doc_id, gram) — co-located
+    with the document's input split, so the shuffles are near-no-ops.
+    """
+    toks = docs.select(
+        id_col, tokens_array(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= 5)
+    chars = F.aggregate(
+        F.transform("__toks", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = toks.select(id_col, "__toks", chars.alias("chars_total"))
+
+    def top_stats_exact(n: int) -> DataFrame:
+        # struct-max would prefer the LARGEST gram on count ties, so
+        # the smallest-tied gram is derived explicitly: a max-count
+        # aggregate, then a min over the tied grams only — both land
+        # in the same (doc_id)-keyed shuffle
+        grams = base.select(
+            id_col,
+            "chars_total",
+            F.explode(_ngram_array(F.col("__toks"), n)).alias("g"),
+        )
+        counts = grams.groupBy(id_col, "chars_total", "g").agg(
+            F.count("*").alias("c")
+        )
+        cmax = counts.groupBy(id_col, "chars_total").agg(
+            F.max("c").alias("cmax")
+        )
+        top = (
+            counts.join(cmax, [id_col, "chars_total"])
+            .filter(F.col("c") == F.col("cmax"))
+            .groupBy(id_col, "chars_total")
+            .agg(
+                F.max("c").alias(f"top{n}_c"),
+                F.min("g").alias(f"top{n}_g"),
+            )
+        )
+        # chars covered by the top gram's occurrences:
+        # count * (length(gram) - (n-1) separator spaces)
+        return top.select(
+            id_col,
+            "chars_total",
+            (
+                F.col(f"top{n}_c")
+                * (F.length(f"top{n}_g") - F.lit(n - 1))
+            ).alias(f"top{n}_chars"),
+        )
+
+    t2 = top_stats_exact(2)
+    t3 = top_stats_exact(3)
+    t4 = top_stats_exact(4)
+    g5 = base.select(
+        id_col, F.explode(_ngram_array(F.col("__toks"), 5)).alias("g")
+    )
+    c5 = g5.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    d5 = c5.groupBy(id_col).agg(
+        F.sum("c").alias("n5"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup5"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den, 6
+    )
+    joined = (
+        t2.join(t3.select(id_col, "top3_chars"), id_col)
+        .join(t4.select(id_col, "top4_chars"), id_col)
+        .join(d5, id_col)
+    )
+    t = GOPHER_TOP_THRESHOLDS
+    keep = (
+        (F.col("top2_chars") * 100 <= F.col("chars_total") * int(t[2] * 100))
+        & (F.col("top3_chars") * 100 <= F.col("chars_total") * int(t[3] * 100))
+        & (F.col("top4_chars") * 100 <= F.col("chars_total") * int(t[4] * 100))
+        & (
+            F.col("dup5") * 100
+            <= F.col("n5") * int(GOPHER_DUP5_THRESHOLD * 100)
+        )
+    )
+    return joined.select(
+        id_col,
+        "chars_total",
+        frac(F.col("top2_chars"), F.col("chars_total")).alias("top2_frac"),
+        frac(F.col("top3_chars"), F.col("chars_total")).alias("top3_frac"),
+        frac(F.col("top4_chars"), F.col("chars_total")).alias("top4_frac"),
+        frac(F.col("dup5"), F.col("n5")).alias("dup5_frac"),
+        keep.alias("keep"),
+    )

@@ -2998,6 +2998,139 @@ LIMIT 50
 """
 
 
+
+
+# ----------------- Gopher n-gram repetition filters (char-fraction)
+#
+# Complements the word/bigram-level ``gopher_repetition`` (above, an
+# earlier round): this one is the paper's A1.1 n-gram table proper —
+# top-{2,3,4}-gram CHARACTER fractions and the duplicate-5-gram
+# fraction, with the published thresholds as integer cross-product
+# comparisons.
+
+GOPHER_NGRAM_SQL = f"""
+WITH {DOC_TOKS_CTE},
+gbase AS (
+    SELECT doc_id, toks,
+           CAST(list_sum(list_transform(toks, t -> length(t)))
+               AS BIGINT) AS chars_total
+    FROM doc_toks WHERE len(toks) >= 5
+),
+g2 AS (
+    SELECT doc_id, chars_total,
+           unnest(list_transform(range(1, len(toks) - 2 + 2),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+    FROM gbase
+),
+c2 AS (
+    SELECT doc_id, chars_total, g, count(*) AS c
+    FROM g2 GROUP BY 1, 2, 3
+),
+m2 AS (
+    SELECT doc_id, max(c) AS cmax FROM c2 GROUP BY 1
+),
+t2 AS (
+    SELECT c.doc_id, c.chars_total,
+           CAST(max(c.c) * (length(min(c.g)) - 1) AS BIGINT)
+               AS top2_chars
+    FROM c2 c JOIN m2 m
+      ON m.doc_id = c.doc_id AND c.c = m.cmax
+    GROUP BY 1, 2
+),
+g3 AS (
+    SELECT doc_id, chars_total,
+           unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+    FROM gbase
+),
+c3 AS (
+    SELECT doc_id, chars_total, g, count(*) AS c
+    FROM g3 GROUP BY 1, 2, 3
+),
+m3 AS (
+    SELECT doc_id, max(c) AS cmax FROM c3 GROUP BY 1
+),
+t3 AS (
+    SELECT c.doc_id, c.chars_total,
+           CAST(max(c.c) * (length(min(c.g)) - 2) AS BIGINT)
+               AS top3_chars
+    FROM c3 c JOIN m3 m
+      ON m.doc_id = c.doc_id AND c.c = m.cmax
+    GROUP BY 1, 2
+),
+g4 AS (
+    SELECT doc_id, chars_total,
+           unnest(list_transform(range(1, len(toks) - 4 + 2),
+                                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS g
+    FROM gbase
+),
+c4 AS (
+    SELECT doc_id, chars_total, g, count(*) AS c
+    FROM g4 GROUP BY 1, 2, 3
+),
+m4 AS (
+    SELECT doc_id, max(c) AS cmax FROM c4 GROUP BY 1
+),
+t4 AS (
+    SELECT c.doc_id, c.chars_total,
+           CAST(max(c.c) * (length(min(c.g)) - 3) AS BIGINT)
+               AS top4_chars
+    FROM c4 c JOIN m4 m
+      ON m.doc_id = c.doc_id AND c.c = m.cmax
+    GROUP BY 1, 2
+),
+g5 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 5 + 2),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2]
+                                      || ' ' || toks[i + 3]
+                                      || ' ' || toks[i + 4])) AS g
+    FROM gbase
+),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n5,
+           CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+               AS BIGINT) AS dup5
+    FROM c5 GROUP BY 1
+)
+SELECT t2.doc_id,
+       t2.chars_total,
+       round(CAST(top2_chars AS DOUBLE) / t2.chars_total, 6)
+           AS top2_frac,
+       round(CAST(top3_chars AS DOUBLE) / t2.chars_total, 6)
+           AS top3_frac,
+       round(CAST(top4_chars AS DOUBLE) / t2.chars_total, 6)
+           AS top4_frac,
+       round(CAST(dup5 AS DOUBLE) / n5, 6) AS dup5_frac,
+       (top2_chars * 100 <= t2.chars_total * 20
+        AND top3_chars * 100 <= t2.chars_total * 18
+        AND top4_chars * 100 <= t2.chars_total * 16
+        AND dup5 * 100 <= n5 * 15) AS keep
+FROM t2
+JOIN t3 USING (doc_id)
+JOIN t4 USING (doc_id)
+JOIN d5 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_gopher_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 A1.1, the public
+    MassiveText quality recipe): per-doc top-{{2,3,4}}-gram character
+    fractions, duplicate-5-gram occurrence fraction, and the
+    paper-threshold keep flag — integer cross-product comparisons so
+    no float boundary can flip a document between engines."""
+    from bigdata_elephant_spark.operators.textstats import (
+        gopher_repetition_scores,
+    )
+
+    return gopher_repetition_scores(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL,
               ("llm", "dedup"), bench=True),
@@ -3087,6 +3220,8 @@ SPECS = [
               ("llm", "dedup", "similarity"), bench=True),
     QuerySpec("semantic_dedup_pairs", q_semantic_dedup,
               SEMANTIC_DEDUP_SQL, ("llm", "dedup", "similarity")),
+    QuerySpec("gopher_ngram_filters", q_gopher_ngram_filters,
+              GOPHER_NGRAM_SQL, ("llm", "text", "curation")),
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,
               ("llm", "text"), bench=True),
     QuerySpec("lang_id", q_lang_id, LANG_ID_SQL, ("llm", "text")),

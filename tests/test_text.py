@@ -174,3 +174,66 @@ def test_corpus_ngram_counts_unigram_and_trigram(spark):
         "beta alpha beta": 1,
         "alpha beta gamma": 1,
     }
+
+
+def test_gopher_repetition_hand_case(spark):
+    """Hand-checked Gopher stats on a crafted doc: 'spam ham spam
+    ham spam ham eggs' — top 2-gram 'spam ham' (3 occurrences,
+    7 chars each = 21 of 26 non-space chars -> 0.807692, dropped),
+    vs a benign doc that keeps."""
+    from bigdata_elephant_spark.operators.textstats import (
+        gopher_repetition_scores,
+    )
+
+    benign = " ".join(
+        f"{a}{b}z" for a in "abcde" for b in "abcdefgh"
+    )  # 40 distinct 3-char tokens: top n-gram count 1, tiny fracs
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham eggs"),
+            (2, benign),
+            (3, "tiny doc"),  # < 5 tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_repetition_scores(docs).collect()
+    }
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    # chars: spam(4)*3 + ham(3)*3 + eggs(4) = 25
+    assert r1["chars_total"] == 25
+    # top 2-gram "spam ham": 3 occurrences x 7 chars = 21/25
+    assert r1["top2_frac"] == round(21 / 25, 6)
+    # 3-grams tie at 2 ("spam ham spam", "ham spam ham"); smallest
+    # is "ham spam ham" = 10 chars x 2 occurrences = 20/25
+    assert r1["top3_frac"] == round(20 / 25, 6)
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["keep"] is True
+    # all 2-grams distinct -> top count 1
+    assert r2["dup5_frac"] == 0.0
+
+
+def test_gopher_top_gram_tie_breaks_lexicographically(spark):
+    """Two different 2-grams with the same max count: the reported
+    char fraction must come from the lexicographically smallest
+    (deterministic across partitionings and engines)."""
+    from bigdata_elephant_spark.operators.textstats import (
+        gopher_repetition_scores,
+    )
+
+    # "bb aa bb aa cc": 2-grams (bb,aa)x2? -> "bb aa" x2, "aa bb" x1,
+    # "aa cc" x1. top = "bb aa" count 2. Craft a true tie instead:
+    # "aa bb aa bb" has "aa bb" x2 and "bb aa" x1 — not a tie. Use
+    # "xx yy xx zz xx yy xx zz": "xx yy" x2, "yy xx" x2, "xx zz" x2,
+    # "zz xx" x1 -> tie among three at 2; smallest is "xx yy".
+    docs = spark.createDataFrame(
+        [(1, "xx yy xx zz xx yy xx zz")],
+        "doc_id long, text string",
+    )
+    r = gopher_repetition_scores(docs).collect()[0]
+    # chars_total = 8 tokens x 2 = 16; top2 = 2 occurrences x 4 chars
+    assert r["chars_total"] == 16
+    assert r["top2_frac"] == round(8 / 16, 6)
