@@ -2779,6 +2779,231 @@ def ivf_topk_batch(
     )
 
 
+def pq_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC + exact rerank for a BATCH of queries in one pass →
+    ``(q_id, vec_id, cos_sim)`` top-k per query — the batched twin
+    of :func:`pq_topk`, shaped like :func:`cosine_topk_batch`:
+
+    ONE codes table serves every query (PQ encoding is
+    query-independent — the corpus-sized work is paid once per
+    batch, not per query); each query contributes only its
+    ``n_sub x n_codes`` LUT (broadcast, metadata-sized); the
+    per-query ADC shortlist and the final exact-reranked top-k are
+    rank windows Spark plans as ``WindowGroupLimit`` (map-side
+    per-group heaps before the exchange). The ADC sum runs in exact
+    ``decimal(18,6)`` so the shortlist boundary is engine- and
+    partitioning-deterministic; rerank scoring/tie-breaks match
+    :func:`cosine_topk_batch` exactly."""
+    from pyspark.sql import Window
+
+    cbooks = pq_codebooks(
+        embeddings, n_sub, sub_dim, n_codes, id_col, vec_col
+    )
+    codes = pq_encode(
+        embeddings, cbooks, n_sub, sub_dim, id_col, vec_col
+    )
+    q_slices = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(sub).alias("sub"),
+                            F.slice(
+                                F.col(vec_col),
+                                sub * sub_dim + 1,
+                                sub_dim,
+                            ).alias("qvec"),
+                        )
+                        for sub in range(n_sub)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "s.sub", "s.qvec")
+    )
+    lut = cbooks.join(F.broadcast(q_slices), "sub").select(
+        "q_id",
+        "sub",
+        "code_id",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
+        .cast("decimal(18,6)")
+        .alias("pd"),
+    )
+    wadc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    short = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"])
+            & (codes["code"] == lut["code_id"]),
+        )
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("pd").alias("adc"))
+        .withColumn("_r", F.row_number().over(wadc))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", F.col(id_col).alias("_sid"))
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        embeddings.join(short, F.col(id_col) == F.col("_sid"))
+        .select("q_id", id_col, vec_col)
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (
+                    F.sqrt(_norm2(F.col(vec_col)))
+                    * F.col("_qnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )
+
+
+def ivf_probe_recall_sweep(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 16,
+    max_probe: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF tuning frontier: recall@k vs ``n_probe`` for every
+    probe level 1..``max_probe`` in ONE pass →
+    ``(n_probe, n_hits, recall)`` (hits/recall pooled over the query
+    batch; recall is monotone in n_probe by construction since probe
+    sets are nested). This is the sweep every ANN deployment runs to
+    pick its latency/recall operating point (FAISS `nprobe`
+    benchmarking), expressed without re-scanning per level:
+
+    1. rank every cell per query (``n_cells x |Q|`` rows, window);
+    2. score each candidate ONCE against its queries — a candidate
+       reached at cell rank r belongs to every probe level >= r, so
+       one ``explode(sequence(r, max_probe))`` replicates its
+       (already computed) score per level instead of re-scoring;
+    3. per-(query, level) top-k via a rank window Spark plans as
+       ``WindowGroupLimit`` (map-side heaps);
+    4. hits against the exact cosine top-k (one corpus pass via
+       :func:`cosine_topk_batch`'s construction), pooled per level.
+
+    Corpus-sized work: one assignment pass + one scored candidate
+    pass + the exact baseline — independent of ``max_probe``; the
+    replication factor applies only to candidate SCORES (a k-free
+    column slice), not to vectors.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    wcell = Window.partitionBy("q_id").orderBy("d", "cell_id")
+    cell_rank = (
+        cents.crossJoin(F.broadcast(q.select("q_id", "_qvec")))
+        .select(
+            "q_id",
+            "cell_id",
+            F.round(_l2sq(F.col("cvec"), F.col("_qvec")), 6).alias(
+                "d"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(wcell))
+        .filter(F.col("crank") <= max_probe)
+        .select("q_id", "cell_id", "crank")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    scored = (
+        embeddings.join(assigned, id_col)
+        .join(F.broadcast(cell_rank), "cell_id")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            "crank",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (
+                    F.sqrt(_norm2(F.col(vec_col)))
+                    * F.col("_qnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    per_level = scored.select(
+        "q_id",
+        id_col,
+        "cos_sim",
+        F.explode(
+            F.sequence(F.col("crank"), F.lit(max_probe))
+        ).alias("n_probe"),
+    )
+    wtop = Window.partitionBy("q_id", "n_probe").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    approx = (
+        per_level.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= k)
+        .select("q_id", "n_probe", id_col)
+    )
+    exact = cosine_topk_batch(embeddings, query_ids, k=k).select(
+        "q_id", id_col
+    )
+    levels = embeddings.sparkSession.range(
+        1, max_probe + 1
+    ).select(F.col("id").cast("int").alias("n_probe"))
+    hits = (
+        approx.join(exact, ["q_id", id_col])
+        .groupBy("n_probe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    denom = len(query_ids) * k
+    return (
+        levels.join(hits, "n_probe", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "n_probe",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(denom), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def hard_negative_topk(
     embeddings: DataFrame,
     anchors: DataFrame,

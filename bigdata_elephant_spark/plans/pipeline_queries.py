@@ -1837,25 +1837,136 @@ ORDER BY q_id
 """
 
 
+IVF_SWEEP_MAX_PROBE = 8
+
+
+def q_ivf_probe_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF latency/recall tuning frontier: recall@k for every
+    n_probe 1..8 in one pass (operators/similarity.py
+    ``ivf_probe_recall_sweep`` — candidates scored once, probe
+    levels replicated via sequence-explode over the cell rank). The
+    operating-point table FAISS users benchmark by hand; here it is
+    an oracled query."""
+    from bigdata_elephant_spark.operators.similarity import (
+        ivf_probe_recall_sweep,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import IVF_CELLS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_probe_recall_sweep(
+        emb, BATCH_QUERY_IDS, n_cells=IVF_CELLS,
+        max_probe=IVF_SWEEP_MAX_PROBE, k=BATCH_K,
+    )
+
+
+def _ivf_probe_sweep_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        IVF_CELLS,
+        _l2_sql,
+    )
+
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    maxp = IVF_SWEEP_MAX_PROBE
+    denom = len(BATCH_QUERY_IDS) * BATCH_K
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+q AS (
+    SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+    WHERE vec_id IN ({_IDS})
+),
+cellrank AS (
+    SELECT q_id, cell_id, crank FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round({_l2_sql('c.cvec', 'q.qv')}, 6),
+                            c.cell_id) AS crank
+        FROM cents c, q
+    ) WHERE crank <= {maxp}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT r.q_id, e.vec_id, r.crank, {cos} AS cos_sim
+    FROM embeddings e
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN cellrank r ON r.cell_id = a.cell_id
+    JOIN q ON q.q_id = r.q_id
+    WHERE e.vec_id <> r.q_id
+),
+per_level AS (
+    SELECT q_id, vec_id, cos_sim,
+           unnest(range(crank, {maxp} + 1)) AS n_probe
+    FROM scored
+),
+approx AS (
+    SELECT q_id, n_probe, vec_id FROM (
+        SELECT q_id, n_probe, vec_id,
+               row_number() OVER (
+                   PARTITION BY q_id, n_probe
+                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM per_level
+    ) WHERE rn <= {BATCH_K}
+),
+exs AS (
+    SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ex AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC,
+                                           vec_id ASC) AS rn
+        FROM exs
+    ) WHERE rn <= {BATCH_K}
+),
+hits AS (
+    SELECT a.n_probe, count(*) AS c
+    FROM approx a JOIN ex e
+      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY 1
+),
+levels AS (SELECT unnest(range(1, {maxp} + 1)) AS n_probe)
+SELECT CAST(l.n_probe AS INT) AS n_probe,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.c, 0) / {denom}, 6) AS recall
+FROM levels l LEFT JOIN hits h USING (n_probe)
+ORDER BY n_probe
+"""
+
+
 def q_pq_recall_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """recall@k of the full PQ-ADC + exact-rerank retriever against
     exact cosine for the probe batch — the PQ family's ranking trust
-    gate. The corpus-side work is batched exactly like knn_batch:
-    ONE codes table serves every query (encode is query-independent),
-    each query contributes only its n_sub x n_codes LUT (broadcast,
-    metadata-sized), the per-query ADC shortlist and the final top-k
-    are rank windows Spark plans as WindowGroupLimit (map-side
-    per-group heaps) — no per-query corpus scan, no global sort."""
-    from pyspark.sql import Window
-
+    gate. Both retrievers are the BATCHED operators
+    (similarity.py ``pq_topk_batch`` / ``cosine_topk_batch``): one
+    codes table serves every query, per-query LUTs broadcast,
+    shortlists and top-k plan as WindowGroupLimit heaps — no
+    per-query corpus scan anywhere."""
     from bigdata_elephant_spark.operators.similarity import (
-        _dot,
-        _norm2,
         cosine_topk_batch,
-        pq_codebooks,
-        pq_encode,
+        pq_topk_batch,
     )
     from bigdata_elephant_spark.plans.llm_queries import (
         PQ_CODES,
@@ -1866,86 +1977,100 @@ def q_pq_recall_report(
 
     emb = read_table(spark, sf_dir, "embeddings")
     ex = cosine_topk_batch(emb, BATCH_QUERY_IDS, k=BATCH_K)
-    cbooks = pq_codebooks(emb, PQ_SUB, PQ_SUB_DIM, PQ_CODES)
-    codes = pq_encode(emb, cbooks, PQ_SUB, PQ_SUB_DIM)
-    q_slices = (
-        emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(sub).alias("sub"),
-                            F.slice(
-                                F.col("embedding"),
-                                sub * PQ_SUB_DIM + 1,
-                                PQ_SUB_DIM,
-                            ).alias("qvec"),
-                        )
-                        for sub in range(PQ_SUB)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("q_id", "s.sub", "s.qvec")
+    pk = pq_topk_batch(
+        emb, BATCH_QUERY_IDS, n_sub=PQ_SUB, sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES, shortlist=PQ_SHORTLIST, k=BATCH_K,
+    ).select("q_id", "vec_id")
+    return _recall_from_topk(ex, pk, BATCH_K)
+
+
+def q_knn_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PQ-ADC ANN (similarity.py ``pq_topk_batch``): the
+    whole probe set answered from ONE query-independent codes table
+    + per-query broadcast LUTs — the PQ member of the batch family
+    (knn_batch / knn_ivf_batch / search_batch)."""
+    from bigdata_elephant_spark.operators.similarity import (
+        pq_topk_batch,
     )
-    lut = cbooks.join(F.broadcast(q_slices), "sub").select(
-        "q_id",
-        "sub",
-        "code_id",
-        F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
-        .cast("decimal(18,6)")
-        .alias("pd"),
+    from bigdata_elephant_spark.plans.llm_queries import (
+        PQ_CODES,
+        PQ_SHORTLIST,
+        PQ_SUB,
+        PQ_SUB_DIM,
     )
-    wadc = Window.partitionBy("q_id").orderBy(
-        F.desc("adc"), F.asc("vec_id")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk_batch(
+        emb, BATCH_QUERY_IDS, n_sub=PQ_SUB, sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES, shortlist=PQ_SHORTLIST, k=BATCH_K,
+    ).orderBy("q_id", "vec_id")
+
+
+def _knn_pq_batch_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _PQ_L2,
+        _PQ_QDOT,
+        PQ_CODES,
+        PQ_SHORTLIST,
+        PQ_SUB,
     )
-    short = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["sub"] == lut["sub"])
-            & (codes["code"] == lut["code_id"]),
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pd").alias("adc"))
-        .withColumn("_r", F.row_number().over(wadc))
-        .filter(F.col("_r") <= PQ_SHORTLIST)
-        .select("q_id", "vec_id")
+
+    cos = (
+        f"round({_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
     )
-    q = emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("_qvec"),
-        F.sqrt(_norm2(F.col("embedding"))).alias("_qnrm"),
-    )
-    wtop = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
-    )
-    shortlist = short.select(
-        "q_id", F.col("vec_id").alias("_sid")
-    )
-    reranked = (
-        emb.join(shortlist, F.col("vec_id") == F.col("_sid"))
-        .select("q_id", "vec_id", "embedding")
-        .join(F.broadcast(q), "q_id")
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("_qvec"))
-                / (
-                    F.sqrt(_norm2(F.col("embedding")))
-                    * F.col("_qnrm")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-        .withColumn("_r", F.row_number().over(wtop))
-        .filter(F.col("_r") <= BATCH_K)
-        .select("q_id", "vec_id")
-    )
-    return _recall_from_topk(ex, reranked, BATCH_K)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS qv
+    FROM embeddings WHERE vec_id IN ({_IDS})
+),
+cb_src AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY vec_id LIMIT {PQ_CODES}
+),
+codebooks AS (
+    SELECT s.sub, e.vec_id AS code_id, e.embedding AS cvec
+    FROM cb_src e,
+         (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, c.sub, c.code_id AS code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, c.sub
+                   ORDER BY round({_PQ_L2}, 6), c.code_id) AS rn
+        FROM embeddings e, codebooks c
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT q.q_id, c.sub, c.code_id,
+           CAST(round({_PQ_QDOT}, 6) AS DECIMAL(18,6)) AS pd
+    FROM codebooks c, q
+),
+short AS (
+    SELECT q_id, vec_id FROM (
+        SELECT l.q_id, enc.vec_id,
+               row_number() OVER (
+                   PARTITION BY l.q_id
+                   ORDER BY sum(pd) DESC, enc.vec_id) AS rn
+        FROM enc JOIN lut l
+          ON l.sub = enc.sub AND l.code_id = enc.code
+        WHERE enc.vec_id <> l.q_id
+        GROUP BY l.q_id, enc.vec_id
+    ) WHERE rn <= {PQ_SHORTLIST}
+)
+SELECT q_id, vec_id, cos_sim FROM (
+    SELECT s.q_id, e.vec_id, {cos} AS cos_sim,
+           row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+    FROM embeddings e
+    JOIN short s ON s.vec_id = e.vec_id
+    JOIN q ON q.q_id = s.q_id
+) WHERE rn <= {BATCH_K}
+ORDER BY q_id, vec_id
+"""
 
 
 def _pq_recall_sql() -> str:
@@ -3318,6 +3443,18 @@ SPECS = [
         q_pq_recall_report,
         _pq_recall_sql,
         tags=("llm", "similarity", "report"),
+    ),
+    QuerySpec(
+        "ivf_probe_sweep",
+        q_ivf_probe_sweep,
+        _ivf_probe_sweep_sql,
+        tags=("llm", "similarity", "report"),
+    ),
+    QuerySpec(
+        "knn_pq_batch",
+        q_knn_pq_batch,
+        _knn_pq_batch_sql,
+        tags=("llm", "similarity", "index"),
     ),
     QuerySpec(
         "sq8_recall_report",
