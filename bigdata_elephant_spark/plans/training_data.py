@@ -369,6 +369,71 @@ def q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility audit: subwords-per-word and
+    chars-per-subword for each corpus source under the learned
+    rules — the standard tokenizer-fit report (a source whose
+    fertility is far above the corpus mean is being shredded into
+    characters: its domain is under-represented in the merges).
+    The trained vocabulary already IS the word→encoding table, so
+    this is one token-stream pass joined against the vocab-sized
+    ``final_wf`` (UNHINTED — vocab grows with the corpus; AQE sizes
+    the join) and a per-source aggregate. Exact integer sums; one
+    rounded division per output column."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.bpe import bpe_train
+    from bigdata_elephant_spark.operators.dedup import tokens_array
+
+    docs = _docs(spark, sf_dir)
+    _, wf = bpe_train(docs, n_merges=N_MERGES)
+    enc = wf.select(
+        "word", F.size("syms").alias("ns")
+    )
+    words = docs.select(
+        "source", F.explode(tokens_array("text")).alias("word")
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ns").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("ns").cast("double") / F.count("*"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("ns"),
+                6,
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""{_bpe_ctes(N_MERGES)},
+words AS (
+    SELECT d.source, t.w AS word
+    FROM (SELECT doc_id, unnest(toks) AS w FROM doc_toks) t
+    JOIN documents d USING (doc_id)
+),
+enc AS (SELECT word, len(syms) AS ns FROM w{N_MERGES})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ns) AS BIGINT) AS n_subwords,
+       round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(length(word)) AS DOUBLE) / sum(ns), 6)
+           AS chars_per_subword
+FROM words JOIN enc USING (word)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _bpe_ctes(n_merges: int) -> str:
     """The unrolled training chain: w0 (char-split vocab) then for
     each round k: pair counts p{k}, argmax m{k}, rewritten vocab
@@ -476,6 +541,8 @@ SPECS = [
               ("llm", "text", "tokenizer"), bench=True),
     QuerySpec("bpe_subword_vocab", q_bpe_subword_vocab,
               _bpe_subword_vocab_sql, ("llm", "text", "tokenizer")),
+    QuerySpec("bpe_fertility_by_source", q_bpe_fertility_by_source,
+              _bpe_fertility_sql, ("llm", "text", "tokenizer")),
     QuerySpec("bpe_encode_sample", q_bpe_encode_sample,
               _bpe_encode_sql, ("llm", "text", "tokenizer")),
 ]
