@@ -118,7 +118,9 @@ GATE_PRIORITY = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
+    # (q10_returned_items not re-gated: its customer hint is the
+    # identical maybe_broadcast(c) pattern q3/top_customers/q7
+    # re-verify 3x over; it stays under the local gate)
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q11_important_parts",
@@ -139,6 +141,10 @@ GATE_PRIORITY = (
     "media_features",
     "kmv_distinct_users",
     "window_value_funcs",
+    # gopher_ngram_filters ships this round (the paper's A1.1 n-gram
+    # char-fraction table; complements the r6 word-level
+    # gopher_repetition).
+    "gopher_ngram_filters",
 )
 
 
