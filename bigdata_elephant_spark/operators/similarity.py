@@ -1927,6 +1927,65 @@ def ivf_sq8_topk(
     return _sq8_score_tail(candidates, stats, q, k, id_col)
 
 
+def sq8_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched flat-SQ8 search → ``(q_id, vec_id, sq8_sim)`` top-k
+    per query. The decode is QUERY-INDEPENDENT, so one
+    encode+reconstruct pass over the codes serves the whole probe
+    set (the SQ8 member of the batch matrix); per-query scoring and
+    top-k are the :func:`cosine_topk_batch` rank-window shape
+    (``WindowGroupLimit`` heaps), with the shared zero-norm
+    reconstruction guard (ANSI divide) and exact queries — the same
+    asymmetric contract as :func:`sq8_topk` per query."""
+    from pyspark.sql import Window
+
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"q_id long, {id_col} long, sq8_sim double"
+        )
+    stats = sq8_stats(embeddings, dim, vec_col)
+    codes = sq8_encode(embeddings, stats, id_col, vec_col)
+    st = F.arrays_zip(F.col("vmin"), F.col("vstep"))
+    recon = (
+        codes.crossJoin(F.broadcast(stats))
+        .select(
+            id_col, _sq8_recon(F.col("codes"), st).alias("_rv")
+        )
+        .withColumn("_nrm", F.sqrt(_norm2(F.col("_rv"))))
+        .filter(F.col("_nrm") > 0)
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.desc("sq8_sim"), F.asc(id_col)
+    )
+    return (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                _dot(F.col("_rv"), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("sq8_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= k)
+        .select("q_id", id_col, "sq8_sim")
+    )
+
+
 def sq8_reconstruction_report(
     embeddings: DataFrame,
     label_col: str = "label",
@@ -2427,6 +2486,130 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF-PQ — the full FAISS ``IVFx,PQy`` retrieval for a
+    probe SET in one pass → ``(q_id, vec_id, cos_sim)``, completing
+    the batch matrix (exact / IVF / PQ / IVF-PQ all have batched
+    twins). Corpus-sized work (assignment, residuals, PQ encode) is
+    query-independent and paid once for the whole batch; each query
+    adds only its per-probed-cell residual LUTs
+    (``n_probe x n_sub x n_codes`` rows per query — broadcast) and
+    its rank windows (``WindowGroupLimit`` map-side heaps). Scoring
+    and tie-breaks are identical to :func:`ivfpq_topk` per query.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    resid = (
+        embeddings.join(assign, id_col)
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("resid"),
+        )
+    )
+    from bigdata_elephant_spark.session import persist_tracked
+
+    resid = persist_tracked(resid)
+    cbooks = pq_codebooks(
+        resid, n_sub, sub_dim, n_codes, id_col, "resid"
+    )
+    codes = pq_encode(
+        resid, cbooks, n_sub, sub_dim, id_col, "resid"
+    )
+    qf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    wprobe = Window.partitionBy("q_id").orderBy("d", "cell_id")
+    probe = (
+        cents.crossJoin(F.broadcast(qf))
+        .select(
+            "q_id",
+            "cell_id",
+            "cvec",
+            "qv",
+            F.round(_l2sq(F.col("cvec"), F.col("qv")), 6).alias("d"),
+        )
+        .withColumn("_r", F.row_number().over(wprobe))
+        .filter(F.col("_r") <= n_probe)
+    )
+    qslices = (
+        probe.select(
+            "q_id",
+            "cell_id",
+            F.zip_with(
+                F.col("qv"),
+                F.col("cvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("qres"),
+        )
+        .select(
+            "q_id",
+            "cell_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(sub).alias("sub"),
+                            F.slice(
+                                F.col("qres"),
+                                sub * sub_dim + 1,
+                                sub_dim,
+                            ).alias("qvec"),
+                        )
+                        for sub in range(n_sub)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "cell_id", "s.sub", "s.qvec")
+    )
+    lut = cbooks.join(F.broadcast(qslices), "sub").select(
+        "q_id",
+        "cell_id",
+        "sub",
+        "code_id",
+        F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
+        .cast("decimal(18,6)")
+        .alias("pd"),
+    )
+    wadc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    short = (
+        codes.join(assign, id_col)
+        .join(F.broadcast(lut), ["cell_id", "sub"])
+        .filter(F.col("code") == F.col("code_id"))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("pd").alias("adc"))
+        .withColumn("_r", F.row_number().over(wadc))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", F.col(id_col).alias("_sid"))
+    )
+    return _exact_rerank_batch(
+        embeddings, short, query_ids, k, id_col, vec_col
+    )
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,
@@ -2779,6 +2962,52 @@ def ivf_topk_batch(
     )
 
 
+def _exact_rerank_batch(
+    embeddings: DataFrame,
+    short: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared batched exact-cosine tail: re-rank each query's
+    ``(q_id, _sid)`` shortlist against the raw vectors →
+    ``(q_id, vec_id, cos_sim)`` top-k per query. One definition so
+    the batch retrievers' scoring/rounding/tie-break contract cannot
+    drift from :func:`cosine_topk_batch` (same rank-window shape —
+    ``WindowGroupLimit`` map-side heaps)."""
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        embeddings.join(short, F.col(id_col) == F.col("_sid"))
+        .select("q_id", id_col, vec_col)
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (
+                    F.sqrt(_norm2(F.col(vec_col)))
+                    * F.col("_qnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )
+
+
 def pq_topk_batch(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -2858,33 +3087,8 @@ def pq_topk_batch(
         .filter(F.col("_r") <= shortlist)
         .select("q_id", F.col(id_col).alias("_sid"))
     )
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
-    wtop = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    return (
-        embeddings.join(short, F.col(id_col) == F.col("_sid"))
-        .select("q_id", id_col, vec_col)
-        .join(F.broadcast(q), "q_id")
-        .select(
-            "q_id",
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (
-                    F.sqrt(_norm2(F.col(vec_col)))
-                    * F.col("_qnrm")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-        .withColumn("_r", F.row_number().over(wtop))
-        .filter(F.col("_r") <= k)
-        .select("q_id", id_col, "cos_sim")
+    return _exact_rerank_batch(
+        embeddings, short, query_ids, k, id_col, vec_col
     )
 
 

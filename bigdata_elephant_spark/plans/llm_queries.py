@@ -1210,6 +1210,61 @@ def q_ivfsq8_topk_indexed(
     )
 
 
+def q_ivf_cell_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index-balance report: vectors per cell plus each cell's
+    share — the observability table behind every "why is my ANN
+    slow" investigation (one hot cell = one hot probe partition;
+    FAISS's `invlists` imbalance factor). One assignment pass, one
+    n_cells-row aggregate; share compares by integer cross-product
+    against the 1-row total inside the oracle too."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, IVF_CELLS)
+    assigned = similarity.ivf_assign(emb, cents)
+    tot = assigned.agg(F.count("*").cast("long").alias("nt"))
+    return (
+        assigned.groupBy("cell_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("nt"), 6
+            ).alias("share"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+IVF_CELL_HISTOGRAM_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM assigned)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(count(*) AS DOUBLE) / nt, 6) AS share
+FROM assigned, tot
+GROUP BY cell_id, nt
+ORDER BY cell_id
+"""
+
+
 _IVFSQ8_INC_CACHE: dict[tuple, str] = {}
 
 
@@ -2110,6 +2165,50 @@ SELECT s.doc_id,
        round(sum(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
              / count(*), 6) AS boilerplate_frac,
        (sum(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+        >= {BOILER_FRAC} * count(*)) AS flagged
+FROM sh s JOIN freq f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+BOILER_REL_FRAC = 0.01  # df >= 1% of docs (df >= 2 floor)
+
+
+def q_boilerplate_flags_relative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """boilerplate_flags with the SCALE-INVARIANT relative cut
+    (df >= 1% of docs, df >= 2 floor): the absolute ``df >= 5``
+    threshold admits ever more ordinary phrases as the corpus grows
+    100x, while a share-of-corpus cut keeps one meaning at every
+    scale — evaluated as an integer cross-product against the 1-row
+    corpus count so no float boundary flips membership."""
+    return dedup.boilerplate_flags(
+        _docs(spark, sf_dir),
+        frac_threshold=BOILER_FRAC,
+        min_doc_frac=BOILER_REL_FRAC,
+    )
+
+
+BOILERPLATE_REL_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE},
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM doc_shingles
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+freq AS (
+    SELECT shingle,
+           (df >= 2 AND df * {round(1.0 / BOILER_REL_FRAC)} >= nd)
+               AS is_b
+    FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), nd
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.is_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN f.is_b THEN 1 ELSE 0 END)
+             / count(*), 6) AS boilerplate_frac,
+       (sum(CASE WHEN f.is_b THEN 1 ELSE 0 END)
         >= {BOILER_FRAC} * count(*)) AS flagged
 FROM sh s JOIN freq f USING (shingle)
 GROUP BY s.doc_id
@@ -3182,6 +3281,9 @@ SPECS = [
               ("llm", "similarity", "index")),
     QuerySpec("knn_ivf_sq8_indexed", q_ivfsq8_topk_indexed,
               KNN_IVF_SQ8_SQL, ("llm", "similarity", "index")),
+    QuerySpec("ivf_cell_histogram", q_ivf_cell_histogram,
+              IVF_CELL_HISTOGRAM_SQL,
+              ("llm", "similarity", "report")),
     QuerySpec("knn_ivf_sq8_incremental", q_ivfsq8_topk_incremental,
               KNN_IVF_SQ8_SQL,
               ("llm", "similarity", "index", "merge")),
@@ -3249,6 +3351,9 @@ SPECS = [
               ("llm", "text", "topk")),
     QuerySpec("boilerplate_flags", q_boilerplate_flags, BOILERPLATE_SQL,
               ("llm", "text", "quality", "dedup")),
+    QuerySpec("boilerplate_flags_relative",
+              q_boilerplate_flags_relative, BOILERPLATE_REL_SQL,
+              ("llm", "text", "quality", "dedup")),
     QuerySpec("lang_confusion_matrix", q_lang_confusion,
               LANG_CONFUSION_SQL, ("llm", "text", "quality")),
     QuerySpec("corpus_bigrams", q_corpus_bigrams, CORPUS_BIGRAMS_SQL,
@@ -3309,12 +3414,131 @@ _IVFPQ_ENC_L2 = _sub_fold_sql(
     f"s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
 )
 
+_IVFPQ_LUT_DOT_B = _sub_fold_sql(
+    f"{_IVFPQ_RESID_B} "
+    "* (CAST(p.qv[i] AS DOUBLE) - CAST(p.cvec[i] AS DOUBLE))",
+    f"s.sub * {PQ_SUB_DIM} + 1",
+    f"s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
+)
+
 _IVFPQ_LUT_DOT = _sub_fold_sql(
     f"{_IVFPQ_RESID_B} "
     "* (CAST(q.qv[i] AS DOUBLE) - CAST(p.cvec[i] AS DOUBLE))",
     f"s.sub * {PQ_SUB_DIM} + 1",
     f"s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM} + 1",
 )
+
+def q_knn_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ (similarity.py ivfpq_topk_batch): the whole
+    probe set against one query-independent coarse+PQ compression —
+    completes the batch matrix (exact / IVF / PQ / IVF-PQ)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk_batch(
+        emb,
+        BATCH_QUERY_IDS_LLM,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        n_sub=PQ_SUB,
+        sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES,
+        shortlist=PQ_SHORTLIST,
+        k=BATCH_K_LLM,
+    ).orderBy("q_id", "vec_id")
+
+
+# mirror pipeline_queries' probe-batch constants (import would be
+# circular: pipeline_queries imports from this module)
+BATCH_QUERY_IDS_LLM = [0, 1, 2, 3]
+BATCH_K_LLM = 5
+_IDS_LLM = ", ".join(str(i) for i in BATCH_QUERY_IDS_LLM)
+
+KNN_IVFPQ_BATCH_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_IDS_LLM})),
+cb_src AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY vec_id LIMIT {PQ_CODES}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, s.sub, b.vec_id AS code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, s.sub
+                   ORDER BY round({_IVFPQ_ENC_L2}, 6), b.vec_id)
+                   AS rn
+        FROM embeddings e
+        JOIN assigned ae ON ae.vec_id = e.vec_id
+        JOIN cents ce ON ce.cell_id = ae.cell_id
+        CROSS JOIN cb_src b
+        JOIN assigned ab ON ab.vec_id = b.vec_id
+        JOIN cents cb ON cb.cell_id = ab.cell_id
+        CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT q_id, cell_id, cvec, qv FROM (
+        SELECT q.q_id, c.cell_id, c.cvec, q.qv,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round({_l2_sql('c.cvec', 'q.qv')}, 6),
+                            c.cell_id) AS rn
+        FROM cents c, q
+    ) WHERE rn <= {IVF_PROBE}
+),
+lut AS (
+    SELECT p.q_id, p.cell_id, s.sub, b.vec_id AS code_id,
+           CAST(round({_IVFPQ_LUT_DOT_B}, 6) AS DECIMAL(18,6)) AS pd
+    FROM probe p
+    CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+    CROSS JOIN cb_src b
+    JOIN assigned ab ON ab.vec_id = b.vec_id
+    JOIN cents cb ON cb.cell_id = ab.cell_id
+),
+short AS (
+    SELECT q_id, vec_id FROM (
+        SELECT l.q_id, enc.vec_id,
+               row_number() OVER (
+                   PARTITION BY l.q_id
+                   ORDER BY sum(l.pd) DESC, enc.vec_id) AS rn
+        FROM enc
+        JOIN assigned a ON a.vec_id = enc.vec_id
+        JOIN lut l ON l.cell_id = a.cell_id AND l.sub = enc.sub
+                  AND l.code_id = enc.code
+        WHERE enc.vec_id <> l.q_id
+        GROUP BY l.q_id, enc.vec_id
+    ) WHERE rn <= {PQ_SHORTLIST}
+)
+SELECT q_id, vec_id, cos_sim FROM (
+    SELECT s.q_id, e.vec_id,
+           round({_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY round({_dot_sql('e.embedding', 'q.qv')}
+                     / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                        * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) DESC,
+                        e.vec_id ASC) AS rn
+    FROM embeddings e
+    JOIN short s ON s.vec_id = e.vec_id
+    JOIN q ON q.q_id = s.q_id
+) WHERE rn <= {BATCH_K_LLM}
+ORDER BY q_id, vec_id
+"""
 
 KNN_IVFPQ_SQL = f"""
 WITH cents AS (
@@ -3935,5 +4159,14 @@ SPECS.append(
         q_vocab_heaps_fit,
         VOCAB_HEAPS_SQL,
         ("llm", "text", "agg"),
+    )
+)
+
+SPECS.append(
+    QuerySpec(
+        "knn_ivfpq_batch",
+        q_knn_ivfpq_batch,
+        KNN_IVFPQ_BATCH_SQL,
+        ("llm", "similarity", "index"),
     )
 )

@@ -1665,6 +1665,50 @@ ORDER BY q_id
 """
 
 
+def q_knn_sq8_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched flat-SQ8 ANN (similarity.py sq8_topk_batch): one
+    encode+decode pass (query-independent) scores the whole probe
+    set — the SQ8 member of the batch matrix (exact / IVF / PQ /
+    IVF-PQ / SQ8)."""
+    from bigdata_elephant_spark.operators.similarity import (
+        sq8_topk_batch,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sq8_topk_batch(
+        emb, BATCH_QUERY_IDS, k=BATCH_K
+    ).orderBy("q_id", "vec_id")
+
+
+def _knn_sq8_batch_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        _SQ8_NORM_PRED,
+        _SQ8_STATS_CTE,
+    )
+
+    sq8 = (
+        f"round({_dot_sql('r.rv', 'q.qv')}"
+        f" / (sqrt({_dot_sql('r.rv', 'r.rv')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
+    )
+    return f"""
+WITH {_SQ8_STATS_CTE},
+q AS (
+    SELECT vec_id AS q_id, embedding AS qv
+    FROM embeddings WHERE vec_id IN ({_IDS})
+)
+SELECT q_id, vec_id, sq8_sim FROM (
+    SELECT q.q_id, r.vec_id, {sq8} AS sq8_sim,
+           row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {sq8} DESC, r.vec_id ASC) AS rn
+    FROM recon r, q
+    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> q.q_id
+) WHERE rn <= {BATCH_K}
+ORDER BY q_id, vec_id
+"""
+
+
 def q_sq8_recall_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3454,6 +3498,12 @@ SPECS = [
         "knn_pq_batch",
         q_knn_pq_batch,
         _knn_pq_batch_sql,
+        tags=("llm", "similarity", "index"),
+    ),
+    QuerySpec(
+        "knn_sq8_batch",
+        q_knn_sq8_batch,
+        _knn_sq8_batch_sql,
         tags=("llm", "similarity", "index"),
     ),
     QuerySpec(
