@@ -288,6 +288,7 @@ def boilerplate_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    min_doc_frac: float | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate scoring: a shingle appearing in
     >= ``min_doc_freq`` distinct documents is boilerplate (headers,
@@ -295,6 +296,16 @@ def boilerplate_flags(
     within-doc repetition metrics like the Gopher flags cannot see);
     each document is scored by the fraction of its distinct shingles
     that are boilerplate and flagged past ``frac_threshold``.
+
+    ``min_doc_frac`` switches the cut to a RELATIVE one — boilerplate
+    iff ``df >= min_doc_frac * n_docs`` (with a df >= 2 floor: a
+    singleton shingle is just content) — which is what survives a
+    100x corpus: an absolute ``df >= 5`` admits ever more ordinary
+    phrases as the corpus grows, while a share-of-corpus cut keeps
+    the same meaning at every scale. The comparison is an integer
+    cross-product against the 1-row corpus count (``df * denom >=
+    n_docs`` with ``denom = round(1/min_doc_frac)``), so no float
+    boundary can flip membership between engines.
 
     This is the diagnostic counterpart of the hot-shingle caps in
     the n-gram-Jaccard and containment verifiers: the same
@@ -309,13 +320,22 @@ def boilerplate_flags(
     freq = sh.groupBy("shingle").agg(
         F.count("*").alias("_df")  # rows are distinct (doc, shingle)
     )
+    if min_doc_frac is not None:
+        denom = round(1.0 / min_doc_frac)
+        nd = df.select(F.count("*").cast("long").alias("_nd"))
+        freq = freq.crossJoin(F.broadcast(nd))
+        is_boiler = (F.col("_df") >= 2) & (
+            F.col("_df") * denom >= F.col("_nd")
+        )
+    else:
+        is_boiler = F.col("_df") >= min_doc_freq
     scored = (
         sh.join(freq, "shingle")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(
-                F.when(F.col("_df") >= min_doc_freq, 1).otherwise(0)
+                F.when(is_boiler, 1).otherwise(0)
             ).cast("long").alias("n_boilerplate"),
         )
     )
