@@ -3208,6 +3208,64 @@ def ivf_probe_recall_sweep(
     )
 
 
+def embedding_novelty_admission(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time near-duplicate admission →
+    ``(vec_id, nn_sim, admit)``: each incoming vector's max exact
+    cosine against the BASE corpus; ``admit`` iff it stays below
+    ``threshold`` — the semantic-dedup gate a training pipeline runs
+    BEFORE ingesting an embedding batch (don't index what you
+    already have; the embedding-space twin of the text side's
+    frozen-λ DSIR admission and delete-then-append reingest).
+
+    Cost shape: the ingest batch broadcasts (admission batches are
+    bounded by construction — they are the unit of ingest), the base
+    is scanned ONCE for the whole batch, and the per-vector max is a
+    map-side-partial aggregate — no base shuffle, no pairwise
+    materialization beyond the scan. Zero-norm vectors drop on both
+    sides (cosine undefined; ANSI division guard, mirrored in the
+    oracle). At production scale the exact scan swaps for a probe of
+    the maintained IVF layout — same admission contract, the
+    recall/threshold trade measured by ``ivf_recall_report``.
+    """
+    q = delta.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
+    ).filter(F.col("_qnrm") > 0)
+    scored = (
+        base.select(
+            id_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        .filter(F.col("_nrm") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_nrm") * F.col("_qnrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return (
+        scored.groupBy("q_id")
+        .agg(F.max("sim").alias("nn_sim"))
+        .select(
+            F.col("q_id").alias(id_col),
+            "nn_sim",
+            (F.col("nn_sim") < F.lit(threshold)).alias("admit"),
+        )
+    )
+
+
 def hard_negative_topk(
     embeddings: DataFrame,
     anchors: DataFrame,

@@ -356,3 +356,119 @@ SPECS.append(
         ("streaming", "curation", "llm"),
     )
 )
+
+NOVELTY_THR = 0.4
+NOVELTY_SPLIT = 400
+
+
+def q_embedding_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch ingest-novelty admission (similarity.py
+    embedding_novelty_admission): incoming vectors (id >= 400, the
+    repo's delta convention) against the indexed base — max exact
+    cosine + admit-below-threshold, the semantic-dedup gate run
+    before ingesting an embedding batch."""
+    from bigdata_elephant_spark.operators.similarity import (
+        embedding_novelty_admission,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < NOVELTY_SPLIT)
+    delta = emb.filter(F.col("vec_id") >= NOVELTY_SPLIT)
+    return embedding_novelty_admission(
+        base, delta, threshold=NOVELTY_THR
+    ).orderBy("vec_id")
+
+
+def q_stream_embedding_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``embedding_novelty``: embedding batches
+    land as a file micro-batch stream; ``foreachBatch`` runs the
+    batch admission operator against the FROZEN base per
+    micro-batch (the same foreachBatch rationale as
+    ``docs_stream_dsir`` — the scan+max pipeline re-plans per
+    batch; a vector's admission depends only on itself and the
+    frozen base, so the union of per-batch outputs is invariant to
+    micro-batch boundaries and equals the batch query row-for-row —
+    the shared oracle; the idempotent batch_id sink makes replays
+    exactly-once)."""
+    import uuid
+
+    from bigdata_elephant_spark.operators.similarity import (
+        embedding_novelty_admission,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < NOVELTY_SPLIT)
+
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = f"{ev._new_stage_dir()}/novelty_{run_id}"
+    ckpt = f"{out_dir}_ckpt"
+    stream = ev.read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") >= NOVELTY_SPLIT
+    )
+    ev.run_stream_to_parquet(
+        stream,
+        out_dir,
+        ckpt,
+        transform=lambda batch: embedding_novelty_admission(
+            base, batch, threshold=NOVELTY_THR
+        ),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("vec_id", "nn_sim", "admit")
+        .orderBy("vec_id")
+    )
+
+
+def _novelty_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import _dot_sql
+
+    cos = (
+        f"round({_dot_sql('d.embedding', 'b.embedding')}"
+        f" / (sqrt({_dot_sql('d.embedding', 'd.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)"
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id < {NOVELTY_SPLIT}
+      AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
+),
+delta AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id >= {NOVELTY_SPLIT}
+      AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
+),
+sims AS (
+    SELECT d.vec_id, max({cos}) AS nn_sim
+    FROM delta d, base b
+    GROUP BY 1
+)
+SELECT vec_id, nn_sim, (nn_sim < {NOVELTY_THR}) AS admit
+FROM sims
+ORDER BY vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "embedding_novelty",
+        q_embedding_novelty,
+        _novelty_sql,
+        ("llm", "similarity", "merge"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "emb_stream_novelty",
+        q_stream_embedding_novelty,
+        _novelty_sql,
+        ("streaming", "llm", "similarity", "merge"),
+    )
+)

@@ -531,6 +531,20 @@ def write_events_kafka(
     )
 
 
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Micro-batch file stream over the embeddings table — the
+    landing shape of an embedding-ingest pipeline (each encoder run
+    drops a parquet batch; admission keeps up incrementally). Same
+    staging mechanics as :func:`read_documents_stream`."""
+    src_file = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    schema = spark.read.parquet(src_file).schema
+    stage_dir = _new_stage_dir()
+    shutil.copy(src_file, stage_dir)
+    return spark.readStream.schema(schema).parquet(stage_dir)
+
+
 def read_documents_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

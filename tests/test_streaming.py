@@ -402,3 +402,20 @@ def test_stream_dsir_equals_batch_incremental(spark, sf_dir):
     streamed = q_stream_dsir_admission(spark, sf_dir).collect()
     batch = q_dsir_incremental(spark, sf_dir).collect()
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_novelty_equals_batch(spark, sf_dir):
+    """Streaming ingest-novelty admission == the batch query
+    row-for-row (a vector's admission depends only on itself and the
+    frozen base, so micro-batch boundaries cannot change it), and
+    both admit branches are exercised."""
+    from bigdata_elephant_spark.plans.stream_queries import (
+        q_embedding_novelty,
+        q_stream_embedding_novelty,
+    )
+
+    streamed = q_stream_embedding_novelty(spark, sf_dir).collect()
+    batch = q_embedding_novelty(spark, sf_dir).collect()
+    assert streamed == batch and len(batch) > 0
+    admits = {r["admit"] for r in batch}
+    assert admits == {True, False}
