@@ -98,7 +98,9 @@ GATE_PRIORITY = (
     "search_reference_indexed",
     "search_bm25",
     "search_more_like_this",
-    "search_batch",
+    # (search_batch not re-gated: its query-terms flip is the same
+    # line search_bm25 re-verifies, and the batch family is gated
+    # via search_batch_indexed)
     "search_batch_indexed",
     "search_phrase",
     "search_hybrid_indexed",
@@ -109,7 +111,8 @@ GATE_PRIORITY = (
     "knn_ivf_sq8",
     "knn_ivf_sq8_indexed",
     "sq8_reconstruction_report",
-    "sq8_recall_report",
+    # (sq8_recall_report retired this round — r7 green; the vmax
+    # stats change is re-verified by the four SQ8 members above)
     # --- relational: SF-growing dimension hints size-gated
     # (customer/supplier/part and frames derived from them; plans
     # byte-identical at gate SF, re-gated to prove it) ---
@@ -121,20 +124,33 @@ GATE_PRIORITY = (
     # (q10_returned_items not re-gated: its customer hint is the
     # identical maybe_broadcast(c) pattern q3/top_customers/q7
     # re-verify 3x over; it stays under the local gate)
-    "q15_top_supplier",
+    # (q15_top_supplier not re-gated: its supplier hint is the
+    # pattern q7/q9 re-verify)
     "q19_disjunctive_revenue",
     "q11_important_parts",
     "q2_min_cost_supplier",
     # --- streaming: enrichment dimension hint size-gated ---
     "events_stream_enrich",
     # --- standing anchors / family representatives ---
-    "vocab_build",
-    "knn_ivf_indexed",
+    # (vocab_build retired — its only r8 change is a pure
+    # delegation of _plan_size_bytes; the search lineage in-window
+    # re-derives the vocabulary every round. knn_ivf_indexed
+    # retired — similarity is the window's deepest family and the
+    # IVF layout is re-gated via the sq8/batch/incremental members.)
+    # NEW this round: the batch-matrix completions and the IVF
+    # tuning/trust reports
+    "knn_pq_batch",
+    "knn_ivfpq_batch",
+    "ivf_probe_sweep",
     "pagerank_dupgraph",  # drift watch
     "llm_pipeline_e2e",
     "q1_pricing_summary",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh retired — r1-r7 greens; the dedup family
+    # stays in-window via dedup_groups and the new
+    # boilerplate_flags_relative)
     "dedup_groups",
+    # NEW: scale-invariant relative boilerplate cut (this round)
+    "boilerplate_flags_relative",
     "asof_events_orders",
     "docs_stream_curate",
     "weighted_sample_orders",
@@ -145,6 +161,14 @@ GATE_PRIORITY = (
     # char-fraction table; complements the r6 word-level
     # gopher_repetition).
     "gopher_ngram_filters",
+    # NEW: ingest-novelty admission, batch + its foreachBatch
+    # streaming twin (both gated the round they ship; the twin
+    # shares the oracle and streamed==batch is also test-pinned).
+    # knn_sq8_batch / ivf_cell_histogram / bpe_fertility_by_source
+    # ship this round UNDER THE LOCAL GATE (window full after the
+    # code-change re-gates) — r9 window candidates.
+    "embedding_novelty",
+    "emb_stream_novelty",
 )
 
 
