@@ -145,12 +145,22 @@ def _select_merge_batch(
       prior merge creates inherits its count from such a
       symbol-sharing pair, so strict dominance means no created pair
       can out-rank the next member under the (count DESC, lhs, rhs)
-      order.
+      order;
+    - a SELF-pair (lhs == rhs) closes the batch: merging ``(a, a)``
+      over a run ``aaa`` creates ``(aa, a)`` whose only
+      symbol-sharing witness in the pre-merge table is ``(a, a)``
+      ITSELF, so no other pair's count bounds it — the created pair
+      can legitimately be sequential greedy's next pick (found by
+      the hypothesis property test: words ``bb``/``aaa`` — after
+      merging ``(a,a)``, ``(aa,a)`` lexicographically beats
+      ``(b,b)`` at equal count).
 
     The first violation stops the batch (prefix rule — sequential
     greedy would re-count before touching anything later). Batch
     size 1 (the plain sequential pick) is always sound, so progress
-    is guaranteed.
+    is guaranteed. tests/test_properties.py drives this function
+    through a pure-python trainer under hypothesis; tests/test_bpe.py
+    pins batched == sequential on the real corpus at n_merges=64.
     """
     if not slice_rows:
         return []
@@ -176,6 +186,10 @@ def _select_merge_batch(
             batch.append((lhs, rhs, merged, cnt))
             break
         batch.append((lhs, rhs, merged, cnt))
+        if lhs == rhs:
+            # self-pair: its created pairs are bounded only by its
+            # own count — nothing may batch after it
+            break
         used.update((lhs, rhs, merged))
         # widen the dominance cap to every later slice pair touching
         # this member's symbols (earlier slice pairs out-count the

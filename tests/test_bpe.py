@@ -270,3 +270,15 @@ def test_select_merge_batch_criteria():
     rows = [row("a", "b", 100), row("c", "d", 100)]
     got = _select_merge_batch(rows, 8, known, slice_complete=False)
     assert [(g[0], g[1]) for g in got] == [("a", "b")]
+
+    # a SELF-pair closes the batch: merging (a,a) over a run creates
+    # (aa,a) whose count only (a,a) itself bounds — sequential's next
+    # pick may be that created pair (hypothesis counterexample
+    # bb/aaa), so nothing may batch behind it
+    rows = [row("a", "a", 100), row("c", "d", 90)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("a", "a")]
+    # ...but a self-pair may legally be the LAST member
+    rows = [row("c", "d", 100), row("a", "a", 90)]
+    got = _select_merge_batch(rows, 8, known, slice_complete=True)
+    assert [(g[0], g[1]) for g in got] == [("c", "d"), ("a", "a")]

@@ -402,3 +402,92 @@ def test_bm25_batch_equals_singles_property(spark, texts, data):
             ).collect()
         ]
         assert by_q.get(qid, []) == single, (qid, qs)
+
+
+# ---------------- parallel-BPE batch selection (pure-python model)
+
+
+def _py_merge_seq(syms, lhs, rhs, merged):
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == lhs and x == rhs:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _py_pair_counts(words):
+    from collections import Counter
+
+    c = Counter()
+    for syms, freq in words:
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += freq
+    return c
+
+
+def _py_train(words, n_merges, max_batch, alphabet):
+    """Reference BPE trainer driving the SAME selection code the
+    Spark operator uses: max_batch=1 is plain sequential greedy;
+    the property below pins batched == sequential transcripts."""
+    from bigdata_elephant_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    words = [(list(s), f) for s, f in words]
+    known = set(alphabet)
+    rules = []
+    while len(rules) < n_merges:
+        counts = _py_pair_counts(words)
+        if not counts:
+            break
+        rows = [
+            {"lhs": a, "rhs": b, "pair_count": c}
+            for (a, b), c in counts.items()
+        ]
+        rows.sort(key=lambda r: (-r["pair_count"], r["lhs"], r["rhs"]))
+        batch = _select_merge_batch(
+            rows,
+            min(max_batch, n_merges - len(rules)),
+            known,
+            slice_complete=True,
+        )
+        if not batch:
+            break
+        for lhs, rhs, merged, cnt in batch:
+            rules.append((lhs, rhs, merged, cnt))
+            known.add(merged)
+            words = [
+                (_py_merge_seq(s, lhs, rhs, merged), f)
+                for s, f in words
+            ]
+    return rules
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_batch_selection_reproduces_sequential(
+    words, n_merges, max_batch
+):
+    """The transcript-safety property of the parallel-BPE batch
+    rule, exhaustively: for ANY word-frequency table, training with
+    batched selection produces bit-for-bit the sequential greedy
+    transcript (rules AND their pick-time counts). Sequential =
+    max_batch=1 through the same code path, so the property isolates
+    exactly the batching conditions (disjointness, fresh merged
+    symbols, strict dominance over symbol-sharing pairs)."""
+    seq = _py_train(words, n_merges, 1, "abc")
+    bat = _py_train(words, n_merges, max_batch, "abc")
+    assert bat == seq
