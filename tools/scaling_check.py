@@ -72,10 +72,21 @@ def main() -> None:
             file=sys.stderr,
         )
     rows.sort(key=lambda r: -r[2])
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                     "SCALING.md"), "w"
-    ) as f:
+    md_path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "SCALING.md"
+    )
+    # preserve the sf1 spot-check section (tools/sf1_spotcheck.py
+    # owns it) across full-table rewrites — a plain "w" rewrite
+    # silently dropped it once
+    sf1_section = ""
+    try:
+        prev = open(md_path).read()
+        marker = "\n## sf1 spot-check"
+        if marker in prev:
+            sf1_section = prev[prev.index(marker):]
+    except OSError:
+        pass
+    with open(md_path, "w") as f:
         f.write(
             "# SCALING — measured runtime vs data size\n\n"
             "Per bench-tagged query: best-of-"
@@ -92,6 +103,8 @@ def main() -> None:
                 f"| {name} | {times[0]:.3f}s | {times[1]:.3f}s "
                 f"| {times[2]:.3f}s | {slope:.2f} |\n"
             )
+        if sf1_section:
+            f.write(sf1_section)
     print("wrote SCALING.md", file=sys.stderr)
 
 
