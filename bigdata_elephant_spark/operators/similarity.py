@@ -2129,9 +2129,12 @@ def update_ivfsq8_index(
     cents = spark.read.parquet(f"{path}/centroids")
     stats = spark.read.parquet(f"{path}/sq8_stats")
     if "vmax" not in stats.columns:
-        # pre-vmax stats artifact: reconstruct the trained maxima
-        # (1-ulp conservative — a spurious refusal is safe, a
-        # spurious accept is not)
+        # pre-vmax stats artifact: reconstruct the trained maxima.
+        # The two IEEE roundings (multiply, add) can drift ~1 ulp in
+        # EITHER direction, so a component up to ~1 ulp past the
+        # trained max may be spuriously accepted — harmless, because
+        # _sq8_code clamps to 255, giving the same code the true max
+        # would; a ~1-ulp spurious refusal is likewise safe.
         stats = stats.withColumn(
             "vmax",
             F.zip_with(
@@ -3193,16 +3196,23 @@ def ivf_probe_recall_sweep(
         .groupBy("n_probe")
         .agg(F.count("*").alias("n_hits"))
     )
-    denom = len(query_ids) * k
+    # Denominator = the exact baseline's ACTUAL row count, not
+    # len(query_ids)*k: a query id absent from the corpus (or
+    # zero-norm, or a corpus with < k+1 vectors) must not silently
+    # cap recall below 1 and read as pruning loss. 1-row aggregate,
+    # broadcast-crossJoined (no driver collect).
+    denom = exact.agg(F.count("*").alias("_denom"))
     return (
         levels.join(hits, "n_probe", "left")
         .na.fill({"n_hits": 0})
+        .crossJoin(F.broadcast(denom))
         .select(
             "n_probe",
             F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(denom), 6).alias(
-                "recall"
-            ),
+            F.when(
+                F.col("_denom") > 0,
+                F.round(F.col("n_hits") / F.col("_denom"), 6),
+            ).alias("recall"),
         )
         .orderBy("n_probe")
     )
@@ -3214,6 +3224,7 @@ def embedding_novelty_admission(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cap_bytes: int | None = None,
 ) -> DataFrame:
     """Ingest-time near-duplicate admission →
     ``(vec_id, nn_sim, admit)``: each incoming vector's max exact
@@ -3223,16 +3234,33 @@ def embedding_novelty_admission(
     already have; the embedding-space twin of the text side's
     frozen-λ DSIR admission and delete-then-append reingest).
 
-    Cost shape: the ingest batch broadcasts (admission batches are
-    bounded by construction — they are the unit of ingest), the base
-    is scanned ONCE for the whole batch, and the per-vector max is a
-    map-side-partial aggregate — no base shuffle, no pairwise
-    materialization beyond the scan. Zero-norm vectors drop on both
-    sides (cosine undefined; ANSI division guard, mirrored in the
-    oracle). At production scale the exact scan swaps for a probe of
-    the maintained IVF layout — same admission contract, the
-    recall/threshold trade measured by ``ivf_recall_report``.
+    Cost shape: the ingest batch is the intended build side, but the
+    hint is SIZE-GATED (``maybe_broadcast`` on the delta scan) — a
+    caller-supplied "batch" can be arbitrarily large, and a forced
+    hint past Spark's 8 GB cap fails outright rather than degrading.
+    When the gate declines (unknown or large stats), AQE picks the
+    strategy from runtime sizes. The base is scanned ONCE for the
+    whole batch and the per-vector max is a map-side-partial
+    aggregate — no base shuffle, no pairwise materialization beyond
+    the scan. Zero-norm vectors drop on both sides (cosine
+    undefined; ANSI division guard, mirrored in the oracle).
+
+    Every surviving (non-zero-norm) delta vector gets a verdict: the
+    scored maxima are LEFT-joined back onto the delta ids, and a
+    missing neighbor (empty base, or base entirely zero-norm) means
+    maximal novelty — ``nn_sim`` null, ``admit`` true — so a
+    bootstrap ingest against an empty index admits everything
+    instead of silently emitting no rows. At production scale the
+    exact scan swaps for a probe of the maintained IVF layout — same
+    admission contract, the recall/threshold trade measured by
+    ``ivf_recall_report``.
     """
+    from bigdata_elephant_spark.session import (
+        BROADCAST_HINT_CAP_BYTES,
+        maybe_broadcast,
+    )
+
+    cap = BROADCAST_HINT_CAP_BYTES if cap_bytes is None else cap_bytes
     q = delta.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
@@ -3245,7 +3273,7 @@ def embedding_novelty_admission(
             F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
         )
         .filter(F.col("_nrm") > 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(maybe_broadcast(q, size_of=delta, cap_bytes=cap))
         .select(
             "q_id",
             F.round(
@@ -3255,13 +3283,20 @@ def embedding_novelty_admission(
             ).alias("sim"),
         )
     )
+    nn = scored.groupBy("q_id").agg(F.max("sim").alias("nn_sim"))
+    # Alias the aggregated side's key before the self-derived join
+    # (both frames descend from `delta`; an unaliased equi-join
+    # raises AMBIGUOUS_SELF_JOIN).
+    nn = nn.select(F.col("q_id").alias("_nnid"), "nn_sim")
     return (
-        scored.groupBy("q_id")
-        .agg(F.max("sim").alias("nn_sim"))
+        q.select("q_id")
+        .join(nn, F.col("q_id") == F.col("_nnid"), "left")
         .select(
             F.col("q_id").alias(id_col),
             "nn_sim",
-            (F.col("nn_sim") < F.lit(threshold)).alias("admit"),
+            F.coalesce(
+                F.col("nn_sim") < F.lit(threshold), F.lit(True)
+            ).alias("admit"),
         )
     )
 

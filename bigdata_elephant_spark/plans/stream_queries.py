@@ -358,25 +358,44 @@ SPECS.append(
 )
 
 NOVELTY_THR = 0.4
-NOVELTY_SPLIT = 400
+# Ingest is a FIXED-size batch against a corpus that grows with SF:
+# the delta is the 100 highest vec_ids (one admission batch), the
+# base is everything before them — 400/100 at sf0.01, 1900/100 at
+# sf0.1. The old absolute split (base pinned at 400, delta = the
+# rest) modeled the opposite — a delta that grew to 80% of the table
+# at sf0.1 — and hid the r8 forced-broadcast defect.
+NOVELTY_DELTA_ROWS = 100
 
 
 def q_embedding_novelty(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Batch ingest-novelty admission (similarity.py
-    embedding_novelty_admission): incoming vectors (id >= 400, the
-    repo's delta convention) against the indexed base — max exact
+    embedding_novelty_admission): the incoming batch (the 100
+    highest vec_ids) against the SF-growing indexed base — max exact
     cosine + admit-below-threshold, the semantic-dedup gate run
-    before ingesting an embedding batch."""
+    before ingesting an embedding batch. The split point is a 1-row
+    scalar aggregate broadcast-crossJoined onto the scan (no driver
+    collect; the only hinted builds are 1-row)."""
     from bigdata_elephant_spark.operators.similarity import (
         embedding_novelty_admission,
     )
     from bigdata_elephant_spark.sources.corpus import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < NOVELTY_SPLIT)
-    delta = emb.filter(F.col("vec_id") >= NOVELTY_SPLIT)
+    cut = emb.agg(
+        (F.max("vec_id") - F.lit(NOVELTY_DELTA_ROWS)).alias("_cut")
+    )
+    base = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") <= F.col("_cut"))
+        .drop("_cut")
+    )
+    delta = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") > F.col("_cut"))
+        .drop("_cut")
+    )
     return embedding_novelty_admission(
         base, delta, threshold=NOVELTY_THR
     ).orderBy("vec_id")
@@ -403,13 +422,19 @@ def q_stream_embedding_novelty(
     from bigdata_elephant_spark.sources.corpus import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < NOVELTY_SPLIT)
+    # Stream filters need a literal predicate: resolve the split
+    # point once at stream setup (a 1-row metadata-scale collect).
+    cut = (
+        emb.agg(F.max("vec_id").alias("_m")).first()["_m"]
+        - NOVELTY_DELTA_ROWS
+    )
+    base = emb.filter(F.col("vec_id") <= F.lit(cut))
 
     run_id = uuid.uuid4().hex[:8]
     out_dir = f"{ev._new_stage_dir()}/novelty_{run_id}"
     ckpt = f"{out_dir}_ckpt"
     stream = ev.read_embeddings_stream(spark, sf_dir).filter(
-        F.col("vec_id") >= NOVELTY_SPLIT
+        F.col("vec_id") > F.lit(cut)
     )
     ev.run_stream_to_parquet(
         stream,
@@ -435,14 +460,17 @@ def _novelty_sql() -> str:
         f" * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)"
     )
     return f"""
-WITH base AS (
-    SELECT vec_id, embedding FROM embeddings
-    WHERE vec_id < {NOVELTY_SPLIT}
+WITH cut AS (
+    SELECT max(vec_id) - {NOVELTY_DELTA_ROWS} AS c FROM embeddings
+),
+base AS (
+    SELECT vec_id, embedding FROM embeddings, cut
+    WHERE vec_id <= c
       AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
 ),
 delta AS (
-    SELECT vec_id, embedding FROM embeddings
-    WHERE vec_id >= {NOVELTY_SPLIT}
+    SELECT vec_id, embedding FROM embeddings, cut
+    WHERE vec_id > c
       AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
 ),
 sims AS (
@@ -450,9 +478,10 @@ sims AS (
     FROM delta d, base b
     GROUP BY 1
 )
-SELECT vec_id, nn_sim, (nn_sim < {NOVELTY_THR}) AS admit
-FROM sims
-ORDER BY vec_id
+SELECT d.vec_id, s.nn_sim,
+       coalesce(s.nn_sim < {NOVELTY_THR}, true) AS admit
+FROM delta d LEFT JOIN sims s ON d.vec_id = s.vec_id
+ORDER BY d.vec_id
 """
 
 

@@ -440,3 +440,68 @@ def test_maybe_broadcast_gates_on_size(spark, sf_dir):
     # under the cap, so size_of's necessity doesn't show here — it
     # shows at real sizes, where join estimates are the product of
     # their inputs; the derived-side pattern is pinned above.)
+
+
+def test_novelty_delta_hint_is_size_gated(spark, sf_dir):
+    """embedding_novelty_admission: the ingest-batch broadcast is
+    size-gated (the r8 verdict's one defect was a forced hint here —
+    the r7 scale-killer class). cap=1 byte simulates the 100x batch:
+    the plan must carry NO broadcast hint at all (AQE picks the
+    strategy from runtime sizes); at the default cap a scan-backed,
+    provably-small delta keeps the hint."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.similarity import (
+        embedding_novelty_admission,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") <= 400)
+    delta = emb.filter(F.col("vec_id") > 400)
+
+    big = embedding_novelty_admission(base, delta, cap_bytes=1)
+    logical = big._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+    assert "UnresolvedHint" not in logical, logical
+
+    small = embedding_novelty_admission(base, delta)
+    logical2 = small._jdf.queryExecution().analyzed().toString()
+    assert logical2.count("ResolvedHint") == 1, logical2
+
+
+def test_maybe_broadcast_fallback_scan_recovers_hint(spark, sf_dir):
+    """The _vocab_probe two-gate, now in maybe_broadcast itself:
+    when the build side's own stats gate declines (cap=1 byte
+    simulates garbage/inflated stats), a provably-small
+    fallback_scan (the Heaps-bound corpus) recovers the hint; a
+    too-large fallback bound still declines."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.session import maybe_broadcast
+
+    def hints(df) -> int:
+        return (
+            df._jdf.queryExecution().analyzed().toString()
+        ).count("ResolvedHint")
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_custkey").agg(F.count("*").alias("n"))
+
+    recovered = o.join(
+        maybe_broadcast(
+            agg, cap_bytes=1,
+            fallback_scan=c, fallback_cap_bytes=1 << 40,
+        ),
+        o.o_custkey == agg.c_custkey,
+    )
+    assert hints(recovered) == 1
+
+    declined = o.join(
+        maybe_broadcast(
+            agg, cap_bytes=1,
+            fallback_scan=c, fallback_cap_bytes=1,
+        ),
+        o.o_custkey == agg.c_custkey,
+    )
+    assert hints(declined) == 0

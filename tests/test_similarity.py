@@ -1505,3 +1505,34 @@ def test_ivfsq8_append_refuses_range_overflow(spark, tmp_path):
     assert (
         spark.read.parquet(f"{path}/codes").count() == before + 1
     )
+
+
+def test_novelty_empty_base_admits_everything(spark, emb_df):
+    """Bootstrap ingest: an EMPTY base (or a base that is entirely
+    zero-norm) must not swallow the batch — every non-zero-norm
+    delta vector gets a row with nn_sim null and admit=true (a
+    maximally novel vector is the one you most want to ingest)."""
+    delta = emb_df.limit(5)
+    empty = emb_df.filter(F.lit(False))
+    got = similarity.embedding_novelty_admission(empty, delta).collect()
+    assert len(got) == 5
+    assert all(r.nn_sim is None and r.admit for r in got)
+
+    zero_base = spark.createDataFrame(
+        [(1000, [0.0] * DIM)], "vec_id long, embedding array<float>"
+    )
+    got2 = similarity.embedding_novelty_admission(
+        zero_base, delta
+    ).collect()
+    assert len(got2) == 5
+    assert all(r.nn_sim is None and r.admit for r in got2)
+
+    # zero-norm DELTA vectors still drop (cosine undefined)
+    zdelta = delta.union(zero_base)
+    got3 = similarity.embedding_novelty_admission(
+        emb_df, zdelta
+    ).collect()
+    assert sorted(r.vec_id for r in got3) == sorted(
+        r.vec_id for r in delta.collect()
+    )
+    assert all(r.nn_sim is not None for r in got3)
