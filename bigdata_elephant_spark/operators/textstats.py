@@ -638,6 +638,13 @@ def kn_perplexity_scores(
 GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP5_THRESHOLD = 0.15
 
+# Integer comparands for the cross-product threshold tests, derived
+# ONCE here and imported by the oracle SQL so engine and oracle can
+# never desynchronize on an edit. round(), not int(): truncation is
+# a latent off-by-one (int(0.29 * 100) == 28).
+GOPHER_TOP_PCT = {n: round(t * 100) for n, t in GOPHER_TOP_THRESHOLDS.items()}
+GOPHER_DUP5_PCT = round(GOPHER_DUP5_THRESHOLD * 100)
+
 
 def _ngram_array(toks, n: int):
     """Adjacent word n-grams of a token array as space-joined
@@ -759,15 +766,12 @@ def gopher_repetition_scores(
         .join(t4.select(id_col, "top4_chars"), id_col)
         .join(d5, id_col)
     )
-    t = GOPHER_TOP_THRESHOLDS
+    t = GOPHER_TOP_PCT
     keep = (
-        (F.col("top2_chars") * 100 <= F.col("chars_total") * int(t[2] * 100))
-        & (F.col("top3_chars") * 100 <= F.col("chars_total") * int(t[3] * 100))
-        & (F.col("top4_chars") * 100 <= F.col("chars_total") * int(t[4] * 100))
-        & (
-            F.col("dup5") * 100
-            <= F.col("n5") * int(GOPHER_DUP5_THRESHOLD * 100)
-        )
+        (F.col("top2_chars") * 100 <= F.col("chars_total") * t[2])
+        & (F.col("top3_chars") * 100 <= F.col("chars_total") * t[3])
+        & (F.col("top4_chars") * 100 <= F.col("chars_total") * t[4])
+        & (F.col("dup5") * 100 <= F.col("n5") * GOPHER_DUP5_PCT)
     )
     return joined.select(
         id_col,

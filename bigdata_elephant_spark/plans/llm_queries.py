@@ -3203,10 +3203,10 @@ SELECT t2.doc_id,
        round(CAST(top4_chars AS DOUBLE) / t2.chars_total, 6)
            AS top4_frac,
        round(CAST(dup5 AS DOUBLE) / n5, 6) AS dup5_frac,
-       (top2_chars * 100 <= t2.chars_total * 20
-        AND top3_chars * 100 <= t2.chars_total * 18
-        AND top4_chars * 100 <= t2.chars_total * 16
-        AND dup5 * 100 <= n5 * 15) AS keep
+       (top2_chars * 100 <= t2.chars_total * {textstats.GOPHER_TOP_PCT[2]}
+        AND top3_chars * 100 <= t2.chars_total * {textstats.GOPHER_TOP_PCT[3]}
+        AND top4_chars * 100 <= t2.chars_total * {textstats.GOPHER_TOP_PCT[4]}
+        AND dup5 * 100 <= n5 * {textstats.GOPHER_DUP5_PCT}) AS keep
 FROM t2
 JOIN t3 USING (doc_id)
 JOIN t4 USING (doc_id)

@@ -1917,7 +1917,6 @@ def _ivf_probe_sweep_sql() -> str:
         f" * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)"
     )
     maxp = IVF_SWEEP_MAX_PROBE
-    denom = len(BATCH_QUERY_IDS) * BATCH_K
     return f"""
 WITH cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
@@ -1989,11 +1988,14 @@ hits AS (
       ON e.q_id = a.q_id AND e.vec_id = a.vec_id
     GROUP BY 1
 ),
+exn AS (SELECT count(*) AS d FROM ex),
 levels AS (SELECT unnest(range(1, {maxp} + 1)) AS n_probe)
 SELECT CAST(l.n_probe AS INT) AS n_probe,
        CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.c, 0) / {denom}, 6) AS recall
-FROM levels l LEFT JOIN hits h USING (n_probe)
+       CASE WHEN exn.d > 0
+            THEN round(coalesce(h.c, 0) / exn.d, 6)
+       END AS recall
+FROM levels l LEFT JOIN hits h USING (n_probe), exn
 ORDER BY n_probe
 """
 
