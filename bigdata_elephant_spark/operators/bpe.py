@@ -280,23 +280,47 @@ def bpe_subword_vocab(final_wf: DataFrame, top_n: int = 30) -> DataFrame:
     )
 
 
+# How many rule folds to stack into ONE expression tree before
+# truncating the plan. A production vocabulary is ~32k rules; a
+# single 32k-deep nested-aggregate expression breaks Catalyst
+# analysis/codegen long before data size matters, so the encoder
+# folds in segments and localCheckpoints between them (mirroring the
+# trainer's per-batch rewrite loop). 64 keeps each segment well
+# inside codegen limits; tools/bpe_encode_chunk_ab.py holds the
+# measured A/B at 1k rules.
+BPE_ENCODE_FOLD_CHUNK = 64
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk: int = BPE_ENCODE_FOLD_CHUNK,
 ) -> DataFrame:
     """Apply an ordered rule list to fresh text: ``(id, subwords)``.
 
     The inference half of the trainer (rules learned once, applied to
     any corpus): tokenize, split to characters, fold each rule in
     learned order. Rules are literals in the plan — no join against a
-    rule table, the whole rewrite stays in codegen.
-    """
+    rule table, the rewrite stays in codegen. At most ``chunk`` rules
+    fold into one expression tree; longer rule lists truncate the
+    plan between segments with ``localCheckpoint(eager=False)`` (the
+    next segment's job materializes the rewrite as a side effect —
+    same lazy-checkpoint trade the trainer measured). Rule lists at
+    or under ``chunk`` produce the identical single-expression plan
+    as before."""
     out = tokenize(docs, text_col=text_col, id_col=id_col).select(
         id_col, F.col("word"), F.split("word", "").alias("syms")
     )
-    col = F.col("syms")
-    for lhs, rhs, merged in merges:
-        col = _merge_fold(col, lhs, rhs, merged)
-    return out.select(id_col, "word", col.alias("subwords"))
+    n = len(merges)
+    for start in range(0, max(n, 1), chunk):
+        col = F.col("syms")
+        for lhs, rhs, merged in merges[start : start + chunk]:
+            col = _merge_fold(col, lhs, rhs, merged)
+        out = out.withColumn("syms", col)
+        if start + chunk < n:
+            out = out.localCheckpoint(eager=False)
+    return out.select(
+        id_col, "word", F.col("syms").alias("subwords")
+    )

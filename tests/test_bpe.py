@@ -282,3 +282,28 @@ def test_select_merge_batch_criteria():
     rows = [row("c", "d", 100), row("a", "a", 90)]
     got = _select_merge_batch(rows, 8, known, slice_complete=True)
     assert [(g[0], g[1]) for g in got] == [("c", "d"), ("a", "a")]
+
+
+def test_encode_chunked_equals_monolithic(spark):
+    """Segmented fold (chunk=2, forcing localCheckpoint boundaries
+    mid-rule-list) encodes identically to the single-expression
+    plan — chunking is a plan-shape change only."""
+    docs = spark.createDataFrame(
+        [(1, "abcd abcd xy"), (2, "ab cd abcd")], ["doc_id", "text"]
+    )
+    rules = [
+        ("a", "b", "ab"),
+        ("c", "d", "cd"),
+        ("ab", "cd", "abcd"),
+        ("x", "y", "xy"),
+        ("ab", "c", "abc"),  # dead after rule 3; exercises no-ops
+    ]
+    mono = sorted(
+        bpe.bpe_encode(docs, rules, chunk=64).collect(),
+        key=lambda r: (r["doc_id"], r["word"]),
+    )
+    seg = sorted(
+        bpe.bpe_encode(docs, rules, chunk=2).collect(),
+        key=lambda r: (r["doc_id"], r["word"]),
+    )
+    assert [r.asDict() for r in mono] == [r.asDict() for r in seg]
