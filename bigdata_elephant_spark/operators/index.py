@@ -60,19 +60,13 @@ def _vocab_probe(corpus: DataFrame, vocab: DataFrame):
     artifact scan (reliable stats — gate on the vocab itself) or an
     inline aggregate over the corpus (stats inflate through the agg
     — gate on the corpus scan, the Heaps bound)."""
-    from bigdata_elephant_spark.session import (
-        BROADCAST_HINT_CAP_BYTES,
-        plan_size_bytes,
-    )
+    from bigdata_elephant_spark.session import maybe_broadcast
 
-    probe = vocab.select("word", "word_id")
-    vsize = plan_size_bytes(probe)
-    if 0 < vsize <= BROADCAST_HINT_CAP_BYTES:
-        return F.broadcast(probe)
-    csize = plan_size_bytes(corpus)
-    if 0 < csize <= VOCAB_BROADCAST_CORPUS_BYTES:
-        return F.broadcast(probe)
-    return probe
+    return maybe_broadcast(
+        vocab.select("word", "word_id"),
+        fallback_scan=corpus,
+        fallback_cap_bytes=VOCAB_BROADCAST_CORPUS_BYTES,
+    )
 
 
 def build_index(

@@ -332,6 +332,7 @@ def more_like_this(
     vocab: DataFrame,
     postings: DataFrame,
     k: int = 10,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Document-to-document search ("more like this") over the
     inverted index: rank documents by tf-idf cosine against a QUERY
@@ -361,14 +362,26 @@ def more_like_this(
             F.log(F.lit(float(n_docs))) - F.log("df"), 6
         ).alias("idf"),
     )
+    from bigdata_elephant_spark.operators.index import (
+        VOCAB_BROADCAST_CORPUS_BYTES,
+    )
     from bigdata_elephant_spark.session import maybe_broadcast
 
-    # idf is vocabulary-sized (Heaps-growing): hint only while the
-    # vocab's size estimate is known-small; past that AQE sizes the
-    # join at runtime (a forced hint would fail at the 8 GB cap, not
-    # degrade).
+    # idf is vocabulary-sized (Heaps-growing): hint only while it is
+    # provably small — via the vocab frame's own stats when usable,
+    # else via the corpus-scan Heaps bound (the _vocab_probe
+    # two-gate; an inline/cached vocab aggregate has garbage stats
+    # and would otherwise decline into a 39-shuffle static plan).
+    # Past both gates AQE sizes the join at runtime (a forced hint
+    # would fail at the 8 GB cap, not degrade).
     wp = postings.join(
-        maybe_broadcast(idf, size_of=vocab), "word_id"
+        maybe_broadcast(
+            idf,
+            size_of=vocab,
+            fallback_scan=corpus,
+            fallback_cap_bytes=VOCAB_BROADCAST_CORPUS_BYTES,
+        ),
+        "word_id",
     ).select(
         "doc_id",
         "word_id",

@@ -605,7 +605,9 @@ def q_search_more_like_this(
     # three postings consumers (norms, query row, dot products) the
     # column-pruned recompute beats materializing the full cache
     postings = build_index(corpus, vocab)
-    return more_like_this(MLT_DOC_ID, vocab, postings, k=MLT_K)
+    return more_like_this(
+        MLT_DOC_ID, vocab, postings, k=MLT_K, corpus=corpus
+    )
 
 
 MORE_LIKE_THIS_SQL = f"""

@@ -98,6 +98,21 @@ def get_spark(
 BROADCAST_HINT_CAP_BYTES = 256 << 20
 
 
+# plan_size_bytes memo: the stats call runs a full Catalyst optimize
+# (plus an InMemoryFileIndex listing for scans) EAGERLY at
+# query-construction time — repeated per maybe_broadcast call, which
+# compounds as driver-side overhead when one artifact gates many
+# queries in a process (the r8 in-suite bench creep's plausible
+# contributor). Keyed on (JVM session, analyzed-plan semanticHash):
+# the same logical frame in the same session re-optimizes to the
+# same estimate. Staleness caveat: an artifact REWRITTEN at the same
+# path mid-session can keep its old estimate — that only skews an
+# advisory hint decision, never correctness, and AQE still re-plans
+# from runtime sizes.
+_PLAN_SIZE_CACHE: dict[tuple[int, int], int] = {}
+_PLAN_SIZE_CACHE_MAX = 4096
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for ``df``'s optimized plan
     (file-scan byte sizes propagate through projections/filters;
@@ -107,12 +122,22 @@ def plan_size_bytes(df: DataFrame) -> int:
     ``createDataFrame``-over-RDD, some connectors) report
     ``spark.sql.defaultSizeInBytes`` = Long.MaxValue as a
     never-broadcast sentinel, not a measurement — treated as
-    unknown (0) here; callers decide which direction is safe."""
+    unknown (0) here; callers decide which direction is safe.
+    Memoized per (session, logical plan); see ``_PLAN_SIZE_CACHE``."""
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        qe = df._jdf.queryExecution()
+        key = (
+            df.sparkSession._jsparkSession.hashCode(),
+            qe.analyzed().semanticHash(),
         )
-        return 0 if size >= (1 << 62) else size
+        if key in _PLAN_SIZE_CACHE:
+            return _PLAN_SIZE_CACHE[key]
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
+        size = 0 if size >= (1 << 62) else size
+        if len(_PLAN_SIZE_CACHE) >= _PLAN_SIZE_CACHE_MAX:
+            _PLAN_SIZE_CACHE.clear()
+        _PLAN_SIZE_CACHE[key] = size
+        return size
     except Exception:
         return 0
 
@@ -121,6 +146,8 @@ def maybe_broadcast(
     df: DataFrame,
     size_of: DataFrame | None = None,
     cap_bytes: int = BROADCAST_HINT_CAP_BYTES,
+    fallback_scan: DataFrame | None = None,
+    fallback_cap_bytes: int | None = None,
 ) -> DataFrame:
     """Size-gated broadcast hint: ``F.broadcast(df)`` only when the
     Catalyst size estimate of ``size_of`` (default ``df`` itself) is
@@ -131,10 +158,23 @@ def maybe_broadcast(
     multiplicative garbage: for a derived build side (e.g.
     customer x nation), pass the scan whose size actually bounds the
     build (the customer scan). Unknown size (0) declines the hint —
-    for a broadcast the safe direction is not hinting."""
+    for a broadcast the safe direction is not hinting.
+
+    ``fallback_scan``/``fallback_cap_bytes`` form the SECOND gate of
+    the ``_vocab_probe`` pattern (operators/index.py): when the
+    build side's own stats are unusable (derived frame, cached but
+    unmaterialized aggregate) but a DOMAIN bound ties its size to a
+    scan with reliable stats (Heaps' law: vocabulary-sized frames
+    are provably small while the corpus scan is under
+    ``VOCAB_BROADCAST_CORPUS_BYTES``), the hint is recovered from
+    that bound instead of being declined."""
     from pyspark.sql import functions as F
 
     size = plan_size_bytes(df if size_of is None else size_of)
     if 0 < size <= cap_bytes:
         return F.broadcast(df)
+    if fallback_scan is not None and fallback_cap_bytes:
+        fsize = plan_size_bytes(fallback_scan)
+        if 0 < fsize <= fallback_cap_bytes:
+            return F.broadcast(df)
     return df
