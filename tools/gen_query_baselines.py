@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Generate BASELINE_QUERIES.json: a per-query pinned reference
+timing, so "within 2x of baseline" is a mechanical per-query check
+in bench.py instead of cross-round archaeology.
+
+Rule: a query's baseline is its timing from the EARLIEST
+driver-recorded round at the benchmark SF — except when the query's
+DEFINITION changed after it first shipped (oracle rework, scoring
+semantics change), in which case the pin moves to the round the
+current definition landed (DEFINITION_ROUNDS below, maintained by
+hand; one line per definition change, with the reason).
+
+Re-run after each round to pick up queries that shipped since; the
+pin of an already-listed query never moves unless DEFINITION_ROUNDS
+says so, so baselines are stable across regenerations.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_SF = 0.1
+
+# query -> (round, why the pin moved off the earliest record)
+DEFINITION_ROUNDS = {
+    # r02 oracle-parity rework changed the query's definition
+    # (exact-decimal sums + rounded outputs); the r01 0.598s timing
+    # measured a different computation. Flat 1.19-1.66s ever since.
+    "q1_pricing_summary": ("r02", "oracle-parity rework in r02"),
+}
+
+
+def load_rounds() -> list[tuple[str, dict[str, float]]]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json"))):
+        m = re.search(r"(r\d+)", os.path.basename(p))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = data.get("parsed") or data
+        if float(parsed.get("sf", -1)) != BENCH_SF:
+            continue
+        q = parsed.get("queries")
+        if isinstance(q, dict) and q:
+            out.append((m.group(1), {k: float(v) for k, v in q.items()}))
+    return out
+
+
+def main() -> None:
+    rounds = load_rounds()
+    queries: dict[str, dict] = {}
+    for rnd, timings in rounds:  # ascending round order
+        for name, sec in timings.items():
+            if name not in queries:
+                queries[name] = {"sec": sec, "round": rnd}
+    for name, (rnd, why) in DEFINITION_ROUNDS.items():
+        timing = dict(rounds).get(rnd, {}).get(name)
+        if timing is not None:
+            queries[name] = {
+                "sec": timing,
+                "round": rnd,
+                "definition_change": why,
+            }
+    out = {
+        "sf": BENCH_SF,
+        "rule": (
+            "earliest driver-recorded round at sf0.1; pins move only "
+            "via DEFINITION_ROUNDS in tools/gen_query_baselines.py"
+        ),
+        "rounds_seen": [r for r, _ in rounds],
+        "queries": dict(sorted(queries.items())),
+    }
+    path = os.path.join(HERE, "BASELINE_QUERIES.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}: {len(queries)} queries from {len(rounds)} rounds")
+
+
+if __name__ == "__main__":
+    main()
