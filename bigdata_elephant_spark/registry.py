@@ -55,101 +55,66 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-8 ROTATION. r7 verified the round-7 list (50/50 green,
-    # 235/236 oracled queries driver-verified at least once). This
-    # window (a) gates the round-8 additions the round they ship,
-    # (b) re-gates every query whose CODE changed this round — the
-    # broadcast-hint size-gating sweep (search/BM25/batch/phrase
-    # query compilation, the O15 metadata projection, the vocab
-    # probe, the textstats/PMI score-table joins, the SF-growing
-    # TPC-H dims, the streaming enrichment dim), the batched BPE
-    # trainer, and the SQ8 stats vmax column — and (c) keeps the
-    # standing drift anchors. Everything rotated out holds green
-    # driver rows from earlier rounds and stays under the
-    # driver-faithful local gate at every SF
-    # (tests/test_oracle_parity.py).
+    # ROUND-9 ROTATION. r8 verified the round-8 list (50/50 green;
+    # union 247/250 oracled queries driver-verified). This window
+    # (a) restores the every-oracled-query-driver-verified invariant
+    # by gating the three r8 window-overflow queries, (b) re-gates
+    # every query whose CODE or ORACLE changed this round — the
+    # novelty admission fix (size-gated delta hint + left-join
+    # empty-base semantics + bounded-delta fixture), the probe-sweep
+    # denominator, the Gopher shared comparands, the chunked BPE
+    # encoder, the _vocab_probe/maybe_broadcast two-gate refactor,
+    # and the plan_size_bytes memoization that every hinted family
+    # routes through — and (c) keeps the standing drift anchors.
+    # Everything rotated out holds green driver rows from earlier
+    # rounds and stays under the driver-faithful local gate at every
+    # SF (tests/test_oracle_parity.py).
     #
-    # --- NEW this round (gated immediately) ---
-    "dsir_select_indexed",  # materialized DSIR histogram twin
-    "knn_ivf_sq8_incremental",  # frozen-stats in-range SQ8 append
-    "ivf_recall_report",  # IVF family ranking trust gate
-    "pq_recall_report",  # PQ family ranking trust gate
-    # docs_stream_dsir: the one oracled query that never had a
-    # driver row (r7 verdict item 4) — closes the count to 236/236.
-    "docs_stream_dsir",
-    # --- batched BPE trainer (one rewrite per transcript-safe
-    # batch instead of one job per merge; sequential transcript
-    # reproduced bit-for-bit, pinned in tests/test_bpe.py) ---
-    "bpe_merges",
-    "bpe_subword_vocab",
+    # --- r8 window overflow (restores 250/250 driver-verified) ---
+    "knn_sq8_batch",
+    "ivf_cell_histogram",
+    "bpe_fertility_by_source",
+    # --- novelty admission: the r8 verdict's one defect. Operator
+    # now size-gates the delta hint and LEFT-joins verdicts onto the
+    # batch ids (empty base => nn_sim null, admit true); fixture
+    # models ingest honestly (fixed 100-vector delta, SF-growing
+    # base); oracle rewritten to match. Both twins re-gated. ---
+    "embedding_novelty",
+    "emb_stream_novelty",
+    # --- oracle/code changes this round ---
+    # probe-sweep recall denominator = the exact baseline's actual
+    # row count (a missing/zero-norm query id no longer reads as
+    # pruning loss)
+    "ivf_probe_sweep",
+    # Gopher integer comparands now derived from the thresholds
+    # (round(), single edit point shared with the oracle SQL)
+    "gopher_ngram_filters",
+    # chunked rule folds in bpe_encode (64 per localCheckpoint
+    # segment; 32k-rule vocabularies can't be one expression tree)
     "bpe_encode_sample",
-    # --- textstats/PMI: forced broadcast hints dropped on the
-    # vocab- and bigram-type-sized score tables (the r7 verdict's
-    # scale-killer class; AQE now picks the strategy at runtime) ---
-    "kn_perplexity",
-    "bigram_surprisal",
-    "unigram_surprisal",
-    "related_terms_pmi",
-    # --- search family: query terms now build side (never the
-    # Heaps-growing vocab), O15 metadata projection semi-joins to
-    # the k-row slice, vocab probe size-gated, positional index
-    # probe size-gated, artifact lifecycle helpers refactored ---
+    # --- _vocab_probe delegated to maybe_broadcast's new two-gate
+    # (fallback_scan Heaps bound); every build_index consumer
+    # re-gated via family representatives ---
     "search_reference",
-    "search_reference_indexed",
     "search_bm25",
-    "search_more_like_this",
-    # (search_batch not re-gated: its query-terms flip is the same
-    # line search_bm25 re-verifies, and the batch family is gated
-    # via search_batch_indexed)
-    "search_batch_indexed",
+    "search_more_like_this",  # + gained the corpus fallback gate
     "search_phrase",
-    "search_hybrid_indexed",
-    "search_reingest",
-    # --- SQ8 family: sq8_stats now carries the exact trained
-    # maxima (vmax) for the append-time range check ---
-    "knn_sq8",
-    "knn_ivf_sq8",
-    "knn_ivf_sq8_indexed",
-    "sq8_reconstruction_report",
-    # (sq8_recall_report retired this round — r7 green; the vmax
-    # stats change is re-verified by the four SQ8 members above)
-    # --- relational: SF-growing dimension hints size-gated
-    # (customer/supplier/part and frames derived from them; plans
-    # byte-identical at gate SF, re-gated to prove it) ---
+    "postings_build",
+    # --- plan_size_bytes memoization: every maybe_broadcast caller
+    # routes through it; representatives across the hinted families
+    # (relational dims, streaming enrich, textstats score tables) ---
     "q3_shipping_priority",
     "top_customers",
     "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
-    # (q10_returned_items not re-gated: its customer hint is the
-    # identical maybe_broadcast(c) pattern q3/top_customers/q7
-    # re-verify 3x over; it stays under the local gate)
-    # (q15_top_supplier not re-gated: its supplier hint is the
-    # pattern q7/q9 re-verify)
-    "q19_disjunctive_revenue",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    # --- streaming: enrichment dimension hint size-gated ---
     "events_stream_enrich",
+    "kn_perplexity",
+    "bigram_surprisal",
     # --- standing anchors / family representatives ---
-    # (vocab_build retired — its only r8 change is a pure
-    # delegation of _plan_size_bytes; the search lineage in-window
-    # re-derives the vocabulary every round. knn_ivf_indexed
-    # retired — similarity is the window's deepest family and the
-    # IVF layout is re-gated via the sq8/batch/incremental members.)
-    # NEW this round: the batch-matrix completions and the IVF
-    # tuning/trust reports
-    "knn_pq_batch",
-    "knn_ivfpq_batch",
-    "ivf_probe_sweep",
     "pagerank_dupgraph",  # drift watch
     "llm_pipeline_e2e",
     "q1_pricing_summary",
-    # (dedup_minhash_lsh retired — r1-r7 greens; the dedup family
-    # stays in-window via dedup_groups and the new
-    # boilerplate_flags_relative)
     "dedup_groups",
-    # NEW: scale-invariant relative boilerplate cut (this round)
     "boilerplate_flags_relative",
     "asof_events_orders",
     "docs_stream_curate",
@@ -157,18 +122,30 @@ GATE_PRIORITY = (
     "media_features",
     "kmv_distinct_users",
     "window_value_funcs",
-    # gopher_ngram_filters ships this round (the paper's A1.1 n-gram
-    # char-fraction table; complements the r6 word-level
-    # gopher_repetition).
-    "gopher_ngram_filters",
-    # NEW: ingest-novelty admission, batch + its foreachBatch
-    # streaming twin (both gated the round they ship; the twin
-    # shares the oracle and streamed==batch is also test-pinned).
-    # knn_sq8_batch / ivf_cell_histogram / bpe_fertility_by_source
-    # ship this round UNDER THE LOCAL GATE (window full after the
-    # code-change re-gates) — r9 window candidates.
-    "embedding_novelty",
-    "emb_stream_novelty",
+    "dsir_select_indexed",
+    "knn_ivf_sq8_incremental",
+    "search_reingest",
+    # --- window fill: re-gate breadth across the memo-touched
+    # hinted families and the artifact/search/batch paths (every
+    # one of these routes through maybe_broadcast/plan_size_bytes
+    # or the refactored _vocab_probe); swapped for new queries as
+    # they ship this round ---
+    "search_reference_indexed",
+    "search_batch_indexed",
+    "search_smooth",
+    "vocab_build",
+    "q8_market_share",
+    "q19_disjunctive_revenue",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "related_terms_pmi",
+    "unigram_surprisal",
+    "dedup_minhash_lsh",
+    "knn_pq_batch",
+    "knn_ivfpq_batch",
+    "ivf_recall_report",
+    "pq_recall_report",
+    "docs_stream_dsir",
 )
 
 

@@ -78,7 +78,20 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # codegen over one scan
          "dsir_select", "dsir_select_indexed", "dsir_incremental",
          "kn_perplexity", "hard_negative_mining",
-         "bpe_encode_sample")
+         "bpe_encode_sample",
+         # round-9 additions (r8 verdict items 1+6): the second-wave
+         # queries absent from the r8 table. The novelty pair's
+         # bounded-delta fixture would have caught the r8 broadcast
+         # defect here (delta fixed at 100 vectors, base grows 10x —
+         # expect ~the one-base-scan slope); the Gopher and relative-
+         # boilerplate filters are single-corpus-pass token pipelines
+         # (expect ~the corpus-scan slope); the probe sweep and
+         # recall reports each pay one exact-baseline scan plus
+         # cell-pruned probes (expect ~the exact-knn slope); the SQ8
+         # batch retriever shares the batched shortlist shape
+         "embedding_novelty", "gopher_ngram_filters",
+         "boilerplate_flags_relative", "ivf_probe_sweep",
+         "ivf_recall_report", "pq_recall_report", "knn_sq8_batch")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
