@@ -254,16 +254,25 @@ def bpe_train(
         )
         if not batch:
             break
-        col = F.col("syms")
+        # One withColumn PER RULE, never rule folds nested into one
+        # Column: _merge_fold references its input 5x, so nesting n
+        # folds makes Spark 4's ColumnNode->Expression conversion
+        # walk ~5^n paths (measured: a 16-deep nest is seconds, a
+        # 64-deep nest OOMs the driver). Stacked single-fold Projects
+        # reference the `syms` ATTRIBUTE instead — linear — and
+        # CollapseProject keeps them stacked (5 references to a
+        # non-cheap higher-order producer decline inlining).
         for lhs, rhs, merged, cnt in batch:
             rules.append((len(rules) + 1, lhs, rhs, merged, cnt))
             known.add(merged)
-            col = _merge_fold(col, lhs, rhs, merged)
+            wf = wf.withColumn(
+                "syms", _merge_fold(F.col("syms"), lhs, rhs, merged)
+            )
         # Lazy: the NEXT round's pair-count job materializes the
         # rewrite as a side effect (measured 2.41s vs 2.64s eager at
         # sf0.01 — the per-loop-shape A/B the pagerank bisect
         # prescribes).
-        wf = wf.withColumn("syms", col).localCheckpoint(eager=False)
+        wf = wf.localCheckpoint(eager=False)
     return spark.createDataFrame(rules, MERGE_SCHEMA), wf
 
 
@@ -280,14 +289,12 @@ def bpe_subword_vocab(final_wf: DataFrame, top_n: int = 30) -> DataFrame:
     )
 
 
-# How many rule folds to stack into ONE expression tree before
-# truncating the plan. A production vocabulary is ~32k rules; a
-# single 32k-deep nested-aggregate expression breaks Catalyst
-# analysis/codegen long before data size matters, so the encoder
-# folds in segments and localCheckpoints between them (mirroring the
-# trainer's per-batch rewrite loop). 64 keeps each segment well
-# inside codegen limits; tools/bpe_encode_chunk_ab.py holds the
-# measured A/B at 1k rules.
+# How many single-fold Projects to stack before truncating the plan
+# with a localCheckpoint. A production vocabulary is ~32k rules; an
+# unbounded stack breaks Catalyst analysis (and a single nested
+# expression is exponentially worse — see bpe_train) long before
+# data size matters. 64 keeps each segment's analysis cheap;
+# tools/bpe_encode_chunk_ab.py holds the measured A/B at 1k rules.
 BPE_ENCODE_FOLD_CHUNK = 64
 
 
@@ -298,29 +305,59 @@ def bpe_encode(
     id_col: str = "doc_id",
     chunk: int = BPE_ENCODE_FOLD_CHUNK,
 ) -> DataFrame:
-    """Apply an ordered rule list to fresh text: ``(id, subwords)``.
+    """Apply an ordered rule list to fresh text: ``(id, word,
+    subwords)`` — one row per token occurrence.
 
-    The inference half of the trainer (rules learned once, applied to
-    any corpus): tokenize, split to characters, fold each rule in
-    learned order. Rules are literals in the plan — no join against a
-    rule table, the rewrite stays in codegen. At most ``chunk`` rules
-    fold into one expression tree; longer rule lists truncate the
-    plan between segments with ``localCheckpoint(eager=False)`` (the
-    next segment's job materializes the rewrite as a side effect —
-    same lazy-checkpoint trade the trainer measured). Rule lists at
-    or under ``chunk`` produce the identical single-expression plan
-    as before."""
-    out = tokenize(docs, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("word"), F.split("word", "").alias("syms")
+    The inference half of the trainer (rules learned once, applied
+    to any corpus), shaped as a DICTIONARY ENCODE: BPE is a function
+    of the word alone, so the rules fold over the DISTINCT words
+    (vocabulary-sized — Heaps-bounded, millions of rows at 100 TB,
+    never corpus-sized) and the encodings join back onto the token
+    stream, size-gated broadcast. Folding over occurrences instead
+    multiplies every rule pass by corpus size — at 1k rules x sf0.01
+    occurrences that already ran minutes; the distinct-word fold
+    runs seconds (tools/bpe_encode_chunk_ab.py).
+
+    Rules are literals in the plan — no join against a rule table.
+    Each rule is its own single-fold Project (nesting folds into one
+    Column is exponential in the ColumnNode conversion — see
+    bpe_train); every ``chunk`` rules the plan is truncated with an
+    EAGER ``localCheckpoint``. Eager, unlike the trainer's lazy
+    checkpoints: the trainer's next pair-count job materializes its
+    ONE pending segment, but the encoder would leave every segment
+    pending until the consumer runs — all of them then compute
+    inside one task, and ~16 pending segments x 64 interpreted
+    higher-order Projects overflow the task stack (measured at 1k
+    rules)."""
+    from bigdata_elephant_spark.operators.index import (
+        VOCAB_BROADCAST_CORPUS_BYTES,
+    )
+    from bigdata_elephant_spark.session import maybe_broadcast
+
+    toks = tokenize(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "word"
+    )
+    words = (
+        toks.select("word")
+        .distinct()
+        .select("word", F.split("word", "").alias("syms"))
     )
     n = len(merges)
     for start in range(0, max(n, 1), chunk):
-        col = F.col("syms")
+        # one Project per rule (see bpe_train: nesting folds into a
+        # single Column is exponential in the ColumnNode conversion)
         for lhs, rhs, merged in merges[start : start + chunk]:
-            col = _merge_fold(col, lhs, rhs, merged)
-        out = out.withColumn("syms", col)
+            words = words.withColumn(
+                "syms", _merge_fold(F.col("syms"), lhs, rhs, merged)
+            )
         if start + chunk < n:
-            out = out.localCheckpoint(eager=False)
-    return out.select(
-        id_col, "word", F.col("syms").alias("subwords")
-    )
+            words = words.localCheckpoint(eager=True)
+    enc = words.select("word", F.col("syms").alias("subwords"))
+    return toks.join(
+        maybe_broadcast(
+            enc,
+            fallback_scan=docs,
+            fallback_cap_bytes=VOCAB_BROADCAST_CORPUS_BYTES,
+        ),
+        "word",
+    ).select(id_col, "word", "subwords")

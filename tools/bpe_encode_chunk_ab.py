@@ -20,6 +20,23 @@ measures analysis + execution wall time, with a per-variant timeout.
 
 Usage: python tools/bpe_encode_chunk_ab.py [--rules 1000]
        [--sf-dir /root/testdata/sf0.01] [--docs 200]
+
+Measured 2026-08-15 (1000 rules, 200 sf0.01 docs, local[8]):
+  chunked_64:  analyze 67.2s (includes the 15 eager segment jobs),
+               exec 0.65s, 10455 rows
+  monolithic:  StackOverflowError in analysis (DeduplicateRelations)
+               after 122.8s — a 1000-Project stack never reaches
+               execution
+Two earlier variants measured worse and shaped the current design:
+  - folding rules NESTED into one Column: the ColumnNode->Expression
+    conversion walks ~5^n paths (_merge_fold references its input
+    5x) — OOM at depth 64;
+  - folding over token OCCURRENCES instead of distinct words:
+    every rule pass costs corpus size — minutes at sf0.01, hence the
+    dictionary-encode join-back shape;
+  - lazy segment checkpoints: all segments pend until the consumer
+    runs, then compute inside ONE task — ~16 x 64 interpreted
+    higher-order Projects overflow the task stack, hence eager.
 """
 
 from __future__ import annotations
@@ -27,9 +44,12 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import string
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_rules(n: int) -> list[tuple[str, str, str]]:
