@@ -603,6 +603,190 @@ def ngram_jaccard_pairs(
     )
 
 
+def _exact_pair_overlap(
+    df: DataFrame,
+    pairs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """Exact distinct-shingle overlap counts → ``(doc_a, doc_b,
+    inter, na, nb)``. With ``pairs`` given, intersections are
+    computed ONLY for those pairs (fan-out bounded by
+    pairs x shingles-per-doc); without, the full inverted-index
+    self-join runs (bounded by shingle document frequency)."""
+    sh = doc_shingles(df, text_col, id_col, n=shingle_n, distinct=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    if pairs is not None:
+        inter = (
+            pairs.select("doc_a", "doc_b")
+            .join(pa, "doc_a")
+            .join(pb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        # LEFT + coalesce: an LSH candidate with NO shared distinct
+        # shingle (hash collision in a band) must keep its row at
+        # inter=0, not silently drop (the sketch-probe-join rule)
+        inter = (
+            pairs.select("doc_a", "doc_b")
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .na.fill({"inter": 0})
+        )
+    else:
+        inter = (
+            pa.join(pb, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash trust gate: signature-estimated vs EXACT Jaccard for
+    every LSH candidate pair, pooled per exact-Jaccard decile →
+    ``(jac_bucket, n_pairs, sum_abs_err, max_abs_err)``.
+
+    The dedup-family analogue of the ANN recall reports: before
+    trusting ``est_sim >= t`` as a dedup decision, measure how far
+    the 16-hash estimate sits from the true Jaccard on the pairs the
+    pipeline actually surfaces. Exact overlap is computed ONLY for
+    the candidate pairs (never all pairs); per-pair error uses the
+    already-rounded doubles and errors sum as exact decimals, so the
+    report is partitioning-deterministic. ``jac_bucket`` =
+    floor(10*inter/union) clamped to 9 (the same long-over-long IEEE
+    division in both engines). At production scale this gate runs on
+    a sampled slice, like every recall report.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    ov = _exact_pair_overlap(df, cand, text_col, id_col, shingle_n)
+    scored = cand.join(ov, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_sim",
+        (F.col("na") + F.col("nb") - F.col("inter")).alias("union_sh"),
+        "inter",
+    )
+    err = F.round(
+        F.abs(
+            F.col("est_sim")
+            - F.round(F.col("inter") / F.col("union_sh"), 6)
+        ),
+        6,
+    )
+    bucket = F.least(
+        F.lit(9),
+        F.floor(F.col("inter") * 10 / F.col("union_sh")).cast("int"),
+    )
+    return (
+        scored.select(
+            bucket.alias("jac_bucket"),
+            err.cast("decimal(12,6)").alias("_err"),
+        )
+        .groupBy("jac_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("_err").cast("double"), 6).alias(
+                "sum_abs_err"
+            ),
+            F.round(F.max("_err").cast("double"), 6).alias(
+                "max_abs_err"
+            ),
+        )
+        .orderBy("jac_bucket")
+    )
+
+
+def lsh_recall_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = 3,
+    thr_x10_min: int = 5,
+    thr_x10_max: int = 9,
+) -> DataFrame:
+    """LSH candidate recall vs exact Jaccard ground truth, for every
+    threshold level in one pass → ``(thr_x10, n_true, n_caught,
+    recall)``.
+
+    The banded-LSH S-curve made measurable: 4 bands x 4 rows puts
+    the 50%-catch point near J≈0.71, so recall should climb with the
+    threshold — this query pins where, on THIS corpus, instead of
+    trusting the formula. Ground truth is the exact inverted-index
+    Jaccard join (bounded by shingle document frequency — at
+    production scale this gate runs on a sampled slice); thresholds
+    compare as integer cross-products (``inter*10 >= t*union``), so
+    no float boundary can move a pair between engines; recall is the
+    same long-over-long division in both.
+    """
+    truth = _exact_pair_overlap(
+        df, None, text_col, id_col, shingle_n
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        (F.col("na") + F.col("nb") - F.col("inter")).alias("union_sh"),
+    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
+    )
+    cand = (
+        lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+        .select("doc_a", "doc_b")
+        .withColumn("_caught", F.lit(1))
+    )
+    levels = df.sparkSession.range(
+        thr_x10_min, thr_x10_max + 1
+    ).select(F.col("id").cast("int").alias("thr_x10"))
+    flagged = truth.join(cand, ["doc_a", "doc_b"], "left").na.fill(
+        {"_caught": 0}
+    )
+    return (
+        flagged.crossJoin(levels)
+        .filter(
+            F.col("inter") * 10 >= F.col("thr_x10") * F.col("union_sh")
+        )
+        .groupBy("thr_x10")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum("_caught").cast("long").alias("n_caught"),
+        )
+        .join(levels, "thr_x10", "right")
+        .na.fill({"n_true": 0, "n_caught": 0})
+        .select(
+            "thr_x10",
+            "n_true",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_caught") / F.col("n_true"), 6),
+            ).alias("recall"),
+        )
+        .orderBy("thr_x10")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

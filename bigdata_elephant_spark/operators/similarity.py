@@ -3301,6 +3301,62 @@ def embedding_novelty_admission(
     )
 
 
+def novelty_threshold_sweep(
+    base: DataFrame,
+    delta: DataFrame,
+    max_thr_x10: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The admission-gate tuning frontier: admit rate vs threshold
+    for every threshold 0.1..``max_thr_x10``/10 in ONE pass →
+    ``(thr_x10, n_admit, n_total, admit_rate)``.
+
+    The companion to :func:`embedding_novelty_admission` the way
+    :func:`ivf_probe_recall_sweep` companions the IVF retriever:
+    before picking the dedup threshold for an ingest pipeline, sweep
+    the operating points. The corpus-sized work — one base scan and
+    the per-vector max — runs ONCE (the nn_sim table from the
+    admission operator); the sweep is a threshold-level fan-out of
+    the (id, nn_sim) column slice, never of vectors. Missing
+    neighbors (empty base) count as admitted at every threshold,
+    matching the admission operator's bootstrap semantics.
+    ``thr_x10`` is an integer so threshold levels carry no float
+    identity; the compare uses ``nn_sim < thr_x10/10.0`` — the same
+    IEEE division in both engines.
+    """
+    nn = embedding_novelty_admission(base, delta, id_col=id_col,
+                                     vec_col=vec_col)
+    levels = base.sparkSession.range(1, max_thr_x10 + 1).select(
+        F.col("id").cast("int").alias("thr_x10")
+    )
+    return (
+        nn.select("nn_sim")
+        .crossJoin(levels)
+        .groupBy("thr_x10")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nn_sim").isNull()
+                    | (F.col("nn_sim") < F.col("thr_x10") / F.lit(10.0)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_admit"),
+            F.count("*").alias("n_total"),
+        )
+        .select(
+            "thr_x10",
+            F.col("n_admit").cast("long").alias("n_admit"),
+            "n_total",
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_admit") / F.col("n_total"), 6),
+            ).alias("admit_rate"),
+        )
+        .orderBy("thr_x10")
+    )
+
+
 def hard_negative_topk(
     embeddings: DataFrame,
     anchors: DataFrame,

@@ -490,6 +490,146 @@ def q_dupgraph_triangles_degree(
     )
 
 
+# --------------------------- dedup trust gates (round 9)
+#
+# The dedup-family analogue of the ANN recall reports: every ranked
+# retriever in this repo ships with a measured trust gate
+# (ivf/pq/sq8 recall reports, the probe sweep); these two give the
+# MinHash-LSH dedup pipeline the same treatment — estimate error vs
+# exact Jaccard on the surfaced pairs, and candidate recall vs exact
+# ground truth across thresholds.
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact error report
+    (operators/dedup.py minhash_estimate_error): per exact-Jaccard
+    decile, how far the 16-hash estimate sits from the true
+    distinct-shingle Jaccard over the LSH candidate pairs."""
+    return dedup.minhash_estimate_error(_docs(spark, sf_dir))
+
+
+MINHASH_EST_ERROR_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           round(({_MATCHES}) / {float(N_HASHES)}, 6) AS est_sim
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+i0 AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS c
+    FROM pairs p
+    JOIN shd x ON x.doc_id = p.doc_a
+    JOIN shd y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+),
+ov AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(i0.c, 0) AS BIGINT) AS inter,
+           za.n_sh + zb.n_sh - CAST(coalesce(i0.c, 0) AS BIGINT)
+               AS union_sh
+    FROM pairs p
+    LEFT JOIN i0 USING (doc_a, doc_b)
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+),
+scored AS (
+    SELECT least(9, CAST(floor(o.inter * 10 / o.union_sh) AS INT))
+               AS jac_bucket,
+           CAST(round(abs(e.est_sim
+                          - round(o.inter / o.union_sh, 6)), 6)
+                AS DECIMAL(12,6)) AS err
+    FROM est e JOIN ov o USING (doc_a, doc_b)
+)
+SELECT jac_bucket,
+       count(*) AS n_pairs,
+       round(CAST(sum(err) AS DOUBLE), 6) AS sum_abs_err,
+       round(CAST(max(err) AS DOUBLE), 6) AS max_abs_err
+FROM scored
+GROUP BY 1
+ORDER BY jac_bucket
+"""
+
+
+LSH_RECALL_THR_MIN = 5
+LSH_RECALL_THR_MAX = 9
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate recall vs exact-Jaccard ground truth per
+    threshold level (operators/dedup.py lsh_recall_sweep): pins the
+    4x4-band S-curve on this corpus instead of trusting the
+    (1/b)^(1/r) formula."""
+    return dedup.lsh_recall_sweep(
+        _docs(spark, sf_dir),
+        thr_x10_min=LSH_RECALL_THR_MIN,
+        thr_x10_max=LSH_RECALL_THR_MAX,
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+i0 AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+    FROM shd x JOIN shd y
+      ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+ov AS (
+    SELECT i.doc_a, i.doc_b, i.inter,
+           za.n_sh + zb.n_sh - i.inter AS union_sh
+    FROM i0 i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+flag AS (
+    SELECT o.*,
+           CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+    FROM ov o LEFT JOIN pairs p USING (doc_a, doc_b)
+),
+levels AS (
+    SELECT unnest(range({LSH_RECALL_THR_MIN},
+                        {LSH_RECALL_THR_MAX} + 1)) AS t
+),
+agg AS (
+    SELECT t, count(*) AS n_true,
+           CAST(sum(caught) AS BIGINT) AS n_caught
+    FROM flag, levels
+    WHERE inter * 10 >= t * union_sh
+    GROUP BY 1
+)
+SELECT CAST(l.t AS INT) AS thr_x10,
+       CAST(coalesce(a.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(a.n_caught, 0) AS BIGINT) AS n_caught,
+       CASE WHEN coalesce(a.n_true, 0) > 0
+            THEN round(a.n_caught / a.n_true, 6)
+       END AS recall
+FROM levels l LEFT JOIN agg a ON a.t = l.t
+ORDER BY thr_x10
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -3254,6 +3394,10 @@ SPECS = [
               PAGERANK_DANGLING_SQL, ("graph",)),
     QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
               ("llm", "graph", "iterative"), bench=True),
+    QuerySpec("minhash_est_error", q_minhash_est_error,
+              MINHASH_EST_ERROR_SQL, ("llm", "dedup", "report")),
+    QuerySpec("dedup_lsh_recall", q_dedup_lsh_recall,
+              DEDUP_LSH_RECALL_SQL, ("llm", "dedup", "report")),
     QuerySpec("simhash_signatures", q_simhash_signatures,
               SIMHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_simhash_pairs", q_simhash_pairs,

@@ -485,12 +485,104 @@ ORDER BY d.vec_id
 """
 
 
+NOVELTY_SWEEP_MAX = 9
+
+
+def q_novelty_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission-gate tuning frontier (similarity.py
+    novelty_threshold_sweep): admit rate at every threshold
+    0.1..0.9 in one pass over the same bounded-delta ingest fixture
+    as ``embedding_novelty`` — the corpus-sized scan+max runs once,
+    the sweep fans out only the (id, nn_sim) slice."""
+    from bigdata_elephant_spark.operators.similarity import (
+        novelty_threshold_sweep,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(
+        (F.max("vec_id") - F.lit(NOVELTY_DELTA_ROWS)).alias("_cut")
+    )
+    base = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") <= F.col("_cut"))
+        .drop("_cut")
+    )
+    delta = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") > F.col("_cut"))
+        .drop("_cut")
+    )
+    return novelty_threshold_sweep(
+        base, delta, max_thr_x10=NOVELTY_SWEEP_MAX
+    )
+
+
+def _novelty_sweep_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import _dot_sql
+
+    cos = (
+        f"round({_dot_sql('d.embedding', 'b.embedding')}"
+        f" / (sqrt({_dot_sql('d.embedding', 'd.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)"
+    )
+    return f"""
+WITH cut AS (
+    SELECT max(vec_id) - {NOVELTY_DELTA_ROWS} AS c FROM embeddings
+),
+base AS (
+    SELECT vec_id, embedding FROM embeddings, cut
+    WHERE vec_id <= c
+      AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
+),
+delta AS (
+    SELECT vec_id, embedding FROM embeddings, cut
+    WHERE vec_id > c
+      AND {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
+),
+sims AS (
+    SELECT d.vec_id, max({cos}) AS nn_sim
+    FROM delta d, base b
+    GROUP BY 1
+),
+verd AS (
+    SELECT d.vec_id, s.nn_sim
+    FROM delta d LEFT JOIN sims s ON d.vec_id = s.vec_id
+),
+levels AS (
+    SELECT unnest(range(1, {NOVELTY_SWEEP_MAX} + 1)) AS t
+),
+agg AS (
+    SELECT t,
+           CAST(sum(CASE WHEN nn_sim IS NULL OR nn_sim < t / 10.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           count(*) AS n
+    FROM verd, levels
+    GROUP BY 1
+)
+SELECT CAST(t AS INT) AS thr_x10, a AS n_admit, n AS n_total,
+       CASE WHEN n > 0 THEN round(a / n, 6) END AS admit_rate
+FROM agg
+ORDER BY thr_x10
+"""
+
+
 SPECS.append(
     QuerySpec(
         "embedding_novelty",
         q_embedding_novelty,
         _novelty_sql,
         ("llm", "similarity", "merge"),
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "novelty_threshold_sweep",
+        q_novelty_threshold_sweep,
+        _novelty_sweep_sql,
+        ("llm", "similarity", "report"),
     )
 )
 SPECS.append(

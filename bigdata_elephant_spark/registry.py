@@ -125,11 +125,17 @@ GATE_PRIORITY = (
     "dsir_select_indexed",
     "knn_ivf_sq8_incremental",
     "search_reingest",
+    # --- NEW this round (gated the round they ship): the dedup
+    # family's trust gates (estimate error + recall sweep, the
+    # analogue of the ANN recall reports) and the admission
+    # threshold sweep completing the novelty family ---
+    "minhash_est_error",
+    "dedup_lsh_recall",
+    "novelty_threshold_sweep",
     # --- window fill: re-gate breadth across the memo-touched
     # hinted families and the artifact/search/batch paths (every
     # one of these routes through maybe_broadcast/plan_size_bytes
-    # or the refactored _vocab_probe); swapped for new queries as
-    # they ship this round ---
+    # or the refactored _vocab_probe) ---
     "search_reference_indexed",
     "search_batch_indexed",
     "search_smooth",
@@ -143,9 +149,6 @@ GATE_PRIORITY = (
     "dedup_minhash_lsh",
     "knn_pq_batch",
     "knn_ivfpq_batch",
-    "ivf_recall_report",
-    "pq_recall_report",
-    "docs_stream_dsir",
 )
 
 
