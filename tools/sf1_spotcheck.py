@@ -175,6 +175,13 @@ def main() -> None:
         "metadata-sized lookups), not the corpus, so a 10x corpus "
         "moves it barely at all while the inline twin re-pays the "
         "full scan.\n\n"
+        "Slopes of 0.8-0.9 on the single-pass inline operators "
+        "(novelty admission, gopher/boilerplate filters, dsir "
+        "inline, kn_perplexity) are the one-corpus-scan slope — "
+        "by-design linear in data, amortized in production by their "
+        "materialized/probe twins (dsir_select_indexed 0.28 vs 0.90 "
+        "inline; the novelty operator swaps its exact scan for an "
+        "IVF probe at scale, the trade ivf_recall_report measures).\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
