@@ -136,6 +136,13 @@ def prewarm_artifacts(spark) -> list[dict]:
 ISOLATED_TOP_N = int(os.environ.get("SPARK_GRAFT_ISOLATED_TOP", "10"))
 ISOLATED_ITERS = 3
 ISOLATED_TIMEOUT_SEC = 240
+# Global wall budget for the whole sidecar: the final JSON line must
+# ALWAYS print (r05 lost its round record to an overgrown stdout
+# line; a hung sidecar must not lose one to a timeout). Spawning
+# stops once the budget is spent; whatever completed is recorded.
+ISOLATED_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_ISOLATED_BUDGET", "420")
+)
 
 
 def _run_one(name: str) -> None:
@@ -168,11 +175,19 @@ def _isolated_pass(candidates: list[str]) -> dict[str, float]:
 
     here = os.path.abspath(__file__)
     out: dict[str, float] = {}
+    t_start = time.perf_counter()
     for name in candidates:
+        left = ISOLATED_BUDGET_SEC - (time.perf_counter() - t_start)
+        if left <= 10:
+            print(
+                f"  isolated: budget spent, skipping {name} and the rest",
+                file=sys.stderr,
+            )
+            break
         try:
             r = subprocess.run(
                 [sys.executable, here, "--one", name],
-                timeout=ISOLATED_TIMEOUT_SEC,
+                timeout=min(ISOLATED_TIMEOUT_SEC, left),
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(here),

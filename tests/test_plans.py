@@ -505,3 +505,9 @@ def test_maybe_broadcast_fallback_scan_recovers_hint(spark, sf_dir):
         o.o_custkey == agg.c_custkey,
     )
     assert hints(declined) == 0
+    # the designed degradation: even with NO hint, AQE converts the
+    # small build back to a broadcast join at runtime from actual
+    # sizes (the final plan only exists after an action)
+    declined.collect()
+    final = declined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
