@@ -21,6 +21,7 @@ float64 is exact) so cross-engine comparison is deterministic.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -3298,6 +3299,104 @@ def embedding_novelty_admission(
                 F.col("nn_sim") < F.lit(threshold), F.lit(True)
             ).alias("admit"),
         )
+    )
+
+
+def power_iteration_top_eigvec(
+    gram: DataFrame,
+    dim: int,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal direction of a (corpus-computed) Gram matrix by
+    fixed-iteration power method → ``(i, v, eigval)`` — the PCA
+    building block: one corpus scan produces the dim x dim Gram
+    table (see ``embedding_gram_matrix``), after which EVERY
+    iteration is metadata-sized (dim² join rows), so the iteration
+    count is free at 100 TB.
+
+    Determinism discipline (the repo's iterative-scalar pattern):
+    the matvec ``w = G v`` sums exact decimals (never doubles — a
+    double sum is partition-order-dependent), each iterate is
+    rounded to 6 decimals before the next round, and sqrt/divide run
+    in IEEE double on both engines — so the oracle's unrolled CTE
+    chain reproduces every iterate bit-for-bit. The per-iteration
+    norm is an UNPARTITIONED WINDOW over the dim-row frame, not a
+    1-row-aggregate crossJoin: the aggregate form references the
+    matvec subtree twice per iteration, doubling the logical plan
+    each round (2^iters subtrees — measured minutes at 8
+    iterations); the window keeps one linear chain, and a
+    single-partition window over dim rows is free. Starts from the
+    uniform unit vector; ``eigval`` is the final ``||G v||``
+    (Rayleigh estimate for a unit ``v``).
+    """
+    spark = gram.sparkSession
+    from bigdata_elephant_spark.session import persist_tracked
+
+    g = gram.select(
+        "i", "j", F.col("gram").cast("decimal(18,6)").alias("g")
+    )
+    # symmetrize the upper triangle; persist: the Gram lineage is the
+    # one corpus scan, and 2*dim² rows feed iters+1 join branches
+    sym = persist_tracked(
+        g.unionByName(
+            g.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
+    )
+    x0 = round(1.0 / math.sqrt(dim), 6)
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(x0).cast("decimal(12,6)").alias("x"),
+    )
+    wall = Window.partitionBy()  # dim rows: single partition is fine
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        return (
+            sym.join(F.broadcast(vec), "j")  # dim rows: bounded build
+            .groupBy("i")
+            .agg(
+                F.round(F.sum(F.col("g") * F.col("x")), 6)
+                .cast("decimal(18,6)")
+                .alias("w")
+            )
+        )
+
+    for _ in range(iters):
+        w = matvec(v)
+        n2 = F.sum(F.col("w") * F.col("w")).over(wall)
+        v = w.select(
+            F.col("i").alias("j"),
+            F.when(
+                n2 > 0,
+                F.round(
+                    F.col("w").cast("double")
+                    / F.sqrt(n2.cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(12,6)")
+            .alias("x"),
+        )
+    wf = matvec(v)
+    eig = wf.select(
+        F.col("i").alias("j"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).over(wall).cast("double")
+            ),
+            6,
+        ).alias("eigval"),
+    )
+    return (
+        v.join(eig, "j")
+        .select(
+            F.col("j").alias("i"),
+            F.col("x").cast("double").alias("v"),
+            "eigval",
+        )
+        .orderBy("i")
     )
 
 

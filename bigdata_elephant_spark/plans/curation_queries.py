@@ -367,8 +367,7 @@ def q_embedding_gram_matrix(
     )
 
 
-EMBEDDING_GRAM_SQL = """
-WITH el AS (
+_GRAM_TERMS_CTES = """el AS (
     SELECT list_transform(embedding,
                           x -> round(CAST(x AS DOUBLE), 7)) AS a
     FROM embeddings
@@ -383,11 +382,102 @@ terms AS (
     SELECT i - 1 AS i, j.j - 1 AS j,
            CAST(round(a[i] * a[j.j], 12) AS DECIMAL(30,12)) AS t
     FROM ij, unnest(range(i, len(a) + 1)) AS j(j)
-)
+)"""
+
+EMBEDDING_GRAM_SQL = f"""
+WITH {_GRAM_TERMS_CTES}
 SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
        round(CAST(sum(t) AS DOUBLE), 6) AS gram
 FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------- power iteration over the Gram table (r9)
+
+POWER_ITERS = 8
+
+
+def q_embedding_top_eigvec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of X^T X by fixed-iteration power
+    method (operators/similarity.py power_iteration_top_eigvec):
+    the PCA step after the one-pass Gram query — one corpus scan,
+    then dim²-row iterations whose count is free at 100 TB. Exact
+    decimal matvecs + per-iterate rounding make the oracle's
+    unrolled CTE chain reproduce every iterate bit-for-bit."""
+    from bigdata_elephant_spark.operators.similarity import (
+        power_iteration_top_eigvec,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
+
+    gram = q_embedding_gram_matrix(spark, sf_dir)
+    return power_iteration_top_eigvec(
+        gram, dim=EMBED_DIM, iters=POWER_ITERS
+    )
+
+
+def _top_eigvec_sql() -> str:
+    import math
+
+    from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
+
+    x0 = round(1.0 / math.sqrt(EMBED_DIM), 6)
+    parts = [
+        f"""WITH {_GRAM_TERMS_CTES},
+gram0 AS MATERIALIZED (
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(round(CAST(sum(t) AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS g
+    FROM terms GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+    SELECT i, j, g FROM gram0
+    UNION ALL
+    SELECT j AS i, i AS j, g FROM gram0 WHERE i <> j
+),
+v0 AS MATERIALIZED (
+    SELECT CAST(k AS INTEGER) AS j,
+           CAST({x0} AS DECIMAL(12,6)) AS x
+    FROM (SELECT unnest(range(0, {EMBED_DIM})) AS k)
+)"""
+    ]
+    for t in range(1, POWER_ITERS + 1):
+        parts.append(
+            f""",
+w{t} AS MATERIALIZED (
+    SELECT s.i,
+           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
+    FROM sym s JOIN v{t - 1} v ON v.j = s.j
+    GROUP BY 1
+),
+n{t} AS MATERIALIZED (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM w{t}),
+v{t} AS MATERIALIZED (
+    SELECT i AS j,
+           CAST(CASE WHEN n > 0
+                     THEN round(CAST(w AS DOUBLE) / n, 6)
+                     ELSE 0.0 END AS DECIMAL(12,6)) AS x
+    FROM w{t}, n{t}
+)"""
+        )
+    parts.append(
+        f""",
+wf AS MATERIALIZED (
+    SELECT s.i,
+           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
+    FROM sym s JOIN v{POWER_ITERS} v ON v.j = s.j
+    GROUP BY 1
+),
+lam AS MATERIALIZED (
+    SELECT round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6) AS eigval
+    FROM wf
+)
+SELECT v.j AS i, CAST(v.x AS DOUBLE) AS v, lam.eigval
+FROM v{POWER_ITERS} v, lam
+ORDER BY i
+"""
+    )
+    return "".join(parts)
 
 
 # ------------------------------ DSIR importance resampling
@@ -694,6 +784,12 @@ SPECS = [
         EMBEDDING_GRAM_SQL,
         tags=("similarity", "agg"),
         bench=True,
+    ),
+    QuerySpec(
+        "embedding_top_eigvec",
+        q_embedding_top_eigvec,
+        _top_eigvec_sql,
+        tags=("similarity", "iterative", "agg"),
     ),
     QuerySpec(
         "dsir_select",

@@ -132,6 +132,9 @@ GATE_PRIORITY = (
     "minhash_est_error",
     "dedup_lsh_recall",
     "novelty_threshold_sweep",
+    # power-iteration top eigenvector over the Gram table (the PCA
+    # step; exact-decimal matvecs, unrolled-CTE oracle)
+    "embedding_top_eigvec",
     # --- window fill: re-gate breadth across the memo-touched
     # hinted families and the artifact/search/batch paths (every
     # one of these routes through maybe_broadcast/plan_size_bytes
@@ -148,7 +151,6 @@ GATE_PRIORITY = (
     "unigram_surprisal",
     "dedup_minhash_lsh",
     "knn_pq_batch",
-    "knn_ivfpq_batch",
 )
 
 

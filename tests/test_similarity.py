@@ -1536,3 +1536,36 @@ def test_novelty_empty_base_admits_everything(spark, emb_df):
         r.vec_id for r in delta.collect()
     )
     assert all(r.nn_sim is not None for r in got3)
+
+
+def test_power_iteration_matches_numpy(spark, emb_df, vectors):
+    """Fixed-iteration power method over the exact Gram matrix lands
+    on numpy's top eigenvector (up to sign and the per-iterate
+    rounding) with a matching Rayleigh eigenvalue."""
+    import itertools
+
+    v64 = vectors.astype(np.float64).round(7)
+    G = (v64.T @ v64).round(6)
+    rows = [
+        (i, j, float(G[i, j]))
+        for i, j in itertools.combinations_with_replacement(
+            range(DIM), 2
+        )
+    ]
+    gram = spark.createDataFrame(rows, "i int, j int, gram double")
+    # 40 iterations: the random 8-dim Gram has a small eigengap
+    # and convergence is (lam2/lam1)^t — the registered query's 8
+    # iterations pin DETERMINISM (oracle-exact at any count); this
+    # test pins MATH, so run enough rounds to converge
+    got = similarity.power_iteration_top_eigvec(
+        gram, dim=DIM, iters=40
+    ).collect()
+    v_hat = np.array([r.v for r in sorted(got, key=lambda r: r.i)])
+    lam_hat = got[0].eigval
+
+    w, V = np.linalg.eigh(G)
+    v_true, lam_true = V[:, -1], w[-1]
+    cos = abs(float(v_hat @ v_true))  # sign-invariant
+    assert cos > 0.999, (cos, v_hat, v_true)
+    assert abs(lam_hat - lam_true) / lam_true < 0.01
+    assert abs(float(v_hat @ v_hat) - 1.0) < 1e-3  # unit norm
