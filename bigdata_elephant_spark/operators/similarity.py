@@ -3329,41 +3329,65 @@ def power_iteration_top_eigvec(
     uniform unit vector; ``eigval`` is the final ``||G v||``
     (Rayleigh estimate for a unit ``v``).
     """
-    spark = gram.sparkSession
+    sym = _sym_gram(gram)
+    v = _power_iterate(sym, dim, iters)
+    eig = _rayleigh(sym, v)
+    return (
+        v.join(eig, "j")
+        .select(
+            F.col("j").alias("i"),
+            F.col("x").cast("double").alias("v"),
+            "eigval",
+        )
+        .orderBy("i")
+    )
+
+
+def _sym_gram(gram: DataFrame) -> DataFrame:
+    """Upper-triangle (i, j, gram) → persisted full symmetric
+    ``(i, j, g decimal(18,6))``. Persisted: the Gram lineage is the
+    one corpus scan, and 2*dim² rows feed iters+1 join branches."""
     from bigdata_elephant_spark.session import persist_tracked
 
     g = gram.select(
         "i", "j", F.col("gram").cast("decimal(18,6)").alias("g")
     )
-    # symmetrize the upper triangle; persist: the Gram lineage is the
-    # one corpus scan, and 2*dim² rows feed iters+1 join branches
-    sym = persist_tracked(
+    return persist_tracked(
         g.unionByName(
             g.filter(F.col("i") != F.col("j")).select(
                 F.col("j").alias("i"), F.col("i").alias("j"), "g"
             )
         )
     )
+
+
+def _matvec(sym: DataFrame, vec: DataFrame) -> DataFrame:
+    """Exact-decimal ``w = G v`` → (i, w decimal(18,6))."""
+    return (
+        sym.join(F.broadcast(vec), "j")  # dim rows: bounded build
+        .groupBy("i")
+        .agg(
+            F.round(F.sum(F.col("g") * F.col("x")), 6)
+            .cast("decimal(18,6)")
+            .alias("w")
+        )
+    )
+
+
+def _power_iterate(
+    sym: DataFrame, dim: int, iters: int
+) -> DataFrame:
+    """``iters`` power-method rounds from the uniform unit vector →
+    unit-ish ``(j, x decimal(12,6))``."""
+    spark = sym.sparkSession
     x0 = round(1.0 / math.sqrt(dim), 6)
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"),
         F.lit(x0).cast("decimal(12,6)").alias("x"),
     )
     wall = Window.partitionBy()  # dim rows: single partition is fine
-
-    def matvec(vec: DataFrame) -> DataFrame:
-        return (
-            sym.join(F.broadcast(vec), "j")  # dim rows: bounded build
-            .groupBy("i")
-            .agg(
-                F.round(F.sum(F.col("g") * F.col("x")), 6)
-                .cast("decimal(18,6)")
-                .alias("w")
-            )
-        )
-
     for _ in range(iters):
-        w = matvec(v)
+        w = _matvec(sym, v)
         n2 = F.sum(F.col("w") * F.col("w")).over(wall)
         v = w.select(
             F.col("i").alias("j"),
@@ -3379,8 +3403,14 @@ def power_iteration_top_eigvec(
             .cast("decimal(12,6)")
             .alias("x"),
         )
-    wf = matvec(v)
-    eig = wf.select(
+    return v
+
+
+def _rayleigh(sym: DataFrame, v: DataFrame) -> DataFrame:
+    """``(j, eigval)`` — round(||G v||, 6) repeated per component
+    (an unpartitioned window over the dim-row matvec)."""
+    wall = Window.partitionBy()
+    return _matvec(sym, v).select(
         F.col("i").alias("j"),
         F.round(
             F.sqrt(
@@ -3389,14 +3419,95 @@ def power_iteration_top_eigvec(
             6,
         ).alias("eigval"),
     )
-    return (
-        v.join(eig, "j")
+
+
+def pca2_projection(
+    gram: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every embedding onto the top TWO principal directions
+    → ``(vec_id, pc1, pc2)`` — the 2-D PCA map (visualization /
+    whitening front-end / cheap semantic bucketing) computed
+    entirely from the one-pass Gram table: v1 by power iteration,
+    v2 by the same iteration on the DEFLATED matrix
+    ``G2 = G − λ1 v1 v1ᵀ`` (Hotelling deflation), then one corpus
+    pass dotting each vector against the dim-row broadcast
+    components. Iteration cost is dim²-row metadata at any corpus
+    size; the projection is the only corpus-sized stage.
+
+    Determinism: deflation runs in IEEE double with a fixed
+    left-assoc product chain and per-entry rounding (mirrored in the
+    oracle); projections are exact decimal sums per vector, so
+    output hashes are partitioning-stable. Components are rounded
+    iterates — at these iteration counts v2 is the mathematical
+    second direction only insofar as the eigengap allows (the numpy
+    cross-check pins it on converged input); the CONTRACT is the
+    fixed arithmetic, same as every iterative oracle here.
+    """
+    sym = _sym_gram(gram)
+    # Eager dim-row checkpoints at every stage boundary: v2's chain
+    # re-references sym2 once per iteration and sym2 references the
+    # whole v1 chain three times — left lazy, the logical plan
+    # multiplies out to an executor-OOM-sized tree (measured at
+    # sf0.001). Checkpointing 64-row / dim²-row frames is free.
+    v1 = _power_iterate(sym, dim, iters).localCheckpoint(eager=True)
+    eig = _rayleigh(sym, v1).localCheckpoint(eager=True)
+    v1i = v1.select(
+        F.col("j").alias("i"), F.col("x").cast("double").alias("_vi")
+    )
+    v1j = v1.select(
+        F.col("j").alias("j"), F.col("x").cast("double").alias("_vj")
+    )
+    sym2 = (
+        sym.join(F.broadcast(v1i), "i")
+        .join(F.broadcast(v1j), "j")
+        .join(F.broadcast(eig.withColumnRenamed("j", "i")), "i")
         .select(
-            F.col("j").alias("i"),
-            F.col("x").cast("double").alias("v"),
-            "eigval",
+            "i",
+            "j",
+            F.round(
+                F.col("g").cast("double")
+                - F.round(
+                    F.col("eigval") * F.col("_vi") * F.col("_vj"), 6
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("g"),
         )
-        .orderBy("i")
+        .localCheckpoint(eager=True)
+    )
+    v2 = _power_iterate(sym2, dim, iters).localCheckpoint(eager=True)
+
+    elems = embeddings.where(F.size(vec_col) > 0).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                vec_col, lambda x: F.round(x.cast("double"), 7)
+            )
+        ).alias("d", "_xd"),
+    ).select(
+        id_col, "d", F.col("_xd").cast("decimal(20,7)").alias("_xd")
+    )
+    c1 = v1.select(F.col("j").alias("d"), F.col("x").alias("_c1"))
+    c2 = v2.select(F.col("j").alias("d"), F.col("x").alias("_c2"))
+    return (
+        elems.join(F.broadcast(c1), "d")
+        .join(F.broadcast(c2), "d")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_xd") * F.col("_c1")).cast("double"), 6
+            ).alias("pc1"),
+            F.round(
+                F.sum(F.col("_xd") * F.col("_c2")).cast("double"), 6
+            ).alias("pc2"),
+        )
+        .orderBy(id_col)
     )
 
 

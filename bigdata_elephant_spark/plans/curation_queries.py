@@ -417,14 +417,63 @@ def q_embedding_top_eigvec(
     )
 
 
-def _top_eigvec_sql() -> str:
+def _power_chain_ctes(src: str, pfx: str) -> str:
+    """Unrolled power-method CTE chain ``{pfx}v0..{pfx}v{ITERS}``
+    over the full-matrix CTE ``src``. Every CTE is MATERIALIZED:
+    each ``w{t}`` is referenced twice (norm + update), and DuckDB
+    inlines CTEs by default — unmaterialized, the Gram scan
+    re-evaluates 2^ITERS times (measured: minutes vs 0.2 s)."""
     import math
 
     from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
 
     x0 = round(1.0 / math.sqrt(EMBED_DIM), 6)
     parts = [
-        f"""WITH {_GRAM_TERMS_CTES},
+        f""",
+{pfx}v0 AS MATERIALIZED (
+    SELECT CAST(k AS INTEGER) AS j,
+           CAST({x0} AS DECIMAL(12,6)) AS x
+    FROM (SELECT unnest(range(0, {EMBED_DIM})) AS k)
+)"""
+    ]
+    for t in range(1, POWER_ITERS + 1):
+        parts.append(
+            f""",
+{pfx}w{t} AS MATERIALIZED (
+    SELECT s.i,
+           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
+    FROM {src} s JOIN {pfx}v{t - 1} v ON v.j = s.j
+    GROUP BY 1
+),
+{pfx}n{t} AS MATERIALIZED (
+    SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM {pfx}w{t}
+),
+{pfx}v{t} AS MATERIALIZED (
+    SELECT i AS j,
+           CAST(CASE WHEN n > 0
+                     THEN round(CAST(w AS DOUBLE) / n, 6)
+                     ELSE 0.0 END AS DECIMAL(12,6)) AS x
+    FROM {pfx}w{t}, {pfx}n{t}
+)"""
+        )
+    return "".join(parts)
+
+
+def _rayleigh_ctes(src: str, vname: str, pfx: str) -> str:
+    return f""",
+{pfx}wf AS MATERIALIZED (
+    SELECT s.i,
+           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
+    FROM {src} s JOIN {vname} v ON v.j = s.j
+    GROUP BY 1
+),
+{pfx}lam AS MATERIALIZED (
+    SELECT round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6) AS eigval
+    FROM {pfx}wf
+)"""
+
+
+_SYM_GRAM_CTES = f"""{_GRAM_TERMS_CTES},
 gram0 AS MATERIALIZED (
     SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
            CAST(round(CAST(sum(t) AS DOUBLE), 6)
@@ -435,49 +484,78 @@ sym AS MATERIALIZED (
     SELECT i, j, g FROM gram0
     UNION ALL
     SELECT j AS i, i AS j, g FROM gram0 WHERE i <> j
-),
-v0 AS MATERIALIZED (
-    SELECT CAST(k AS INTEGER) AS j,
-           CAST({x0} AS DECIMAL(12,6)) AS x
-    FROM (SELECT unnest(range(0, {EMBED_DIM})) AS k)
 )"""
-    ]
-    for t in range(1, POWER_ITERS + 1):
-        parts.append(
-            f""",
-w{t} AS MATERIALIZED (
-    SELECT s.i,
-           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
-    FROM sym s JOIN v{t - 1} v ON v.j = s.j
-    GROUP BY 1
-),
-n{t} AS MATERIALIZED (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM w{t}),
-v{t} AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(CASE WHEN n > 0
-                     THEN round(CAST(w AS DOUBLE) / n, 6)
-                     ELSE 0.0 END AS DECIMAL(12,6)) AS x
-    FROM w{t}, n{t}
-)"""
-        )
-    parts.append(
-        f""",
-wf AS MATERIALIZED (
-    SELECT s.i,
-           CAST(round(sum(s.g * v.x), 6) AS DECIMAL(18,6)) AS w
-    FROM sym s JOIN v{POWER_ITERS} v ON v.j = s.j
-    GROUP BY 1
-),
-lam AS MATERIALIZED (
-    SELECT round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6) AS eigval
-    FROM wf
-)
-SELECT v.j AS i, CAST(v.x AS DOUBLE) AS v, lam.eigval
-FROM v{POWER_ITERS} v, lam
+
+
+def _top_eigvec_sql() -> str:
+    return (
+        f"WITH {_SYM_GRAM_CTES}"
+        + _power_chain_ctes("sym", "a")
+        + _rayleigh_ctes("sym", f"av{POWER_ITERS}", "a")
+        + f"""
+SELECT v.j AS i, CAST(v.x AS DOUBLE) AS v, alam.eigval
+FROM av{POWER_ITERS} v, alam
 ORDER BY i
 """
     )
-    return "".join(parts)
+
+
+def q_embedding_pca2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-D PCA map of the embedding table (operators/similarity.py
+    pca2_projection): v1 by power iteration over the Gram table, v2
+    on the Hotelling-deflated matrix, every embedding dotted against
+    the broadcast components — iteration is dim²-row metadata, the
+    projection is the one corpus-sized pass."""
+    from bigdata_elephant_spark.operators.similarity import (
+        pca2_projection,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
+
+    gram = q_embedding_gram_matrix(spark, sf_dir)
+    return pca2_projection(
+        gram, _emb(spark, sf_dir), dim=EMBED_DIM, iters=POWER_ITERS
+    )
+
+
+def _pca2_sql() -> str:
+    t = POWER_ITERS
+    return (
+        f"WITH {_SYM_GRAM_CTES}"
+        + _power_chain_ctes("sym", "a")
+        + _rayleigh_ctes("sym", f"av{t}", "a")
+        + f""",
+sym2 AS MATERIALIZED (
+    SELECT s.i, s.j,
+           CAST(round(CAST(s.g AS DOUBLE)
+                      - round(l.eigval * CAST(vi.x AS DOUBLE)
+                              * CAST(vj.x AS DOUBLE), 6), 6)
+                AS DECIMAL(18,6)) AS g
+    FROM sym s
+    JOIN av{t} vi ON vi.j = s.i
+    JOIN av{t} vj ON vj.j = s.j, alam l
+)"""
+        + _power_chain_ctes("sym2", "b")
+        + f""",
+elems AS MATERIALIZED (
+    SELECT vec_id, t.dim - 1 AS d,
+           CAST(round(CAST(embedding[t.dim] AS DOUBLE), 7)
+                AS DECIMAL(20,7)) AS xd
+    FROM embeddings,
+         unnest(range(1, len(embedding) + 1)) AS t(dim)
+    WHERE len(embedding) > 0
+)
+SELECT e.vec_id,
+       round(CAST(sum(e.xd * c1.x) AS DOUBLE), 6) AS pc1,
+       round(CAST(sum(e.xd * c2.x) AS DOUBLE), 6) AS pc2
+FROM elems e
+JOIN av{t} c1 ON c1.j = e.d
+JOIN bv{t} c2 ON c2.j = e.d
+GROUP BY 1
+ORDER BY vec_id
+"""
+    )
 
 
 # ------------------------------ DSIR importance resampling
@@ -790,6 +868,12 @@ SPECS = [
         q_embedding_top_eigvec,
         _top_eigvec_sql,
         tags=("similarity", "iterative", "agg"),
+    ),
+    QuerySpec(
+        "embedding_pca2",
+        q_embedding_pca2,
+        _pca2_sql,
+        tags=("similarity", "iterative"),
     ),
     QuerySpec(
         "dsir_select",

@@ -132,9 +132,10 @@ GATE_PRIORITY = (
     "minhash_est_error",
     "dedup_lsh_recall",
     "novelty_threshold_sweep",
-    # power-iteration top eigenvector over the Gram table (the PCA
-    # step; exact-decimal matvecs, unrolled-CTE oracle)
+    # power iteration over the Gram table (the PCA steps;
+    # exact-decimal matvecs, unrolled MATERIALIZED-CTE oracles)
     "embedding_top_eigvec",
+    "embedding_pca2",
     # --- window fill: re-gate breadth across the memo-touched
     # hinted families and the artifact/search/batch paths (every
     # one of these routes through maybe_broadcast/plan_size_bytes
@@ -149,7 +150,6 @@ GATE_PRIORITY = (
     "q2_min_cost_supplier",
     "related_terms_pmi",
     "unigram_surprisal",
-    "dedup_minhash_lsh",
     "knn_pq_batch",
 )
 

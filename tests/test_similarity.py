@@ -1569,3 +1569,32 @@ def test_power_iteration_matches_numpy(spark, emb_df, vectors):
     assert cos > 0.999, (cos, v_hat, v_true)
     assert abs(lam_hat - lam_true) / lam_true < 0.01
     assert abs(float(v_hat @ v_hat) - 1.0) < 1e-3  # unit norm
+
+
+def test_pca2_projection_matches_numpy(spark, emb_df, vectors):
+    """pca2_projection lands on numpy's top-2 PCA coordinates up to
+    per-component sign (40 iterations for convergence; the shipped
+    query's 8 pin determinism, this pins math)."""
+    import itertools
+
+    v64 = vectors.astype(np.float64).round(7)
+    G = (v64.T @ v64).round(6)
+    rows = [
+        (i, j, float(G[i, j]))
+        for i, j in itertools.combinations_with_replacement(
+            range(DIM), 2
+        )
+    ]
+    gram = spark.createDataFrame(rows, "i int, j int, gram double")
+    got = similarity.pca2_projection(
+        gram, emb_df, dim=DIM, iters=40
+    ).collect()
+    P = np.array([[r.pc1, r.pc2] for r in sorted(got, key=lambda r: r.vec_id)])
+
+    w, V = np.linalg.eigh(G)
+    ref = v64 @ V[:, [-1, -2]]
+    for k in range(2):
+        cos = abs(float(P[:, k] @ ref[:, k])) / (
+            np.linalg.norm(P[:, k]) * np.linalg.norm(ref[:, k])
+        )
+        assert cos > 0.995, (k, cos)
