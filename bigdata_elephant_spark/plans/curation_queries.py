@@ -274,14 +274,24 @@ def q_embedding_gram_matrix(
     128 MB splits that head-room is ~2000×. Measured at
     sf0.1: 3.9 s (single-phase decimal, single-split scan) → ~1.5 s
     (long partials + core-fanned expansion)."""
+    emb = _emb(spark, sf_dir).select("embedding")
+    return _gram_merge(_gram_partials(emb))
+
+
+def _gram_partials(emb: DataFrame) -> DataFrame:
+    """Per-(i, j, input-partition) exact decimal partial sums of the
+    Gram terms → ``(i, j, pd decimal)``. Additive: partials from
+    disjoint row sets merge to EXACTLY the full-table Gram (decimal
+    addition is associative; the single rounding happens in
+    :func:`_gram_merge`), which is what makes the materialized-Gram
+    update path a delta-only scan (see ``gram_incremental``)."""
     from pyspark.sql import functions as F
 
-    emb = _emb(spark, sf_dir).select("embedding")
     # The explode amplifies each row 2080× — if the table arrives
     # in fewer splits than cores (tiny file at test SF), fan the
     # rows out first so the expansion runs on every core. At 100 TB
     # the scan has ≫cores splits and this branch never shuffles.
-    par = spark.sparkContext.defaultParallelism
+    par = emb.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < par:
         emb = emb.repartition(par)
     rounded = emb.select(
@@ -357,13 +367,56 @@ def q_embedding_gram_matrix(
         F.col("ps").cast("decimal(20,0)")
         / F.lit(10**12).cast("decimal(13,0)"),
     )
+    return partials.select("i", "j", safe_ps.alias("pd"))
+
+
+def _gram_merge(pd_df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
     return (
-        partials.select("i", "j", safe_ps.alias("pd"))
-        .groupBy("i", "j")
+        pd_df.groupBy("i", "j")
         .agg(
             F.round(F.sum("pd").cast("double"), 6).alias("gram")
         )
         .orderBy("i", "j")
+    )
+
+
+GRAM_DELTA_ROWS = 100
+
+
+def q_gram_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental Gram maintenance: ``X^T X`` is ADDITIVE over row
+    sets, so appending an ingest batch to a materialized Gram
+    artifact costs one scan of the BATCH — ``G(all) = merge(
+    partials(base) ∪ partials(delta))``, exactly (the partials are
+    exact decimals; the one rounding happens at merge). This query
+    computes the Gram through that split (the novelty fixture's
+    bounded 100-vector delta) and shares the plain full-table
+    oracle — the driver's hash equality IS the associativity claim.
+    The same split shape updates the eigvec/PCA queries downstream:
+    re-run the dim²-row iteration on the merged table, no corpus
+    re-scan."""
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    cut = emb.agg(
+        (F.max("vec_id") - F.lit(GRAM_DELTA_ROWS)).alias("_cut")
+    )
+    base = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") <= F.col("_cut"))
+        .select("embedding")
+    )
+    delta = (
+        emb.crossJoin(F.broadcast(cut))
+        .filter(F.col("vec_id") > F.col("_cut"))
+        .select("embedding")
+    )
+    return _gram_merge(
+        _gram_partials(base).unionByName(_gram_partials(delta))
     )
 
 
@@ -874,6 +927,12 @@ SPECS = [
         q_embedding_pca2,
         _pca2_sql,
         tags=("similarity", "iterative"),
+    ),
+    QuerySpec(
+        "gram_incremental",
+        q_gram_incremental,
+        EMBEDDING_GRAM_SQL,
+        tags=("similarity", "agg", "merge", "incremental"),
     ),
     QuerySpec(
         "dsir_select",

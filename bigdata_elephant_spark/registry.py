@@ -136,6 +136,9 @@ GATE_PRIORITY = (
     # exact-decimal matvecs, unrolled MATERIALIZED-CTE oracles)
     "embedding_top_eigvec",
     "embedding_pca2",
+    # additive Gram maintenance: base ∪ delta partials merge to the
+    # EXACT full-table Gram (shares the full-table oracle)
+    "gram_incremental",
     # --- window fill: re-gate breadth across the memo-touched
     # hinted families and the artifact/search/batch paths (every
     # one of these routes through maybe_broadcast/plan_size_bytes
@@ -150,7 +153,6 @@ GATE_PRIORITY = (
     "q2_min_cost_supplier",
     "related_terms_pmi",
     "unigram_surprisal",
-    "knn_pq_batch",
 )
 
 
