@@ -585,6 +585,57 @@ SPECS.append(
         ("llm", "similarity", "report"),
     )
 )
+
+
+def q_stream_gram_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``gram_incremental``: embedding batches
+    land as a file micro-batch stream; each batch's EXACT decimal
+    Gram partials append to a batch_id-partitioned artifact
+    (idempotent partition overwrite => exactly-once on replay), and
+    the artifact merges to the full-table Gram bit-for-bit — the
+    shared full-table oracle IS the associativity claim. This is
+    continuous maintenance of the PCA family's input: old vectors
+    are never re-scanned, and the dim²-row merge + power iteration
+    re-run downstream at any time."""
+    import uuid
+
+    from bigdata_elephant_spark.plans.curation_queries import (
+        _gram_merge,
+        _gram_partials,
+    )
+
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = f"{ev._new_stage_dir()}/gram_{run_id}"
+    ckpt = f"{out_dir}_ckpt"
+    stream = ev.read_embeddings_stream(spark, sf_dir).select(
+        "embedding"
+    )
+    ev.run_stream_to_parquet(
+        stream, out_dir, ckpt, transform=_gram_partials
+    )
+    return _gram_merge(
+        spark.read.parquet(out_dir).select("i", "j", "pd")
+    )
+
+
+def _gram_sql() -> str:
+    from bigdata_elephant_spark.plans.curation_queries import (
+        EMBEDDING_GRAM_SQL,
+    )
+
+    return EMBEDDING_GRAM_SQL
+
+
+SPECS.append(
+    QuerySpec(
+        "emb_stream_gram",
+        q_stream_gram_update,
+        _gram_sql,
+        ("streaming", "similarity", "agg", "incremental"),
+    )
+)
 SPECS.append(
     QuerySpec(
         "emb_stream_novelty",

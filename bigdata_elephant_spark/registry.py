@@ -137,8 +137,10 @@ GATE_PRIORITY = (
     "embedding_top_eigvec",
     "embedding_pca2",
     # additive Gram maintenance: base ∪ delta partials merge to the
-    # EXACT full-table Gram (shares the full-table oracle)
+    # EXACT full-table Gram (shares the full-table oracle), plus its
+    # exactly-once foreachBatch streaming twin
     "gram_incremental",
+    "emb_stream_gram",
     # --- window fill: re-gate breadth across the memo-touched
     # hinted families and the artifact/search/batch paths (every
     # one of these routes through maybe_broadcast/plan_size_bytes
@@ -152,7 +154,6 @@ GATE_PRIORITY = (
     "q11_important_parts",
     "q2_min_cost_supplier",
     "related_terms_pmi",
-    "unigram_surprisal",
 )
 
 
