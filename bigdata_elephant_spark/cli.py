@@ -273,6 +273,36 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                          "(defaults to the index's own rows)")
 
     sp = sub.add_parser(
+        "pca",
+        help="top principal direction(s) of an embedding table by "
+             "power iteration over the one-pass Gram matrix; "
+             "--components 2 adds Hotelling deflation and projects "
+             "every vector onto both (vec_id, pc1, pc2)",
+    )
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding) rows")
+    sp.add_argument("--components", type=int, choices=(1, 2),
+                    default=1)
+    sp.add_argument("--iters", type=int, default=8)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser(
+        "novelty",
+        help="ingest-time semantic-dedup admission: each incoming "
+             "vector's max exact cosine against the base corpus, "
+             "admit below --threshold (empty base admits all); "
+             "sweep mode prints admit rate per threshold 0.1..0.9",
+    )
+    sp.add_argument("--base", required=True,
+                    help="parquet with the indexed (vec_id, "
+                         "embedding) corpus")
+    sp.add_argument("--delta", required=True,
+                    help="parquet with the incoming batch")
+    sp.add_argument("--threshold", type=float, default=0.4)
+    sp.add_argument("--sweep", action="store_true")
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser(
         "ann-stats",
         help="index health/observability: geometry, current "
              "generation, per-cell file counts (the small-files "
@@ -621,6 +651,51 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
             ),
             out,
         )
+    elif args.cmd == "pca":
+        from pyspark.sql import functions as F
+
+        from bigdata_elephant_spark.operators.similarity import (
+            pca2_projection,
+            power_iteration_top_eigvec,
+        )
+        from bigdata_elephant_spark.plans.curation_queries import (
+            _gram_merge,
+            _gram_partials,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        dim = int(
+            emb.select(F.size("embedding").alias("d")).first()["d"]
+        )  # metadata probe, like the ann verbs
+        gram = _gram_merge(_gram_partials(emb.select("embedding")))
+        if args.components == 1:
+            res = power_iteration_top_eigvec(
+                gram, dim=dim, iters=args.iters
+            )
+        else:
+            res = pca2_projection(
+                gram, emb, dim=dim, iters=args.iters
+            )
+        if args.out:
+            _write(res, args.out)
+        _print_rows(res, out)
+    elif args.cmd == "novelty":
+        from bigdata_elephant_spark.operators.similarity import (
+            embedding_novelty_admission,
+            novelty_threshold_sweep,
+        )
+
+        base = spark.read.parquet(args.base)
+        delta = spark.read.parquet(args.delta)
+        if args.sweep:
+            res = novelty_threshold_sweep(base, delta)
+        else:
+            res = embedding_novelty_admission(
+                base, delta, threshold=args.threshold
+            ).orderBy("vec_id")
+        if args.out:
+            _write(res, args.out)
+        _print_rows(res, out)
     elif args.cmd == "ann-stats":
         import os
 

@@ -673,3 +673,43 @@ def test_cli_dsir_needs_target_definition(spark, tmp_path):
     ).write.parquet(noLang)
     with pytest.raises(SystemExit):
         _run(spark, ["dsir", "--corpus", noLang])
+
+
+def test_cli_pca_and_novelty(spark, sf_dir, tmp_path):
+    """pca matches the registered operators verb-for-verb; novelty
+    admits everything against an empty base and sweeps rates."""
+    emb = f"{sf_dir}/embeddings.parquet"
+    rows = _parse(_run(spark, ["pca", "--embeddings", emb]))
+    assert len(rows) == 64 and "eigval" in rows[0]
+
+    rows2 = _parse(_run(
+        spark, ["pca", "--embeddings", emb, "--components", "2"]
+    ))
+    assert len(rows2) > 0 and "pc1" in rows2[0] and "pc2" in rows2[0]
+
+    import pyspark.sql.functions as F
+    base_p = str(tmp_path / "base")
+    delta_p = str(tmp_path / "delta")
+    full = spark.read.parquet(emb)
+    full.filter(F.col("vec_id") < 50).write.parquet(base_p)
+    full.filter(F.col("vec_id") >= 450).write.parquet(delta_p)
+
+    verd = _parse(_run(spark, [
+        "novelty", "--base", base_p, "--delta", delta_p,
+        "--threshold", "0.9",
+    ]))
+    assert len(verd) == 50
+    assert all(r["admit"] in ("True", "False") for r in verd)
+
+    sweep = _parse(_run(spark, [
+        "novelty", "--base", base_p, "--delta", delta_p, "--sweep",
+    ]))
+    assert [int(r["thr_x10"]) for r in sweep] == list(range(1, 10))
+
+    # bootstrap ingest: empty base admits the whole batch
+    empty_p = str(tmp_path / "empty")
+    full.filter(F.lit(False)).write.parquet(empty_p)
+    boot = _parse(_run(spark, [
+        "novelty", "--base", empty_p, "--delta", delta_p,
+    ]))
+    assert len(boot) == 50 and all(r["admit"] == "True" for r in boot)
