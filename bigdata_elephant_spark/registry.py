@@ -89,9 +89,11 @@ GATE_PRIORITY = (
     # Gopher integer comparands now derived from the thresholds
     # (round(), single edit point shared with the oracle SQL)
     "gopher_ngram_filters",
-    # chunked rule folds in bpe_encode (64 per localCheckpoint
-    # segment; 32k-rule vocabularies can't be one expression tree)
+    # chunked per-rule Projects in bpe_encode (dictionary-encode
+    # shape) AND the trainer's batch rewrite (same per-rule-Project
+    # fix) — both re-gated
     "bpe_encode_sample",
+    "bpe_merges",
     # --- _vocab_probe delegated to maybe_broadcast's new two-gate
     # (fallback_scan Heaps bound); every build_index consumer
     # re-gated via family representatives ---
@@ -153,7 +155,6 @@ GATE_PRIORITY = (
     "q19_disjunctive_revenue",
     "q11_important_parts",
     "q2_min_cost_supplier",
-    "related_terms_pmi",
 )
 
 

@@ -91,7 +91,18 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # batch retriever shares the batched shortlist shape
          "embedding_novelty", "gopher_ngram_filters",
          "boilerplate_flags_relative", "ivf_probe_sweep",
-         "ivf_recall_report", "pq_recall_report", "knn_sq8_batch")
+         "ivf_recall_report", "pq_recall_report", "knn_sq8_batch",
+         # round-9 additions: the power-iteration PCA pair rides the
+         # one-scan Gram (iteration is dim^2-row metadata — expect
+         # ~the gram slope); gram_incremental re-derives the same
+         # Gram through the base∪delta split (expect == gram);
+         # the dedup trust gates pay the exact shingle join (expect
+         # ~the jaccard-pairs slope); the novelty sweep adds only a
+         # 9-level fan-out of the (id, nn_sim) slice over the
+         # novelty scan (expect ~the novelty slope)
+         "embedding_top_eigvec", "embedding_pca2",
+         "gram_incremental", "minhash_est_error",
+         "dedup_lsh_recall", "novelty_threshold_sweep")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
