@@ -614,7 +614,19 @@ def _exact_pair_overlap(
     inter, na, nb)``. With ``pairs`` given, intersections are
     computed ONLY for those pairs (fan-out bounded by
     pairs x shingles-per-doc); without, the full inverted-index
-    self-join runs (bounded by shingle document frequency)."""
+    self-join runs (bounded by shingle document frequency).
+
+    Every join against the exploded shingle stream (and against the
+    pair set, which is corpus-governed) carries an explicit
+    ``shuffle_hash`` strategy hint: Catalyst's static size estimate
+    does NOT inflate through explode (an exploded frame keeps its
+    parent scan's bytes), so the static planner happily builds a
+    corpus-sized broadcast from a "small" estimate and OOMs the
+    driver — hit at the 10x spot-check SF. A shuffle hash join is
+    scale-safe at every size; this is the inverse direction of the
+    ``maybe_broadcast`` gate (there: stats over-estimate and decline
+    a safe hint; here: stats under-estimate and force an unsafe
+    one)."""
     sh = doc_shingles(df, text_col, id_col, n=shingle_n, distinct=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -622,8 +634,8 @@ def _exact_pair_overlap(
     if pairs is not None:
         inter = (
             pairs.select("doc_a", "doc_b")
-            .join(pa, "doc_a")
-            .join(pb, ["doc_b", "shingle"])
+            .join(pa.hint("shuffle_hash"), "doc_a")
+            .join(pb.hint("shuffle_hash"), ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
         )
@@ -632,12 +644,12 @@ def _exact_pair_overlap(
         # inter=0, not silently drop (the sketch-probe-join rule)
         inter = (
             pairs.select("doc_a", "doc_b")
-            .join(inter, ["doc_a", "doc_b"], "left")
+            .join(inter.hint("shuffle_hash"), ["doc_a", "doc_b"], "left")
             .na.fill({"inter": 0})
         )
     else:
         inter = (
-            pa.join(pb, "shingle")
+            pa.join(pb.hint("shuffle_hash"), "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
@@ -674,12 +686,22 @@ def minhash_estimate_error(
     division in both engines). At production scale this gate runs on
     a sampled slice, like every recall report.
     """
+    from bigdata_elephant_spark.session import persist_tracked
+
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    # persist: the candidate set feeds THREE branches (estimate side,
+    # the pair-restricted overlap join, and its LEFT re-reference) —
+    # unpersisted, the whole shingle→signature→band pipeline
+    # recomputes per branch
+    cand = persist_tracked(
+        lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    )
     ov = _exact_pair_overlap(df, cand, text_col, id_col, shingle_n)
-    scored = cand.join(ov, ["doc_a", "doc_b"]).select(
+    scored = cand.join(
+        ov.hint("shuffle_hash"), ["doc_a", "doc_b"]
+    ).select(
         "doc_a",
         "doc_b",
         "est_sim",
@@ -759,9 +781,12 @@ def lsh_recall_sweep(
     levels = df.sparkSession.range(
         thr_x10_min, thr_x10_max + 1
     ).select(F.col("id").cast("int").alias("thr_x10"))
-    flagged = truth.join(cand, ["doc_a", "doc_b"], "left").na.fill(
-        {"_caught": 0}
-    )
+    # shuffle_hash: both sides are corpus-governed and the candidate
+    # side's static estimate is explode-blind (see
+    # _exact_pair_overlap) — never a static broadcast build
+    flagged = truth.join(
+        cand.hint("shuffle_hash"), ["doc_a", "doc_b"], "left"
+    ).na.fill({"_caught": 0})
     return (
         flagged.crossJoin(levels)
         .filter(

@@ -55,9 +55,21 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Size the single local JVM for its thread count: Spark's 1g
+    # default leaves ~12 MB of execution memory per concurrent task
+    # at local[32] — forced hash builds and wide sorts then die with
+    # "Can't acquire N bytes to build hash relation" long before the
+    # data is large (hit at the 10x spot-check SF). ~0.25 GB/core,
+    # floor 4 GB, honors an explicit SPARK_GRAFT_DRIVER_MEM. Only
+    # effective when this call launches the JVM (the normal path);
+    # a pre-existing session keeps its memory.
+    driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(4, cpus // 4)}g"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
