@@ -193,6 +193,7 @@ def main() -> None:
         "materialized/probe twins (dsir_select_indexed 0.28 vs 0.90 "
         "inline; the novelty operator swaps its exact scan for an "
         "IVF probe at scale, the trade ivf_recall_report measures).\n\n"
+        "One deliberate >1 row: `dedup_lsh_recall`'s ground truth is the exact all-pairs Jaccard join, and the synthetic corpus multiplies every duplicate group 10x — TRUE pairs grow 100x, so ~10x wall time is sublinear in the pair count the query actually verifies. The gate's production contract is a sampled slice (docstring), exactly like the ANN recall reports.\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
