@@ -572,6 +572,68 @@ def q_embedding_pca2(
     )
 
 
+def q_pca_variance_explained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of the embedding table's total variance the top
+    principal direction carries: ``(eigval, trace, var_explained)``
+    — eigval/trace(G), the one-number check a curation pipeline
+    reads before trusting a 1-D/2-D projection (a near-isotropic
+    corpus projects badly; a collapsed one is a red flag for the
+    encoder). Trace is the exact decimal sum of the Gram diagonal;
+    everything else reuses the power-iteration chain — one corpus
+    scan total."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.similarity import (
+        _power_iterate,
+        _rayleigh,
+        _sym_gram,
+    )
+    from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
+
+    gram = q_embedding_gram_matrix(spark, sf_dir)
+    sym = _sym_gram(gram)
+    v = _power_iterate(sym, EMBED_DIM, POWER_ITERS)
+    eig = _rayleigh(sym, v).select("eigval").distinct()
+    trace = gram.filter(F.col("i") == F.col("j")).agg(
+        F.round(
+            F.sum(F.col("gram").cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("trace")
+    )
+    return eig.crossJoin(F.broadcast(trace)).select(
+        "eigval",
+        "trace",
+        F.when(
+            F.col("trace") > 0,
+            F.round(F.col("eigval") / F.col("trace"), 6),
+        ).alias("var_explained"),
+    )
+
+
+def _pca_var_sql() -> str:
+    t = POWER_ITERS
+    return (
+        f"WITH {_SYM_GRAM_CTES}"
+        + _power_chain_ctes("sym", "a")
+        + _rayleigh_ctes("sym", f"av{t}", "a")
+        + """,
+tr AS (
+    SELECT round(CAST(sum(g) AS DOUBLE), 6) AS trace
+    FROM gram0 WHERE i = j
+)
+SELECT alam.eigval, tr.trace,
+       CASE WHEN tr.trace > 0
+            THEN round(alam.eigval / tr.trace, 6)
+       END AS var_explained
+FROM alam, tr
+"""
+    )
+
+
 def _pca2_sql() -> str:
     t = POWER_ITERS
     return (
@@ -933,6 +995,12 @@ SPECS = [
         q_gram_incremental,
         EMBEDDING_GRAM_SQL,
         tags=("similarity", "agg", "merge", "incremental"),
+    ),
+    QuerySpec(
+        "pca_variance_explained",
+        q_pca_variance_explained,
+        _pca_var_sql,
+        tags=("similarity", "report"),
     ),
     QuerySpec(
         "dsir_select",

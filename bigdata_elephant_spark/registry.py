@@ -138,6 +138,7 @@ GATE_PRIORITY = (
     # exact-decimal matvecs, unrolled MATERIALIZED-CTE oracles)
     "embedding_top_eigvec",
     "embedding_pca2",
+    "pca_variance_explained",
     # additive Gram maintenance: base ∪ delta partials merge to the
     # EXACT full-table Gram (shares the full-table oracle), plus its
     # exactly-once foreachBatch streaming twin
@@ -154,7 +155,6 @@ GATE_PRIORITY = (
     "q8_market_share",
     "q19_disjunctive_revenue",
     "q11_important_parts",
-    "q2_min_cost_supplier",
 )
 
 
