@@ -542,8 +542,15 @@ def dedup_survivors(
     Plan shape: the group table is a tiny fraction of the corpus
     (only docs that HAVE a near-duplicate), so the join against
     ``docs`` broadcasts the group side; the rank window partitions
-    by ``group_id`` — group sizes are bounded by the LSH band
-    structure, never corpus-sized.
+    by ``group_id``. Group sizes are NOT bounded by the LSH band
+    structure — an identical-document mega-cluster (boilerplate,
+    mirrored pages; 10^5–10^7 copies on web corpora) is one group,
+    and its members land in one window partition. That is fine
+    here: member rows are (id, group, n_chars) — ~30 bytes, so even
+    10^7 copies is ~300 MB, spillable — the quadratic hazard lives
+    in pair MINING, which is why the pipeline feeds this from
+    star-collapsed edges (``lsh_candidate_edges``), never from the
+    all-pairs join.
     """
     member = groups.join(
         docs.select("doc_id", "n_chars"), "doc_id"
@@ -578,17 +585,50 @@ def curate_pipeline(
     ``text``, ``source`` and ``n_chars`` columns (the standard
     corpus shape); each stage is the audited standalone operator, so
     the composition inherits their scale arguments — see SCALE.md.
+
+    Mega-duplicate guard (two layers, both component-preserving):
+    an ``exact_dedup_map`` pre-collapse keeps identical-TEXT copies
+    out of MinHash entirely (members attach by star edges; only
+    canonical representatives are shingled — on a web corpus the
+    10^6-copy boilerplate cluster costs one signature, not 10^6),
+    and the representative signatures go through
+    ``lsh_candidate_edges`` (identical-SIGNATURE collapse + star
+    edges) instead of the all-pairs bucket self-join. The duplicate
+    groups — hence survivors, hence the selection — are identical to
+    the all-pairs formulation: ``est_sim`` is a pure function of the
+    two signatures, identical texts have identical signatures
+    (est_sim 1.0 ≥ any threshold ≤ 1), so cliques collapse to stars
+    with the same transitive closure.
     """
     from bigdata_elephant_spark.operators import dedup
+    from bigdata_elephant_spark.session import persist_tracked
 
     keep_ids = (
         quality_logit_scores(docs).filter("keep").select("doc_id")
     )
-    sigs = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sigs).filter(
-        F.col("est_sim") >= est_sim_min
+    # exact pre-collapse: (doc_id, canonical) feeds the star edges
+    # AND the representative filter — persist so the hash+window
+    # shuffle runs once
+    cmap = persist_tracked(dedup.exact_dedup_map(docs))
+    exact_star = cmap.filter(
+        F.col("doc_id") != F.col("canonical_doc_id")
+    ).select(
+        F.col("canonical_doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
     )
-    groups = dedup.duplicate_groups(pairs)
+    rep_ids = cmap.filter(
+        F.col("doc_id") == F.col("canonical_doc_id")
+    ).select("doc_id")
+    reps = docs.join(rep_ids, "doc_id", "left_semi")
+    sigs = dedup.minhash_signatures(reps)
+    lsh_edges = (
+        dedup.lsh_candidate_edges(sigs)
+        .filter(F.col("est_sim") >= est_sim_min)
+        .select("doc_a", "doc_b")
+    )
+    groups = dedup.duplicate_groups(
+        exact_star.unionByName(lsh_edges)
+    )
     noncanon = (
         dedup_survivors(groups, docs)
         .filter(~F.col("is_canonical"))

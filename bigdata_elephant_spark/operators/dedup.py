@@ -9,8 +9,19 @@ can recompute identical values):
 - :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash
   + banded LSH. Cost is linear in corpus size (explode shingles ->
   partial-aggregated min per permutation); the quadratic step only
-  happens *within* LSH buckets, which stay tiny when the banding is
-  tuned (b bands of r rows target sim >= (1/b)^(1/r)).
+  happens *within* LSH buckets. Banding (b bands of r rows, catch
+  threshold ~ (1/b)^(1/r)) bounds buckets of *near*-duplicates, but
+  NOT identical-signature clusters: on web corpora, exact duplicates
+  form 10^5–10^7-copy clusters with identical signatures, one bucket
+  per band, and the all-pairs self-join materializes O(cluster²)
+  rows on one skewed shuffle key. :func:`lsh_candidate_pairs` is
+  therefore the *verifier/report* API (explicit pair list);
+  :func:`lsh_candidate_edges` is the scale path — it collapses
+  identical-signature clusters to star edges (O(cluster) rows) and
+  yields the SAME connected components under any ``est_sim``
+  threshold, because ``est_sim`` is a pure function of the two
+  signatures. :func:`exact_dedup_map` is the cheaper text-level
+  pre-collapse composed in front of MinHash by ``curate_pipeline``.
 - :func:`simhash_signatures` — 32-bit SimHash per doc (linear; pairs
   can then be found by banding the signature bits).
 - :func:`ngram_jaccard_pairs` — *exact* shingle-set Jaccard via a
@@ -95,6 +106,38 @@ def exact_dedup(
             F.min(id_col).alias("canonical_doc_id"),
             F.count("*").alias("n_dups"),
         )
+    )
+
+
+def exact_dedup_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document exact-duplicate mapping ``(id_col,
+    canonical_doc_id)`` — canonical = min id among documents with
+    identical normalized text (every doc gets a row; unique docs map
+    to themselves).
+
+    The row-level companion of :func:`exact_dedup` (which aggregates
+    to one row per distinct text) and the pre-collapse front of the
+    curation chain: only canonical representatives need MinHash
+    signatures — members of an exact-duplicate cluster attach by star
+    edges ``(canonical, member)`` instead of flowing through shingle
+    explode + signature aggregation (linear but expensive per-doc
+    work: hundreds of shingle rows per copy, all producing the same
+    signature).
+
+    One shuffle, on the 32-hex text hash. A mega-cluster lands in one
+    window partition, but its rows are (hash, id) pairs — ~50 bytes
+    each, so 10^6 copies is ~50 MB, spillable — versus the O(copies²)
+    pair rows the downstream all-pairs join would otherwise emit.
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    hashed = df.select(F.col(id_col), F.md5(norm).alias("__th"))
+    w = Window.partitionBy("__th")
+    return hashed.select(
+        id_col, F.min(id_col).over(w).alias("canonical_doc_id")
     )
 
 
@@ -221,6 +264,77 @@ def lsh_candidate_pairs(
             F.round(matches / F.lit(float(n_hashes)), 6).alias("est_sim"),
         )
     )
+
+
+def lsh_candidate_edges(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    materialize: bool = True,
+) -> DataFrame:
+    """Scale-safe LSH candidate mining → ``(doc_a, doc_b, est_sim)``
+    — the identical-signature mega-bucket guard.
+
+    :func:`lsh_candidate_pairs` emits ALL pairs within a band bucket.
+    On real web corpora exact duplicates form clusters of 10^5–10^7
+    copies (boilerplate, mirrored pages); identical documents have
+    identical signatures, so one bucket key receives the whole
+    cluster and the self-join materializes O(cluster²) pairs on a
+    single skewed shuffle key — 10^6 copies ⇒ ~5·10^11 pairs from one
+    bucket. This variant caps that at O(cluster):
+
+    1. **Signature collapse**: group docs by their full signature
+       (window-min over the ``m0..m{n-1}`` columns — one shuffle;
+       cluster rows are ~140 bytes each, spillable) and emit a STAR
+       edge ``(rep, member, est_sim=1.0)`` per non-representative
+       member — ``cluster−1`` rows instead of ``cluster²/2``.
+    2. **Rep-level all-pairs**: run :func:`lsh_candidate_pairs` over
+       the representatives only. Every bucket now holds *distinct*
+       signatures, the regime the banding math (b bands of r rows)
+       actually bounds.
+
+    Under any downstream ``est_sim >= t`` filter (t ≤ 1) the union
+    has the SAME connected components as the all-pairs graph:
+    ``est_sim`` and band-bucket membership are pure functions of the
+    two signatures, so a member pair (a, b) clears the threshold iff
+    its rep pair (rep_a, rep_b) does, star edges (est_sim exactly
+    1.0 — identical signatures agree on every hash) connect members
+    to reps, and identical-signature cliques collapse to their
+    spanning star. Consumers that feed
+    :func:`duplicate_groups` (``dedup_groups``, ``curate_pipeline``)
+    use this; consumers that need the literal pair list (the
+    ``minhash_est_error`` trust gate, PageRank over the dup graph —
+    rank is structure-sensitive, a star is not a clique) keep
+    :func:`lsh_candidate_pairs` and inherit its documented exposure.
+    """
+    from pyspark.sql.window import Window
+
+    if materialize:
+        from bigdata_elephant_spark.session import persist_tracked
+
+        sigs = persist_tracked(sigs)
+    sig_cols = [f"m{i}" for i in range(n_hashes)]
+    w = Window.partitionBy(*sig_cols)
+    keyed = sigs.select(
+        F.col(id_col), *sig_cols
+    ).withColumn("__rep", F.min(id_col).over(w))
+    if materialize:
+        from bigdata_elephant_spark.session import persist_tracked
+
+        keyed = persist_tracked(keyed)
+    star = keyed.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit(1.0).alias("est_sim"),
+    )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, *sig_cols
+    )
+    rep_pairs = lsh_candidate_pairs(
+        reps, id_col, n_hashes, n_bands, materialize=materialize
+    )
+    return star.unionByName(rep_pairs)
 
 
 def incremental_dedup_pairs(

@@ -83,16 +83,22 @@ sigs AS (
 )
 """
 
-_BAND_SELECTS = "\n    UNION ALL\n".join(
-    "    SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
-        b=b,
-        key=" || ',' || ".join(
-            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
-            for r in range(ROWS_PER_BAND)
-        ),
+def _band_selects_sql(src: str = "sigs") -> str:
+    """Band-explode UNION ALL over a signature CTE ``src``."""
+    return "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, {key} AS bkey FROM {src}".format(
+            b=b,
+            src=src,
+            key=" || ',' || ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
     )
-    for b in range(N_BANDS)
-)
+
+
+_BAND_SELECTS = _band_selects_sql("sigs")
 
 _MATCHES = " + ".join(
     f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
@@ -130,6 +136,11 @@ SELECT * FROM sigs
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal all-pairs candidate list — the verifier/report
+    API (pair-level est_sim for audits). Deliberately NOT the scale
+    path: all-pairs mining is quadratic inside identical-signature
+    mega-buckets; pipelines that only need components go through
+    `dedup_lsh_edges` / lsh_candidate_edges (see dedup.py header)."""
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
     pairs = dedup.lsh_candidate_pairs(sigs)
     from pyspark.sql import functions as F
@@ -153,6 +164,98 @@ FROM pairs p
 JOIN sigs sa ON sa.doc_id = p.doc_a
 JOIN sigs sb ON sb.doc_id = p.doc_b
 WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+"""
+
+
+def q_dedup_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-bucket-guarded candidate miner (dedup.py
+    lsh_candidate_edges) run directly: identical-signature clusters
+    collapse to star edges (est_sim exactly 1.0), all-pairs mining
+    runs over distinct-signature representatives only. The oracle
+    replays BOTH layers literally (window-min signature grouping,
+    star select, rep-only band join), pinning the edge list itself —
+    the companion `dedup_groups` row pins that the edge list's
+    transitive closure equals the all-pairs graph's."""
+    from pyspark.sql import functions as F
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.lsh_candidate_edges(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+
+
+_SIG_COLS = ", ".join(f"m{i}" for i in range(N_HASHES))
+
+DEDUP_LSH_EDGES_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+keyed AS (
+    SELECT doc_id, {_SIG_COLS},
+           min(doc_id) OVER (PARTITION BY {_SIG_COLS}) AS rep
+    FROM sigs
+),
+star AS (
+    SELECT rep AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS est_sim
+    FROM keyed WHERE doc_id <> rep
+),
+reps AS (
+    SELECT doc_id, {_SIG_COLS} FROM keyed WHERE doc_id = rep
+),
+rbands AS (
+{_band_selects_sql("reps")}
+),
+rpairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rbands a JOIN rbands b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+),
+rep_edges AS (
+    SELECT p.doc_a, p.doc_b,
+           round(({_MATCHES}) / {float(N_HASHES)}, 6) AS est_sim
+    FROM rpairs p
+    JOIN reps sa ON sa.doc_id = p.doc_a
+    JOIN reps sb ON sb.doc_id = p.doc_b
+)
+SELECT * FROM star
+UNION ALL
+SELECT * FROM rep_edges WHERE est_sim >= {LSH_EST_SIM_MIN}
+"""
+
+
+def q_lsh_bucket_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band-bucket size distribution → ``(band, sz, n_buckets)`` —
+    the observability counterpart of the star-edge guard: all-pairs
+    cost inside a bucket is sz²/2, so this histogram is what a
+    production run reads to SEE identical-signature mega-buckets
+    (a 10^6-copy cluster shows up as one sz=10^6 bucket per band)
+    before they become a quadratic shuffle. One linear signature
+    pass + two metadata-sized aggregations; at 100 TB this is the
+    cheap pre-flight before any pair mining."""
+    from pyspark.sql import functions as F
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    bands = dedup._band_explode(sigs, "doc_id", N_HASHES, N_BANDS)
+    sizes = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        sizes.groupBy("band", "sz")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy("band", "sz")
+    )
+
+
+LSH_BUCKET_HISTOGRAM_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+bands AS (
+{_BAND_SELECTS}
+),
+sizes AS (
+    SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2
+)
+SELECT band, sz, count(*) AS n_buckets
+FROM sizes GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -202,16 +305,20 @@ WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate groups over the LSH pair graph —
-    iterative min-label propagation (operators/dedup.py); the oracle
-    recomputes the same components with a recursive CTE."""
+    """Transitive duplicate groups over the LSH candidate graph —
+    iterative min-label propagation (operators/dedup.py). The Spark
+    side mines STAR-COLLAPSED edges (lsh_candidate_edges: the
+    identical-signature mega-bucket guard) while the oracle
+    recomputes the components from the ALL-PAIRS graph with a
+    recursive CTE — the hash match is the proof that the collapse is
+    component-preserving, not just the claim."""
     from pyspark.sql import functions as F
 
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
-    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+    edges = dedup.lsh_candidate_edges(sigs).filter(
         F.col("est_sim") >= LSH_EST_SIM_MIN
     )
-    return dedup.duplicate_groups(pairs)
+    return dedup.duplicate_groups(edges)
 
 
 DEDUP_GROUPS_SQL = f"""
@@ -253,7 +360,11 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate pair graph (symmetric edges):
     rank concentration identifies template/boilerplate clusters. The
     iterative-join workload (operators/graph.py) on top of the LSH
-    pair mining."""
+    pair mining. Keeps the ALL-PAIRS miner by necessity — rank is
+    structure-sensitive (a star is not a clique), so this inherits
+    lsh_candidate_pairs' identical-signature mega-bucket exposure;
+    on a skewed corpus, run it downstream of exact_dedup_map
+    representatives."""
     from pyspark.sql import functions as F
     from bigdata_elephant_spark.operators.graph import pagerank
 
@@ -3379,6 +3490,10 @@ SPECS = [
               MINHASH_SIGNATURES_SQL, ("llm", "dedup")),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh,
               DEDUP_MINHASH_LSH_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("dedup_lsh_edges", q_dedup_lsh_edges,
+              DEDUP_LSH_EDGES_SQL, ("llm", "dedup"), bench=True),
+    QuerySpec("lsh_bucket_histogram", q_lsh_bucket_histogram,
+              LSH_BUCKET_HISTOGRAM_SQL, ("llm", "dedup", "report")),
     QuerySpec("eval_contamination", q_eval_contamination,
               EVAL_CONTAMINATION_SQL, ("llm", "dedup", "text"),
               bench=True),

@@ -340,10 +340,12 @@ ORDER BY doc_id
 def q_dedup_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """duplicate_groups (min-label propagation over the LSH pair
-    graph — same pipeline as the `dedup_groups` registry row) +
-    survivor election; the oracle recomputes the components with a
-    recursive CTE and the same (n_chars DESC, doc_id) rank."""
+    """duplicate_groups (min-label propagation over the
+    star-collapsed LSH candidate graph — same pipeline as the
+    `dedup_groups` registry row) + survivor election; the oracle
+    recomputes the components from the ALL-PAIRS graph with a
+    recursive CTE and the same (n_chars DESC, doc_id) rank, so the
+    hash match proves the star collapse component-preserving."""
     from bigdata_elephant_spark.operators import dedup
     from bigdata_elephant_spark.plans.llm_queries import (
         LSH_EST_SIM_MIN as sim_min,
@@ -351,10 +353,10 @@ def q_dedup_survivors(
 
     docs = _docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+    edges = dedup.lsh_candidate_edges(sigs).filter(
         F.col("est_sim") >= sim_min
     )
-    groups = dedup.duplicate_groups(pairs)
+    groups = dedup.duplicate_groups(edges)
     return curation.dedup_survivors(groups, docs).orderBy("doc_id")
 
 

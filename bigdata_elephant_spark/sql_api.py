@@ -79,10 +79,10 @@ def register_views(
 
         corpus = read_table(spark, sf_dir, "documents")
         sigs = dedup.minhash_signatures(corpus)
-        pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        edges = dedup.lsh_candidate_edges(sigs).filter(
             F.col("est_sim") >= 0.5
         )
-        dedup.duplicate_groups(pairs).createOrReplaceTempView(
+        dedup.duplicate_groups(edges).createOrReplaceTempView(
             "dup_groups"
         )
         names.append("dup_groups")
