@@ -291,8 +291,14 @@ def _gram_partials(emb: DataFrame) -> DataFrame:
     # in fewer splits than cores (tiny file at test SF), fan the
     # rows out first so the expansion runs on every core. At 100 TB
     # the scan has ≫cores splits and this branch never shuffles.
+    # The split-count proxy is len(inputFiles()) — driver-side file
+    # listing only (touching .rdd here forced a full
+    # analysis+planning pass per construction — r9 verdict nit); it
+    # lower-bounds the scan's partition count, and local test
+    # frames (no input files) report 0 and fan out, which is right:
+    # they are tiny.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < par:
+    if len(emb.inputFiles()) < par:
         emb = emb.repartition(par)
     rounded = emb.select(
         F.transform(
@@ -581,36 +587,30 @@ def q_pca_variance_explained(
     reads before trusting a 1-D/2-D projection (a near-isotropic
     corpus projects badly; a collapsed one is a red flag for the
     encoder). Trace is the exact decimal sum of the Gram diagonal;
-    everything else reuses the power-iteration chain — one corpus
-    scan total."""
-    from pyspark.sql import functions as F
+    like the eigvec query, the dim²-row iteration runs driver-side
+    on the once-collected Gram (the kmeans-seed pattern) with the
+    identical rounding discipline — one corpus scan total, zero
+    metadata-sized Spark jobs."""
+    from decimal import Decimal
 
     from bigdata_elephant_spark.operators.similarity import (
-        _power_iterate,
-        _rayleigh,
-        _sym_gram,
+        _collect_sym,
+        _eigval_py,
+        _power_iterate_py,
+        _round6_double,
     )
     from bigdata_elephant_spark.plans.llm_queries import EMBED_DIM
 
     gram = q_embedding_gram_matrix(spark, sf_dir)
-    sym = _sym_gram(gram)
-    v = _power_iterate(sym, EMBED_DIM, POWER_ITERS)
-    eig = _rayleigh(sym, v).select("eigval").distinct()
-    trace = gram.filter(F.col("i") == F.col("j")).agg(
-        F.round(
-            F.sum(F.col("gram").cast("decimal(18,6)")).cast(
-                "double"
-            ),
-            6,
-        ).alias("trace")
-    )
-    return eig.crossJoin(F.broadcast(trace)).select(
-        "eigval",
-        "trace",
-        F.when(
-            F.col("trace") > 0,
-            F.round(F.col("eigval") / F.col("trace"), 6),
-        ).alias("var_explained"),
+    G = _collect_sym(gram, EMBED_DIM)
+    x = _power_iterate_py(G, EMBED_DIM, POWER_ITERS)
+    eig = _eigval_py(G, x)
+    tr_scaled = sum(G[i][i] for i in range(EMBED_DIM))
+    trace = _round6_double(float(Decimal(tr_scaled).scaleb(-6)))
+    var = _round6_double(eig / trace) if trace > 0 else None
+    return spark.createDataFrame(
+        [(eig, trace, var)],
+        "eigval double, trace double, var_explained double",
     )
 
 

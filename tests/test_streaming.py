@@ -99,6 +99,75 @@ def test_foreachbatch_parquet_sink_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == events.count()
 
 
+def test_novelty_stream_replay_exactly_once(spark, sf_dir, tmp_path):
+    """emb_stream_novelty's exactly-once claim, exercised as an
+    actual REPLAY of the admission transform (not just the generic
+    sink idempotence): re-running the novelty transform on a
+    committed batch's input and overwriting its partition must leave
+    the verdict table identical — no duplicated ids, no flipped
+    verdicts. This is the same treatment emb_stream_gram's additive
+    artifact got (r9), applied to the verdict-producing twin."""
+    import pyspark.sql.functions as F
+
+    from bigdata_elephant_spark.operators.similarity import (
+        embedding_novelty_admission,
+    )
+    from bigdata_elephant_spark.plans.stream_queries import (
+        NOVELTY_DELTA_ROWS,
+        NOVELTY_THR,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cut = (
+        emb.agg(F.max("vec_id").alias("m")).first()["m"]
+        - NOVELTY_DELTA_ROWS
+    )
+    base = emb.filter(F.col("vec_id") <= F.lit(cut))
+
+    def admit(batch):
+        return embedding_novelty_admission(
+            base, batch, threshold=NOVELTY_THR
+        )
+
+    out = str(tmp_path / "nov_out")
+    ckpt = str(tmp_path / "nov_ckpt")
+    stream = ev.read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") > F.lit(cut)
+    )
+    ev.run_stream_to_parquet(stream, out, ckpt, transform=admit)
+
+    def verdicts():
+        return sorted(
+            (r["vec_id"], r["nn_sim"], r["admit"])
+            for r in spark.read.parquet(out)
+            .select("vec_id", "nn_sim", "admit")
+            .collect()
+        )
+
+    before = verdicts()
+    assert len(before) == NOVELTY_DELTA_ROWS
+    assert len({v[0] for v in before}) == NOVELTY_DELTA_ROWS
+
+    # replay: re-derive batch 0's verdicts FROM ITS INPUT (the
+    # transform re-runs, as a restarted foreachBatch would) and
+    # overwrite the batch_id=0 partition
+    b0_ids = (
+        spark.read.parquet(out)
+        .filter("batch_id = 0")
+        .select("vec_id")
+    )
+    b0_input = emb.join(b0_ids, "vec_id", "left_semi")
+    (
+        admit(b0_input)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    assert verdicts() == before
+
+
 def test_multi_batch_stream_equals_batch(spark, sf_dir):
     """3 time-ordered micro-batches through a watermarked tumbling
     aggregation: state carries across triggers and no in-order data
