@@ -55,106 +55,96 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-9 ROTATION. r8 verified the round-8 list (50/50 green;
-    # union 247/250 oracled queries driver-verified). This window
-    # (a) restores the every-oracled-query-driver-verified invariant
-    # by gating the three r8 window-overflow queries, (b) re-gates
-    # every query whose CODE or ORACLE changed this round — the
-    # novelty admission fix (size-gated delta hint + left-join
-    # empty-base semantics + bounded-delta fixture), the probe-sweep
-    # denominator, the Gopher shared comparands, the chunked BPE
-    # encoder, the _vocab_probe/maybe_broadcast two-gate refactor,
-    # and the plan_size_bytes memoization that every hinted family
-    # routes through — and (c) keeps the standing drift anchors.
+    # ROUND-10 ROTATION — chosen from tools/gate_coverage.py (new
+    # this round: per-query last-gated round, rounds-since, and a
+    # module-touched flag, so the window is budgeted by data). The
+    # report at rotation time: 2 never-gated (this round's new
+    # queries), worst oracled age 9 rounds — the 34-query ROUND-1
+    # cohort (relational surface, untouched since) had never been
+    # re-gated and violates the <=6-round age bound, so this window
+    # drains that entire cohort. Composition: 2 new + 8 re-gates for
+    # code changed this round (the LSH star-edge switch in
+    # dedup_groups/dedup_survivors/llm_pipeline_e2e; the driver-side
+    # PCA rewrite; the gram inputFiles probe) + 1 standing anchor +
+    # 5 family-coverage reps (drawn from the age-8/7 cohorts so they
+    # double as rotation drains) + the 34-query r1 cohort.
     # Everything rotated out holds green driver rows from earlier
-    # rounds and stays under the driver-faithful local gate at every
-    # SF (tests/test_oracle_parity.py).
+    # rounds and stays under the driver-faithful local gate
+    # (tests/test_oracle_parity.py).
     #
-    # --- r8 window overflow (restores 250/250 driver-verified) ---
-    "knn_sq8_batch",
-    "ivf_cell_histogram",
-    "bpe_fertility_by_source",
-    # --- novelty admission: the r8 verdict's one defect. Operator
-    # now size-gates the delta hint and LEFT-joins verdicts onto the
-    # batch ids (empty base => nn_sim null, admit true); fixture
-    # models ingest honestly (fixed 100-vector delta, SF-growing
-    # base); oracle rewritten to match. Both twins re-gated. ---
-    "embedding_novelty",
-    "emb_stream_novelty",
-    # --- oracle/code changes this round ---
-    # probe-sweep recall denominator = the exact baseline's actual
-    # row count (a missing/zero-norm query id no longer reads as
-    # pruning loss)
-    "ivf_probe_sweep",
-    # Gopher integer comparands now derived from the thresholds
-    # (round(), single edit point shared with the oracle SQL)
-    "gopher_ngram_filters",
-    # chunked per-rule Projects in bpe_encode (dictionary-encode
-    # shape) AND the trainer's batch rewrite (same per-rule-Project
-    # fix) — both re-gated
-    "bpe_encode_sample",
-    "bpe_merges",
-    # --- _vocab_probe delegated to maybe_broadcast's new two-gate
-    # (fallback_scan Heaps bound); every build_index consumer
-    # re-gated via family representatives ---
-    "search_reference",
-    "search_bm25",
-    "search_more_like_this",  # + gained the corpus fallback gate
-    "search_phrase",
-    "postings_build",
-    # --- plan_size_bytes memoization: every maybe_broadcast caller
-    # routes through it; representatives across the hinted families
-    # (relational dims, streaming enrich, textstats score tables) ---
-    "q3_shipping_priority",
-    "top_customers",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "events_stream_enrich",
-    "kn_perplexity",
-    "bigram_surprisal",
-    # --- standing anchors / family representatives ---
-    "pagerank_dupgraph",  # drift watch
-    "llm_pipeline_e2e",
-    "q1_pricing_summary",
+    # --- NEW this round ---
+    # star-edge candidate miner (the identical-signature mega-bucket
+    # guard; oracle replays both collapse layers literally)
+    "dedup_lsh_edges",
+    # novelty admission against the maintained IVF index (the
+    # dsir_select_indexed pairing for the novelty family)
+    "embedding_novelty_indexed",
+    # bucket-size histogram — the observability report that SEES
+    # mega-buckets before they become a quadratic shuffle
+    "lsh_bucket_histogram",
+    # --- code changed this round: star-edge switch (components
+    # proven equal to the all-pairs oracle BY these hashes) ---
     "dedup_groups",
-    "boilerplate_flags_relative",
-    "asof_events_orders",
-    "docs_stream_curate",
-    "weighted_sample_orders",
-    "media_features",
-    "kmv_distinct_users",
-    "window_value_funcs",
-    "dsir_select_indexed",
-    "knn_ivf_sq8_incremental",
-    "search_reingest",
-    # --- NEW this round (gated the round they ship): the dedup
-    # family's trust gates (estimate error + recall sweep, the
-    # analogue of the ANN recall reports) and the admission
-    # threshold sweep completing the novelty family ---
-    "minhash_est_error",
-    "dedup_lsh_recall",
-    "novelty_threshold_sweep",
-    # power iteration over the Gram table (the PCA steps;
-    # exact-decimal matvecs, unrolled MATERIALIZED-CTE oracles)
+    "dedup_survivors",
+    "llm_pipeline_e2e",
+    # --- code changed: power iteration moved driver-side (same
+    # rounding discipline, same unrolled-CTE oracles) ---
     "embedding_top_eigvec",
     "embedding_pca2",
     "pca_variance_explained",
-    # additive Gram maintenance: base ∪ delta partials merge to the
-    # EXACT full-table Gram (shares the full-table oracle), plus its
-    # exactly-once foreachBatch streaming twin
+    # --- code changed: _gram_partials fan-out probe switched from
+    # .rdd.getNumPartitions() to inputFiles() ---
     "gram_incremental",
     "emb_stream_gram",
-    # --- window fill: re-gate breadth across the memo-touched
-    # hinted families and the artifact/search/batch paths (every
-    # one of these routes through maybe_broadcast/plan_size_bytes
-    # or the refactored _vocab_probe) ---
-    "search_reference_indexed",
-    "search_batch_indexed",
-    "search_smooth",
-    "vocab_build",
-    "q8_market_share",
-    "q19_disjunctive_revenue",
-    "q11_important_parts",
+    # --- standing anchors ---
+    "pagerank_dupgraph",   # drift watch (all-pairs consumer)
+    "search_reference",    # flagship pipeline (search family)
+    # --- family-coverage reps (test_registry_window: every family
+    # needs one driver row per round), all from the age-8/7 cohorts
+    # so they double as rotation drains ---
+    "multimodal_bytes",        # multimodal, r2
+    "hll_distinct_users",      # sketch, r2
+    "text_stats",              # text, r2
+    "zorder_orders_layout",    # layout, r2
+    "events_stream_anomalies", # stateful, r3
+    # --- the r1 cohort: every remaining query last gated in round 1
+    # (age 9 > the 6-round bound); after this window the oldest
+    # gated round is r2 ---
+    "activity_heatmap",
+    "anti_customers_no_orders",
+    "conditional_aggs_lineitem",
+    "cube_priority_status",
+    "curate_corpus",
+    "date_parts_orders",
+    "events_hourly",
+    "events_json_extract",
+    "events_range_join",
+    "full_outer_nation_suppliers",
+    "gap_fill_hourly_values",
+    "grouping_sets_revenue",
+    "minhash_signatures",
+    "priority_revenue_share",
+    "profile_orders",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "rollup_returns",
+    "scalar_funcs_part",
+    "scalar_subquery_rich_customers",
+    "semi_customers_open_orders",
+    "setop_common_nations",
+    "setop_except_all_orders",
+    "setop_nations_without_suppliers",
+    "string_agg_nations",
+    "suppliers_per_region",
+    "time_rollup_revenue",
+    # (value_histogram and value_percentiles are the two r1-cohort
+    # leftovers — bumped for the search-family anchor and the
+    # bucket-histogram gate; they head the r11 window)
+    "window_frames_orders",
+    "window_order_rank",
+    "window_running_sum",
 )
 
 

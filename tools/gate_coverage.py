@@ -1,0 +1,152 @@
+"""Gate-window rotation report — choose each round's 50-query driver
+window from DATA instead of prose (r9 verdict item 5).
+
+The driver's correctness gate records only the first 50 registry
+entries (``registry.GATE_PRIORITY`` pins that window). With 260+
+queries and ~5-10 new per round, a full re-verification cycle is ~6
+rounds, so the rotation has to be budgeted: this report shows, per
+query, the last round a driver row gated it, how many rounds ago that
+was, and whether the file DEFINING it changed since — the three
+inputs the window choice needs.
+
+Usage:  python tools/gate_coverage.py [--stale-only] [--max-age N]
+
+Exit status 1 if any oracled query's age exceeds ``--max-age``
+(default 6) — the "oldest-ungated query age bounded" invariant.
+
+The code-touched signal is per DEFINING MODULE (the plans/ file of
+the query's callable), deliberately approximate: a query's operator
+modules can change without its plans file changing — which is why the
+registry's window comments still re-gate FAMILY REPRESENTATIVES for
+operator-level refactors; this report budgets the rotation, it does
+not replace judgment about what a diff touches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _round_commits() -> dict[int, int]:
+    """round number -> unix time of the driver's round-marker commit
+    (the moment that round's CORRECTNESS file was recorded)."""
+    out = subprocess.run(
+        ["git", "log", "--format=%ct %s"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    rounds: dict[int, int] = {}
+    for line in out.splitlines():
+        m = re.match(r"(\d+) round (\d+): verdict/", line)
+        if m:
+            rounds.setdefault(int(m.group(2)), int(m.group(1)))
+    return rounds
+
+
+def _last_gated() -> dict[str, int]:
+    """query name -> latest round with a driver correctness row."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _file_mtime_git(path: str) -> int:
+    """Last commit time touching ``path`` (0 if untracked)."""
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stale-only", action="store_true",
+                    help="only rows needing attention")
+    ap.add_argument("--max-age", type=int, default=6,
+                    help="max rounds-since-gated before exit 1")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from bigdata_elephant_spark.registry import all_specs
+
+    specs = all_specs()
+    gated = _last_gated()
+    rounds = _round_commits()
+    cur_round = max(gated.values(), default=0) + 1
+
+    mtime_cache: dict[str, int] = {}
+    rows = []
+    for pos, s in enumerate(specs):
+        mod = inspect.getmodule(s.fn)
+        mod_file = os.path.relpath(
+            inspect.getsourcefile(s.fn) or "?", REPO
+        )
+        del mod
+        if mod_file not in mtime_cache:
+            mtime_cache[mod_file] = _file_mtime_git(mod_file)
+        last = gated.get(s.name, 0)
+        age = cur_round - last if last else None  # None = never gated
+        gate_time = rounds.get(last, 0)
+        touched = mtime_cache[mod_file] > gate_time if last else True
+        rows.append({
+            "name": s.name,
+            "pos": pos,
+            "in_window": pos < 50,
+            "oracled": s.oracle is not None,
+            "last_gated_round": last or None,
+            "rounds_since": age,
+            "module": mod_file,
+            "code_touched_since_gate": touched,
+        })
+
+    def _key(r):
+        return (
+            r["last_gated_round"] or 0,
+            not r["code_touched_since_gate"],
+            r["name"],
+        )
+
+    rows.sort(key=_key)
+    worst_age = 0
+    print(f"# gate coverage at round {cur_round} "
+          f"({len(rows)} queries, window=50)")
+    print(f"{'query':34} {'gated':>5} {'age':>4} {'win':>3} "
+          f"{'touched':>7}  module")
+    for r in rows:
+        if r["oracled"] and r["rounds_since"] is not None:
+            worst_age = max(worst_age, r["rounds_since"])
+        stale = (
+            r["last_gated_round"] is None
+            or r["code_touched_since_gate"]
+            or (r["rounds_since"] or 0) >= args.max_age
+        )
+        if args.stale_only and not stale:
+            continue
+        print(
+            f"{r['name']:34} {str(r['last_gated_round'] or '-'):>5} "
+            f"{str(r['rounds_since'] if r['rounds_since'] is not None else '-'):>4} "
+            f"{'*' if r['in_window'] else ' ':>3} "
+            f"{'Y' if r['code_touched_since_gate'] else '':>7}  "
+            f"{r['module']}"
+        )
+    never = [r["name"] for r in rows if r["last_gated_round"] is None]
+    print(f"\nnever gated: {len(never)} {never[:10]}")
+    print(f"worst oracled age: {worst_age} rounds (max {args.max_age})")
+    return 1 if worst_age > args.max_age else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

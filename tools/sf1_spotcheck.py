@@ -102,7 +102,17 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # novelty scan (expect ~the novelty slope)
          "embedding_top_eigvec", "embedding_pca2",
          "gram_incremental", "minhash_est_error",
-         "dedup_lsh_recall", "novelty_threshold_sweep")
+         "dedup_lsh_recall", "novelty_threshold_sweep",
+         # round-10 additions: variance-explained shares the eigvec
+         # chain (expect == its slope — r9 verdict item 8); the
+         # star-edge miner replaces the all-pairs bucket join
+         # (expect <= dedup_minhash_lsh's slope; the synthetic 10x
+         # has no mega-cluster, so the win here is just the collapsed
+         # join — the cluster case is count-pinned in
+         # tests/test_skewed_corpus.py); indexed novelty probes the
+         # maintained layout (expect near-flat vs 0.83 inline)
+         "pca_variance_explained", "dedup_lsh_edges",
+         "dedup_minhash_lsh", "embedding_novelty_indexed")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
