@@ -395,6 +395,78 @@ def incremental_dedup_pairs(
     )
 
 
+def incremental_dedup_edges(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Delta-vs-corpus admission with the mega-cluster guard —
+    the :func:`lsh_candidate_edges` treatment applied to
+    :func:`incremental_dedup_pairs`: the corpus signature table is
+    collapsed to one representative per DISTINCT signature (carrying
+    ``n_members``), so a new document that collides with a
+    10^6-copy boilerplate cluster produces ONE row, not 10^6 —
+    without that, every colliding ingest row fans out by the cluster
+    size and the daily admission join inherits exactly the quadratic
+    hazard the batch miner had.
+
+    Admission decisions are unchanged: ``est_sim`` is a pure
+    function of the two signatures, so the new doc clears (or fails)
+    the threshold against the representative iff it does against
+    every member. Output: ``(new_id, corpus_rep_id, n_members,
+    est_sim)`` — ``n_members`` preserves the evidence the collapse
+    hides (how big the matched cluster is), which the pair API could
+    only express as row multiplicity.
+    """
+    from pyspark.sql.window import Window
+
+    sig_cols = [f"m{i}" for i in range(n_hashes)]
+    w = Window.partitionBy(*sig_cols)
+    keyed = corpus_sigs.select(F.col(id_col), *sig_cols).select(
+        F.col(id_col),
+        *sig_cols,
+        F.min(id_col).over(w).alias("__rep"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    nb = _band_explode(new_sigs, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("new_id"), "band", "bkey"
+    )
+    cb = _band_explode(reps, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("corpus_rep_id"), "band", "bkey"
+    )
+    pairs = nb.join(cb, ["band", "bkey"]).select(
+        "new_id", "corpus_rep_id"
+    ).distinct()
+    sa = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = reps.select(
+        F.col(id_col).alias("corpus_rep_id"),
+        F.col("n_members"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "new_id")
+        .join(sb, "corpus_rep_id")
+        .select(
+            "new_id",
+            "corpus_rep_id",
+            "n_members",
+            F.round(matches / F.lit(float(n_hashes)), 6).alias(
+                "est_sim"
+            ),
+        )
+    )
+
+
 def boilerplate_flags(
     df: DataFrame,
     min_doc_freq: int = 5,

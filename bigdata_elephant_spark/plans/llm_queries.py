@@ -304,6 +304,62 @@ WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
 """
 
 
+def q_incremental_dedup_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-vs-corpus admission through the mega-cluster guard
+    (dedup.incremental_dedup_edges): the corpus signature table
+    collapses to distinct-signature representatives (carrying
+    n_members) before the band join, so an ingest row colliding with
+    an identical-document cluster emits one row, not one per member.
+    The oracle replays the collapse literally (window-min + count
+    over the signature columns on the corpus side)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    new_sigs = dedup.minhash_signatures(docs.filter(is_new))
+    corpus_sigs = dedup.minhash_signatures(docs.filter(~is_new))
+    edges = dedup.incremental_dedup_edges(new_sigs, corpus_sigs)
+    return edges.filter(F.col("est_sim") >= LSH_EST_SIM_MIN)
+
+
+INCREMENTAL_DEDUP_EDGES_SQL = f"""
+WITH {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
+nsigs AS (
+    SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+    WHERE d.source IN ({_INCR_NEW_IN})
+),
+ckeyed AS (
+    SELECT s.doc_id, {_SIG_COLS},
+           min(s.doc_id) OVER (PARTITION BY {_SIG_COLS}) AS rep,
+           count(*) OVER (PARTITION BY {_SIG_COLS}) AS n_members
+    FROM sigs s JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ({_INCR_NEW_IN})
+),
+creps AS (
+    SELECT doc_id, n_members, {_SIG_COLS}
+    FROM ckeyed WHERE doc_id = rep
+),
+nbands AS (
+{_band_selects_sql("nsigs")}
+),
+cbands AS (
+{_band_selects_sql("creps")}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_rep_id
+    FROM nbands a JOIN cbands b USING (band, bkey)
+)
+SELECT p.new_id, p.corpus_rep_id, sb.n_members,
+       round(({_MATCHES}) / {float(N_HASHES)}, 6) AS est_sim
+FROM pairs p
+JOIN nsigs sa ON sa.doc_id = p.new_id
+JOIN creps sb ON sb.doc_id = p.corpus_rep_id
+WHERE round(({_MATCHES}) / {float(N_HASHES)}, 6) >= {LSH_EST_SIM_MIN}
+"""
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate groups over the LSH candidate graph —
     iterative min-label propagation (operators/dedup.py). The Spark
@@ -3499,6 +3555,9 @@ SPECS = [
               bench=True),
     QuerySpec("incremental_dedup", q_incremental_dedup,
               INCREMENTAL_DEDUP_SQL, ("llm", "dedup", "incremental")),
+    QuerySpec("incremental_dedup_edges", q_incremental_dedup_edges,
+              INCREMENTAL_DEDUP_EDGES_SQL,
+              ("llm", "dedup", "incremental")),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
               ("llm", "dedup", "iterative"), bench=True),
     QuerySpec("dupgraph_triangles", q_dupgraph_triangles,

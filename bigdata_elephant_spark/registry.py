@@ -82,6 +82,10 @@ GATE_PRIORITY = (
     # bucket-size histogram — the observability report that SEES
     # mega-buckets before they become a quadratic shuffle
     "lsh_bucket_histogram",
+    # the guard applied to the daily-ingest join: corpus signatures
+    # collapse to distinct-signature reps (with n_members) before
+    # the band join
+    "incremental_dedup_edges",
     # --- code changed this round: star-edge switch (components
     # proven equal to the all-pairs oracle BY these hashes) ---
     "dedup_groups",
@@ -138,10 +142,10 @@ GATE_PRIORITY = (
     "setop_nations_without_suppliers",
     "string_agg_nations",
     "suppliers_per_region",
-    "time_rollup_revenue",
-    # (value_histogram and value_percentiles are the two r1-cohort
-    # leftovers — bumped for the search-family anchor and the
-    # bucket-histogram gate; they head the r11 window)
+    # (time_rollup_revenue, value_histogram and value_percentiles
+    # are the three r1-cohort leftovers — bumped for the
+    # search-family anchor and the two extra new-query gates; they
+    # head the r11 window)
     "window_frames_orders",
     "window_order_rank",
     "window_running_sum",

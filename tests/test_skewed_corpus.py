@@ -160,6 +160,31 @@ def test_curate_pipeline_on_skewed_corpus(spark, skewed_docs):
     assert len(cluster_sel) <= 1
 
 
+def test_incremental_edges_collapse_corpus_cluster(
+    spark, skewed_docs
+):
+    """The daily-ingest guard: a new doc colliding with the
+    mega-cluster yields ONE edge carrying n_members, where the pair
+    API yields one row per member."""
+    new_doc = spark.createDataFrame(
+        [(50_000, _DUP_TEXT, "ingest", len(_DUP_TEXT))],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    new_sigs = dedup.minhash_signatures(new_doc)
+    corpus_sigs = dedup.minhash_signatures(skewed_docs)
+    edges = dedup.incremental_dedup_edges(
+        new_sigs, corpus_sigs
+    ).collect()
+    hits = [r for r in edges if r.est_sim == 1.0]
+    assert len(hits) == 1
+    assert hits[0].corpus_rep_id == 0  # cluster representative
+    assert hits[0].n_members == DUP_COPIES
+    assert len(edges) < 10  # no fan-out by cluster size
+
+    pairs = dedup.incremental_dedup_pairs(new_sigs, corpus_sigs)
+    assert pairs.count() >= DUP_COPIES  # the unguarded fan-out
+
+
 # --------------------------------------- joins/windows under skew
 
 
