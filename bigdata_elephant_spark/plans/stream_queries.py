@@ -731,6 +731,79 @@ SPECS.append(
 )
 
 
+def q_stream_dedup_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming text-dedup admission — the ingest twin of
+    ``incremental_dedup_edges`` (completing the streaming-admission
+    set: DSIR has ``docs_stream_dsir``, embeddings have
+    ``emb_stream_novelty``, this is the text near-dup gate): the
+    corpus signature table is computed ONCE, batch, and frozen
+    (localCheckpoint — a maintained signature artifact at
+    production, appended per batch, old text never re-read);
+    documents then land as a file micro-batch stream and
+    ``foreachBatch`` mines each batch's star-collapsed edges against
+    the frozen reps. A document's edges depend only on itself and
+    the frozen corpus, so the union of per-batch outputs is
+    invariant to micro-batch boundaries and equals the batch query
+    row-for-row — the SHARED ``incremental_dedup_edges`` oracle; the
+    batch_id-partitioned idempotent sink makes replays exactly-once
+    (same mechanics the replay test pins for the novelty twin)."""
+    import uuid
+
+    from bigdata_elephant_spark.operators import dedup
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCR_NEW_SOURCES,
+        LSH_EST_SIM_MIN,
+    )
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    corpus_sigs = dedup.minhash_signatures(
+        docs.filter(~is_new)
+    ).localCheckpoint()
+
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = f"{ev._new_stage_dir()}/dedup_admit_{run_id}"
+    ckpt = f"{out_dir}_ckpt"
+    stream = ev.read_documents_stream(spark, sf_dir).filter(is_new)
+    ev.run_stream_to_parquet(
+        stream,
+        out_dir,
+        ckpt,
+        transform=lambda batch: dedup.incremental_dedup_edges(
+            dedup.minhash_signatures(batch), corpus_sigs
+        ).filter(F.col("est_sim") >= LSH_EST_SIM_MIN),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "corpus_rep_id", "n_members", "est_sim")
+        .orderBy("new_id", "corpus_rep_id")
+    )
+
+
+def _stream_dedup_admit_sql() -> str:
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCREMENTAL_DEDUP_EDGES_SQL,
+    )
+
+    return (
+        INCREMENTAL_DEDUP_EDGES_SQL.rstrip()
+        + "\nORDER BY new_id, corpus_rep_id\n"
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "docs_stream_dedup_admit",
+        q_stream_dedup_admission,
+        _stream_dedup_admit_sql,
+        ("streaming", "dedup", "incremental", "llm"),
+    )
+)
+
+
 def q_stream_gram_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

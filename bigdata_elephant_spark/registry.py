@@ -86,6 +86,9 @@ GATE_PRIORITY = (
     # collapse to distinct-signature reps (with n_members) before
     # the band join
     "incremental_dedup_edges",
+    # its streaming twin (frozen corpus signatures + foreachBatch;
+    # shared oracle proves batch-boundary invariance)
+    "docs_stream_dedup_admit",
     # --- code changed this round: star-edge switch (components
     # proven equal to the all-pairs oracle BY these hashes) ---
     "dedup_groups",
@@ -141,11 +144,10 @@ GATE_PRIORITY = (
     "setop_except_all_orders",
     "setop_nations_without_suppliers",
     "string_agg_nations",
-    "suppliers_per_region",
-    # (time_rollup_revenue, value_histogram and value_percentiles
-    # are the three r1-cohort leftovers — bumped for the
-    # search-family anchor and the two extra new-query gates; they
-    # head the r11 window)
+    # (suppliers_per_region, time_rollup_revenue, value_histogram
+    # and value_percentiles are the four r1-cohort leftovers —
+    # bumped for the search-family anchor and the three extra
+    # new-query gates; they head the r11 window)
     "window_frames_orders",
     "window_order_rank",
     "window_running_sum",

@@ -491,3 +491,45 @@ def test_bpe_batch_selection_reproduces_sequential(
     seq = _py_train(words, n_merges, 1, "abc")
     bat = _py_train(words, n_merges, max_batch, "abc")
     assert bat == seq
+
+
+# ------------------------ LSH star-edge collapse (r10 guard)
+
+# Corpora with forced duplicate structure: few distinct words and
+# repeated picks make identical and near-identical docs likely, so
+# the identical-signature collapse actually fires.
+dup_doc_strategy = st.lists(
+    st.sampled_from(WORDS[:4]), min_size=3, max_size=6
+).map(" ".join)
+dup_corpus_strategy = st.lists(
+    dup_doc_strategy, min_size=2, max_size=10
+)
+
+
+@given(texts=dup_corpus_strategy, thr_x10=st.sampled_from([0, 5, 8, 10]))
+@SETTINGS
+def test_star_edges_components_equal_all_pairs(spark, texts, thr_x10):
+    """lsh_candidate_edges' contract, property-tested: for ANY corpus
+    and ANY est_sim threshold t <= 1, the star-collapsed edge graph
+    has the same connected components (hence the same duplicate
+    groups) as the all-pairs candidate graph — est_sim and bucket
+    membership are pure functions of the two signatures."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import dedup
+
+    docs = _corpus_df(spark, texts)
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    thr = thr_x10 / 10.0
+
+    def groups(edges):
+        return {
+            (r.doc_id, r.group_id)
+            for r in dedup.duplicate_groups(
+                edges.filter(F.col("est_sim") >= thr)
+            ).collect()
+        }
+
+    assert groups(dedup.lsh_candidate_edges(sigs)) == groups(
+        dedup.lsh_candidate_pairs(sigs)
+    )

@@ -200,10 +200,32 @@ def main() -> None:
         "(novelty admission, gopher/boilerplate filters, dsir "
         "inline, kn_perplexity) are the one-corpus-scan slope — "
         "by-design linear in data, amortized in production by their "
-        "materialized/probe twins (dsir_select_indexed 0.28 vs 0.90 "
-        "inline; the novelty operator swaps its exact scan for an "
-        "IVF probe at scale, the trade ivf_recall_report measures).\n\n"
-        "One deliberate >1 row: `dedup_lsh_recall`'s ground truth is the exact all-pairs Jaccard join, and the synthetic corpus multiplies every duplicate group 10x — TRUE pairs grow 100x, so ~10x wall time is sublinear in the pair count the query actually verifies. The gate's production contract is a sampled slice (docstring), exactly like the ANN recall reports.\n\n"
+        "materialized/probe twins (dsir_select_indexed vs the "
+        "inline dsir_select; embedding_novelty_indexed — the "
+        "statically pruned probe of the maintained IVF layout — vs "
+        "the inline novelty scan).\n\n"
+        "Reading the PCA rows: the r10 driver-side iteration cut "
+        "their sf0.1 absolute cost ~5-6x (embedding_top_eigvec "
+        "10.15s → ~1.6s) and RAISED their slopes — the job overhead "
+        "that used to dominate (and flatten the slope) is gone, so "
+        "what remains is the genuine one-pass Gram/projection scan, "
+        "which scales like embedding_gram_matrix. Overhead-flat "
+        "slopes on overhead-dominated queries were never the scale "
+        "story; the scan slope is.\n\n"
+        "`dedup_lsh_recall`'s ground truth is the exact all-pairs "
+        "Jaccard join and the synthetic corpus multiplies every "
+        "duplicate group 10x — TRUE pairs grow 100x, so wall time "
+        "near-linear in data is sublinear in the pair count the "
+        "query verifies; its in-suite sf0.1 time also inherits "
+        "GC/cache pressure from the preceding trust-gate query "
+        "(standalone warm ~1.3s). The gate's production contract "
+        "is a sampled slice (docstring), like the ANN recall "
+        "reports. dedup_lsh_edges vs dedup_minhash_lsh compares "
+        "the star-collapsed miner with the all-pairs verifier on "
+        "this deliberately cluster-free corpus (the salted copies "
+        "keep signatures distinct): the guard is not a tax; its "
+        "payoff regime is count-pinned in tests/test_skewed_corpus"
+        ".py and measured in tools/lsh_skew_ab.py.\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
