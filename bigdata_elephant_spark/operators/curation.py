@@ -599,17 +599,31 @@ def curate_pipeline(
     two signatures, identical texts have identical signatures
     (est_sim 1.0 ≥ any threshold ≤ 1), so cliques collapse to stars
     with the same transitive closure.
+
+    Equivalence requires matching the MinHash DOMAIN, not just its
+    arithmetic: documents with fewer than ``shingle_n`` surviving
+    tokens produce no signature, so the all-pairs formulation can
+    never group them — the exact pre-collapse therefore only emits
+    star edges for signature-ELIGIBLE documents (a ``tokens >=
+    shingle_n`` filter: one tokenize pass, no explode/shuffle —
+    still arbitrarily cheaper than the per-copy shingle+minhash it
+    replaces). Without the filter, two identical sub-shingle docs
+    ("hello world" twice) would be grouped here but not by the
+    oracle.
     """
+    from bigdata_elephant_spark.functions.text import tokens_array
     from bigdata_elephant_spark.operators import dedup
     from bigdata_elephant_spark.session import persist_tracked
 
     keep_ids = (
         quality_logit_scores(docs).filter("keep").select("doc_id")
     )
-    # exact pre-collapse: (doc_id, canonical) feeds the star edges
-    # AND the representative filter — persist so the hash+window
-    # shuffle runs once
-    cmap = persist_tracked(dedup.exact_dedup_map(docs))
+    # exact pre-collapse over signature-eligible docs only (see
+    # docstring): (doc_id, canonical) feeds the star edges AND the
+    # representative filter — persist so the hash+window shuffle
+    # runs once. shingle_n=3 is minhash_signatures' default.
+    eligible = docs.filter(F.size(tokens_array("text")) >= 3)
+    cmap = persist_tracked(dedup.exact_dedup_map(eligible))
     exact_star = cmap.filter(
         F.col("doc_id") != F.col("canonical_doc_id")
     ).select(

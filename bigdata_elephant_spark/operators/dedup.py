@@ -310,16 +310,19 @@ def lsh_candidate_edges(
     """
     from pyspark.sql.window import Window
 
-    if materialize:
-        from bigdata_elephant_spark.session import persist_tracked
-
-        sigs = persist_tracked(sigs)
     sig_cols = [f"m{i}" for i in range(n_hashes)]
     w = Window.partitionBy(*sig_cols)
     keyed = sigs.select(
         F.col(id_col), *sig_cols
     ).withColumn("__rep", F.min(id_col).over(w))
     if materialize:
+        # ONE persist, of `keyed` (it subsumes sigs — same columns
+        # plus __rep — and feeds the star filter plus every branch
+        # of the rep mining); persisting sigs or reps as well would
+        # roughly double the cache/spill footprint of a
+        # signature-table-sized frame for zero recompute savings,
+        # so the inner lsh_candidate_pairs call runs unmaterialized
+        # (its branches are cheap filters over the cached keyed).
         from bigdata_elephant_spark.session import persist_tracked
 
         keyed = persist_tracked(keyed)
@@ -332,7 +335,7 @@ def lsh_candidate_edges(
         id_col, *sig_cols
     )
     rep_pairs = lsh_candidate_pairs(
-        reps, id_col, n_hashes, n_bands, materialize=materialize
+        reps, id_col, n_hashes, n_bands, materialize=False
     )
     return star.unionByName(rep_pairs)
 
@@ -401,6 +404,7 @@ def incremental_dedup_edges(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Delta-vs-corpus admission with the mega-cluster guard —
     the :func:`lsh_candidate_edges` treatment applied to
@@ -419,6 +423,13 @@ def incremental_dedup_edges(
     est_sim)`` — ``n_members`` preserves the evidence the collapse
     hides (how big the matched cluster is), which the pair API could
     only express as row multiplicity.
+
+    ``materialize`` (default) persists the collapsed representative
+    table: it feeds BOTH the band explode and the est_sim join, and
+    unpersisted the corpus-signature window shuffle would run twice
+    per call — twice per MICRO-BATCH in the streaming twin. At
+    production the collapse is itself a maintained artifact
+    (recomputed per corpus append, not per query).
     """
     from pyspark.sql.window import Window
 
@@ -431,6 +442,10 @@ def incremental_dedup_edges(
         F.count("*").over(w).alias("n_members"),
     )
     reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    if materialize:
+        from bigdata_elephant_spark.session import persist_tracked
+
+        reps = persist_tracked(reps)
     nb = _band_explode(new_sigs, id_col, n_hashes, n_bands).select(
         F.col(id_col).alias("new_id"), "band", "bkey"
     )

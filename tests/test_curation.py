@@ -358,3 +358,50 @@ def test_dsir_incremental_scores_unseen_buckets(spark):
     )
     assert got[0]["n_grams"] == len(grams)
     assert got[0]["logw"] == exp
+
+
+def test_curate_pipeline_ignores_subshingle_exact_dups(spark):
+    """MinHash-domain equivalence of the exact pre-collapse (r10
+    review finding): documents with fewer than shingle_n tokens have
+    no signature, so the all-pairs formulation (and the oracle) can
+    never group them — the pipeline's exact-dup star edges must not
+    group them either, even when their texts are identical. Long
+    identical docs DO collapse (one canonical survives)."""
+    short = "hello world"  # 2 tokens: below the 3-token shingle floor
+    long_txt = (
+        "the quick brown fox jumps over the lazy dog near the "
+        "river bank while reading long form prose about engines"
+    )
+    # one source per doc: the final temperature mixture is then
+    # uniform and frac_out=1.0 selects every surviving doc, so the
+    # only drops observable here come from dedup survivorship
+    rows = [
+        (1, short, "s1", len(short)),
+        (2, short, "s2", len(short)),
+        (3, long_txt, "s3", len(long_txt)),
+        (4, long_txt, "s4", len(long_txt)),
+        (5, "completely different text about spark shuffles and "
+            "partition pruning in columnar scans today", "s5", 95),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    # precondition: every doc passes the quality keep filter, so the
+    # only drops can come from dedup survivorship
+    kept = {
+        r.doc_id
+        for r in curation.quality_logit_scores(docs)
+        .filter("keep")
+        .collect()
+    }
+    assert kept == {1, 2, 3, 4, 5}
+
+    selected = {
+        r.doc_id
+        for r in curation.curate_pipeline(docs, frac_out=1.0).collect()
+    }
+    assert {1, 2} <= selected  # sub-shingle dups both kept
+    # the long identical pair collapses to its canonical (doc 3 wins
+    # the longest-then-lowest-id election)
+    assert 3 in selected and 4 not in selected
+    assert 5 in selected

@@ -52,13 +52,29 @@ def _round_commits() -> dict[int, int]:
 
 
 def _last_gated() -> dict[str, int]:
-    """query name -> latest round with a driver correctness row."""
+    """query name -> latest round with a GREEN driver correctness
+    row. A failing row (hash/rows/schema mismatch, or a hard err)
+    does NOT count as gated — counting it would rotate a defective
+    query out of the window with its fix unverified. The one
+    declared rows-only query (err == 'no_oracle') counts when its
+    rows check passed."""
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as f:
-            for name in json.load(f):
-                last[name] = max(last.get(name, 0), rnd)
+            for name, row in json.load(f).items():
+                err = row.get("err")
+                if err == "no_oracle":
+                    green = bool(row.get("spark_rows", 0) >= 0)
+                else:
+                    green = (
+                        err is None
+                        and row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                    )
+                if green:
+                    last[name] = max(last.get(name, 0), rnd)
     return last
 
 
@@ -120,7 +136,17 @@ def main() -> int:
         )
 
     rows.sort(key=_key)
+    # the age-bound invariant: a never-gated oracled query OUTSIDE
+    # the current window is an unbounded-age violation (a new query
+    # inside the window is the expected state before the driver's
+    # next run); "exceeds" is strict (> max_age), matching the
+    # docstring.
     worst_age = 0
+    for r in rows:
+        if not r["oracled"]:
+            continue
+        if r["rounds_since"] is None and not r["in_window"]:
+            worst_age = max(worst_age, args.max_age + 1)
     print(f"# gate coverage at round {cur_round} "
           f"({len(rows)} queries, window=50)")
     print(f"{'query':34} {'gated':>5} {'age':>4} {'win':>3} "
