@@ -289,6 +289,15 @@ def near_dup_pairs(
     Without ``planes`` every pair is scored (exact; a nested-loop
     join) — the verifier for the bucketed variant, viable only at
     small n.
+
+    Mega-cluster exposure: bit-identical embeddings share a bucket,
+    so a 10^6-copy exact-dup cluster emits O(cluster²) rows from
+    one bucket key — the same hazard as the text side's
+    lsh_candidate_pairs. On corpora that may contain exact
+    duplicates, pre-collapse identical vectors first (the window-min
+    pattern in :func:`semantic_dedup_edges`) or run downstream of
+    ``exact_dedup_map`` representatives; this function stays the
+    pair-level report API.
     """
     # Per-vector norms are computed ONCE before the pair fan-out (the
     # value is identical to an inline recompute — same left fold — so
@@ -331,6 +340,7 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023): cluster embeddings into cells, then score cosine pairs
@@ -349,9 +359,20 @@ def semantic_dedup_pairs(
     Output: ``(cell_id, id_a, id_b, cos_sim)``, id_a < id_b, one row
     per same-cell pair at/above ``threshold``. Deterministic: the
     default centroids are the lowest-id vectors (engine-replayable),
-    distances and similarities round to 6 decimals.
+    distances and similarities round to 6 decimals. ``cents``
+    overrides the centroid table (used by
+    :func:`semantic_dedup_edges` so the collapsed variant scores
+    against the SAME cell geometry as the full-table form).
+
+    Mega-cluster exposure (same class as the text side's
+    lsh_candidate_pairs): identical embeddings — which exact-dup
+    documents produce — share a cell and score pairwise, so a
+    10^6-copy cluster emits O(cluster²) rows from one cell. This is
+    the pair-level verifier/report API; pipelines that only need
+    components use :func:`semantic_dedup_edges`.
     """
-    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     base = embeddings.join(assigned, id_col).select(
         id_col,
@@ -386,6 +407,67 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup_edges(
+    embeddings: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`semantic_dedup_pairs` with the identical-vector
+    mega-cluster guard — the embedding-space twin of the text side's
+    ``lsh_candidate_edges``: exact-duplicate documents produce
+    bit-identical embeddings, which land in one cell and would emit
+    O(cluster²) pair rows from the within-cell self-join. Instead:
+
+    1. collapse bit-identical vectors (window-min over the raw
+       ``vec_col`` — float equality is bit equality on a parquet
+       round-trip, the same on every engine) to STAR edges
+       ``(rep, member, cos_sim = 1.0)``, and
+    2. run the within-cell pair scoring over the distinct-vector
+       representatives only, against the FULL table's centroid
+       geometry (identical vectors share a cell, so cell membership
+       and ``cos_sim`` are pure functions of the two vectors — the
+       union has the same connected components as the all-pairs
+       form under any threshold ≤ 1, the lsh_candidate_edges
+       argument verbatim).
+
+    Star edges carry the representative's ``cell_id``; their
+    ``cos_sim`` is the literal 1.0 the rounded identical-vector
+    cosine evaluates to. Output schema matches the pair API:
+    ``(cell_id, id_a, id_b, cos_sim)``.
+    """
+    w = Window.partitionBy(vec_col)
+    keyed = embeddings.select(id_col, vec_col).withColumn(
+        "__rep", F.min(id_col).over(w)
+    )
+    if materialize:
+        from bigdata_elephant_spark.session import persist_tracked
+
+        keyed = persist_tracked(keyed)
+    rep_ids = keyed.filter(
+        F.col(id_col) == F.col("__rep")
+    ).select(id_col)
+    reps = embeddings.join(rep_ids, id_col, "left_semi")
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    rep_pairs = semantic_dedup_pairs(
+        reps, threshold, n_cells, id_col, vec_col, cents=cents
+    )
+    star_members = keyed.filter(
+        F.col(id_col) != F.col("__rep")
+    ).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    rep_cells = ivf_assign(reps, cents, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), "cell_id"
+    )
+    star = star_members.join(rep_cells, "id_a").select(
+        "cell_id", "id_a", "id_b", F.lit(1.0).alias("cos_sim")
+    )
+    return star.unionByName(rep_pairs)
 
 
 def ivf_centroids(

@@ -1376,6 +1376,70 @@ WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def q_semantic_dedup_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with the identical-vector mega-cluster guard
+    (similarity.semantic_dedup_edges): bit-identical embeddings —
+    what exact-dup documents produce — collapse to star edges before
+    the within-cell pair scoring, the embedding-space twin of
+    dedup_lsh_edges. The oracle replays both layers (window-min over
+    the raw vector, rep-only cell pairing against full-table
+    centroids)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_edges(
+        emb, NEAR_DUP_THRESHOLD, n_cells=IVF_CELLS
+    )
+
+
+SEMANTIC_DEDUP_EDGES_SQL = f"""
+WITH keyed AS (
+    SELECT vec_id, embedding,
+           min(vec_id) OVER (PARTITION BY embedding) AS rep
+    FROM embeddings
+),
+reps AS (
+    SELECT k.vec_id, k.embedding FROM keyed k WHERE k.vec_id = k.rep
+),
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+    ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT r.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY round({_l2_sql('r.embedding', 'c.cvec')}, 6),
+                            c.cell_id) AS rn
+        FROM reps r, cents c
+    ) WHERE rn = 1
+),
+star AS (
+    SELECT s.cell_id, k.rep AS id_a, k.vec_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM keyed k JOIN assigned s ON s.vec_id = k.rep
+    WHERE k.vec_id <> k.rep
+),
+wb AS (
+    SELECT r.vec_id, r.embedding, s.cell_id
+    FROM reps r JOIN assigned s USING (vec_id)
+),
+rep_pairs AS (
+    SELECT cell_id, id_a, id_b, cos_sim FROM (
+        SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS_AB} AS cos_sim
+        FROM wb a JOIN wb b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+)
+SELECT * FROM star
+UNION ALL
+SELECT * FROM rep_pairs
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
@@ -3640,6 +3704,9 @@ SPECS = [
               ("llm", "dedup", "similarity"), bench=True),
     QuerySpec("semantic_dedup_pairs", q_semantic_dedup,
               SEMANTIC_DEDUP_SQL, ("llm", "dedup", "similarity")),
+    QuerySpec("semantic_dedup_edges", q_semantic_dedup_edges,
+              SEMANTIC_DEDUP_EDGES_SQL,
+              ("llm", "dedup", "similarity")),
     QuerySpec("gopher_ngram_filters", q_gopher_ngram_filters,
               GOPHER_NGRAM_SQL, ("llm", "text", "curation")),
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL,

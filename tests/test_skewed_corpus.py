@@ -185,6 +185,49 @@ def test_incremental_edges_collapse_corpus_cluster(
     assert pairs.count() >= DUP_COPIES  # the unguarded fan-out
 
 
+def test_semantic_dedup_edges_collapse_identical_vectors(spark):
+    """The embedding-space twin of the star-edge guard: a planted
+    cluster of bit-identical vectors (what exact-dup documents
+    produce) costs copies−1 star edges in semantic_dedup_edges vs
+    copies·(copies−1)/2 within-cell rows in semantic_dedup_pairs,
+    with identical connected components."""
+    import math
+
+    from bigdata_elephant_spark.operators import similarity
+
+    copies, dim = 300, 8
+    hot = [1.0] * dim
+    rows = [(i, hot) for i in range(copies)]
+    for i in range(40):
+        rows.append(
+            (10_000 + i,
+             [math.sin(0.7 * i + j) for j in range(dim)])
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(4)
+    thr = 0.9
+    edges = similarity.semantic_dedup_edges(emb, thr, n_cells=4)
+    star = edges.filter(F.col("id_b") < copies)
+    assert star.count() == copies - 1
+    assert star.filter(F.col("id_a") != 0).count() == 0
+    assert star.filter(F.col("cos_sim") != 1.0).count() == 0
+    assert edges.count() < copies + 200  # no quadratic blowup
+
+    pairs = similarity.semantic_dedup_pairs(emb, thr, n_cells=4)
+    assert pairs.count() >= copies * (copies - 1) // 2
+
+    def comps(df):
+        return {
+            (r.doc_id, r.group_id)
+            for r in dedup.duplicate_groups(
+                df.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comps(edges) == comps(pairs)
+
+
 # --------------------------------------- joins/windows under skew
 
 
