@@ -621,8 +621,11 @@ def curate_pipeline(
     # exact pre-collapse over signature-eligible docs only (see
     # docstring): (doc_id, canonical) feeds the star edges AND the
     # representative filter — persist so the hash+window shuffle
-    # runs once. shingle_n=3 is minhash_signatures' default.
-    eligible = docs.filter(F.size(tokens_array("text")) >= 3)
+    # runs once. The eligibility floor is the SAME constant
+    # minhash_signatures defaults to, so the domains cannot drift.
+    eligible = docs.filter(
+        F.size(tokens_array("text")) >= dedup.DEFAULT_SHINGLE_N
+    )
     cmap = persist_tracked(dedup.exact_dedup_map(eligible))
     exact_star = cmap.filter(
         F.col("doc_id") != F.col("canonical_doc_id")

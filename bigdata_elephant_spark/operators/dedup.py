@@ -48,6 +48,12 @@ from bigdata_elephant_spark.functions.text import tokens_array
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.71
 SIMHASH_BITS = 32
+# Word-shingle width shared by every MinHash consumer. Documents
+# with fewer tokens have NO shingles, hence no signature — anything
+# claiming equivalence with signature-based mining (e.g.
+# curate_pipeline's exact pre-collapse) must gate its domain on this
+# same constant, not a private literal.
+DEFAULT_SHINGLE_N = 3
 
 
 def shingles_array(arr: Column, n: int = 3) -> Column:
@@ -148,7 +154,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
-    shingle_n: int = 3,
+    shingle_n: int = DEFAULT_SHINGLE_N,
     seed: int = 42,
     fast_hash: bool = False,
 ) -> DataFrame:
@@ -398,6 +404,33 @@ def incremental_dedup_pairs(
     )
 
 
+def signature_reps(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Collapse a signature table to one representative per DISTINCT
+    signature → ``(id_col, n_members, m0..m{n-1})`` — rep = min id,
+    ``n_members`` = cluster size. One window shuffle on the
+    signature columns; the maintained-artifact half of
+    :func:`incremental_dedup_edges` (at production this table is
+    what gets persisted and appended to, so admission never re-pays
+    the collapse)."""
+    from pyspark.sql.window import Window
+
+    sig_cols = [f"m{i}" for i in range(n_hashes)]
+    w = Window.partitionBy(*sig_cols)
+    keyed = sigs.select(F.col(id_col), *sig_cols).select(
+        F.col(id_col),
+        *sig_cols,
+        F.min(id_col).over(w).alias("__rep"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    return keyed.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "n_members", *sig_cols
+    )
+
+
 def incremental_dedup_edges(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,
@@ -405,6 +438,7 @@ def incremental_dedup_edges(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     materialize: bool = True,
+    corpus_is_reps: bool = False,
 ) -> DataFrame:
     """Delta-vs-corpus admission with the mega-cluster guard —
     the :func:`lsh_candidate_edges` treatment applied to
@@ -424,28 +458,25 @@ def incremental_dedup_edges(
     hides (how big the matched cluster is), which the pair API could
     only express as row multiplicity.
 
-    ``materialize`` (default) persists the collapsed representative
-    table: it feeds BOTH the band explode and the est_sim join, and
-    unpersisted the corpus-signature window shuffle would run twice
-    per call — twice per MICRO-BATCH in the streaming twin. At
-    production the collapse is itself a maintained artifact
-    (recomputed per corpus append, not per query).
+    ``corpus_is_reps=True`` declares that ``corpus_sigs`` is ALREADY
+    the collapsed representative table (the ``(id, n_members,
+    m0..m{n-1})`` output of :func:`signature_reps`) — the production
+    shape, where the collapse is a maintained artifact recomputed
+    per corpus append, not per query: the streaming twin collapses
+    the frozen corpus ONCE at stream setup and feeds the
+    materialized reps to every micro-batch. Otherwise ``materialize``
+    (default) persists the collapse computed here: it feeds BOTH the
+    band explode and the est_sim join, and unpersisted the
+    corpus-signature window shuffle would run twice per call.
     """
-    from pyspark.sql.window import Window
+    if corpus_is_reps:
+        reps = corpus_sigs
+    else:
+        reps = signature_reps(corpus_sigs, id_col, n_hashes)
+        if materialize:
+            from bigdata_elephant_spark.session import persist_tracked
 
-    sig_cols = [f"m{i}" for i in range(n_hashes)]
-    w = Window.partitionBy(*sig_cols)
-    keyed = corpus_sigs.select(F.col(id_col), *sig_cols).select(
-        F.col(id_col),
-        *sig_cols,
-        F.min(id_col).over(w).alias("__rep"),
-        F.count("*").over(w).alias("n_members"),
-    )
-    reps = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
-    if materialize:
-        from bigdata_elephant_spark.session import persist_tracked
-
-        reps = persist_tracked(reps)
+            reps = persist_tracked(reps)
     nb = _band_explode(new_sigs, id_col, n_hashes, n_bands).select(
         F.col(id_col).alias("new_id"), "band", "bkey"
     )
@@ -750,7 +781,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = DEFAULT_SHINGLE_N,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
@@ -870,7 +901,7 @@ def minhash_estimate_error(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
-    shingle_n: int = 3,
+    shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
     """MinHash trust gate: signature-estimated vs EXACT Jaccard for
     every LSH candidate pair, pooled per exact-Jaccard decile →
@@ -945,7 +976,7 @@ def lsh_recall_sweep(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
-    shingle_n: int = 3,
+    shingle_n: int = DEFAULT_SHINGLE_N,
     thr_x10_min: int = 5,
     thr_x10_max: int = 9,
 ) -> DataFrame:
@@ -1017,7 +1048,7 @@ def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = DEFAULT_SHINGLE_N,
     min_shingles: int = 5,
 ) -> DataFrame:
     """Shingle-containment dedup (ExactSubstr-lite): pairs where doc

@@ -341,6 +341,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023): cluster embeddings into cells, then score cosine pairs
@@ -373,7 +374,8 @@ def semantic_dedup_pairs(
     """
     if cents is None:
         cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     base = embeddings.join(assigned, id_col).select(
         id_col,
         "cell_id",
@@ -439,29 +441,53 @@ def semantic_dedup_edges(
     ``cos_sim`` is the literal 1.0 the rounded identical-vector
     cosine evaluates to. Output schema matches the pair API:
     ``(cell_id, id_a, id_b, cos_sim)``.
+
+    Zero-norm vectors are excluded from the collapse: their cosine
+    is undefined, so star-edging two identical all-zero vectors at
+    1.0 would invent a group the all-pairs form never produces —
+    under ANSI the pair formulation RAISES (divide-by-zero) the
+    moment a zero-norm vector pairs inside a cell, and this variant
+    must fail the same loud way rather than silently grouping. The
+    ``_norm2 > 0`` filter keeps equivalence exact: degenerate
+    vectors still flow into the rep-pair side, where they error (or
+    sit pairless) exactly as in :func:`semantic_dedup_pairs`.
+    (NaN embeddings are out of contract corpus-wide, as for every
+    similarity operator here — finite floats only.)
     """
     w = Window.partitionBy(vec_col)
-    keyed = embeddings.select(id_col, vec_col).withColumn(
+    keyed = embeddings.filter(
+        _norm2(F.col(vec_col)) > 0
+    ).select(id_col, vec_col).withColumn(
         "__rep", F.min(id_col).over(w)
     )
     if materialize:
         from bigdata_elephant_spark.session import persist_tracked
 
         keyed = persist_tracked(keyed)
-    rep_ids = keyed.filter(
-        F.col(id_col) == F.col("__rep")
-    ).select(id_col)
-    reps = embeddings.join(rep_ids, id_col, "left_semi")
+    # reps read straight off the cached collapse (no join back
+    # against the full table), plus the degenerate vectors the
+    # collapse excluded — they must still reach the pair side so
+    # the NULL-cosine drop happens there, exactly as in the pair
+    # API.
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, vec_col
+    ).unionByName(
+        embeddings.filter(~(_norm2(F.col(vec_col)) > 0)).select(
+            id_col, vec_col
+        )
+    )
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(reps, cents, id_col, vec_col)
     rep_pairs = semantic_dedup_pairs(
-        reps, threshold, n_cells, id_col, vec_col, cents=cents
+        reps, threshold, n_cells, id_col, vec_col,
+        cents=cents, assigned=assigned,
     )
     star_members = keyed.filter(
         F.col(id_col) != F.col("__rep")
     ).select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
-    rep_cells = ivf_assign(reps, cents, id_col, vec_col).select(
+    rep_cells = assigned.select(
         F.col(id_col).alias("id_a"), "cell_id"
     )
     star = star_members.join(rep_cells, "id_a").select(

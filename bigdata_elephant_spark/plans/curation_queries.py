@@ -278,13 +278,21 @@ def q_embedding_gram_matrix(
     return _gram_merge(_gram_partials(emb))
 
 
-def _gram_partials(emb: DataFrame) -> DataFrame:
+def _gram_partials(
+    emb: DataFrame, size_of: DataFrame | None = None
+) -> DataFrame:
     """Per-(i, j, input-partition) exact decimal partial sums of the
     Gram terms → ``(i, j, pd decimal)``. Additive: partials from
     disjoint row sets merge to EXACTLY the full-table Gram (decimal
     addition is associative; the single rounding happens in
     :func:`_gram_merge`), which is what makes the materialized-Gram
-    update path a delta-only scan (see ``gram_incremental``)."""
+    update path a delta-only scan (see ``gram_incremental``).
+
+    ``size_of``: frame whose Catalyst stats stand in for ``emb``'s
+    true bytes in the fan-out probe below — pass the underlying
+    SCAN when ``emb`` is derived (gram_incremental's
+    crossJoin-filtered slices inflate sizeInBytes ~11×, measured;
+    the plan_size_bytes docstring's own rule)."""
     from pyspark.sql import functions as F
 
     # The explode amplifies each row 2080× — if the table arrives
@@ -305,7 +313,8 @@ def _gram_partials(emb: DataFrame) -> DataFrame:
 
     split_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes default
     par = emb.sparkSession.sparkContext.defaultParallelism
-    if plan_size_bytes(emb) // split_bytes < par:
+    sized = emb if size_of is None else size_of
+    if plan_size_bytes(sized) // split_bytes < par:
         emb = emb.repartition(par)
     rounded = emb.select(
         F.transform(
@@ -428,8 +437,11 @@ def q_gram_incremental(
         .filter(F.col("vec_id") > F.col("_cut"))
         .select("embedding")
     )
+    emb_scan = emb.select("embedding")
     return _gram_merge(
-        _gram_partials(base).unionByName(_gram_partials(delta))
+        _gram_partials(base, size_of=emb_scan).unionByName(
+            _gram_partials(delta, size_of=emb_scan)
+        )
     )
 
 

@@ -1394,12 +1394,18 @@ def q_semantic_dedup_edges(
 
 SEMANTIC_DEDUP_EDGES_SQL = f"""
 WITH keyed AS (
+    -- zero-norm vectors stay OUT of the identical-vector collapse
+    -- (cosine undefined; mirrors the Spark side's _norm2 > 0)
     SELECT vec_id, embedding,
            min(vec_id) OVER (PARTITION BY embedding) AS rep
     FROM embeddings
+    WHERE {_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0
 ),
 reps AS (
     SELECT k.vec_id, k.embedding FROM keyed k WHERE k.vec_id = k.rep
+    UNION ALL
+    SELECT vec_id, embedding FROM embeddings
+    WHERE NOT ({_dot_sql('embeddings.embedding', 'embeddings.embedding')} > 0)
 ),
 cents AS (
     SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings

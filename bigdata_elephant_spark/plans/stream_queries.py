@@ -760,20 +760,33 @@ def q_stream_dedup_admission(
 
     docs = read_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(*INCR_NEW_SOURCES)
-    corpus_sigs = dedup.minhash_signatures(
-        docs.filter(~is_new)
+    # collapse the frozen corpus to signature representatives ONCE
+    # at stream setup (the maintained-artifact shape);
+    # localCheckpoint materializes it so no micro-batch re-pays the
+    # corpus-signature window shuffle or stacks a new cache entry
+    # (r10 review finding)
+    corpus_reps = dedup.signature_reps(
+        dedup.minhash_signatures(docs.filter(~is_new))
     ).localCheckpoint()
 
     run_id = uuid.uuid4().hex[:8]
     out_dir = f"{ev._new_stage_dir()}/dedup_admit_{run_id}"
     ckpt = f"{out_dir}_ckpt"
-    stream = ev.read_documents_stream(spark, sf_dir).filter(is_new)
+    # 3 chunked micro-batches: with a single staged file the stream
+    # fires once and "invariant to batch boundaries" would never
+    # actually be exercised
+    stream = ev.read_documents_stream(
+        spark, sf_dir, n_chunks=3
+    ).filter(is_new)
     ev.run_stream_to_parquet(
         stream,
         out_dir,
         ckpt,
         transform=lambda batch: dedup.incremental_dedup_edges(
-            dedup.minhash_signatures(batch), corpus_sigs
+            dedup.minhash_signatures(batch),
+            corpus_reps,
+            corpus_is_reps=True,
+            materialize=False,
         ).filter(F.col("est_sim") >= LSH_EST_SIM_MIN),
     )
     # Explicit schema on the read-back: a run whose every micro-batch

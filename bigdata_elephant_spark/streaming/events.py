@@ -546,15 +546,46 @@ def read_embeddings_stream(
 
 
 def read_documents_stream(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_chunks: int = 1
 ) -> DataFrame:
     """Micro-batch file stream over the documents table — the
     landing-directory shape of a streaming corpus ingest (each new
     crawl dump appears as a file; the curation query keeps up
     incrementally instead of re-running batch over everything).
-    Same staging mechanics as :func:`read_events_stream`."""
+    Same staging mechanics as :func:`read_events_stream`.
+
+    ``n_chunks > 1`` splits the corpus into ``doc_id``-range chunk
+    files with strictly increasing mtimes + ``maxFilesPerTrigger 1``,
+    so the query really runs ``n_chunks`` micro-batches — without
+    it, a single staged file means ONE batch and any claimed
+    batch-boundary invariance is never actually exercised (r10
+    review finding)."""
     src_file = f"{sf_dir.rstrip('/')}/documents.parquet"
-    schema = spark.read.parquet(src_file).schema
+    raw = spark.read.parquet(src_file)
+    schema = raw.schema
     stage_dir = _new_stage_dir()
-    shutil.copy(src_file, stage_dir)
-    return spark.readStream.schema(schema).parquet(stage_dir)
+    if n_chunks <= 1:
+        shutil.copy(src_file, stage_dir)
+        return spark.readStream.schema(schema).parquet(stage_dir)
+    lo, hi = raw.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    step = max((hi - lo) // n_chunks, 1)
+    for i in range(n_chunks):
+        chunk = raw.where(F.col("doc_id") >= F.lit(lo + step * i))
+        if i < n_chunks - 1:
+            chunk = chunk.where(
+                F.col("doc_id") < F.lit(lo + step * (i + 1))
+            )
+        tmp = f"{stage_dir}/_chunk-{i:03d}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        path = f"{stage_dir}/chunk-{i:03d}.parquet"
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )

@@ -65,7 +65,12 @@ def _last_gated() -> dict[str, int]:
             for name, row in json.load(f).items():
                 err = row.get("err")
                 if err == "no_oracle":
-                    green = bool(row.get("spark_rows", 0) >= 0)
+                    # rows-only check: the driver records a count iff
+                    # the query ran (a crash records its exception in
+                    # err instead); guard the None case so a null
+                    # count reads as not-gated rather than crashing
+                    n = row.get("spark_rows")
+                    green = isinstance(n, int) and n >= 0
                 else:
                     green = (
                         err is None
