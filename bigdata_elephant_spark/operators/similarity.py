@@ -411,6 +411,75 @@ def semantic_dedup_pairs(
     )
 
 
+def _identical_vector_collapse(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    materialize: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared star-collapse front of the embedding-side dedup
+    miners → ``(keyed, reps)``: ``keyed`` maps every NON-degenerate
+    vector to its identical-vector representative (min id; window
+    over the raw vector — float equality is bit equality on a
+    parquet round-trip), ``reps`` is one row per distinct vector
+    PLUS the degenerate (zero-norm / non-finite-norm) vectors, which
+    must keep flowing through the pair side so they fail or sit
+    pairless exactly as in the unguarded form (under ANSI a
+    zero-norm pair raises; star-edging it at 1.0 would invent a
+    group)."""
+    w = Window.partitionBy(vec_col)
+    keyed = embeddings.filter(
+        _norm2(F.col(vec_col)) > 0
+    ).select(id_col, vec_col).withColumn(
+        "__rep", F.min(id_col).over(w)
+    )
+    if materialize:
+        from bigdata_elephant_spark.session import persist_tracked
+
+        keyed = persist_tracked(keyed)
+    reps = keyed.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, vec_col
+    ).unionByName(
+        embeddings.filter(~(_norm2(F.col(vec_col)) > 0)).select(
+            id_col, vec_col
+        )
+    )
+    return keyed, reps
+
+
+def near_dup_edges(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`near_dup_pairs` with the identical-vector mega-cluster
+    guard — the hyperplane-LSH-bucketed (or exact) miner behind the
+    same star-collapse as :func:`semantic_dedup_edges`: bit-identical
+    embeddings share every bucket, so the within-bucket self-join is
+    quadratic in exact-dup cluster size; here a cluster costs
+    cluster−1 star edges (cos_sim literal 1.0) and the bucket join
+    runs over distinct-vector representatives. Connected components
+    equal the all-pairs form under any threshold ≤ 1 (bucket
+    membership and cos_sim are pure functions of the two vectors).
+    Output matches the pair API: ``(id_a, id_b, cos_sim)``.
+    """
+    keyed, reps = _identical_vector_collapse(
+        embeddings, id_col, vec_col, materialize
+    )
+    rep_pairs = near_dup_pairs(
+        reps, threshold, planes, id_col, vec_col
+    )
+    star = keyed.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("cos_sim"),
+    )
+    return star.unionByName(rep_pairs)
+
+
 def semantic_dedup_edges(
     embeddings: DataFrame,
     threshold: float,
@@ -454,27 +523,8 @@ def semantic_dedup_edges(
     (NaN embeddings are out of contract corpus-wide, as for every
     similarity operator here — finite floats only.)
     """
-    w = Window.partitionBy(vec_col)
-    keyed = embeddings.filter(
-        _norm2(F.col(vec_col)) > 0
-    ).select(id_col, vec_col).withColumn(
-        "__rep", F.min(id_col).over(w)
-    )
-    if materialize:
-        from bigdata_elephant_spark.session import persist_tracked
-
-        keyed = persist_tracked(keyed)
-    # reps read straight off the cached collapse (no join back
-    # against the full table), plus the degenerate vectors the
-    # collapse excluded — they must still reach the pair side so
-    # the NULL-cosine drop happens there, exactly as in the pair
-    # API.
-    reps = keyed.filter(F.col(id_col) == F.col("__rep")).select(
-        id_col, vec_col
-    ).unionByName(
-        embeddings.filter(~(_norm2(F.col(vec_col)) > 0)).select(
-            id_col, vec_col
-        )
+    keyed, reps = _identical_vector_collapse(
+        embeddings, id_col, vec_col, materialize
     )
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assigned = ivf_assign(reps, cents, id_col, vec_col)

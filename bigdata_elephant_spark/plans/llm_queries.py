@@ -1338,6 +1338,57 @@ WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def q_near_dup_edges_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hyperplane-LSH near-dup mining with the identical-vector
+    mega-cluster guard (similarity.near_dup_edges): bit-identical
+    embeddings collapse to star edges before the bucket self-join —
+    the third and last bucketed pair miner to get the star
+    treatment (text LSH bands, k-means cells, hyperplane buckets).
+    Oracle replays the collapse + rep-only bucket join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_edges(
+        emb, NEAR_DUP_THRESHOLD, planes=PLANES
+    )
+
+
+def _near_dup_edges_sql() -> str:
+    nz = _dot_sql("embeddings.embedding", "embeddings.embedding")
+    return f"""
+WITH keyed AS (
+    SELECT vec_id, embedding,
+           min(vec_id) OVER (PARTITION BY embedding) AS rep
+    FROM embeddings
+    WHERE {nz} > 0
+),
+reps AS (
+    SELECT vec_id, embedding FROM keyed WHERE vec_id = rep
+    UNION ALL
+    SELECT vec_id, embedding FROM embeddings WHERE NOT ({nz} > 0)
+),
+star AS (
+    SELECT rep AS id_a, vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM keyed WHERE vec_id <> rep
+),
+wb AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM reps
+),
+rep_pairs AS (
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+        FROM wb a JOIN wb b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+)
+SELECT * FROM star
+UNION ALL
+SELECT * FROM rep_pairs
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cell-bucketed semantic near-dup pairs
     (similarity.semantic_dedup_pairs): quadratic work confined to
@@ -3708,6 +3759,9 @@ SPECS = [
               ("llm", "dedup", "similarity")),
     QuerySpec("near_dup_embeddings_lsh", q_near_dup_lsh, NEAR_DUP_LSH_SQL,
               ("llm", "dedup", "similarity"), bench=True),
+    QuerySpec("near_dup_edges_lsh", q_near_dup_edges_lsh,
+              _near_dup_edges_sql,
+              ("llm", "dedup", "similarity")),
     QuerySpec("semantic_dedup_pairs", q_semantic_dedup,
               SEMANTIC_DEDUP_SQL, ("llm", "dedup", "similarity")),
     QuerySpec("semantic_dedup_edges", q_semantic_dedup_edges,

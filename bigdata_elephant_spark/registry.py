@@ -62,13 +62,13 @@ GATE_PRIORITY = (
     # 34-query ROUND-1 cohort (relational surface, untouched since)
     # had never been re-gated and violates the <=6-round age bound,
     # so this window drains most of that cohort. Composition:
-    # 6 new queries (gated the round they ship) + 8 re-gates for
+    # 7 new queries (gated the round they ship) + 8 re-gates for
     # code changed this round (the LSH star-edge switch in
     # dedup_groups/dedup_survivors/llm_pipeline_e2e; the driver-side
     # PCA rewrite; the gram fan-out probe) + 2 standing anchors +
     # 5 family-coverage reps (drawn from the age-8/7 cohorts so they
-    # double as rotation drains) + 29 of the 34-query r1 cohort
-    # (the 5 bumped leftovers head the r11 window). Everything
+    # double as rotation drains) + 28 of the 34-query r1 cohort
+    # (the 6 bumped leftovers head the r11 window). Everything
     # rotated out holds green driver rows from earlier rounds and
     # stays under the driver-faithful local gate
     # (tests/test_oracle_parity.py).
@@ -90,9 +90,11 @@ GATE_PRIORITY = (
     # its streaming twin (frozen corpus signatures + foreachBatch;
     # shared oracle proves batch-boundary invariance)
     "docs_stream_dedup_admit",
-    # the guard's embedding-space twin: bit-identical vectors
+    # the guard's embedding-space twins: bit-identical vectors
     # collapse to star edges before SemDeDup's within-cell pairing
+    # and before the hyperplane-LSH bucket self-join
     "semantic_dedup_edges",
+    "near_dup_edges_lsh",
     # --- code changed this round: star-edge switch (components
     # proven equal to the all-pairs oracle BY these hashes) ---
     "dedup_groups",
@@ -145,7 +147,8 @@ GATE_PRIORITY = (
     "scalar_subquery_rich_customers",
     "semi_customers_open_orders",
     "setop_common_nations",
-    "setop_except_all_orders",
+    # (setop_except_all_orders joins the r1-cohort leftovers for
+    # the near_dup_edges_lsh gate)
     "setop_nations_without_suppliers",
     # (string_agg_nations, suppliers_per_region,
     # time_rollup_revenue, value_histogram and value_percentiles

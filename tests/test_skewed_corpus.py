@@ -227,6 +227,15 @@ def test_semantic_dedup_edges_collapse_identical_vectors(spark):
 
     assert comps(edges) == comps(pairs)
 
+    # the hyperplane-LSH miner behind the same collapse
+    planes = similarity.hyperplanes(3, dim)
+    nd_edges = similarity.near_dup_edges(emb, thr, planes=planes)
+    nd_star = nd_edges.filter(F.col("id_b") < copies)
+    assert nd_star.count() == copies - 1
+    nd_pairs = similarity.near_dup_pairs(emb, thr, planes=planes)
+    assert nd_pairs.count() >= copies * (copies - 1) // 2
+    assert comps(nd_edges) == comps(nd_pairs)
+
 
 # --------------------------------------- joins/windows under skew
 
