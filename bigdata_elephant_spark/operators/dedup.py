@@ -56,7 +56,7 @@ SIMHASH_BITS = 32
 DEFAULT_SHINGLE_N = 3
 
 
-def shingles_array(arr: Column, n: int = 3) -> Column:
+def shingles_array(arr: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     """Word n-gram shingles of a token array (empty if < n tokens)."""
     idx = F.sequence(F.lit(0), F.size(arr) - F.lit(n))
     mk = F.transform(
@@ -74,7 +74,7 @@ def doc_shingles(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     distinct: bool = False,
 ) -> DataFrame:
     """Explode a corpus into ``(id_col, shingle)`` rows.

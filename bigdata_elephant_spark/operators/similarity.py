@@ -418,20 +418,27 @@ def _identical_vector_collapse(
     materialize: bool,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared star-collapse front of the embedding-side dedup
-    miners → ``(keyed, reps)``: ``keyed`` maps every NON-degenerate
-    vector to its identical-vector representative (min id; window
-    over the raw vector — float equality is bit equality on a
-    parquet round-trip), ``reps`` is one row per distinct vector
-    PLUS the degenerate (zero-norm / non-finite-norm) vectors, which
-    must keep flowing through the pair side so they fail or sit
-    pairless exactly as in the unguarded form (under ANSI a
-    zero-norm pair raises; star-edging it at 1.0 would invent a
-    group)."""
+    miners → ``(keyed, reps)``: ``keyed`` maps every vector to its
+    identical-vector representative (min id; window over the raw
+    vector — float equality is bit equality on a parquet
+    round-trip), except that ZERO-NORM vectors map to THEMSELVES —
+    they get no star edges and flow into ``reps`` individually, so
+    they fail (under ANSI a zero-norm pair raises) or sit pairless
+    exactly as in the unguarded pair form; star-edging two all-zero
+    vectors at 1.0 would invent a group the pair API never
+    produces. (NaN/Inf embeddings are out of contract corpus-wide —
+    finite floats only, as for every similarity operator here.)
+
+    One window pass over one corpus scan: the self-map ``otherwise``
+    keeps degenerate rows inside ``keyed`` instead of a second
+    full-table scan per downstream branch.
+    """
     w = Window.partitionBy(vec_col)
-    keyed = embeddings.filter(
-        _norm2(F.col(vec_col)) > 0
-    ).select(id_col, vec_col).withColumn(
-        "__rep", F.min(id_col).over(w)
+    keyed = embeddings.select(id_col, vec_col).withColumn(
+        "__rep",
+        F.when(
+            _norm2(F.col(vec_col)) > 0, F.min(id_col).over(w)
+        ).otherwise(F.col(id_col)),
     )
     if materialize:
         from bigdata_elephant_spark.session import persist_tracked
@@ -439,10 +446,6 @@ def _identical_vector_collapse(
         keyed = persist_tracked(keyed)
     reps = keyed.filter(F.col(id_col) == F.col("__rep")).select(
         id_col, vec_col
-    ).unionByName(
-        embeddings.filter(~(_norm2(F.col(vec_col)) > 0)).select(
-            id_col, vec_col
-        )
     )
     return keyed, reps
 
