@@ -203,7 +203,10 @@ SPECS = [
     QuerySpec("events_stream_tumbling", q_stream_tumbling,
               STREAM_TUMBLING_SQL, ("streaming",), bench=True),
     QuerySpec("events_stream_sessions", q_stream_sessions,
-              STREAM_SESSIONS_SQL, ("streaming",)),
+              # session_window is a stateful aggregation (state-store
+              # backed, data-driven window close) — tagged so the
+              # family slot doesn't need a separate window entry
+              STREAM_SESSIONS_SQL, ("streaming", "stateful")),
     QuerySpec("events_stream_sliding", q_stream_sliding,
               STREAM_SLIDING_SQL, ("streaming",)),
     QuerySpec("events_stream_anomalies", q_stream_anomalies,
@@ -211,7 +214,9 @@ SPECS = [
     QuerySpec("events_stream_enrich", q_stream_enrich,
               STREAM_ENRICH_SQL, ("streaming", "join")),
     QuerySpec("events_stream_distinct", q_stream_distinct,
-              STREAM_DISTINCT_SQL, ("streaming", "dedup")),
+              # streaming dropDuplicates keeps per-key state in the
+              # state store — stateful by construction
+              STREAM_DISTINCT_SQL, ("streaming", "dedup", "stateful")),
     QuerySpec("events_stream_interval_join", q_stream_interval_join,
               STREAM_INTERVAL_JOIN_SQL, ("streaming", "join")),
 ]

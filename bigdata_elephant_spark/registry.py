@@ -55,109 +55,99 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-10 ROTATION — chosen from tools/gate_coverage.py (new
-    # this round: per-query last-gated round, rounds-since, and a
-    # module-touched flag, so the window is budgeted by data). The
-    # report at rotation time: worst oracled age 9 rounds — the
-    # 34-query ROUND-1 cohort (relational surface, untouched since)
-    # had never been re-gated and violates the <=6-round age bound,
-    # so this window drains most of that cohort. Composition:
-    # 7 new queries (gated the round they ship) + 8 re-gates for
-    # code changed this round (the LSH star-edge switch in
-    # dedup_groups/dedup_survivors/llm_pipeline_e2e; the driver-side
-    # PCA rewrite; the gram fan-out probe) + 2 standing anchors +
-    # 5 family-coverage reps (drawn from the age-8/7 cohorts so they
-    # double as rotation drains) + 28 of the 34-query r1 cohort
-    # (the 6 bumped leftovers head the r11 window). Everything
-    # rotated out holds green driver rows from earlier rounds and
-    # stays under the driver-faithful local gate
-    # (tests/test_oracle_parity.py).
+    # ROUND-11 ROTATION — a near-pure DRAIN window. At rotation time
+    # tools/gate_coverage.py reported 106 oracled queries past the
+    # <=6-round re-gating age bound (6 at age 10, 29 at age 9, 35 at
+    # age 8, 36 at age 7) — the r10 verdict's top item. This window
+    # spends every discretionary slot on the oldest cohorts: ALL of
+    # age-10 (r1 cohort leftovers) + ALL of age-9 (r2 cohort) + the
+    # 13 alphabetically-first age-8 queries (chosen to also restore
+    # the temporal/sketch/layout/graph family slots), leaving just 2
+    # must-gate slots for code changed this round. ZERO new queries
+    # ship in r11 — the drain takes priority (verdict item 1 allows
+    # <=3; the backlog arithmetic rewards 0).
     #
-    # --- NEW this round ---
-    # star-edge candidate miner (the identical-signature mega-bucket
-    # guard; oracle replays both collapse layers literally)
-    "dedup_lsh_edges",
-    # novelty admission against the maintained IVF index (the
-    # dsir_select_indexed pairing for the novelty family)
+    # Committed drain schedule (the bound stays 6; this is the plan
+    # that makes gate_coverage.py --max-age 6 exit 0):
+    #   r11 (this window): drain r1+r2 cohorts + 13 of the 35-query
+    #       r3 cohort -> worst last-gated becomes r3.
+    #   r12: drain the remaining 22 r3-cohort + the 36-query r4
+    #       cohort (58 stale at r12; a 50-slot window covers ~48, so
+    #       worst-case 10 r4 queries slip to r13).
+    #   r13: drain the r4 remainder + the 30-query r6 cohort (age 7
+    #       at r13) -> worst oracled age <= 6; the tool exits 0.
+    # Steady state thereafter: 266 queries / ~45 drain slots per
+    # round = a 5.9-round cycle, inside the 6-round bound, provided
+    # new-query production stays <= ~5/round.
+    #
+    # --- code changed this round (must-gate) ---
+    # star-edge swap: dup_group_size_histogram now mines
+    # lsh_candidate_edges instead of all-pairs (r10 verdict item 2);
+    # it is ALSO an age-7 drain, so this slot double-counts
+    "dup_group_size_histogram",
+    # self-id-filter fix from r10 ADVICE: the indexed novelty gate
+    # no longer excludes index rows with the query's own id, so a
+    # re-ingested id scores nn_sim=1.0 exactly like the exact gate
     "embedding_novelty_indexed",
-    # bucket-size histogram — the observability report that SEES
-    # mega-buckets before they become a quadratic shuffle
-    "lsh_bucket_histogram",
-    # the guard applied to the daily-ingest join: corpus signatures
-    # collapse to distinct-signature reps (with n_members) before
-    # the band join
-    "incremental_dedup_edges",
-    # its streaming twin (frozen corpus signatures + foreachBatch;
-    # shared oracle proves batch-boundary invariance)
-    "docs_stream_dedup_admit",
-    # the guard's embedding-space twins: bit-identical vectors
-    # collapse to star edges before SemDeDup's within-cell pairing
-    # and before the hyperplane-LSH bucket self-join
-    "semantic_dedup_edges",
-    "near_dup_edges_lsh",
-    # --- code changed this round: star-edge switch (components
-    # proven equal to the all-pairs oracle BY these hashes) ---
-    "dedup_groups",
-    "dedup_survivors",
-    "llm_pipeline_e2e",
-    # --- code changed: power iteration moved driver-side (same
-    # rounding discipline, same unrolled-CTE oracles) ---
-    "embedding_top_eigvec",
-    "embedding_pca2",
-    "pca_variance_explained",
-    # --- code changed: _gram_partials fan-out probe switched from
-    # .rdd.getNumPartitions() to inputFiles() ---
-    "gram_incremental",
-    "emb_stream_gram",
-    # --- standing anchors ---
-    "pagerank_dupgraph",   # drift watch (all-pairs consumer)
-    "search_reference",    # flagship pipeline (search family)
-    # --- family-coverage reps (test_registry_window: every family
-    # needs one driver row per round), all from the age-8/7 cohorts
-    # so they double as rotation drains ---
-    "multimodal_bytes",        # multimodal, r2
-    "hll_distinct_users",      # sketch, r2
-    "text_stats",              # text, r2
-    "zorder_orders_layout",    # layout, r2
-    "events_stream_anomalies", # stateful, r3
-    # --- the r1 cohort: every remaining query last gated in round 1
-    # (age 9 > the 6-round bound); after this window the oldest
-    # gated round is r2 ---
-    "activity_heatmap",
-    "anti_customers_no_orders",
-    "conditional_aggs_lineitem",
-    "cube_priority_status",
-    "curate_corpus",
-    "date_parts_orders",
-    "events_hourly",
-    "events_json_extract",
-    "events_range_join",
-    "full_outer_nation_suppliers",
-    "gap_fill_hourly_values",
-    "grouping_sets_revenue",
-    "minhash_signatures",
-    "priority_revenue_share",
-    "profile_orders",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "rollup_returns",
-    "scalar_funcs_part",
-    "scalar_subquery_rich_customers",
-    "semi_customers_open_orders",
-    "setop_common_nations",
-    # (setop_except_all_orders joins the r1-cohort leftovers for
-    # the near_dup_edges_lsh gate)
-    "setop_nations_without_suppliers",
-    # (string_agg_nations, suppliers_per_region,
-    # time_rollup_revenue, value_histogram and value_percentiles
-    # are the five r1-cohort leftovers — bumped for the
-    # search-family anchor and the four extra new-query gates;
-    # they head the r11 window)
-    "window_frames_orders",
-    "window_order_rank",
-    "window_running_sum",
+    # --- the age-10 cohort: last gated round 1, the 6 leftovers
+    # bumped from the r10 window ---
+    "setop_except_all_orders",
+    "string_agg_nations",
+    "suppliers_per_region",
+    "time_rollup_revenue",
+    "value_histogram",
+    "value_percentiles",
+    # --- the age-9 cohort: every query last gated round 2 (29) ---
+    "array_agg_users",
+    "assemble_training_corpus",
+    "cdc_latest_state",
+    "dedup_simhash_pairs",
+    "doc_chunks",
+    "doc_fingerprints",
+    "event_funnel",
+    "events_stream_distinct",
+    "events_stream_interval_join",
+    "events_stream_sessions",
+    "events_stream_tumbling",
+    "fuzzy_customer_pairs",
+    "gopher_repetition",
+    "knn_cosine_lsh",
+    "lang_id",
+    "media_phash_dupes",
+    "media_ppm_stats",
+    "merge_upsert_orders",
+    "near_dup_embeddings_lsh",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pivot_events_daily",
+    "retention_cohorts",
+    "rolling_user_features",
+    "search_default_query",
+    "sessionization",
+    "shuffle_assignments",
+    "stratified_sample_events",
+    "unpivot_lineitem",
+    # --- 13 of the 35-query age-8 cohort (last gated round 3),
+    # alphabetical order so the r12 window resumes deterministically
+    # at "copurchase_part_pairs"; the four family slots the drain
+    # would otherwise lose ride along: temporal
+    # (asof_error_next_purchase), sketch (bloom_customer_probe,
+    # cms_heavy_hitters), layout (compaction_plan), graph
+    # (dupgraph_triangles — which also carries this round's
+    # mega-bucket exposure docstring note) ---
+    "asof_error_next_purchase",
+    "bloom_customer_probe",
+    "boilerplate_flags",
+    "bpe_pair_counts",
+    "cms_heavy_hitters",
+    "compaction_plan",
+    "concurrency_timeline",
+    "containment_pairs",
+    "copurchase_part_pairs",
+    "doc_embedding_join",
+    "dupgraph_triangles",
+    "embedding_outliers",
+    "entity_resolution_customers",
 )
 
 

@@ -14,6 +14,18 @@ Usage:  python tools/gate_coverage.py [--stale-only] [--max-age N]
 Exit status 1 if any oracled query's age exceeds ``--max-age``
 (default 6) — the "oldest-ungated query age bounded" invariant.
 
+The bound is a STEADY-STATE invariant: 266 queries over ~45 drain
+slots per round is a 5.9-round cycle, so 6 is achievable only with
+disciplined rotation. The r1-r4 windows did not rotate (the backlog
+the r10 verdict flagged), so a transitional drain schedule is
+committed in ``registry.GATE_PRIORITY``'s comment: r11 drains the
+r1+r2 cohorts plus 13 of the r3 cohort, r12 the r3 remainder plus
+most of the r4 cohort, r13 the rest plus the r6 cohort — after the
+r13 rotation the tool exits 0 at --max-age 6 and must stay 0. Until
+then, expect exit 1 with a shrinking worst age (10 -> 9 -> 9 -> 6);
+every stale query remains DuckDB-verified locally each round by
+tests/test_oracle_parity.py.
+
 The code-touched signal is per DEFINING MODULE (the plans/ file of
 the query's callable), deliberately approximate: a query's operator
 modules can change without its plans file changing — which is why the
