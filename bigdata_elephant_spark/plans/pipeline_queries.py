@@ -3033,15 +3033,21 @@ def q_dup_group_size_histogram(
     template blobs) — the first thing to read before choosing
     survivor policy. Two tiny aggregations over the group table;
     the oracle re-derives the components with the shared recursive
-    CTE."""
+    CTE. Candidate edges come from the star-collapsed miner
+    (`lsh_candidate_edges`): this query only consumes the
+    connected components, so the identical-signature mega-bucket
+    contributes O(cluster) star edges instead of O(cluster²) pairs
+    with provably identical groups (the oracle closes the all-pairs
+    graph — the hash match IS the equivalence proof, exactly as for
+    `dedup_groups`/`dedup_survivors`)."""
     from bigdata_elephant_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+    edges = dedup.lsh_candidate_edges(sigs).filter(
         F.col("est_sim") >= LSH_EST_SIM_MIN
     )
-    groups = dedup.duplicate_groups(pairs)
+    groups = dedup.duplicate_groups(edges)
     sizes = groups.groupBy("group_id").agg(
         F.count("*").alias("group_size")
     )

@@ -148,6 +148,41 @@ def test_exact_dedup_map_collapses_cluster(spark, skewed_docs):
     )
 
 
+def test_dup_group_histogram_star_mined_on_cluster(spark, skewed_docs):
+    """`dup_group_size_histogram` (r11: switched from
+    `lsh_candidate_pairs` to the star-collapsed `lsh_candidate_edges`)
+    only consumes the connected components, so on the mega-cluster
+    corpus its input stays O(cluster) rows while the histogram is
+    IDENTICAL to the all-pairs derivation — including the one
+    DUP_COPIES-sized bucket."""
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        LSH_EST_SIM_MIN,
+    )
+
+    sigs = dedup.minhash_signatures(skewed_docs)
+
+    def histogram(candidates):
+        groups = dedup.duplicate_groups(
+            candidates.filter(F.col("est_sim") >= LSH_EST_SIM_MIN)
+        )
+        sizes = groups.groupBy("group_id").agg(
+            F.count("*").alias("group_size")
+        )
+        return {
+            r.group_size: r.n_groups
+            for r in sizes.groupBy("group_size")
+            .agg(F.count("*").alias("n_groups"))
+            .collect()
+        }
+
+    edges = dedup.lsh_candidate_edges(sigs)
+    assert edges.count() < DUP_COPIES + 50  # linear input, not pairs
+    h_star = histogram(edges)
+    h_pairs = histogram(dedup.lsh_candidate_pairs(sigs))
+    assert h_star == h_pairs
+    assert h_star[DUP_COPIES] == 1  # the planted cluster, one group
+
+
 def test_curate_pipeline_on_skewed_corpus(spark, skewed_docs):
     """The end-to-end chain survives the mega-cluster: at most one
     cluster member can be selected (the elected canonical), and the
@@ -235,6 +270,52 @@ def test_semantic_dedup_edges_collapse_identical_vectors(spark):
     nd_pairs = similarity.near_dup_pairs(emb, thr, planes=planes)
     assert nd_pairs.count() >= copies * (copies - 1) // 2
     assert comps(nd_edges) == comps(nd_pairs)
+
+
+def test_graph_queries_on_reps_stay_linear(spark, skewed_docs):
+    """The documented mitigation for the structure-sensitive graph
+    analyses (pagerank_dupgraph, dupgraph_triangles): they NEED the
+    all-pairs miner (a star is not a clique), so on a skewed corpus
+    they run downstream of exact_dedup_map REPRESENTATIVES. Pinned
+    here: the rep-level corpus mines O(reps²) candidate pairs — the
+    mega-cluster contributes exactly one node — while the unguarded
+    miner on the raw corpus is Θ(copies²) (asserted in
+    test_star_edges_linear_all_pairs_quadratic)."""
+    from bigdata_elephant_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+    )
+
+    cmap = dedup.exact_dedup_map(skewed_docs)
+    reps = skewed_docs.join(
+        cmap.filter(
+            F.col("doc_id") == F.col("canonical_doc_id")
+        ).select("doc_id"),
+        "doc_id",
+    )
+    n_reps = reps.count()
+    assert n_reps == 1 + N_UNIQUE + 2  # cluster -> one node
+
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(reps)
+    )
+    n_pairs = pairs.count()
+    assert n_pairs <= n_reps * (n_reps - 1) // 2  # O(reps²) bound
+    assert n_pairs < DUP_COPIES  # nowhere near the Θ(copies²) regime
+    # at most the elected canonical represents the cluster
+    assert pairs.filter(
+        (F.col("doc_a") < DUP_COPIES) & (F.col("doc_a") != 0)
+    ).count() == 0
+
+    # both consumers run end-to-end on the rep-level graph
+    edges = pairs.select("doc_a", "doc_b")
+    tri = triangle_counts(edges)
+    assert tri.count() >= 0
+    sym = edges.selectExpr(
+        "doc_a AS src", "doc_b AS dst"
+    ).union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+    pr = pagerank(sym)
+    assert pr.count() == sym.select("src").distinct().count()
 
 
 # --------------------------------------- joins/windows under skew
