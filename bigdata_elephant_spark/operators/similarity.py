@@ -3497,6 +3497,12 @@ def embedding_novelty_indexed(
     excluded from scoring, and every surviving delta id gets a row —
     no candidates in the probed cells (empty index, empty probed
     cells) means maximal novelty: ``nn_sim`` null, ``admit`` true.
+    Unlike the kNN retrievers there is NO self-id exclusion: novelty
+    queries are not drawn from the index, and a delta vector
+    RE-INGESTED under an id already indexed must score against its
+    own index row (``nn_sim`` 1.0 → reject) exactly as the exact
+    ``embedding_novelty_admission`` gate and the replayed oracle
+    score it (r10 ADVICE).
     """
     from bigdata_elephant_spark.session import maybe_broadcast
 
@@ -3554,7 +3560,6 @@ def embedding_novelty_indexed(
         .filter(_norm2(F.col(vec_col)) > 0)
         .join(maybe_broadcast(probes, size_of=delta), "cell_id")
         .join(maybe_broadcast(q, size_of=delta), "q_id")
-        .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             F.round(

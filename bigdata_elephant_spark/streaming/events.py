@@ -570,6 +570,10 @@ def read_documents_stream(
     lo, hi = raw.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).first()
+    if lo is None:  # empty table: nothing to chunk (r10 ADVICE —
+        # the arithmetic below would TypeError on None)
+        shutil.copy(src_file, stage_dir)
+        return spark.readStream.schema(schema).parquet(stage_dir)
     step = max((hi - lo) // n_chunks, 1)
     for i in range(n_chunks):
         chunk = raw.where(F.col("doc_id") >= F.lit(lo + step * i))

@@ -1538,6 +1538,38 @@ def test_novelty_empty_base_admits_everything(spark, emb_df):
     assert all(r.nn_sim is not None for r in got3)
 
 
+def test_novelty_indexed_reingest_scores_own_row(
+    spark, emb_df, tmp_path
+):
+    """Re-ingest semantics (r10 ADVICE): unlike the kNN retrievers,
+    the indexed novelty gate has NO self-id exclusion — a delta
+    vector arriving under an id already in the index scores against
+    its own index row (nn_sim 1.0 → reject), exactly like the exact
+    gate, which never looks at ids at all."""
+    path = str(tmp_path / "nov_ivf")
+    similarity.build_ivf_index(emb_df, path, n_cells=4)
+    reingest = emb_df.limit(3)  # ids + vectors already indexed
+
+    idx = {
+        r.vec_id: r
+        for r in similarity.embedding_novelty_indexed(
+            spark, path, reingest, threshold=0.9, n_probe=4
+        ).collect()
+    }
+    exact = {
+        r.vec_id: r
+        for r in similarity.embedding_novelty_admission(
+            emb_df, reingest, threshold=0.9
+        ).collect()
+    }
+    assert set(idx) == set(exact) and len(idx) == 3
+    for vid, r in idx.items():
+        assert r.nn_sim == 1.0 and not r.admit
+        assert (exact[vid].nn_sim, exact[vid].admit) == (
+            r.nn_sim, r.admit
+        )
+
+
 def test_power_iteration_matches_numpy(spark, emb_df, vectors):
     """Fixed-iteration power method over the exact Gram matrix lands
     on numpy's top eigenvector (up to sign and the per-iterate

@@ -488,3 +488,112 @@ def test_stream_novelty_equals_batch(spark, sf_dir):
     assert streamed == batch and len(batch) > 0
     admits = {r["admit"] for r in batch}
     assert admits == {True, False}
+
+
+def test_docs_stream_empty_table_chunked(spark, tmp_path):
+    """An EMPTY documents table through the n_chunks>1 staging path
+    (r10 ADVICE: min/max doc_id are None on an empty table and the
+    chunk arithmetic would TypeError) — falls back to the single-file
+    copy and yields an empty stream instead of crashing."""
+    import uuid as _uuid
+
+    src = read_table(spark, "/root/testdata/sf0.001", "documents")
+    empty_dir = str(tmp_path / "empty_sf")
+    src.limit(0).coalesce(1).write.parquet(
+        f"{empty_dir}/_stage"
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    (part,) = _glob.glob(f"{empty_dir}/_stage/part-*.parquet")
+    _shutil.move(part, f"{empty_dir}/documents.parquet")
+    _shutil.rmtree(f"{empty_dir}/_stage")
+
+    stream = ev.read_documents_stream(spark, empty_dir, n_chunks=3)
+    got = ev.run_stream_to_memory(
+        stream.select("doc_id"), f"empty_{_uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    assert got.count() == 0
+
+
+def test_dedup_stream_replay_exactly_once(spark, sf_dir, tmp_path):
+    """docs_stream_dedup_admit's exactly-once claim, exercised as an
+    actual REPLAY of the admission transform (the r10 treatment the
+    novelty twin got, applied to the text twin — r10 verdict item 5):
+    re-derive one committed micro-batch's edges FROM ITS INPUT (the
+    chunk boundaries are deterministic doc_id ranges, so the true
+    batch input is reconstructible) and dynamic-overwrite its
+    batch_id partition; the edge table must come back identical —
+    no duplicated edges, no flipped est_sims."""
+    import pyspark.sql.functions as F
+
+    from bigdata_elephant_spark.operators import dedup
+    from bigdata_elephant_spark.plans.llm_queries import (
+        INCR_NEW_SOURCES,
+        LSH_EST_SIM_MIN,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    corpus_reps = dedup.signature_reps(
+        dedup.minhash_signatures(docs.filter(~is_new))
+    ).localCheckpoint()
+
+    def admit(batch):
+        return dedup.incremental_dedup_edges(
+            dedup.minhash_signatures(batch),
+            corpus_reps,
+            corpus_is_reps=True,
+            materialize=False,
+        ).filter(F.col("est_sim") >= LSH_EST_SIM_MIN)
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    n_chunks = 3
+    stream = ev.read_documents_stream(
+        spark, sf_dir, n_chunks=n_chunks
+    ).filter(is_new)
+    ev.run_stream_to_parquet(stream, out, ckpt, transform=admit)
+
+    schema = (
+        "new_id long, corpus_rep_id long, n_members long, "
+        "est_sim double, batch_id int"
+    )
+
+    def edges():
+        return sorted(
+            (r["new_id"], r["corpus_rep_id"], r["n_members"],
+             r["est_sim"], r["batch_id"])
+            for r in spark.read.schema(schema).parquet(out).collect()
+        )
+
+    before = edges()
+    assert len(before) > 0  # the fixture plants real collisions
+    # replay the batch with the most edges; its TRUE input is the
+    # doc_id-range chunk read_documents_stream staged (files fire
+    # one per trigger in mtime = chunk order)
+    bid = max(
+        set(e[4] for e in before),
+        key=lambda b: sum(1 for e in before if e[4] == b),
+    )
+    lo, hi = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    step = max((hi - lo) // n_chunks, 1)
+    b_input = docs.filter(is_new).where(
+        F.col("doc_id") >= F.lit(lo + step * bid)
+    )
+    if bid < n_chunks - 1:
+        b_input = b_input.where(
+            F.col("doc_id") < F.lit(lo + step * (bid + 1))
+        )
+    (
+        admit(b_input)
+        .withColumn("batch_id", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    assert edges() == before
