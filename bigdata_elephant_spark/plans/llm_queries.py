@@ -593,7 +593,13 @@ def q_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     many triangles sits in a densely inter-similar cluster (template
     boilerplate), vs. a chain of pairwise-similar revisions — the
     signal that distinguishes 'delete all but one' from 'keep the
-    chain'. Compact-forward two-join algorithm (operators/graph.py)."""
+    chain'. Compact-forward two-join algorithm (operators/graph.py).
+    Keeps the ALL-PAIRS miner by necessity — triangle structure is
+    pair-sensitive (a star has zero triangles, a clique has them
+    all), so this inherits lsh_candidate_pairs' identical-signature
+    mega-bucket exposure; on a skewed corpus, run it downstream of
+    exact_dedup_map representatives (pinned in
+    tests/test_skewed_corpus.py)."""
     from pyspark.sql import functions as F
     from bigdata_elephant_spark.operators.graph import triangle_counts
 
@@ -643,7 +649,10 @@ def q_dupgraph_triangles_degree(
     before the wedge join; see operators/graph.py). Per-node counts
     are identical to the id-ordered form for any total order, so it
     shares the oracle with ``dupgraph_triangles`` — the driver row
-    doubles as the cross-order equivalence proof."""
+    doubles as the cross-order equivalence proof. Same ALL-PAIRS
+    necessity and mega-bucket exposure as ``dupgraph_triangles``;
+    same mitigation: exact_dedup_map representatives upstream on
+    skewed corpora (tests/test_skewed_corpus.py)."""
     from pyspark.sql import functions as F
 
     from bigdata_elephant_spark.operators.graph import triangle_counts

@@ -112,7 +112,23 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # tests/test_skewed_corpus.py); indexed novelty probes the
          # maintained layout (expect near-flat vs 0.83 inline)
          "pca_variance_explained", "dedup_lsh_edges",
-         "dedup_minhash_lsh", "embedding_novelty_indexed")
+         "dedup_minhash_lsh", "embedding_novelty_indexed",
+         # round-11 additions (r10 verdict item 4): the five r10
+         # queries without sf1 rows. The embedding-side star miners
+         # share SemDeDup's cell/bucket pairing (expect ~the
+         # semantic_dedup_pairs slope; the synthetic 10x has no
+         # bit-identical cluster — that regime is count-pinned in
+         # tests/test_skewed_corpus.py and measured in
+         # tools/lsh_skew_ab.py); the ingest-edge pair is
+         # delta-vs-corpus (expect ~the incremental_dedup slope, the
+         # corpus-signature scan); the bucket histogram is the band
+         # explode + one groupBy (expect <= dedup_lsh_edges' slope);
+         # the streaming admit twin replays the same edges through
+         # 3 micro-batches (expect ~incremental_dedup_edges plus
+         # fixed stream overhead)
+         "semantic_dedup_edges", "near_dup_edges_lsh",
+         "incremental_dedup_edges", "docs_stream_dedup_admit",
+         "lsh_bucket_histogram")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
@@ -226,6 +242,20 @@ def main() -> None:
         "keep signatures distinct): the guard is not a tax; its "
         "payoff regime is count-pinned in tests/test_skewed_corpus"
         ".py and measured in tools/lsh_skew_ab.py.\n\n"
+        "The r11 rows close the r10 coverage gap (verdict item 4): "
+        "semantic_dedup_edges / near_dup_edges_lsh are the "
+        "embedding-side star miners — on this cluster-free corpus "
+        "they track their pair twins (the identical-vector collapse "
+        "finds nothing to collapse; that regime is count-pinned in "
+        "tests/test_skewed_corpus.py and measured in "
+        "tools/lsh_skew_ab.py's emb_ab section); "
+        "incremental_dedup_edges pays the corpus-signature scan "
+        "(the ingest-admission slope); lsh_bucket_histogram is the "
+        "band explode + one groupBy (a pre-flight report, cheaper "
+        "than any miner it guards); docs_stream_dedup_admit replays "
+        "the same admission through 3 micro-batches, so its slope "
+        "is the edge slope plus fixed per-batch stream overhead "
+        "that amortizes as the corpus grows.\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
