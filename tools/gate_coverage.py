@@ -104,12 +104,69 @@ def _file_mtime_git(path: str) -> int:
     return int(out) if out else 0
 
 
+def _print_plan(specs, rows, n_slots: int) -> int:
+    """Propose the next rotation mechanically: the ``n_slots``
+    oldest-gated oracled queries, then repair REQUIRED_TAGS family
+    coverage by swapping the youngest removable members for the
+    oldest carrier of each missing family. The output is a STARTING
+    POINT — the operator still owes slots to queries shipping or
+    changing this round (which this tool cannot know); every slot
+    spent on those should come out of the youngest proposed drains."""
+    from tests.test_registry_window import REQUIRED_TAGS
+
+    tags_of = {s.name: set(s.tags) for s in specs}
+    cand = [r for r in rows if r["oracled"]]
+    # rows are already (last_gated, untouched, name)-sorted
+    window = cand[:n_slots]
+    rest = cand[n_slots:]
+
+    def covered(win):
+        got = set()
+        for r in win:
+            got |= tags_of[r["name"]]
+        return got
+
+    missing = REQUIRED_TAGS - covered(window)
+    for tag in sorted(missing):
+        carrier = next(
+            (r for r in rest if tag in tags_of[r["name"]]), None
+        )
+        if carrier is None:
+            continue
+        # evict the youngest member whose removal keeps every
+        # required family covered by the remainder + carrier
+        for i in range(len(window) - 1, -1, -1):
+            trial = window[:i] + window[i + 1:] + [carrier]
+            if not (REQUIRED_TAGS - covered(trial)) - (
+                REQUIRED_TAGS - covered(cand)
+            ):
+                rest.append(window.pop(i))
+                window.append(carrier)
+                rest.remove(carrier)
+                break
+    window.sort(key=lambda r: (r["last_gated_round"] or 0, r["name"]))
+    print(f"# proposed next {n_slots}-slot window "
+          f"(oldest-first drain, families repaired)")
+    for r in window:
+        fams = ",".join(sorted(tags_of[r["name"]] & REQUIRED_TAGS))
+        print(f'    "{r["name"]}",  # gated r{r["last_gated_round"]}'
+              f"{' [' + fams + ']' if fams else ''}")
+    left = REQUIRED_TAGS - covered(window)
+    print(f"# families uncovered by proposal: {sorted(left) or 'none'}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stale-only", action="store_true",
                     help="only rows needing attention")
     ap.add_argument("--max-age", type=int, default=6,
                     help="max rounds-since-gated before exit 1")
+    ap.add_argument("--plan", type=int, nargs="?", const=50,
+                    default=None, metavar="N",
+                    help="propose the next N-slot drain window "
+                         "(oldest-first, family-coverage repaired) "
+                         "instead of the report")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -153,6 +210,9 @@ def main() -> int:
         )
 
     rows.sort(key=_key)
+
+    if args.plan is not None:
+        return _print_plan(specs, rows, args.plan)
     # the age-bound invariant: a never-gated oracled query OUTSIDE
     # the current window is an unbounded-age violation (a new query
     # inside the window is the expected state before the driver's
