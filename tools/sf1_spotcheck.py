@@ -244,18 +244,24 @@ def main() -> None:
         ".py and measured in tools/lsh_skew_ab.py.\n\n"
         "The r11 rows close the r10 coverage gap (verdict item 4): "
         "semantic_dedup_edges / near_dup_edges_lsh are the "
-        "embedding-side star miners — on this cluster-free corpus "
-        "they track their pair twins (the identical-vector collapse "
-        "finds nothing to collapse; that regime is count-pinned in "
-        "tests/test_skewed_corpus.py and measured in "
-        "tools/lsh_skew_ab.py's emb_ab section); "
-        "incremental_dedup_edges pays the corpus-signature scan "
-        "(the ingest-admission slope); lsh_bucket_histogram is the "
-        "band explode + one groupBy (a pre-flight report, cheaper "
-        "than any miner it guards); docs_stream_dedup_admit replays "
-        "the same admission through 3 micro-batches, so its slope "
-        "is the edge slope plus fixed per-batch stream overhead "
-        "that amortizes as the corpus grows.\n\n"
+        "embedding-side star miners, and their near-FLAT slopes (vs "
+        "dedup_minhash_lsh's 0.67 on the salted text side) are the "
+        "guard caught in the act: the synthetic 10x duplicates "
+        "every EMBEDDING verbatim (new vec_ids, bit-identical "
+        "vectors — unlike the texts, which are salted), so each "
+        "vector becomes a 10-copy identical cluster and the "
+        "identical-vector collapse absorbs the entire 10x growth "
+        "into star edges before any cell/bucket pairing — the "
+        "regime count-pinned in tests/test_skewed_corpus.py and "
+        "measured at 838x fewer rows in tools/lsh_skew_ab.py's "
+        "emb_ab section; incremental_dedup_edges pays the "
+        "corpus-signature scan (the ingest-admission slope); "
+        "lsh_bucket_histogram is the band explode + one groupBy (a "
+        "pre-flight report, cheaper than any miner it guards); "
+        "docs_stream_dedup_admit replays the same admission through "
+        "3 micro-batches, so its slope is the edge slope plus fixed "
+        "per-batch stream overhead that amortizes as the corpus "
+        "grows.\n\n"
         "| query | sf0.1 | sf1 (synth) | decade-slope |\n"
         "|---|---|---|---|\n"
     )
