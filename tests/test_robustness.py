@@ -475,3 +475,76 @@ def test_ivf_batch_degenerate_inputs(spark, sf_dir):
         emb, [0], n_cells=4, n_probe=4, k=10**6
     ).collect()
     assert 0 < len(rows) < 10**6
+
+
+def test_dedup_guard_operators_on_empty_and_degenerate_inputs(spark):
+    """The r10/r11 mega-bucket-guard surface on empty / degenerate
+    inputs: no crashes, sensible empties, schemas intact. Degenerate
+    here means the inputs a real ingest hits on day one — an empty
+    corpus, a corpus entirely below the shingle width, a single
+    document, an all-identical cluster (star edges only, no pair
+    blowup)."""
+    from bigdata_elephant_spark.operators import dedup, similarity
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    short = spark.createDataFrame(
+        [(1, "too short"), (2, "also short")], schema
+    )  # < DEFAULT_SHINGLE_N (=3) tokens: below the MinHash domain
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], schema
+    )
+
+    for docs in (empty, short):
+        sigs = dedup.minhash_signatures(docs)
+        assert sigs.count() == 0
+        assert dedup.lsh_candidate_edges(sigs).count() == 0
+        reps = dedup.signature_reps(sigs)
+        assert reps.count() == 0
+        assert "n_members" in reps.columns
+        # empty delta vs empty corpus, both API shapes
+        assert dedup.incremental_dedup_edges(sigs, sigs).count() == 0
+        assert dedup.incremental_dedup_edges(
+            sigs, reps, corpus_is_reps=True, materialize=False
+        ).count() == 0
+    cmap = dedup.exact_dedup_map(empty)
+    assert cmap.count() == 0
+    assert cmap.columns == ["doc_id", "canonical_doc_id"]
+
+    # one doc: no pairs, no edges, rep maps to itself
+    sigs1 = dedup.minhash_signatures(one)
+    assert dedup.lsh_candidate_edges(sigs1).count() == 0
+    reps1 = dedup.signature_reps(sigs1)
+    assert [
+        (r.doc_id, r.n_members) for r in reps1.collect()
+    ] == [(1, 1)]
+    # a real delta against an EMPTY corpus admits everything quietly
+    empty_reps = dedup.signature_reps(dedup.minhash_signatures(empty))
+    assert dedup.incremental_dedup_edges(
+        sigs1, empty_reps, corpus_is_reps=True, materialize=False
+    ).count() == 0
+
+    # embedding twins
+    eschema = "vec_id long, embedding array<float>"
+    e_empty = spark.createDataFrame([], eschema)
+    assert similarity.semantic_dedup_edges(
+        e_empty, 0.9, n_cells=4
+    ).count() == 0
+    planes = similarity.hyperplanes(3, 4)
+    assert similarity.near_dup_edges(
+        e_empty, 0.9, planes=planes
+    ).count() == 0
+    e_one = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], eschema)
+    assert similarity.semantic_dedup_edges(
+        e_one, 0.9, n_cells=4
+    ).count() == 0
+    # all-identical: exactly n-1 star edges from the min id
+    e_same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)], eschema
+    )
+    star = similarity.semantic_dedup_edges(
+        e_same, 0.9, n_cells=2
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in star) == [
+        (0, b) for b in range(1, 6)
+    ]
