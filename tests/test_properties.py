@@ -533,3 +533,55 @@ def test_star_edges_components_equal_all_pairs(spark, texts, thr_x10):
     assert groups(dedup.lsh_candidate_edges(sigs)) == groups(
         dedup.lsh_candidate_pairs(sigs)
     )
+
+
+@given(
+    new_texts=dup_corpus_strategy,
+    corpus_texts=dup_corpus_strategy,
+    thr_x10=st.sampled_from([0, 5, 8, 10]),
+)
+@SETTINGS
+def test_incremental_edges_admission_equals_pairs(
+    spark, new_texts, corpus_texts, thr_x10
+):
+    """incremental_dedup_edges' contract, property-tested: for ANY
+    delta, ANY corpus, and ANY threshold, the rep-collapsed ingest
+    join yields the SAME admission verdict per new doc as the
+    unguarded pair join — est_sim is a pure function of the two
+    signatures, so a new doc clears the threshold against a cluster's
+    representative iff it clears it against every member — and the
+    per-doc best score is identical."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators import dedup
+
+    thr = thr_x10 / 10.0
+    new_docs = _corpus_df(spark, new_texts)
+    corpus = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    new_sigs = dedup.minhash_signatures(new_docs).localCheckpoint()
+    corpus_sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+
+    def best(df, id_col):
+        return {
+            r[id_col]: r.s
+            for r in df.filter(F.col("est_sim") >= thr)
+            .groupBy(id_col)
+            .agg(F.max("est_sim").alias("s"))
+            .collect()
+        }
+
+    pairs = dedup.incremental_dedup_pairs(new_sigs, corpus_sigs)
+    edges = dedup.incremental_dedup_edges(
+        new_sigs, corpus_sigs, materialize=False
+    )
+    assert best(pairs, "new_id") == best(edges, "new_id")
+    # and feeding pre-collapsed reps (the production artifact shape)
+    # changes nothing
+    reps = dedup.signature_reps(corpus_sigs)
+    edges_reps = dedup.incremental_dedup_edges(
+        new_sigs, reps, corpus_is_reps=True, materialize=False
+    )
+    assert best(edges_reps, "new_id") == best(edges, "new_id")
