@@ -585,3 +585,57 @@ def test_incremental_edges_admission_equals_pairs(
         new_sigs, reps, corpus_is_reps=True, materialize=False
     )
     assert best(edges_reps, "new_id") == best(edges, "new_id")
+
+
+# small-dim integer vectors with duplicates encouraged: identical
+# vectors are what exact-dup documents embed to, so the collapse
+# actually fires; a zero vector is deliberately possible in the
+# tail (both miners must treat it identically).
+vec_strategy = st.lists(
+    st.integers(min_value=-2, max_value=2), min_size=4, max_size=4
+)
+emb_strategy = st.lists(
+    st.sampled_from(
+        [[1, 1, 1, 1], [1, 0, 1, 0], [0, 2, 0, 2]]
+    ) | vec_strategy,
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=emb_strategy, thr_x10=st.sampled_from([5, 8, 10]))
+@SETTINGS
+def test_semantic_edges_components_equal_pairs(
+    spark, vecs, thr_x10
+):
+    """The embedding-side collapse, property-tested: for ANY vector
+    set (duplicates, zero vectors, any mix) and ANY threshold, the
+    star-collapsed SemDeDup edge graph and the hyperplane-LSH edge
+    graph each close to the same connected components as their
+    all-pairs twins — cos_sim is a pure function of the two vectors,
+    and bit-identical vectors land in the same cell/bucket by
+    construction."""
+    from bigdata_elephant_spark.operators import dedup, similarity
+
+    thr = thr_x10 / 10.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+
+    def comps(df):
+        return {
+            (r.doc_id, r.group_id)
+            for r in dedup.duplicate_groups(
+                df.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comps(
+        similarity.semantic_dedup_edges(emb, thr, n_cells=3)
+    ) == comps(similarity.semantic_dedup_pairs(emb, thr, n_cells=3))
+
+    planes = similarity.hyperplanes(2, 4)
+    assert comps(
+        similarity.near_dup_edges(emb, thr, planes=planes)
+    ) == comps(similarity.near_dup_pairs(emb, thr, planes=planes))
