@@ -272,6 +272,33 @@ def test_semantic_dedup_edges_collapse_identical_vectors(spark):
     assert comps(nd_edges) == comps(nd_pairs)
 
 
+def test_bucket_histogram_sees_the_mega_bucket(spark, skewed_docs):
+    """The observability claim behind lsh_bucket_histogram: the
+    planted cluster surfaces as exactly one sz=DUP_COPIES bucket in
+    EVERY band — the pre-flight signal that all-pairs mining would
+    cost sz²/2 per band — while every other bucket stays small."""
+    from bigdata_elephant_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        _band_explode,
+    )
+
+    sigs = dedup.minhash_signatures(skewed_docs)
+    bands = _band_explode(sigs, "doc_id", N_MINHASH, N_BANDS)
+    sizes = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("sz")
+    )
+    hist = (
+        sizes.groupBy("band", "sz")
+        .agg(F.count("*").alias("n_buckets"))
+        .collect()
+    )
+    mega = [r for r in hist if r.sz >= DUP_COPIES]
+    assert len(mega) == N_BANDS  # one per band
+    assert all(r.sz == DUP_COPIES and r.n_buckets == 1 for r in mega)
+    assert all(r.sz <= 3 for r in hist if r.sz < DUP_COPIES)
+
+
 def test_graph_queries_on_reps_stay_linear(spark, skewed_docs):
     """The documented mitigation for the structure-sensitive graph
     analyses (pagerank_dupgraph, dupgraph_triangles): they NEED the
