@@ -133,12 +133,14 @@ def _print_plan(specs, rows, n_slots: int) -> int:
         )
         if carrier is None:
             continue
-        # evict the youngest member whose removal keeps every
-        # required family covered by the remainder + carrier
+        # evict the youngest member whose required tags stay covered
+        # by the remainder + carrier: each swap adds the missing
+        # family and provably loses none, so the loop converges on
+        # full coverage whenever the candidate set allows it
         for i in range(len(window) - 1, -1, -1):
-            trial = window[:i] + window[i + 1:] + [carrier]
-            if not (REQUIRED_TAGS - covered(trial)) - (
-                REQUIRED_TAGS - covered(cand)
+            others = window[:i] + window[i + 1:] + [carrier]
+            if (tags_of[window[i]["name"]] & REQUIRED_TAGS) <= covered(
+                others
             ):
                 rest.append(window.pop(i))
                 window.append(carrier)
