@@ -3581,6 +3581,9 @@ SPECS = [
         q_dup_group_size_histogram,
         DUP_GROUP_SIZES_SQL,
         tags=("dedup", "agg"),
+        # bench-tagged r11 with the star-edge switch so the round
+        # that changed the plan shape also pins its timing
+        bench=True,
     ),
     QuerySpec(
         "rfm_segments",

@@ -732,6 +732,9 @@ SPECS.append(
         q_embedding_novelty_indexed,
         _novelty_indexed_sql,
         ("llm", "similarity", "index", "merge"),
+        # bench-tagged r11 with the reingest-semantics fix so the
+        # round that changed the query also pins its timing
+        bench=True,
     )
 )
 
