@@ -35,6 +35,16 @@ class QuerySpec:
     bench: bool = False
 
 
+# Families that must have at least one driver-verified row per
+# round — the gate window (GATE_PRIORITY) must cover every one.
+# Enforced by tests/test_registry_window.py; consumed by
+# tools/gate_coverage.py --plan when proposing the next rotation.
+REQUIRED_TAGS = frozenset({
+    "search", "relational", "llm", "streaming", "dedup", "similarity",
+    "text", "multimodal", "graph", "temporal", "window", "agg", "join",
+    "topk", "stateful", "sketch", "layout",
+})
+
 _ORACLE_CACHE: dict[str, str] = {}
 
 

@@ -8,16 +8,13 @@ priority slot or consciously rely on the local gate.
 
 from __future__ import annotations
 
-from bigdata_elephant_spark.registry import GATE_PRIORITY, all_specs
+from bigdata_elephant_spark.registry import (
+    GATE_PRIORITY,
+    REQUIRED_TAGS,
+    all_specs,
+)
 
 WINDOW = 50
-
-# Families that must have at least one driver-verified row per round.
-REQUIRED_TAGS = {
-    "search", "relational", "llm", "streaming", "dedup", "similarity",
-    "text", "multimodal", "graph", "temporal", "window", "agg", "join",
-    "topk", "stateful", "sketch", "layout",
-}
 
 
 def test_priority_fills_window_exactly():

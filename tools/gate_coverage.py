@@ -112,7 +112,7 @@ def _print_plan(specs, rows, n_slots: int) -> int:
     POINT — the operator still owes slots to queries shipping or
     changing this round (which this tool cannot know); every slot
     spent on those should come out of the youngest proposed drains."""
-    from tests.test_registry_window import REQUIRED_TAGS
+    from bigdata_elephant_spark.registry import REQUIRED_TAGS
 
     tags_of = {s.name: set(s.tags) for s in specs}
     cand = [r for r in rows if r["oracled"]]
