@@ -62,12 +62,21 @@ def _exact_rerank(
     (``_qvec``, ``_qnrm``), round the cosine to 6 decimals, order
     desc with the id tie-break, limit k (TakeOrderedAndProject).
     One definition so the scoring/rounding/tie-break contract cannot
-    drift between the retrieval paths."""
+    drift between the retrieval paths.
+
+    Zero-norm vectors are dropped on BOTH sides before the division
+    (the :func:`mmr_topk` contract, applied engine-wide in r12): a
+    zero-norm vector has no cosine — unrankable — and under ANSI
+    mode the division would RAISE rather than null out; one dead-doc
+    embedding must not abort a corpus-scale retrieval. A zero-norm
+    query yields the empty result, not an error; the oracles carry
+    the same norm>0 predicate."""
     return (
         candidates.select(
             id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
         )
-        .crossJoin(F.broadcast(q))
+        .filter(F.col("_nrm") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("_qnrm") > 0)))
         .select(
             id_col,
             F.round(
@@ -298,13 +307,20 @@ def near_dup_pairs(
     pattern in :func:`semantic_dedup_edges`) or run downstream of
     ``exact_dedup_map`` representatives; this function stays the
     pair-level report API.
+
+    Zero-norm vectors are EXCLUDED before the pair fan-out (the
+    engine-wide filter contract, r12): their cosine is undefined
+    against everything, so they can never clear any threshold — and
+    under ANSI mode the unguarded division would abort the whole
+    dedup job on one dead-doc/encoder-failure embedding. The oracles
+    carry the same norm>0 predicate.
     """
     # Per-vector norms are computed ONCE before the pair fan-out (the
     # value is identical to an inline recompute — same left fold — so
     # oracles are unaffected); per pair only the dot product remains.
     base = embeddings.select(
         id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
-    )
+    ).filter(F.col("_nrm") > 0)
     if planes is not None:
         base = lsh_bucket_assignments(embeddings, planes, id_col, vec_col).join(
             base, id_col
@@ -371,16 +387,28 @@ def semantic_dedup_pairs(
     10^6-copy cluster emits O(cluster²) rows from one cell. This is
     the pair-level verifier/report API; pipelines that only need
     components use :func:`semantic_dedup_edges`.
+
+    Zero-norm vectors are EXCLUDED before the within-cell fan-out
+    (the engine-wide filter contract, r12): cosine is undefined for
+    them, so no pair they join can clear a threshold, and under ANSI
+    the unguarded division would abort the job on one degenerate
+    embedding. They still receive a cell assignment (L2 argmin needs
+    no division) — only the pair scoring drops them; the oracles
+    carry the same norm>0 predicate.
     """
     if cents is None:
         cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     if assigned is None:
         assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    base = embeddings.join(assigned, id_col).select(
-        id_col,
-        "cell_id",
-        vec_col,
-        F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+    base = (
+        embeddings.join(assigned, id_col)
+        .select(
+            id_col,
+            "cell_id",
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        .filter(F.col("_nrm") > 0)
     )
     a = base.select(
         F.col("cell_id"),
@@ -422,10 +450,11 @@ def _identical_vector_collapse(
     identical-vector representative (min id; window over the raw
     vector — float equality is bit equality on a parquet
     round-trip), except that ZERO-NORM vectors map to THEMSELVES —
-    they get no star edges and flow into ``reps`` individually, so
-    they fail (under ANSI a zero-norm pair raises) or sit pairless
-    exactly as in the unguarded pair form; star-edging two all-zero
-    vectors at 1.0 would invent a group the pair API never
+    they get no star edges and flow into ``reps`` individually,
+    where the pair miners' norm>0 filter drops them, so they sit
+    pairless exactly as in the all-pairs form (which excludes them
+    the same way — the engine-wide filter contract); star-edging two
+    all-zero vectors at 1.0 would invent a group the pair API never
     produces. (NaN/Inf embeddings are out of contract corpus-wide —
     finite floats only, as for every similarity operator here.)
 
@@ -517,14 +546,16 @@ def semantic_dedup_edges(
     Zero-norm vectors are excluded from the collapse: their cosine
     is undefined, so star-edging two identical all-zero vectors at
     1.0 would invent a group the all-pairs form never produces —
-    under ANSI the pair formulation RAISES (divide-by-zero) the
-    moment a zero-norm vector pairs inside a cell, and this variant
-    must fail the same loud way rather than silently grouping. The
-    ``_norm2 > 0`` filter keeps equivalence exact: degenerate
-    vectors still flow into the rep-pair side, where they error (or
-    sit pairless) exactly as in :func:`semantic_dedup_pairs`.
-    (NaN embeddings are out of contract corpus-wide, as for every
-    similarity operator here — finite floats only.)
+    :func:`semantic_dedup_pairs` drops zero-norm vectors before the
+    within-cell fan-out (the engine-wide norm>0 filter contract), so
+    this variant must leave them edgeless the same way. The collapse
+    keeps equivalence exact: degenerate vectors flow into the
+    rep-pair side as their own representatives, where the pair
+    miner's filter drops them — pairless in both formulations,
+    identical connected components (property-tested with the zero
+    vector pinned as an ``@example``). (NaN embeddings are out of
+    contract corpus-wide, as for every similarity operator here —
+    finite floats only.)
     """
     keyed, reps = _identical_vector_collapse(
         embeddings, id_col, vec_col, materialize
@@ -1398,7 +1429,7 @@ def ivf_topk_batch_indexed(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     w_p = Window.partitionBy("q_id").orderBy(
         F.col("d").asc(), F.col("cell_id").asc()
     )
@@ -1421,6 +1452,8 @@ def ivf_topk_batch_indexed(
     ]
     candidates = (
         vecs.filter(F.col("cell_id").isin(cell_union))
+        # zero-norm guard on the data side (_exact_rerank contract)
+        .filter(_norm2(F.col(vec_col)) > 0)
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -2004,7 +2037,7 @@ def _sq8_score_tail(
         .select(id_col, _sq8_recon(F.col("codes"), st).alias("_recon"))
         .withColumn("_nrm", F.sqrt(_norm2(F.col("_recon"))))
         .filter(F.col("_nrm") > 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q.filter(F.col("_qnrm") > 0)))
         .select(
             id_col,
             F.round(
@@ -2127,7 +2160,7 @@ def sq8_topk_batch(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     wtop = Window.partitionBy("q_id").orderBy(
         F.desc("sq8_sim"), F.asc(id_col)
     )
@@ -2444,8 +2477,10 @@ def cosine_topk_lsh(
         F.col("bucket").alias("_qbucket"),
         F.col("_nrm").alias("_qnrm"),
     )
+    # zero-norm guard on both divisor sides (_exact_rerank contract)
     return (
-        with_bucket.crossJoin(F.broadcast(q))
+        with_bucket.filter(F.col("_nrm") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("_qnrm") > 0)))
         .filter(
             (
                 F.bit_count(
@@ -2496,13 +2531,15 @@ def cosine_topk_batch(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0).filter(F.col("_qnrm") > 0)
     scored = (
         embeddings.select(
             id_col,
             vec_col,
             F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
         )
+        # zero-norm guard on both divisor sides (_exact_rerank contract)
+        .filter(F.col("_nrm") > 0)
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
@@ -3085,7 +3122,7 @@ def ivf_topk_batch(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     w_p = Window.partitionBy("q_id").orderBy(
         F.col("d").asc(), F.col("cell_id").asc()
     )
@@ -3105,6 +3142,8 @@ def ivf_topk_batch(
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     candidates = (
         embeddings.join(assigned, id_col)
+        # zero-norm guard on the data side (_exact_rerank contract)
+        .filter(_norm2(F.col(vec_col)) > 0)
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -3148,13 +3187,15 @@ def _exact_rerank_batch(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     wtop = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
     return (
         embeddings.join(short, F.col(id_col) == F.col("_sid"))
         .select("q_id", id_col, vec_col)
+        # zero-norm guard on the data side (_exact_rerank contract)
+        .filter(_norm2(F.col(vec_col)) > 0)
         .join(F.broadcast(q), "q_id")
         .select(
             "q_id",
@@ -3297,7 +3338,7 @@ def ivf_probe_recall_sweep(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     wcell = Window.partitionBy("q_id").orderBy("d", "cell_id")
     cell_rank = (
         cents.crossJoin(F.broadcast(q.select("q_id", "_qvec")))
@@ -3315,6 +3356,8 @@ def ivf_probe_recall_sweep(
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     scored = (
         embeddings.join(assigned, id_col)
+        # zero-norm guard on the data side (_exact_rerank contract)
+        .filter(_norm2(F.col(vec_col)) > 0)
         .join(F.broadcast(cell_rank), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))

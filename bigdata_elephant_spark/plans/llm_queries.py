@@ -969,6 +969,17 @@ def _dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
     )
 
 
+# norm>0 exclusion mirroring the engine-wide zero-norm cosine filter
+# contract (similarity._exact_rerank): every oracle that divides by a
+# vector norm carries the identical predicate on both divisor sides,
+# so a degenerate (dead-doc / encoder-failure) embedding is dropped,
+# not divided by, in BOTH engines.
+_NRM_E = f"{_dot_sql('e.embedding', 'e.embedding')} > 0"
+_NRM_Q = f"{_dot_sql('q.qv', 'q.qv')} > 0"
+_NRM_A = f"{_dot_sql('a.embedding', 'a.embedding')} > 0"
+_NRM_B = f"{_dot_sql('b.embedding', 'b.embedding')} > 0"
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, KNN_QUERY_VEC_ID, k=KNN_K)
@@ -984,6 +995,7 @@ SELECT vec_id, cos_sim FROM (
                     * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+      AND {_NRM_E} AND {_NRM_Q}
 )
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1127,6 +1139,7 @@ SELECT e.vec_id,
              / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
                 * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
 FROM embeddings e JOIN short USING (vec_id), q
+WHERE {_NRM_E} AND {_NRM_Q}
 ORDER BY cos_sim DESC, e.vec_id
 LIMIT {KNN_K}
 """
@@ -1199,7 +1212,8 @@ SELECT vec_id, sq8_sim FROM (
     FROM recon r, q
     -- zero-norm reconstructions dropped, mirroring the Spark-side
     -- ANSI divide-by-zero guard (_sq8_score_tail)
-    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> {KNN_QUERY_VEC_ID}
+    WHERE {_SQ8_NORM_PRED} AND {_NRM_Q}
+      AND r.vec_id <> {KNN_QUERY_VEC_ID}
 )
 ORDER BY sq8_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1256,6 +1270,7 @@ SELECT vec_id, cos_sim FROM (
                     * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
     FROM wb e, q
     WHERE e.bucket = q.qbucket AND e.vec_id <> {KNN_QUERY_VEC_ID}
+      AND {_NRM_E} AND {_NRM_Q}
 )
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1288,6 +1303,7 @@ SELECT vec_id, cos_sim FROM (
     FROM wb e, q
     WHERE bit_count(xor(e.bucket, q.qbucket)) <= 1
       AND e.vec_id <> {KNN_QUERY_VEC_ID}
+      AND {_NRM_E} AND {_NRM_Q}
 )
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1323,7 +1339,8 @@ def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_EXACT_SQL = f"""
 SELECT id_a, id_b, cos_sim FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND {_NRM_A} AND {_NRM_B}
 )
 WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
@@ -1341,7 +1358,9 @@ WITH wb AS (
 )
 SELECT id_a, id_b, cos_sim FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
-    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM wb a JOIN wb b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         AND {_NRM_A} AND {_NRM_B}
 )
 WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
@@ -1389,6 +1408,7 @@ rep_pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
         FROM wb a JOIN wb b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             AND {_NRM_A} AND {_NRM_B}
     )
     WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 )
@@ -1430,7 +1450,9 @@ wb AS (
 SELECT cell_id, id_a, id_b, cos_sim FROM (
     SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
            {_COS_AB} AS cos_sim
-    FROM wb a JOIN wb b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    FROM wb a JOIN wb b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         AND {_NRM_A} AND {_NRM_B}
 )
 WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
@@ -1497,6 +1519,7 @@ rep_pairs AS (
                {_COS_AB} AS cos_sim
         FROM wb a JOIN wb b
           ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+             AND {_NRM_A} AND {_NRM_B}
     )
     WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 )
@@ -1547,6 +1570,7 @@ SELECT vec_id, cos_sim FROM (
     JOIN probe p ON p.cell_id = s.cell_id
     CROSS JOIN q
     WHERE e.vec_id <> {KNN_QUERY_VEC_ID}
+      AND {_NRM_E} AND {_NRM_Q}
 )
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1600,7 +1624,8 @@ SELECT vec_id, sq8_sim FROM (
     JOIN assigned s ON s.vec_id = r.vec_id
     JOIN probe p ON p.cell_id = s.cell_id
     CROSS JOIN q
-    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> {KNN_QUERY_VEC_ID}
+    WHERE {_SQ8_NORM_PRED} AND {_NRM_Q}
+      AND r.vec_id <> {KNN_QUERY_VEC_ID}
 )
 ORDER BY sq8_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -3990,6 +4015,7 @@ SELECT q_id, vec_id, cos_sim FROM (
     FROM embeddings e
     JOIN short s ON s.vec_id = e.vec_id
     JOIN q ON q.q_id = s.q_id
+    WHERE {_NRM_E} AND {_NRM_Q}
 ) WHERE rn <= {BATCH_K_LLM}
 ORDER BY q_id, vec_id
 """
@@ -4065,6 +4091,7 @@ SELECT e.vec_id,
              / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
                 * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
 FROM embeddings e JOIN short USING (vec_id), q
+WHERE {_NRM_E} AND {_NRM_Q}
 ORDER BY cos_sim DESC, e.vec_id
 LIMIT {KNN_K}
 """

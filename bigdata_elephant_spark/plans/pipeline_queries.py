@@ -20,6 +20,8 @@ from bigdata_elephant_spark.operators.textstats import EN_STOPWORDS
 from bigdata_elephant_spark.plans.llm_queries import (
     _BAND_SELECTS,
     _MATCHES,
+    _NRM_E,
+    _NRM_Q,
     _dot_sql,
     DOC_SHINGLES_CTE,
     DOC_TOKS_CTE,
@@ -441,6 +443,7 @@ scored AS (
                AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 r AS (
     SELECT q_id, vec_id, cos_sim,
@@ -603,6 +606,7 @@ scored AS (
     JOIN probes p ON p.cell_id = s.cell_id
     JOIN q ON q.q_id = p.q_id
     WHERE e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 r AS (
     SELECT q_id, vec_id, cos_sim,
@@ -917,6 +921,7 @@ vscore AS (
                     * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cs
     FROM embeddings e, qv q
     WHERE e.vec_id <> {HYBRID_VEC_ID}
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 vr AS (
     SELECT doc_id, rn AS rank FROM (
@@ -1560,11 +1565,13 @@ def q_ann_recall_report(
         F.col("embedding").alias("_qvec"),
         F.col("bucket").alias("qbucket"),
         F.col("_nrm").alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     from bigdata_elephant_spark.operators.similarity import _dot
 
     scored = (
-        wb.join(
+        # zero-norm guard on both divisor sides (_exact_rerank contract)
+        wb.filter(F.col("_nrm") > 0)
+        .join(
             F.broadcast(q), F.col("bucket") == F.col("qbucket")
         )
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1629,7 +1636,8 @@ q AS (
 ),
 exs AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
-    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id AND {_NRM_E} AND {_NRM_Q}
 ),
 ex AS (
     SELECT q_id, vec_id FROM (
@@ -1644,6 +1652,7 @@ ls AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
     FROM wb e, q
     WHERE e.bucket = q.qbucket AND e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 lsh AS (
     SELECT q_id, vec_id FROM (
@@ -1705,7 +1714,7 @@ SELECT q_id, vec_id, sq8_sim FROM (
                PARTITION BY q.q_id
                ORDER BY {sq8} DESC, r.vec_id ASC) AS rn
     FROM recon r, q
-    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> q.q_id
+    WHERE {_SQ8_NORM_PRED} AND {_NRM_Q} AND r.vec_id <> q.q_id
 ) WHERE rn <= {BATCH_K}
 ORDER BY q_id, vec_id
 """
@@ -1747,7 +1756,7 @@ def q_sq8_recall_report(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("_qvec"),
         F.sqrt(_norm2(F.col("embedding"))).alias("_qnrm"),
-    )
+    ).filter(F.col("_qnrm") > 0)
     scored = (
         recon.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1857,6 +1866,7 @@ exs AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 ex AS (
     SELECT q_id, vec_id FROM (
@@ -1955,6 +1965,7 @@ scored AS (
     JOIN cellrank r ON r.cell_id = a.cell_id
     JOIN q ON q.q_id = r.q_id
     WHERE e.vec_id <> r.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 per_level AS (
     SELECT q_id, vec_id, cos_sim,
@@ -1974,6 +1985,7 @@ exs AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 ex AS (
     SELECT q_id, vec_id FROM (
@@ -2116,6 +2128,7 @@ SELECT q_id, vec_id, cos_sim FROM (
     FROM embeddings e
     JOIN short s ON s.vec_id = e.vec_id
     JOIN q ON q.q_id = s.q_id
+    WHERE {_NRM_E} AND {_NRM_Q}
 ) WHERE rn <= {BATCH_K}
 ORDER BY q_id, vec_id
 """
@@ -2184,12 +2197,14 @@ pqk AS (
         FROM embeddings e
         JOIN short s ON s.vec_id = e.vec_id
         JOIN q ON q.q_id = s.q_id
+        WHERE {_NRM_E} AND {_NRM_Q}
     ) WHERE rn <= {BATCH_K}
 ),
 exs AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> q.q_id
+      AND {_NRM_E} AND {_NRM_Q}
 ),
 ex AS (
     SELECT q_id, vec_id FROM (
@@ -2239,7 +2254,8 @@ q AS (
 ),
 exs AS (
     SELECT q.q_id, e.vec_id, {cos} AS cos_sim
-    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id AND {_NRM_E} AND {_NRM_Q}
 ),
 ex AS (
     SELECT q_id, vec_id FROM (
@@ -2253,7 +2269,7 @@ ex AS (
 sqs AS (
     SELECT q.q_id, r.vec_id, {sq8} AS sq8_sim
     FROM recon r, q
-    WHERE {_SQ8_NORM_PRED} AND r.vec_id <> q.q_id
+    WHERE {_SQ8_NORM_PRED} AND {_NRM_Q} AND r.vec_id <> q.q_id
 ),
 sqt AS (
     SELECT q_id, vec_id FROM (

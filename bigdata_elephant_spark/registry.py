@@ -65,99 +65,91 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-11 ROTATION — a near-pure DRAIN window. At rotation time
-    # tools/gate_coverage.py reported 106 oracled queries past the
-    # <=6-round re-gating age bound (6 at age 10, 29 at age 9, 35 at
-    # age 8, 36 at age 7) — the r10 verdict's top item. This window
-    # spends every discretionary slot on the oldest cohorts: ALL of
-    # age-10 (r1 cohort leftovers) + ALL of age-9 (r2 cohort) + the
-    # 13 alphabetically-first age-8 queries (chosen to also restore
-    # the temporal/sketch/layout/graph family slots), leaving just 2
-    # must-gate slots for code changed this round. ZERO new queries
-    # ship in r11 — the drain takes priority (verdict item 1 allows
-    # <=3; the backlog arithmetic rewards 0).
+    # ROUND-12 ROTATION — the zero-norm-contract round. r12's code
+    # change (VERDICT r11 item 1: the engine-wide norm>0 cosine
+    # filter, applied to 13 similarity functions AND mirrored into
+    # every consumer's DuckDB oracle) touches 37 registry queries —
+    # computed mechanically as "fn source or resolved oracle differs
+    # vs HEAD@r11" — and the repo rule (changed queries gate the
+    # round they ship; VERDICT item 2 orders the must-gates BEFORE
+    # drain slots) makes all 37 mandatory. That leaves 13 drain
+    # slots, so the committed r11 schedule ("r12 drains the r3
+    # remainder + r4 cohort") shifts right by one round:
+    #   r12 (this window): 37 must-gates + 9 of the 22-query r3
+    #       remainder (alphabetical, with quantile_sketch_totalprice
+    #       and scd2_user_history swapped in for the sketch/window
+    #       family slots) + 4 family carriers the must-gates can't
+    #       cover (graph/temporal from the r4 cohort — double-
+    #       counting as drain — and stateful/layout from r9).
+    #   r13: the 13-query r3 remainder + the ~30 remaining r4
+    #       queries + r6 as fits.
+    #   r14: the r6 remainder + r7 cohort -> worst oracled age <= 6;
+    #       gate_coverage --max-age 6 exits 0 one round later than
+    #       the r11 plan — the cost of verifying the contract fix
+    #       the round it shipped, per the repo's own rule.
+    # Steady state unchanged: ~45 drain slots/round over 266 queries
+    # = a 5.9-round cycle, provided new-query production stays <= ~5.
     #
-    # Committed drain schedule (the bound stays 6; this is the plan
-    # that makes gate_coverage.py --max-age 6 exit 0):
-    #   r11 (this window): drain r1+r2 cohorts + 13 of the 35-query
-    #       r3 cohort -> worst last-gated becomes r3.
-    #   r12: drain the remaining 22 r3-cohort + the 36-query r4
-    #       cohort (58 stale at r12; a 50-slot window covers ~48, so
-    #       worst-case 10 r4 queries slip to r13).
-    #   r13: drain the r4 remainder + the 30-query r6 cohort (age 7
-    #       at r13) -> worst oracled age <= 6; the tool exits 0.
-    # Steady state thereafter: 266 queries / ~45 drain slots per
-    # round = a 5.9-round cycle, inside the 6-round bound, provided
-    # new-query production stays <= ~5/round.
-    #
-    # --- code changed this round (must-gate) ---
-    # star-edge swap: dup_group_size_histogram now mines
-    # lsh_candidate_edges instead of all-pairs (r10 verdict item 2);
-    # it is ALSO an age-7 drain, so this slot double-counts
-    "dup_group_size_histogram",
-    # self-id-filter fix from r10 ADVICE: the indexed novelty gate
-    # no longer excludes index rows with the query's own id, so a
-    # re-ingested id scores nn_sim=1.0 exactly like the exact gate
-    "embedding_novelty_indexed",
-    # --- the age-10 cohort: last gated round 1, the 6 leftovers
-    # bumped from the r10 window ---
-    "setop_except_all_orders",
-    "string_agg_nations",
-    "suppliers_per_region",
-    "time_rollup_revenue",
-    "value_histogram",
-    "value_percentiles",
-    # --- the age-9 cohort: every query last gated round 2 (29) ---
-    "array_agg_users",
-    "assemble_training_corpus",
-    "cdc_latest_state",
-    "dedup_simhash_pairs",
-    "doc_chunks",
-    "doc_fingerprints",
-    "event_funnel",
-    "events_stream_distinct",
-    "events_stream_interval_join",
-    "events_stream_sessions",
-    "events_stream_tumbling",
-    "fuzzy_customer_pairs",
-    "gopher_repetition",
+    # --- the 37 changed-this-round must-gates (zero-norm filter:
+    # engine plan and/or oracle SQL changed; every cosine division
+    # now guards both divisor sides on both engines) ---
+    "ann_recall_report",
+    "ivf_probe_sweep",
+    "ivf_recall_report",
+    "knn_batch",
+    "knn_cosine",
     "knn_cosine_lsh",
-    "lang_id",
-    "media_phash_dupes",
-    "media_ppm_stats",
-    "merge_upsert_orders",
+    "knn_cosine_lsh_multiprobe",
+    "knn_ivf",
+    "knn_ivf_batch",
+    "knn_ivf_batch_indexed",
+    "knn_ivf_compacted",
+    "knn_ivf_delete_compacted",
+    "knn_ivf_deleted",
+    "knn_ivf_filtered",
+    "knn_ivf_filtered_indexed",
+    "knn_ivf_incremental",
+    "knn_ivf_indexed",
+    "knn_ivf_sq8",
+    "knn_ivf_sq8_incremental",
+    "knn_ivf_sq8_indexed",
+    "knn_ivfpq",
+    "knn_ivfpq_batch",
+    "knn_ivfpq_incremental",
+    "knn_ivfpq_indexed",
+    "knn_pq",
+    "knn_pq_batch",
+    "knn_sq8",
+    "knn_sq8_batch",
+    "near_dup_edges_lsh",
+    "near_dup_embeddings",
     "near_dup_embeddings_lsh",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "pivot_events_daily",
-    "retention_cohorts",
-    "rolling_user_features",
-    "search_default_query",
-    "sessionization",
-    "shuffle_assignments",
-    "stratified_sample_events",
-    "unpivot_lineitem",
-    # --- 13 of the 35-query age-8 cohort (last gated round 3),
-    # alphabetical order so the r12 window resumes deterministically
-    # at "copurchase_part_pairs"; the four family slots the drain
-    # would otherwise lose ride along: temporal
-    # (asof_error_next_purchase), sketch (bloom_customer_probe,
-    # cms_heavy_hitters), layout (compaction_plan), graph
-    # (dupgraph_triangles — which also carries this round's
-    # mega-bucket exposure docstring note) ---
-    "asof_error_next_purchase",
-    "bloom_customer_probe",
-    "boilerplate_flags",
-    "bpe_pair_counts",
-    "cms_heavy_hitters",
-    "compaction_plan",
-    "concurrency_timeline",
-    "containment_pairs",
-    "copurchase_part_pairs",
-    "doc_embedding_join",
-    "dupgraph_triangles",
-    "embedding_outliers",
-    "entity_resolution_customers",
+    "pq_recall_report",
+    "search_hybrid_indexed",
+    "search_hybrid_rrf",
+    "semantic_dedup_edges",
+    "semantic_dedup_pairs",
+    "sq8_recall_report",
+    # --- 9 of the 22-query r3 remainder (alphabetical from
+    # event_transition_matrix, with two family swaps: mixture_
+    # rebalance -> quantile_sketch_totalprice for the sketch slot,
+    # pivot_api_events -> scd2_user_history for the window slot) ---
+    "event_transition_matrix",
+    "events_stream_sliding",
+    "exact_median_mode",
+    "incremental_daily_revenue",
+    "lang_confusion_matrix",
+    "media_video_stats",
+    "media_wav_stats",
+    "quantile_sketch_totalprice",
+    "scd2_user_history",
+    # --- 4 family carriers the 46 slots above cannot cover: graph
+    # and temporal ride the r4 drain (oldest carriers), stateful and
+    # layout come from r9 (their only remaining carriers) ---
+    "dupgraph_triangles_degree",
+    "conversion_latency",
+    "docs_stream_curate",
+    "weighted_sample_orders",
 )
 
 

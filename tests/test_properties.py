@@ -7,7 +7,9 @@ each example runs real Spark jobs.
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import (
+    HealthCheck, example, given, settings, strategies as st,
+)
 
 from bigdata_elephant_spark.operators.search import search
 from bigdata_elephant_spark.operators.index import build_index
@@ -131,6 +133,8 @@ def test_distributed_ids_equal_window_ids(spark):
     n=st.integers(10, 60),
     frac=st.floats(0.1, 0.9),
 )
+@example(n=10, frac=0.1)
+@example(n=60, frac=0.9)
 @SETTINGS
 def test_hash_sample_split_properties(spark, n, frac):
     """Sampling is deterministic, and [0,frac) + [frac,1) partition
@@ -152,6 +156,8 @@ def test_hash_sample_split_properties(spark, n, frac):
 
 
 @given(texts=corpus_strategy)
+@example(texts=[""])
+@example(texts=["the the", "the  the", "spark"])
 @SETTINGS
 def test_exact_dedup_partitions_corpus(spark, texts):
     """Every doc lands in exactly one dedup group; group sizes sum to
@@ -209,6 +215,8 @@ def _brute_force_passages(texts, shingle_n, min_run):
     .map(" ".join),
     min_size=2, max_size=5,
 ))
+@example(texts=["", ""])
+@example(texts=["spark hash join query", "spark hash join query"])
 @SETTINGS
 def test_duplicate_passages_matches_bruteforce(spark, texts):
     """The shingle-join + islands pipeline must agree with a direct
@@ -333,6 +341,7 @@ def test_concurrency_equal_bruteforce_property(spark, rows):
         min_size=1, max_size=12,
     )
 )
+@example(vecs=[[0.0, 0.0, 0.0]])
 def test_gram_two_phase_matches_numpy(spark, tmp_path_factory, vecs):
     """The scaled-long partial / decimal merge gram sum must equal
     the direct float upper-triangle X^T X within the 6-decimal
@@ -477,6 +486,8 @@ def _py_train(words, n_merges, max_batch, alphabet):
     st.integers(min_value=1, max_value=10),
     st.sampled_from([2, 4, 8]),
 )
+@example([("a", 1)], 1, 2)
+@example([("abababab", 5)], 10, 8)
 @settings(max_examples=300, deadline=None)
 def test_bpe_batch_selection_reproduces_sequential(
     words, n_merges, max_batch
@@ -507,6 +518,7 @@ dup_corpus_strategy = st.lists(
 
 
 @given(texts=dup_corpus_strategy, thr_x10=st.sampled_from([0, 5, 8, 10]))
+@example(texts=["spark hash join", "spark hash join"], thr_x10=10)
 @SETTINGS
 def test_star_edges_components_equal_all_pairs(spark, texts, thr_x10):
     """lsh_candidate_edges' contract, property-tested: for ANY corpus
@@ -539,6 +551,11 @@ def test_star_edges_components_equal_all_pairs(spark, texts, thr_x10):
     new_texts=dup_corpus_strategy,
     corpus_texts=dup_corpus_strategy,
     thr_x10=st.sampled_from([0, 5, 8, 10]),
+)
+@example(
+    new_texts=["spark hash join"],
+    corpus_texts=["spark hash join"],
+    thr_x10=10,
 )
 @SETTINGS
 def test_incremental_edges_admission_equals_pairs(
@@ -604,6 +621,9 @@ emb_strategy = st.lists(
 
 
 @given(vecs=emb_strategy, thr_x10=st.sampled_from([5, 8, 10]))
+@example(vecs=[[1, 1, 1, 1], [0, 0, 0, 0]], thr_x10=5)
+@example(vecs=[[0, 0, 0, 0], [0, 0, 0, 0]], thr_x10=10)
+@example(vecs=[[1, 1, 1, 1], [1, 1, 1, 1], [1, 0, 1, 0]], thr_x10=5)
 @SETTINGS
 def test_semantic_edges_components_equal_pairs(
     spark, vecs, thr_x10

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import (
+    HealthCheck, example, given, settings, strategies as st,
+)
 
 from pyspark.sql import functions as F
 
@@ -235,10 +237,11 @@ def test_new_operators_on_empty_inputs(spark):
         st.integers(1, 5), min_size=1, max_size=4
     ),
     n_out=st.integers(1, 60),
-    data=st.data(),
 )
+@example(sizes=[1], weights=[1], n_out=1)
+@example(sizes=[1], weights=[5], n_out=60)
 @SETTINGS
-def test_mixture_rebalance_quota_property(spark, sizes, weights, n_out, data):
+def test_mixture_rebalance_quota_property(spark, sizes, weights, n_out):
     """For ANY strata sizes / weights / target: per-stratum output
     hits round(n_out * weight) exactly, per-doc copies are within one
     of each other inside a stratum, and epochs per doc are dense

@@ -116,18 +116,35 @@ def _print_plan(specs, rows, n_slots: int) -> int:
 
     tags_of = {s.name: set(s.tags) for s in specs}
     cand = [r for r in rows if r["oracled"]]
-    # rows are already (last_gated, untouched, name)-sorted
-    window = cand[:n_slots]
-    rest = cand[n_slots:]
+    # never-gated oracled queries are MANDATORY window members (new
+    # queries gate the round they ship) — list them as their own
+    # section instead of letting them flood the age-ranked drain
+    never = [r for r in cand if r["last_gated_round"] is None]
+    aged = [r for r in cand if r["last_gated_round"] is not None]
+    drain_slots = max(0, n_slots - len(never))
+    # aged rows are already (last_gated, untouched, name)-sorted
+    window = aged[:drain_slots]
+    rest = aged[drain_slots:]
 
     def covered(win):
         got = set()
-        for r in win:
+        for r in win + never:
             got |= tags_of[r["name"]]
         return got
 
+    def _age_key(r):
+        return (
+            r["last_gated_round"] or 0,
+            not r["code_touched_since_gate"],
+            r["name"],
+        )
+
     missing = REQUIRED_TAGS - covered(window)
     for tag in sorted(missing):
+        # keep rest age-ordered: evictions below append to its tail,
+        # which would otherwise let a later family pick a younger
+        # carrier than the just-evicted member (r11 ADVICE)
+        rest.sort(key=_age_key)
         carrier = next(
             (r for r in rest if tag in tags_of[r["name"]]), None
         )
@@ -149,10 +166,19 @@ def _print_plan(specs, rows, n_slots: int) -> int:
     window.sort(key=lambda r: (r["last_gated_round"] or 0, r["name"]))
     print(f"# proposed next {n_slots}-slot window "
           f"(oldest-first drain, families repaired)")
+    if never:
+        print(f"# {len(never)} never-gated queries take mandatory "
+              f"slots first:")
+        for r in never:
+            fams = ",".join(sorted(tags_of[r["name"]] & REQUIRED_TAGS))
+            print(f'    "{r["name"]}",  # never gated'
+                  f"{' [' + fams + ']' if fams else ''}")
+        print(f"# then the {drain_slots}-slot age-ranked drain:")
     for r in window:
         fams = ",".join(sorted(tags_of[r["name"]] & REQUIRED_TAGS))
         print(f'    "{r["name"]}",  # gated r{r["last_gated_round"]}'
               f"{' [' + fams + ']' if fams else ''}")
+    window = window + never
     left = REQUIRED_TAGS - covered(window)
     print(f"# families uncovered by proposal: {sorted(left) or 'none'}")
     return 0

@@ -122,7 +122,11 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # tools/lsh_skew_ab.py); the ingest-edge pair is
          # delta-vs-corpus (expect ~the incremental_dedup slope, the
          # corpus-signature scan); the bucket histogram is the band
-         # explode + one groupBy (expect <= dedup_lsh_edges' slope);
+         # explode + one groupBy — cheaper than any miner it guards
+         # in ABSOLUTE wall, but its slope is STEEPER than the edge
+         # miner's (measured r11: 0.72 vs 0.55 in SCALING.md) since
+         # the explode+agg is all growth while the miner amortizes
+         # fixed costs (expect ~0.7, not <= the edge slope);
          # the streaming admit twin replays the same edges through
          # 3 micro-batches (expect ~incremental_dedup_edges plus
          # fixed stream overhead)
