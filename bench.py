@@ -258,6 +258,34 @@ def main() -> None:
             f"({'shuffled' if it % 2 else 'registry'} order)",
             file=sys.stderr,
         )
+    # Sub-second noise floor (r11 verdict item 7): a query pinned
+    # below 1 s sits at the scheduler-noise floor, where a 2-sample
+    # min can land anywhere in a ~2x band (q1_pricing_fast hit 1.994x
+    # on a 0.355 s pin from pure scheduler jitter). Give every
+    # sub-second-pinned query at least SUBSEC_MIN_SAMPLES samples so
+    # its recorded min is a best-of-3+; the extra passes cost well
+    # under a second each, so the policy is ~free.
+    SUBSEC_MIN_SAMPLES = 3
+    sf = _sf_from_dir(SF_DIR)
+    base = _baselines(sf)
+    subsec = [
+        s for s in specs
+        if 0 < base.get(s.name, {}).get("sec", 2.0) < 1.0
+        and len(samples[s.name]) < SUBSEC_MIN_SAMPLES
+    ]
+    if subsec:
+        for spec in subsec:
+            while len(samples[spec.name]) < SUBSEC_MIN_SAMPLES:
+                t0 = time.perf_counter()
+                materialize(spec.fn(spark, SF_DIR))
+                samples[spec.name].append(time.perf_counter() - t0)
+                release_caches()
+        print(
+            f"  sub-second pins re-sampled to best-of-"
+            f"{SUBSEC_MIN_SAMPLES}: "
+            f"{[s.name for s in subsec]}",
+            file=sys.stderr,
+        )
     for spec in specs:
         best = min(samples[spec.name])
         timings[spec.name] = round(best, 3)
@@ -273,10 +301,9 @@ def main() -> None:
             line += f"{prev_delta[spec.name]:+.1%})"
         print(line, file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    sf = _sf_from_dir(SF_DIR)
     # per-query 2x gate against the pinned baselines (mechanical
-    # check, not cross-round archaeology)
-    base = _baselines(sf)
+    # check, not cross-round archaeology; sub-second pins carry the
+    # best-of-3 policy above)
     baseline_vs: dict[str, float] = {}
     for name, best in timings.items():
         b = base.get(name, {}).get("sec")
@@ -328,6 +355,7 @@ def main() -> None:
         "baseline_vs": baseline_vs,
         "baseline_breach": breaches,
         "artifact_cache": cache_events,
+        "subsec_bestof3": sorted(s.name for s in subsec),
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

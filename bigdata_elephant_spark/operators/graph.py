@@ -63,6 +63,12 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set (a dedup graph with zero duplicate pairs is
+        # legitimate): 1/N and (1-d)/N below would raise
+        # ZeroDivisionError driver-side — return the typed empty
+        # result instead (r12 ANSI-division audit)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edge weight = 1/outdeg(src), fixed across iterations
     w = (

@@ -64,11 +64,20 @@ def weighted_sample_keys(
     membership if the k-th and (k+1)-th keys are within that — order
     statistics of a continuous key are vastly farther apart, so the
     oracle replay is stable (and the key itself is never emitted).
+
+    Non-positive weights have inclusion probability 0 (the A-ES key
+    ``ln(u)/w`` -> -inf as w -> 0+), but under ANSI mode ``w = 0``
+    would RAISE on the division — so the key is NULL for ``w <= 0``
+    (r12 ANSI-division audit). Consumers must still filter ``w > 0``
+    before ordering: Spark sorts NULL last under ``desc`` while
+    DuckDB sorts it first, so a NULL key reaching an ORDER BY would
+    diverge across engines (weighted_sample_orders does exactly
+    this, mirrored in its oracle's WHERE).
     """
     kc = F.col(key) if isinstance(key, str) else key
     wc = F.col(weight) if isinstance(weight, str) else weight
     u = (h32(kc.cast("string")) + F.lit(1)) / F.lit(4_294_967_296.0)
-    return F.log(u) / wc
+    return F.when(wc > 0, F.log(u) / wc)
 
 
 def stratified_hash_sample(

@@ -2561,9 +2561,15 @@ def q_label_centroid_similarity(
         .groupBy("la", "lb")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
+    # n2 is NOT structurally nonzero: a label whose member vectors
+    # average to exactly zero per dimension (e.g. v and -v) yields an
+    # all-zero centroid, and ANSI raises on the cosine division — the
+    # zero-norm filter contract applies here exactly as in
+    # similarity._exact_rerank (r12 ANSI-division audit; oracle
+    # carries the same predicate)
     norms = cent.groupBy("label").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
-    )
+    ).filter(F.col("n2") > 0)
     na = norms.select(
         F.col("label").alias("la"), F.col("n2").alias("na2")
     )
@@ -2610,7 +2616,11 @@ prods AS (
     GROUP BY 1, 2
 ),
 norms AS (
-    SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1
+    -- n2 > 0: an all-zero centroid (members averaging to zero) has
+    -- no cosine, mirroring the Spark side's filter
+    SELECT label, n2 FROM (
+        SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1
+    ) WHERE n2 > 0
 )
 SELECT CAST(p.la AS BIGINT) AS la, CAST(p.lb AS BIGINT) AS lb,
        round(CAST(p.dot AS DOUBLE)

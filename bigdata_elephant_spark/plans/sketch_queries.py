@@ -335,7 +335,12 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     key = weighted_sample_keys("o_orderkey", "o_totalprice")
     return (
-        o.withColumn("k", key)
+        # w > 0: zero-weight rows have inclusion probability 0 and a
+        # NULL A-ES key (ANSI guard in weighted_sample_keys); they
+        # must not reach the ORDER BY — Spark and DuckDB disagree on
+        # NULL placement under desc (r12 ANSI-division audit)
+        o.filter(F.col("o_totalprice") > 0)
+        .withColumn("k", key)
         .orderBy(F.desc("k"), "o_orderkey")
         .limit(SAMPLE_K)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -349,6 +354,7 @@ WITH keyed AS (
            ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
                + 1) / 4294967296.0) / o_totalprice AS k
     FROM orders
+    WHERE o_totalprice > 0
 ),
 top AS (
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -130,11 +130,17 @@ GATE_PRIORITY = (
     "semantic_dedup_edges",
     "semantic_dedup_pairs",
     "sq8_recall_report",
-    # --- 9 of the 22-query r3 remainder (alphabetical from
-    # event_transition_matrix, with two family swaps: mixture_
+    # --- two more r12-changed queries from the ANSI-division audit
+    # (verdict item 5): the zero-centroid cosine guard and the
+    # zero-weight A-ES key guard changed both plan and oracle ---
+    "label_centroid_similarity",
+    "weighted_sample_orders",
+    # --- 8 of the 22-query r3 remainder (alphabetical from
+    # events_stream_sliding, with two family swaps: mixture_
     # rebalance -> quantile_sketch_totalprice for the sketch slot,
-    # pivot_api_events -> scd2_user_history for the window slot) ---
-    "event_transition_matrix",
+    # pivot_api_events -> scd2_user_history for the window slot;
+    # event_transition_matrix ceded its slot to the audit must-gates
+    # above) ---
     "events_stream_sliding",
     "exact_median_mode",
     "incremental_daily_revenue",
@@ -143,13 +149,13 @@ GATE_PRIORITY = (
     "media_wav_stats",
     "quantile_sketch_totalprice",
     "scd2_user_history",
-    # --- 4 family carriers the 46 slots above cannot cover: graph
-    # and temporal ride the r4 drain (oldest carriers), stateful and
-    # layout come from r9 (their only remaining carriers) ---
+    # --- 3 family carriers the slots above cannot cover: graph and
+    # temporal ride the r4 drain (oldest carriers), stateful from r9
+    # (layout now rides weighted_sample_orders, an audit must-gate)
+    # ---
     "dupgraph_triangles_degree",
     "conversion_latency",
     "docs_stream_curate",
-    "weighted_sample_orders",
 )
 
 

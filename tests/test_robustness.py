@@ -551,3 +551,66 @@ def test_dedup_guard_operators_on_empty_and_degenerate_inputs(spark):
     assert sorted((r.id_a, r.id_b) for r in star) == [
         (0, b) for b in range(1, 6)
     ]
+
+
+def test_ansi_division_audit_degenerate_inputs(spark, tmp_path):
+    """r12 ANSI-division audit (VERDICT r11 item 5): the three
+    divisions whose divisor is NOT structurally nonzero, each probed
+    with the degenerate-but-legal input that used to raise.
+
+    1. pagerank on an EMPTY edge set (a dedup graph with zero
+       duplicate pairs): 1/N was a driver-side ZeroDivisionError.
+    2. weighted_sample_keys with w <= 0 (a zero-priced order):
+       ln(u)/0 raised ANSI DIVIDE_BY_ZERO; the key is now NULL and
+       the weighted_sample_orders consumer filters w > 0.
+    3. label_centroid_similarity with a label whose members average
+       to the zero vector (v and -v): the centroid cosine raised;
+       zero-norm centroids now drop (the similarity filter
+       contract), oracle carrying the same predicate.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.graph import pagerank
+    from bigdata_elephant_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        q_label_centroid_similarity,
+    )
+
+    # 1. empty graph -> typed empty result, not ZeroDivisionError
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    got = pagerank(empty_edges, iterations=2)
+    assert got.columns == ["node", "rank"]
+    assert got.count() == 0
+
+    # 2. zero / negative weights -> NULL key, positive rows keyed
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0)], "id long, w double"
+    )
+    rows = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", weighted_sample_keys("id", "w").alias("k")
+        ).collect()
+    }
+    assert rows[1] is not None and rows[1] < 0  # ln(u)/w, u in (0,1]
+    assert rows[2] is None and rows[3] is None
+
+    # 3. label 7's centroid is the zero vector -> pairs with it drop;
+    # the surviving 8-9 pair still scores
+    import pandas as pd
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [1.0, 2.0], [-1.0, -2.0], [3.0, 1.0], [0.0, 2.0],
+            ],
+            "label": [7, 7, 8, 9],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    out = q_label_centroid_similarity(spark, d).collect()
+    assert [(r.la, r.lb) for r in out] == [(8, 9)]
+    assert all(r.cos_sim is not None for r in out)

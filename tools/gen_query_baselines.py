@@ -21,9 +21,46 @@ import glob
 import json
 import os
 import re
+import subprocess
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH_SF = 0.1
+
+
+def _round_detail(rnd: str) -> dict[str, float] | None:
+    """Fallback per-query seconds for a round whose BENCH_rN.json
+    compact line dropped the ``queries`` dict (the line outgrew the
+    driver's ~2000-char stdout capture — first seen r11 at 64
+    queries): the driver's round-marker commit ("round N: verdict/")
+    snapshots ITS OWN BENCH_DETAIL.json run, so ``git show`` of that
+    blob recovers the same driver-recorded timings the compact line
+    lost."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        capture_output=True, text=True, cwd=HERE, check=True,
+    ).stdout
+    sha = None
+    for line in out.splitlines():
+        m = re.match(rf"(\w+) round {rnd[1:]}: verdict/", line)
+        if m:
+            sha = m.group(1)  # newest marker for the round wins
+            break
+    if sha is None:
+        return None
+    blob = subprocess.run(
+        ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+        capture_output=True, text=True, cwd=HERE,
+    ).stdout
+    try:
+        detail = json.loads(blob)
+    except ValueError:
+        return None
+    if float(detail.get("sf", -1)) != BENCH_SF:
+        return None
+    q = detail.get("queries")
+    if isinstance(q, dict) and q:
+        return {k: float(v) for k, v in q.items()}
+    return None
 
 # query -> (round, why the pin moved off the earliest record)
 DEFINITION_ROUNDS = {
@@ -49,6 +86,10 @@ def load_rounds() -> list[tuple[str, dict[str, float]]]:
         q = parsed.get("queries")
         if isinstance(q, dict) and q:
             out.append((m.group(1), {k: float(v) for k, v in q.items()}))
+        else:
+            detail = _round_detail(m.group(1))
+            if detail:
+                out.append((m.group(1), detail))
     return out
 
 
