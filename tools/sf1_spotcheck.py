@@ -132,7 +132,13 @@ HEAVY = ("llm_pipeline_e2e", "embedding_gram_matrix",
          # fixed stream overhead)
          "semantic_dedup_edges", "near_dup_edges_lsh",
          "incremental_dedup_edges", "docs_stream_dedup_admit",
-         "lsh_bucket_histogram")
+         "lsh_bucket_histogram",
+         # round-12 addition (r11 verdict item 6): the r11 star-edge
+         # rewrite's consumer — mines the collapsed edge graph, then
+         # runs components + two hash aggs on the tiny label table
+         # (expect ~the dedup_lsh_edges slope: the miner dominates,
+         # the histogram tail is group-count-sized)
+         "dup_group_size_histogram")
 ITERS = int(os.environ.get("SF1_ITERS", "2"))
 
 
