@@ -6,6 +6,8 @@ each example runs real Spark jobs.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import (
     HealthCheck, example, given, settings, strategies as st,
@@ -24,8 +26,15 @@ doc_strategy = st.lists(
 
 corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=8)
 
+# ELEPHANT_HYPOTHESIS_EXAMPLES multiplies the default example
+# budget for local deep shakes (the r11 lesson: a thin randomized
+# draw can ship committed-green over a crashing input class); the
+# committed default keeps suite wall time bounded, the documented
+# edge classes are pinned as @example regardless.
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(
+        os.environ.get("ELEPHANT_HYPOTHESIS_EXAMPLES", "8")
+    ),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

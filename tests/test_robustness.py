@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from datetime import datetime, timedelta
 
 from hypothesis import (
@@ -14,8 +16,15 @@ from bigdata_elephant_spark.functions.text import tokenize
 from bigdata_elephant_spark.operators import temporal
 from bigdata_elephant_spark.operators.dedup import doc_shingles
 
+# ELEPHANT_HYPOTHESIS_EXAMPLES multiplies the default example
+# budget for local deep shakes (the r11 lesson: a thin randomized
+# draw can ship committed-green over a crashing input class); the
+# committed default keeps suite wall time bounded, the documented
+# edge classes are pinned as @example regardless.
 SETTINGS = settings(
-    max_examples=6,
+    max_examples=int(
+        os.environ.get("ELEPHANT_HYPOTHESIS_EXAMPLES", "6")
+    ),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
