@@ -1452,8 +1452,10 @@ def ivf_topk_batch_indexed(
     ]
     candidates = (
         vecs.filter(F.col("cell_id").isin(cell_union))
-        # zero-norm guard on the data side (_exact_rerank contract)
-        .filter(_norm2(F.col(vec_col)) > 0)
+        .withColumn("_nrm", F.sqrt(_norm2(F.col(vec_col))))
+        # zero-norm guard on the data side (_exact_rerank contract);
+        # norm projected once, reused by the score
+        .filter(F.col("_nrm") > 0)
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -1463,7 +1465,7 @@ def ivf_topk_batch_indexed(
         id_col,
         F.round(
             _dot(F.col(vec_col), F.col("_qvec"))
-            / (F.sqrt(_norm2(F.col(vec_col))) * F.col("_qnrm")),
+            / (F.col("_nrm") * F.col("_qnrm")),
             6,
         ).alias("cos_sim"),
     )
@@ -3141,9 +3143,17 @@ def ivf_topk_batch(
     )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     candidates = (
-        embeddings.join(assigned, id_col)
-        # zero-norm guard on the data side (_exact_rerank contract)
-        .filter(_norm2(F.col(vec_col)) > 0)
+        embeddings.select(
+            id_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        # zero-norm guard on the data side (_exact_rerank contract);
+        # the norm is projected ONCE and reused by the score below —
+        # filtering on a re-derived _norm2 would pay the array fold
+        # twice per row
+        .filter(F.col("_nrm") > 0)
+        .join(assigned, id_col)
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -3153,7 +3163,7 @@ def ivf_topk_batch(
         id_col,
         F.round(
             _dot(F.col(vec_col), F.col("_qvec"))
-            / (F.sqrt(_norm2(F.col(vec_col))) * F.col("_qnrm")),
+            / (F.col("_nrm") * F.col("_qnrm")),
             6,
         ).alias("cos_sim"),
     )
@@ -3193,19 +3203,22 @@ def _exact_rerank_batch(
     )
     return (
         embeddings.join(short, F.col(id_col) == F.col("_sid"))
-        .select("q_id", id_col, vec_col)
-        # zero-norm guard on the data side (_exact_rerank contract)
-        .filter(_norm2(F.col(vec_col)) > 0)
+        .select(
+            "q_id",
+            id_col,
+            vec_col,
+            F.sqrt(_norm2(F.col(vec_col))).alias("_nrm"),
+        )
+        # zero-norm guard on the data side (_exact_rerank contract);
+        # norm projected once, reused by the score
+        .filter(F.col("_nrm") > 0)
         .join(F.broadcast(q), "q_id")
         .select(
             "q_id",
             id_col,
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (
-                    F.sqrt(_norm2(F.col(vec_col)))
-                    * F.col("_qnrm")
-                ),
+                / (F.col("_nrm") * F.col("_qnrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -3355,9 +3368,13 @@ def ivf_probe_recall_sweep(
     )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     scored = (
-        embeddings.join(assigned, id_col)
-        # zero-norm guard on the data side (_exact_rerank contract)
-        .filter(_norm2(F.col(vec_col)) > 0)
+        embeddings.withColumn(
+            "_nrm", F.sqrt(_norm2(F.col(vec_col)))
+        )
+        # zero-norm guard on the data side (_exact_rerank contract);
+        # norm projected once, reused by the score
+        .filter(F.col("_nrm") > 0)
+        .join(assigned, id_col)
         .join(F.broadcast(cell_rank), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -3367,10 +3384,7 @@ def ivf_probe_recall_sweep(
             "crank",
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (
-                    F.sqrt(_norm2(F.col(vec_col)))
-                    * F.col("_qnrm")
-                ),
+                / (F.col("_nrm") * F.col("_qnrm")),
                 6,
             ).alias("cos_sim"),
         )
