@@ -50,6 +50,81 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
+# Vector-validity classes, most-broken-first (first match wins).
+# Every similarity operator in this module assumes finite floats —
+# the norm>0 filter contract (r12) drops zero vectors, but NaN/Inf
+# sail through it (NaN > 0 is TRUE under Spark's NaN-greatest
+# ordering) and silently poison cosine ranks. This is the ingest
+# gate that makes the "finite floats only" contract enforceable
+# instead of assumed (r12 verdict item 4).
+EMB_VALIDITY_CLASSES = ("null", "wrong_dim", "nonfinite", "zero", "ok")
+
+
+def embedding_validity(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Adds a ``validity`` column classifying each vector:
+
+    - ``null``: the vector column itself is NULL;
+    - ``wrong_dim``: ``expected_dim`` given and ``size != expected``
+      (skipped when ``expected_dim`` is None);
+    - ``nonfinite``: any element is NULL, NaN or ±Inf — the class the
+      norm>0 filter contract CANNOT catch (NaN norms pass ``> 0``
+      under Spark's NaN-greatest comparison semantics);
+    - ``zero``: every element is exactly 0 (norm 0 — undefined
+      cosine; the class the norm>0 filters drop). The empty vector
+      lands here too when no ``expected_dim`` flags it first;
+    - ``ok``: a finite, nonzero vector — in contract for every
+      operator in this module.
+
+    Pure column expressions (one ``exists`` pass per predicate, no
+    shuffle, no UDF): at 100 TB this pipelines into the ingest scan
+    and costs nothing beyond the element sweep. Element predicates
+    test NULL first, so the ``exists`` lambda never returns NULL.
+    """
+    vec = F.col(vec_col)
+    nonfinite = F.exists(
+        vec,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    validity = F.when(vec.isNull(), F.lit("null"))
+    if expected_dim is not None:
+        validity = validity.when(
+            F.size(vec) != F.lit(int(expected_dim)), F.lit("wrong_dim")
+        )
+    validity = (
+        validity.when(nonfinite, F.lit("nonfinite"))
+        .when(~F.exists(vec, lambda x: x != F.lit(0.0)), F.lit("zero"))
+        .otherwise(F.lit("ok"))
+    )
+    return embeddings.withColumn("validity", validity)
+
+
+def quarantine_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split on :func:`embedding_validity`:
+    ``(clean, quarantined)``. ``clean`` drops the helper column and
+    carries only in-contract vectors (finite, nonzero, right-sized)
+    — safe input for every operator in this module. ``quarantined``
+    keeps the ``validity`` column as the dead-letter reason, the
+    same lane shape as the CSV bad-record sink in ``sources/``."""
+    classified = embedding_validity(
+        embeddings, id_col, vec_col, expected_dim
+    )
+    clean = classified.filter(F.col("validity") == "ok").drop("validity")
+    quarantined = classified.filter(F.col("validity") != "ok")
+    return clean, quarantined
+
+
 def _exact_rerank(
     candidates: DataFrame,
     q: DataFrame,
@@ -2533,7 +2608,7 @@ def cosine_topk_batch(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qvec"),
         F.sqrt(_norm2(F.col(vec_col))).alias("_qnrm"),
-    ).filter(F.col("_qnrm") > 0).filter(F.col("_qnrm") > 0)
+    ).filter(F.col("_qnrm") > 0)
     scored = (
         embeddings.select(
             id_col,

@@ -178,7 +178,10 @@ def _print_plan(specs, rows, n_slots: int) -> int:
         fams = ",".join(sorted(tags_of[r["name"]] & REQUIRED_TAGS))
         print(f'    "{r["name"]}",  # gated r{r["last_gated_round"]}'
               f"{' [' + fams + ']' if fams else ''}")
-    window = window + never
+    # covered() already unions in the mandatory never-gated rows, so
+    # the final check passes `window` as-is — one source of truth for
+    # who counts toward coverage (r12 ADVICE: the old
+    # `window = window + never` reassignment double-counted them)
     left = REQUIRED_TAGS - covered(window)
     print(f"# families uncovered by proposal: {sorted(left) or 'none'}")
     return 0

@@ -41,7 +41,13 @@ def _round_detail(rnd: str) -> dict[str, float] | None:
     ).stdout
     sha = None
     for line in out.splitlines():
-        m = re.match(rf"(\w+) round {rnd[1:]}: verdict/", line)
+        # round-marker commits use the UNPADDED round number ("round
+        # 5: verdict/..."), while rnd arrives zero-padded from the
+        # BENCH_r05.json filename — match on int(...) or the fallback
+        # silently skips every single-digit round (r12 ADVICE: r05
+        # and r09 were sf0.1 with truncated queries dicts yet absent
+        # from rounds_seen, pinning their queries to later rounds)
+        m = re.match(rf"(\w+) round {int(rnd[1:])}: verdict/", line)
         if m:
             sha = m.group(1)  # newest marker for the round wins
             break
