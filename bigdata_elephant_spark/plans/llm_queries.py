@@ -377,6 +377,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_groups(edges)
 
 
+def q_dedup_groups_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-audit twin of :func:`q_dedup_groups` (QuerySpec.step_fn):
+    the un-checkpointed frame one production propagation round
+    executes. Edge construction mirrors q_dedup_groups — keep in
+    sync. Not a registry query; dumped by tools/dump_plans.py."""
+    from pyspark.sql import functions as F
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    edges = dedup.lsh_candidate_edges(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    return dedup.duplicate_groups_round_frame(edges)
+
+
 DEDUP_GROUPS_SQL = f"""
 WITH RECURSIVE {DOC_TOKS_CTE}, {DOC_SHINGLES_CTE}, {MINHASH_SIGS_CTE},
 bands AS (
@@ -436,6 +450,33 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+
+
+def q_pagerank_dupgraph_step(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Plan-audit twin of :func:`q_pagerank_dupgraph`
+    (QuerySpec.step_fn): the un-checkpointed frame one production
+    rank update executes. Edge construction mirrors
+    q_pagerank_dupgraph — keep in sync. Not a registry query; dumped
+    by tools/dump_plans.py."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators.graph import (
+        pagerank_round_frame,
+    )
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_sim") >= LSH_EST_SIM_MIN
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    return pagerank_round_frame(edges, damping=PR_DAMPING)
 
 
 def _pagerank_iter_ctes(iters: int, damping: float) -> str:
@@ -999,6 +1040,102 @@ SELECT vec_id, cos_sim FROM (
 )
 ORDER BY cos_sim DESC, vec_id
 LIMIT {KNN_K}
+"""
+
+
+EMB_DIM = 64  # every sf tier ships 64-d vectors (TESTDATA.md)
+
+
+def q_embeddings_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-gate audit for the finite-floats contract (similarity.py
+    embedding_validity): every cosine operator assumes finite,
+    nonzero, right-sized vectors, and the engine-wide norm>0 filter
+    cannot catch NaN (NaN > 0 is TRUE under Spark's NaN-greatest
+    ordering — a NaN embedding silently poisons ranks instead of
+    dropping). The test corpus is all-finite by construction, so the
+    query plants every broken class deterministically (keyed on
+    vec_id residues, first match wins) and reports the per-class
+    quarantine counts — the driver gate then proves BOTH engines
+    classify identically, including the planted NaN/±Inf rows. Pure
+    column expressions; at 100 TB this is the zero-shuffle dead-
+    letter split the pipeline runs at ingest."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    nan = F.lit(float("nan")).cast("float")
+    pinf = F.lit(float("inf")).cast("float")
+    ninf = F.lit(float("-inf")).cast("float")
+    vid = F.col("vec_id")
+    corrupt = (
+        F.when(vid % 97 == 0, F.transform(
+            vec, lambda x, i: F.when(i == 0, nan).otherwise(x)))
+        .when(vid % 101 == 1, F.transform(
+            vec, lambda x, i: F.when(i == 1, pinf).otherwise(x)))
+        .when(vid % 103 == 2, F.transform(
+            vec, lambda x, i: F.when(i == 2, ninf).otherwise(x)))
+        .when(vid % 89 == 3, F.transform(
+            vec, lambda x: F.lit(0.0).cast("float")))
+        .when(vid % 113 == 5, F.slice(vec, 1, 3))
+        .when(vid % 127 == 7, F.lit(None).cast("array<float>"))
+        .otherwise(vec)
+    )
+    injected = emb.select("vec_id", corrupt.alias("embedding"))
+    classified = similarity.embedding_validity(
+        injected, expected_dim=EMB_DIM
+    )
+    return (
+        classified.groupBy("validity")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .orderBy("validity")
+    )
+
+
+EMBEDDINGS_QUARANTINE_SQL = f"""
+WITH injected AS (
+    SELECT vec_id,
+        CASE
+            WHEN vec_id % 97 = 0 THEN list_transform(embedding,
+                (x, i) -> CASE WHEN i = 1 THEN 'NaN'::FLOAT ELSE x END)
+            WHEN vec_id % 101 = 1 THEN list_transform(embedding,
+                (x, i) -> CASE WHEN i = 2 THEN 'Infinity'::FLOAT
+                               ELSE x END)
+            WHEN vec_id % 103 = 2 THEN list_transform(embedding,
+                (x, i) -> CASE WHEN i = 3 THEN '-Infinity'::FLOAT
+                               ELSE x END)
+            WHEN vec_id % 89 = 3 THEN list_transform(embedding,
+                x -> 0.0::FLOAT)
+            WHEN vec_id % 113 = 5 THEN embedding[1:3]
+            WHEN vec_id % 127 = 7 THEN NULL
+            ELSE embedding
+        END AS embedding
+    FROM embeddings
+),
+classified AS (
+    SELECT vec_id,
+        CASE
+            WHEN embedding IS NULL THEN 'null'
+            WHEN len(embedding) <> {EMB_DIM} THEN 'wrong_dim'
+            WHEN len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+                THEN 'nonfinite'
+            WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+                THEN 'zero'
+            ELSE 'ok'
+        END AS validity
+    FROM injected
+)
+SELECT validity, count(*) AS n_vecs,
+       min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM classified
+GROUP BY validity
+ORDER BY validity
 """
 
 
@@ -3714,7 +3851,8 @@ SPECS = [
               INCREMENTAL_DEDUP_EDGES_SQL,
               ("llm", "dedup", "incremental")),
     QuerySpec("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL,
-              ("llm", "dedup", "iterative"), bench=True),
+              ("llm", "dedup", "iterative"), bench=True,
+              step_fn=q_dedup_groups_step),
     QuerySpec("dupgraph_triangles", q_dupgraph_triangles,
               DUPGRAPH_TRIANGLES_SQL, ("llm", "graph")),
     QuerySpec("dupgraph_triangles_degree", q_dupgraph_triangles_degree,
@@ -3722,7 +3860,8 @@ SPECS = [
     QuerySpec("pagerank_dangling", q_pagerank_dangling,
               PAGERANK_DANGLING_SQL, ("graph",)),
     QuerySpec("pagerank_dupgraph", q_pagerank_dupgraph, PAGERANK_SQL,
-              ("llm", "graph", "iterative"), bench=True),
+              ("llm", "graph", "iterative"), bench=True,
+              step_fn=q_pagerank_dupgraph_step),
     QuerySpec("minhash_est_error", q_minhash_est_error,
               MINHASH_EST_ERROR_SQL, ("llm", "dedup", "report")),
     QuerySpec("dedup_lsh_recall", q_dedup_lsh_recall,
@@ -3738,6 +3877,8 @@ SPECS = [
               bench=True),
     QuerySpec("knn_cosine", q_knn_cosine, KNN_COSINE_SQL,
               ("llm", "similarity"), bench=True),
+    QuerySpec("embeddings_quarantine", q_embeddings_quarantine,
+              EMBEDDINGS_QUARANTINE_SQL, ("llm", "similarity")),
     QuerySpec("knn_cosine_lsh", q_knn_cosine_lsh, KNN_COSINE_LSH_SQL,
               ("llm", "similarity")),
     QuerySpec("kmeans_step", q_kmeans_step, KMEANS_STEP_SQL,

@@ -668,3 +668,90 @@ def test_semantic_edges_components_equal_pairs(
     assert comps(
         similarity.near_dup_edges(emb, thr, planes=planes)
     ) == comps(similarity.near_dup_pairs(emb, thr, planes=planes))
+
+
+# vectors drawn with NaN/±Inf deliberately in range: the finite-floats
+# contract (similarity.py, r12) was declared but unenforced — NaN
+# norms pass the norm>0 filter (NaN > 0 is TRUE under Spark's
+# NaN-greatest ordering) and silently poison cosine ranks. The
+# quarantine lane is the enforcement; this property proves the
+# composed pipeline (quarantine -> pair miner) equals the miner over
+# the finite-only subset for ANY mix of broken vectors.
+_SPECIALS = [float("nan"), float("inf"), float("-inf")]
+dirty_vec_strategy = st.lists(
+    st.sampled_from([-2.0, -1.0, 0.0, 1.0, 2.0] + _SPECIALS),
+    min_size=4,
+    max_size=4,
+)
+dirty_emb_strategy = st.lists(
+    st.sampled_from(
+        [[1.0, 1.0, 1.0, 1.0], [1.0, 0.0, 1.0, 0.0]]
+    ) | dirty_vec_strategy,
+    min_size=2,
+    max_size=10,
+)
+
+
+def _is_clean(v):
+    import math
+
+    return all(math.isfinite(x) for x in v) and any(x != 0 for x in v)
+
+
+@given(vecs=dirty_emb_strategy, thr_x10=st.sampled_from([5, 10]))
+@example(  # the headline case: a NaN vector next to a real dup pair
+    vecs=[[float("nan"), 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 1.0],
+          [1.0, 1.0, 1.0, 1.0]],
+    thr_x10=5,
+)
+@example(  # ±Inf and the zero vector in one corpus
+    vecs=[[float("inf"), 0.0, 0.0, 0.0],
+          [float("-inf"), 1.0, 0.0, 1.0], [0.0, 0.0, 0.0, 0.0],
+          [1.0, 1.0, 1.0, 1.0]],
+    thr_x10=10,
+)
+@example(vecs=[[float("nan")] * 4, [float("nan")] * 4], thr_x10=5)
+@SETTINGS
+def test_quarantine_enforces_finite_contract(spark, vecs, thr_x10):
+    from bigdata_elephant_spark.operators import similarity
+
+    thr = thr_x10 / 10.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+    clean, quar = similarity.quarantine_embeddings(emb, expected_dim=4)
+    clean_rows = clean.collect()
+    quar_rows = quar.collect()
+    # the split is a partition of the input
+    assert len(clean_rows) + len(quar_rows) == len(vecs)
+    assert {r.vec_id for r in clean_rows}.isdisjoint(
+        {r.vec_id for r in quar_rows}
+    )
+    # lane membership matches the python-side contract predicate
+    assert {r.vec_id for r in clean_rows} == {
+        i for i, v in enumerate(vecs) if _is_clean(v)
+    }
+    # every quarantined row carries a non-ok reason from the declared
+    # class set
+    assert all(
+        r.validity in ("null", "wrong_dim", "nonfinite", "zero")
+        for r in quar_rows
+    )
+    # composed pipeline == miner over the manually-filtered finite
+    # subset: quarantining is exactly "remove out-of-contract rows",
+    # nothing else
+    manual = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs) if _is_clean(v)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def pairs(df):
+        return {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in similarity.semantic_dedup_pairs(
+                df, thr, n_cells=3
+            ).collect()
+        }
+
+    assert pairs(clean) == pairs(manual)

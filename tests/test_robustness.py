@@ -623,3 +623,51 @@ def test_ansi_division_audit_degenerate_inputs(spark, tmp_path):
     out = q_label_centroid_similarity(spark, d).collect()
     assert [(r.la, r.lb) for r in out] == [(8, 9)]
     assert all(r.cos_sim is not None for r in out)
+
+
+def test_embedding_validity_classes(spark):
+    """Direct class check for the finite-floats ingest gate (r12
+    verdict item 4): one row per declared validity class, including
+    the edges — empty vector, NULL element, -0.0-only vector."""
+    from bigdata_elephant_spark.operators.similarity import (
+        embedding_validity,
+        quarantine_embeddings,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),        # ok
+        (1, None),                         # null
+        (2, [1.0, 2.0]),                   # wrong_dim
+        (3, [nan, 1.0, 1.0, 1.0]),         # nonfinite (NaN)
+        (4, [1.0, inf, 1.0, 1.0]),         # nonfinite (+Inf)
+        (5, [1.0, -inf, 1.0, 1.0]),        # nonfinite (-Inf)
+        (6, [1.0, None, 1.0, 1.0]),        # nonfinite (NULL element)
+        (7, [0.0, 0.0, 0.0, 0.0]),         # zero
+        (8, [0.0, -0.0, 0.0, 0.0]),        # zero (-0.0 == 0.0)
+        (9, []),                           # wrong_dim (empty, dim=4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: r.validity
+        for r in embedding_validity(emb, expected_dim=4).collect()
+    }
+    assert got == {
+        0: "ok", 1: "null", 2: "wrong_dim", 3: "nonfinite",
+        4: "nonfinite", 5: "nonfinite", 6: "nonfinite", 7: "zero",
+        8: "zero", 9: "wrong_dim",
+    }
+    # without expected_dim the dim checks disappear; the empty vector
+    # degrades to zero (its norm is 0), short vectors classify on
+    # their contents
+    got_nodim = {
+        r.vec_id: r.validity
+        for r in embedding_validity(emb).collect()
+    }
+    assert got_nodim[2] == "ok" and got_nodim[9] == "zero"
+    clean, quar = quarantine_embeddings(emb, expected_dim=4)
+    assert [r.vec_id for r in clean.collect()] == [0]
+    assert "validity" not in clean.columns
+    assert quar.count() == 9
