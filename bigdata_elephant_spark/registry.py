@@ -33,6 +33,14 @@ class QuerySpec:
     oracle: str | Callable[[], str] | None = None
     tags: tuple[str, ...] = field(default=())
     bench: bool = False
+    # Driver-iterative queries (localCheckpoint per round) return a
+    # frame whose plan is a bare checkpoint scan, so PLANS.md would
+    # record `shuffles=0 scans=0` for the most shuffle-heavy queries
+    # in the repo (r12 verdict item 3). `step_fn` builds the
+    # un-checkpointed frame ONE representative production iteration
+    # executes; tools/dump_plans.py dumps it alongside the result
+    # plan.
+    step_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 # Families that must have at least one driver-verified row per
@@ -65,97 +73,82 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-12 ROTATION — the zero-norm-contract round. r12's code
-    # change (VERDICT r11 item 1: the engine-wide norm>0 cosine
-    # filter, applied to 13 similarity functions AND mirrored into
-    # every consumer's DuckDB oracle) touches 37 registry queries —
-    # computed mechanically as "fn source or resolved oracle differs
-    # vs HEAD@r11" — and the repo rule (changed queries gate the
-    # round they ship; VERDICT item 2 orders the must-gates BEFORE
-    # drain slots) makes all 37 mandatory. That leaves 13 drain
-    # slots, so the committed r11 schedule ("r12 drains the r3
-    # remainder + r4 cohort") shifts right by one round:
-    #   r12 (this window): 37 must-gates + 9 of the 22-query r3
-    #       remainder (alphabetical, with quantile_sketch_totalprice
-    #       and scd2_user_history swapped in for the sketch/window
-    #       family slots) + 4 family carriers the must-gates can't
-    #       cover (graph/temporal from the r4 cohort — double-
-    #       counting as drain — and stateful/layout from r9).
-    #   r13: the 13-query r3 remainder + the ~30 remaining r4
-    #       queries + r6 as fits.
-    #   r14: the r6 remainder + r7 cohort -> worst oracled age <= 6;
-    #       gate_coverage --max-age 6 exits 0 one round later than
-    #       the r11 plan — the cost of verifying the contract fix
-    #       the round it shipped, per the repo's own rule.
-    # Steady state unchanged: ~45 drain slots/round over 266 queries
-    # = a 5.9-round cycle, provided new-query production stays <= ~5.
+    # ROUND-13 ROTATION — the committed drain round (r12 verdict
+    # item 1). Window composition, per the schedule recorded in the
+    # r12 comment (git history) and tools/gate_coverage.py --plan:
+    #   - 1 must-gate: embeddings_quarantine ships this round (the
+    #     finite-floats ingest gate, r12 verdict item 4) — new
+    #     queries gate the round they ship. It takes the youngest
+    #     evictable drain slot (docs_stream_dsir, r8; streaming
+    #     coverage stays on events_stream_anomalies).
+    #   - the full 14-query r3 remainder + the 30-query r4 remainder
+    #     + 3 r6 queries (oldest-first drain, exactly the --plan
+    #     proposal), leaving the r6 remainder + r7 cohort for r14.
+    #   - 2 family carriers: events_stream_anomalies (stateful) and
+    #     zorder_orders_layout (layout), both r10 — no older carrier
+    #     exists for either family.
+    #   After this window the worst oracled age is r4-gated = 9 at
+    #   r13 close -> r14 drains r6 remainder + r7 cohort and
+    #   gate_coverage --max-age 6 exits 0 from r14 on. Steady state:
+    #   ~45 drain slots/round over 267 queries = a 6-round cycle,
+    #   provided new-query production stays <= ~5.
     #
-    # --- the 37 changed-this-round must-gates (zero-norm filter:
-    # engine plan and/or oracle SQL changed; every cosine division
-    # now guards both divisor sides on both engines) ---
-    "ann_recall_report",
-    "ivf_probe_sweep",
-    "ivf_recall_report",
-    "knn_batch",
-    "knn_cosine",
-    "knn_cosine_lsh",
-    "knn_cosine_lsh_multiprobe",
-    "knn_ivf",
-    "knn_ivf_batch",
-    "knn_ivf_batch_indexed",
-    "knn_ivf_compacted",
-    "knn_ivf_delete_compacted",
-    "knn_ivf_deleted",
-    "knn_ivf_filtered",
-    "knn_ivf_filtered_indexed",
-    "knn_ivf_incremental",
-    "knn_ivf_indexed",
-    "knn_ivf_sq8",
-    "knn_ivf_sq8_incremental",
-    "knn_ivf_sq8_indexed",
-    "knn_ivfpq",
-    "knn_ivfpq_batch",
-    "knn_ivfpq_incremental",
-    "knn_ivfpq_indexed",
-    "knn_pq",
-    "knn_pq_batch",
-    "knn_sq8",
-    "knn_sq8_batch",
-    "near_dup_edges_lsh",
-    "near_dup_embeddings",
-    "near_dup_embeddings_lsh",
-    "pq_recall_report",
-    "search_hybrid_indexed",
-    "search_hybrid_rrf",
-    "semantic_dedup_edges",
-    "semantic_dedup_pairs",
-    "sq8_recall_report",
-    # --- two more r12-changed queries from the ANSI-division audit
-    # (verdict item 5): the zero-centroid cosine guard and the
-    # zero-weight A-ES key guard changed both plan and oracle ---
-    "label_centroid_similarity",
-    "weighted_sample_orders",
-    # --- 8 of the 22-query r3 remainder (alphabetical from
-    # events_stream_sliding, with two family swaps: mixture_
-    # rebalance -> quantile_sketch_totalprice for the sketch slot,
-    # pivot_api_events -> scd2_user_history for the window slot;
-    # event_transition_matrix ceded its slot to the audit must-gates
-    # above) ---
-    "events_stream_sliding",
-    "exact_median_mode",
-    "incremental_daily_revenue",
-    "lang_confusion_matrix",
-    "media_video_stats",
-    "media_wav_stats",
-    "quantile_sketch_totalprice",
-    "scd2_user_history",
-    # --- 3 family carriers the slots above cannot cover: graph and
-    # temporal ride the r4 drain (oldest carriers), stateful from r9
-    # (layout now rides weighted_sample_orders, an audit must-gate)
-    # ---
-    "dupgraph_triangles_degree",
-    "conversion_latency",
-    "docs_stream_curate",
+    # --- must-gate: ships r13 ---
+    "embeddings_quarantine",
+    # --- the 14-query r3 remainder ---
+    "event_transition_matrix",
+    "mixture_rebalance",
+    "pivot_api_events",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "q4_priority_timeliness",
+    "quality_logit_filter",
+    "source_overlap_matrix",
+    "surprisal_band_sample",
+    "table_diff_orders",
+    "temperature_mixture_sample",
+    "token_budget_selection",
+    "trimmed_value_stats",
+    # --- the 30-query r4 remainder ---
+    "cms_join_cardinality",
+    "corpus_bigrams",
+    "dedup_report",
+    "dq_orders_report",
+    "event_trigram_paths",
+    "ewma_user_value",
+    "hashed_doc_vectors",
+    "heavy_hitter_keys",
+    "hourly_volume_anomalies",
+    "k_anonymity_audit",
+    "kmeanspp_seeds",
+    "kmv_user_setops",
+    "lang_source_chisq",
+    "media_ppm_features",
+    "media_resize",
+    "media_scene_cuts",
+    "media_wav_rms",
+    "neyman_sample_orders",
+    "props_key_counts",
+    "quantile_normalize_values",
+    "redact_pii",
+    "revenue_concentration",
+    "rfm_segments",
+    "robust_value_outliers",
+    "rolling_hll_users",
+    "top_events_per_user",
+    "value_moments_by_type",
+    "value_trend_by_type",
+    "vocab_heaps_fit",
+    "vocab_zipf_fit",
+    # --- 3 r6 queries (drain continues into r6; remainder -> r14) ---
+    "decontaminate_eval",
+    "doc_meta",
+    "pagerank_dangling",
+    # --- 2 family carriers (youngest members, no older carrier
+    # exists): stateful and layout ---
+    "events_stream_anomalies",
+    "zorder_orders_layout",
 )
 
 
