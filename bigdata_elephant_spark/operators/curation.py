@@ -914,3 +914,60 @@ def dsir_gumbel_sample(
         .orderBy(F.desc("gkey"), "doc_id")
         .limit(n)
     )
+
+
+# ------------------------------------------------ ingest contracts
+
+# Document-validity classes, most-broken-first (first match wins) —
+# the text-side twin of the embedding ingest gate
+# (similarity.py embedding_validity): downstream text operators
+# assume non-null, non-blank, well-decoded text whose n_chars
+# metadata matches the payload, and a broken row costs least when it
+# is dead-lettered at ingest rather than discovered as a skewed
+# tokenizer output or a wrong dedup group hours into a 100 TB run.
+DOC_VALIDITY_CLASSES = (
+    "null_text", "blank", "mojibake", "length_mismatch", "ok"
+)
+
+
+def document_validity(docs: DataFrame) -> DataFrame:
+    """Adds a ``validity`` column classifying each document:
+
+    - ``null_text``: the text column is NULL;
+    - ``blank``: empty or whitespace-only after trim (a tokenizer
+      no-op that still costs a row everywhere downstream);
+    - ``mojibake``: contains U+FFFD — the replacement character a
+      lossy decode leaves behind, the standard "this text was mangled
+      upstream" marker;
+    - ``length_mismatch``: the ``n_chars`` metadata column disagrees
+      with ``char_length(text)`` — the payload/metadata contract
+      break that silently corrupts length-keyed sampling and stats;
+    - ``ok``: in contract.
+
+    Pure column expressions (no UDF, no shuffle): pipelines into the
+    ingest scan like the embedding gate and the CSV dead-letter lane.
+    """
+    txt = F.col("text")
+    validity = (
+        F.when(txt.isNull(), F.lit("null_text"))
+        .when(F.trim(txt) == F.lit(""), F.lit("blank"))
+        .when(txt.contains(F.lit("�")), F.lit("mojibake"))
+        .when(
+            # null-safe: a NULL n_chars is itself a metadata-contract
+            # break, not an "ok" (IS DISTINCT FROM semantics)
+            ~F.col("n_chars").eqNullSafe(F.length(txt)),
+            F.lit("length_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return docs.withColumn("validity", validity)
+
+
+def quarantine_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split on :func:`document_validity`:
+    ``(clean, quarantined)``, same lane shape as
+    ``quarantine_embeddings`` and the CSV bad-record sink."""
+    classified = document_validity(docs)
+    clean = classified.filter(F.col("validity") == "ok").drop("validity")
+    quarantined = classified.filter(F.col("validity") != "ok")
+    return clean, quarantined

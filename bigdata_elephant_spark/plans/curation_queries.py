@@ -963,12 +963,99 @@ LIMIT {DSIR_SAMPLE_N}
 """
 
 
+def q_documents_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-gate audit for the document contract
+    (operators/curation.py document_validity) — the text-side twin of
+    embeddings_quarantine: downstream text operators assume non-null,
+    non-blank, well-decoded text whose n_chars metadata matches the
+    payload. The test corpus is clean by construction, so the query
+    plants every broken class deterministically (doc_id residues,
+    first match wins) and reports per-class quarantine counts; the
+    driver gate proves both engines classify identically. Pure column
+    expressions — the zero-shuffle dead-letter split the pipeline
+    runs at ingest."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    txt_inj = (
+        F.when(did % 97 == 0, F.lit(None).cast("string"))
+        .when(did % 101 == 1, F.lit("   "))
+        .when(did % 103 == 2, F.concat(F.col("text"), F.lit("�")))
+        .otherwise(F.col("text"))
+    )
+    nch_inj = (
+        F.when(did % 89 == 3, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+    )
+    injected = docs.select(
+        "doc_id",
+        txt_inj.alias("text"),
+        "lang",
+        "source",
+        nch_inj.alias("n_chars"),
+    )
+    classified = curation.document_validity(injected)
+    return (
+        classified.groupBy("validity")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("validity")
+    )
+
+
+DOCUMENTS_QUARANTINE_SQL = """
+WITH injected AS (
+    SELECT doc_id,
+        CASE
+            WHEN doc_id % 97 = 0 THEN NULL
+            WHEN doc_id % 101 = 1 THEN '   '
+            WHEN doc_id % 103 = 2 THEN text || chr(65533)
+            ELSE text
+        END AS text,
+        CASE
+            WHEN doc_id % 89 = 3 THEN n_chars + 7
+            ELSE n_chars
+        END AS n_chars
+    FROM documents
+),
+classified AS (
+    SELECT doc_id,
+        CASE
+            WHEN text IS NULL THEN 'null_text'
+            WHEN trim(text) = '' THEN 'blank'
+            WHEN contains(text, chr(65533)) THEN 'mojibake'
+            WHEN n_chars IS DISTINCT FROM length(text)
+                THEN 'length_mismatch'
+            ELSE 'ok'
+        END AS validity
+    FROM injected
+)
+SELECT validity, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM classified
+GROUP BY validity
+ORDER BY validity
+"""
+
+
 SPECS = [
     QuerySpec(
         "surprisal_band_sample",
         q_surprisal_band_sample,
         SURPRISAL_BAND_SQL,
         tags=("curation", "text"),
+    ),
+    QuerySpec(
+        "documents_quarantine",
+        q_documents_quarantine,
+        DOCUMENTS_QUARANTINE_SQL,
+        tags=("curation", "text", "llm"),
     ),
     QuerySpec(
         "source_overlap_matrix",

@@ -76,14 +76,18 @@ GATE_PRIORITY = (
     # ROUND-13 ROTATION — the committed drain round (r12 verdict
     # item 1). Window composition, per the schedule recorded in the
     # r12 comment (git history) and tools/gate_coverage.py --plan:
-    #   - 1 must-gate: embeddings_quarantine ships this round (the
-    #     finite-floats ingest gate, r12 verdict item 4) — new
-    #     queries gate the round they ship. It takes the youngest
-    #     evictable drain slot (docs_stream_dsir, r8; streaming
-    #     coverage stays on events_stream_anomalies).
+    #   - 2 must-gates: embeddings_quarantine and
+    #     documents_quarantine ship this round (the finite-floats /
+    #     document ingest gates, r12 verdict item 4) — new queries
+    #     gate the round they ship. They take the two youngest
+    #     evictable slots (docs_stream_dsir r8 — streaming coverage
+    #     stays on events_stream_anomalies; decontaminate_eval r6 —
+    #     dedup/llm stay covered by source_overlap_matrix,
+    #     dedup_report and others; it joins r14's mandatory drain,
+    #     33 of 50 slots).
     #   - the full 14-query r3 remainder + the 30-query r4 remainder
-    #     + 3 r6 queries (oldest-first drain, exactly the --plan
-    #     proposal), leaving the r6 remainder + r7 cohort for r14.
+    #     + 2 r6 queries (oldest-first drain, the --plan proposal),
+    #     leaving the r6 remainder + r7 cohort for r14.
     #   - 2 family carriers: events_stream_anomalies (stateful) and
     #     zorder_orders_layout (layout), both r10 — no older carrier
     #     exists for either family.
@@ -93,8 +97,9 @@ GATE_PRIORITY = (
     #   ~45 drain slots/round over 267 queries = a 6-round cycle,
     #   provided new-query production stays <= ~5.
     #
-    # --- must-gate: ships r13 ---
+    # --- must-gates: ship r13 ---
     "embeddings_quarantine",
+    "documents_quarantine",
     # --- the 14-query r3 remainder ---
     "event_transition_matrix",
     "mixture_rebalance",
@@ -141,8 +146,7 @@ GATE_PRIORITY = (
     "value_trend_by_type",
     "vocab_heaps_fit",
     "vocab_zipf_fit",
-    # --- 3 r6 queries (drain continues into r6; remainder -> r14) ---
-    "decontaminate_eval",
+    # --- 2 r6 queries (drain continues into r6; remainder -> r14) ---
     "doc_meta",
     "pagerank_dangling",
     # --- 2 family carriers (youngest members, no older carrier

@@ -361,3 +361,31 @@ def test_lsh_recall_sweep_reports_misses(spark):
     # must be internally consistent either way
     assert out[1].n_caught in (0, 1)
     assert out[1].recall in (0.0, 1.0)
+
+
+def test_duplicate_groups_round_frame_is_one_production_round(spark):
+    """The plan-audit round frame (duplicate_groups_round_frame) IS
+    one production round (the doubled min-label hop): renaming its
+    columns reproduces duplicate_groups(max_iter=2) exactly."""
+    import warnings
+
+    from bigdata_elephant_spark.operators.dedup import (
+        duplicate_groups,
+        duplicate_groups_round_frame,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.node, r.label)
+        for r in duplicate_groups_round_frame(pairs).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        want = {
+            (r.doc_id, r.group_id)
+            for r in duplicate_groups(pairs, max_iter=2).collect()
+        }
+    assert got == want

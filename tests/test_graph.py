@@ -89,3 +89,37 @@ def test_triangle_counts_degree_ordered_equivalent(spark):
                pairs, degree_ordered=True).collect()}
     assert base == deg
     assert base[1] == 4 and base[4] == 6
+
+
+def test_pagerank_round_frame_is_one_production_iteration(spark):
+    """The plan-audit round frame (pagerank_round_frame) IS one
+    production iteration: rounding its 9-decimal ranks to the output
+    precision reproduces pagerank(iterations=1) exactly — so the
+    plan PLANS.md dumps is the plan production runs, not a lookalike."""
+    from pyspark.sql import functions as F
+
+    from bigdata_elephant_spark.operators.graph import (
+        pagerank,
+        pagerank_round_frame,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.rank)
+        for r in pagerank_round_frame(edges)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .collect()
+    }
+    want = {
+        (r.node, r.rank)
+        for r in pagerank(edges, iterations=1).collect()
+    }
+    assert got == want
+    # and the empty-edge graph returns the typed empty frame, like
+    # pagerank (r12 ANSI-division audit)
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_round_frame(empty)
+    assert out.count() == 0 and out.columns == ["node", "rank"]

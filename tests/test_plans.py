@@ -511,3 +511,41 @@ def test_maybe_broadcast_fallback_scan_recovers_hint(spark, sf_dir):
     declined.collect()
     final = declined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
+
+
+def test_iterative_step_twins_stay_in_sync():
+    """The step twins (QuerySpec.step_fn) duplicate their query fn's
+    edge construction by design (factoring it out would change the
+    gated fn's source); this pins the shared fragments so a threshold
+    or miner change in one place fails loudly instead of letting
+    PLANS.md audit a lookalike plan."""
+    import inspect
+
+    from bigdata_elephant_spark.plans import llm_queries as q
+
+    cases = [
+        (q.q_dedup_groups, q.q_dedup_groups_step, (
+            "dedup.minhash_signatures(_docs(spark, sf_dir))",
+            "dedup.lsh_candidate_edges(sigs).filter(",
+            'F.col("est_sim") >= LSH_EST_SIM_MIN',
+        )),
+        (q.q_pagerank_dupgraph, q.q_pagerank_dupgraph_step, (
+            "dedup.minhash_signatures(_docs(spark, sf_dir))",
+            "dedup.lsh_candidate_pairs(sigs).filter(",
+            'F.col("est_sim") >= LSH_EST_SIM_MIN',
+            'F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")',
+        )),
+    ]
+    for fn, twin, frags in cases:
+        src, tsrc = inspect.getsource(fn), inspect.getsource(twin)
+        for frag in frags:
+            assert frag in src, f"{fn.__name__} lost: {frag}"
+            assert frag in tsrc, f"{twin.__name__} drifted: {frag}"
+    # the twins must delegate to the operator round-frame builders —
+    # the same code production iterates
+    assert "duplicate_groups_round_frame" in inspect.getsource(
+        q.q_dedup_groups_step
+    )
+    assert "pagerank_round_frame" in inspect.getsource(
+        q.q_pagerank_dupgraph_step
+    )

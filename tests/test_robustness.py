@@ -671,3 +671,39 @@ def test_embedding_validity_classes(spark):
     assert [r.vec_id for r in clean.collect()] == [0]
     assert "validity" not in clean.columns
     assert quar.count() == 9
+
+
+def test_document_validity_classes(spark):
+    """Direct class check for the document ingest gate — the text-side
+    twin of the embedding gate: one row per declared class, including
+    NULL n_chars (a metadata break, not 'ok')."""
+    from bigdata_elephant_spark.operators.curation import (
+        document_validity,
+        quarantine_documents,
+    )
+
+    rows = [
+        (0, "good text", "en", "s0", 9),          # ok
+        (1, None, "en", "s0", 4),                  # null_text
+        (2, "   ", "en", "s0", 3),                 # blank
+        (3, "", "en", "s0", 0),                    # blank (empty)
+        (4, "bad � decode", "en", "s0", 12),  # mojibake
+        (5, "short", "en", "s0", 99),              # length_mismatch
+        (6, "no meta", "en", "s0", None),          # length_mismatch
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {
+        r.doc_id: r.validity for r in document_validity(docs).collect()
+    }
+    assert got == {
+        0: "ok", 1: "null_text", 2: "blank", 3: "blank",
+        4: "mojibake", 5: "length_mismatch", 6: "length_mismatch",
+    }
+    clean, quar = quarantine_documents(docs)
+    assert [r.doc_id for r in clean.collect()] == [0]
+    assert "validity" not in clean.columns
+    assert quar.count() == 6
