@@ -104,25 +104,37 @@ def _file_mtime_git(path: str) -> int:
     return int(out) if out else 0
 
 
-def _print_plan(specs, rows, n_slots: int) -> int:
+def propose_window(specs, rows, n_slots: int, required_tags=None):
     """Propose the next rotation mechanically: the ``n_slots``
-    oldest-gated oracled queries, then repair REQUIRED_TAGS family
-    coverage by swapping the youngest removable members for the
-    oldest carrier of each missing family. The output is a STARTING
-    POINT — the operator still owes slots to queries shipping or
-    changing this round (which this tool cannot know); every slot
-    spent on those should come out of the youngest proposed drains."""
-    from bigdata_elephant_spark.registry import REQUIRED_TAGS
+    oldest-gated oracled queries, then repair ``required_tags``
+    family coverage by swapping the youngest removable members for
+    the oldest carrier of each missing family. Returns
+    ``(window, never, uncovered)`` — ``never`` rows (never-gated
+    oracled queries; new queries gate the round they ship) are
+    MANDATORY members on top of ``window``'s drain slots. The result
+    is a STARTING POINT — the operator still owes slots to queries
+    shipping or changing this round (which this tool cannot know);
+    every slot spent on those should come out of the youngest
+    proposed drains. Pure function of its inputs (no git/registry
+    access) so tests/test_tools.py can pin the swap algorithm."""
+    if required_tags is None:
+        from bigdata_elephant_spark.registry import REQUIRED_TAGS
+        required_tags = REQUIRED_TAGS
 
     tags_of = {s.name: set(s.tags) for s in specs}
     cand = [r for r in rows if r["oracled"]]
-    # never-gated oracled queries are MANDATORY window members (new
-    # queries gate the round they ship) — list them as their own
-    # section instead of letting them flood the age-ranked drain
     never = [r for r in cand if r["last_gated_round"] is None]
     aged = [r for r in cand if r["last_gated_round"] is not None]
     drain_slots = max(0, n_slots - len(never))
-    # aged rows are already (last_gated, untouched, name)-sorted
+
+    def _age_key(r):
+        return (
+            r["last_gated_round"] or 0,
+            not r["code_touched_since_gate"],
+            r["name"],
+        )
+
+    aged.sort(key=_age_key)
     window = aged[:drain_slots]
     rest = aged[drain_slots:]
 
@@ -132,14 +144,7 @@ def _print_plan(specs, rows, n_slots: int) -> int:
             got |= tags_of[r["name"]]
         return got
 
-    def _age_key(r):
-        return (
-            r["last_gated_round"] or 0,
-            not r["code_touched_since_gate"],
-            r["name"],
-        )
-
-    missing = REQUIRED_TAGS - covered(window)
+    missing = required_tags - covered(window)
     for tag in sorted(missing):
         # keep rest age-ordered: evictions below append to its tail,
         # which would otherwise let a later family pick a younger
@@ -156,7 +161,7 @@ def _print_plan(specs, rows, n_slots: int) -> int:
         # full coverage whenever the candidate set allows it
         for i in range(len(window) - 1, -1, -1):
             others = window[:i] + window[i + 1:] + [carrier]
-            if (tags_of[window[i]["name"]] & REQUIRED_TAGS) <= covered(
+            if (tags_of[window[i]["name"]] & required_tags) <= covered(
                 others
             ):
                 rest.append(window.pop(i))
@@ -164,6 +169,18 @@ def _print_plan(specs, rows, n_slots: int) -> int:
                 rest.remove(carrier)
                 break
     window.sort(key=lambda r: (r["last_gated_round"] or 0, r["name"]))
+    uncovered = required_tags - covered(window)
+    return window, never, uncovered
+
+
+def _print_plan(specs, rows, n_slots: int) -> int:
+    from bigdata_elephant_spark.registry import REQUIRED_TAGS
+
+    tags_of = {s.name: set(s.tags) for s in specs}
+    window, never, uncovered = propose_window(
+        specs, rows, n_slots, REQUIRED_TAGS
+    )
+    drain_slots = max(0, n_slots - len(never))
     print(f"# proposed next {n_slots}-slot window "
           f"(oldest-first drain, families repaired)")
     if never:
@@ -178,12 +195,11 @@ def _print_plan(specs, rows, n_slots: int) -> int:
         fams = ",".join(sorted(tags_of[r["name"]] & REQUIRED_TAGS))
         print(f'    "{r["name"]}",  # gated r{r["last_gated_round"]}'
               f"{' [' + fams + ']' if fams else ''}")
-    # covered() already unions in the mandatory never-gated rows, so
-    # the final check passes `window` as-is — one source of truth for
-    # who counts toward coverage (r12 ADVICE: the old
-    # `window = window + never` reassignment double-counted them)
-    left = REQUIRED_TAGS - covered(window)
-    print(f"# families uncovered by proposal: {sorted(left) or 'none'}")
+    # `uncovered` already accounts for the mandatory never-gated rows
+    # inside propose_window — one source of truth (r12 ADVICE: the
+    # old `window = window + never` reassignment double-counted them)
+    print(f"# families uncovered by proposal: "
+          f"{sorted(uncovered) or 'none'}")
     return 0
 
 
