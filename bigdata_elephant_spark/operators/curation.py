@@ -934,8 +934,10 @@ def document_validity(docs: DataFrame) -> DataFrame:
     """Adds a ``validity`` column classifying each document:
 
     - ``null_text``: the text column is NULL;
-    - ``blank``: empty or whitespace-only after trim (a tokenizer
-      no-op that still costs a row everywhere downstream);
+    - ``blank``: empty or whitespace-only (``\\s``-class, not just
+      spaces — ``trim`` would pass a tab/newline-only document as
+      ``ok``); a tokenizer no-op that still costs a row everywhere
+      downstream;
     - ``mojibake``: contains U+FFFD — the replacement character a
       lossy decode leaves behind, the standard "this text was mangled
       upstream" marker;
@@ -950,7 +952,10 @@ def document_validity(docs: DataFrame) -> DataFrame:
     txt = F.col("text")
     validity = (
         F.when(txt.isNull(), F.lit("null_text"))
-        .when(F.trim(txt) == F.lit(""), F.lit("blank"))
+        .when(
+            F.regexp_replace(txt, r"\s+", "") == F.lit(""),
+            F.lit("blank"),
+        )
         .when(txt.contains(F.lit("�")), F.lit("mojibake"))
         .when(
             # null-safe: a NULL n_chars is itself a metadata-contract

@@ -1028,7 +1028,8 @@ classified AS (
     SELECT doc_id,
         CASE
             WHEN text IS NULL THEN 'null_text'
-            WHEN trim(text) = '' THEN 'blank'
+            WHEN regexp_replace(text, '\s+', '', 'g') = ''
+                THEN 'blank'
             WHEN contains(text, chr(65533)) THEN 'mojibake'
             WHEN n_chars IS DISTINCT FROM length(text)
                 THEN 'length_mismatch'

@@ -687,6 +687,7 @@ def test_document_validity_classes(spark):
         (1, None, "en", "s0", 4),                  # null_text
         (2, "   ", "en", "s0", 3),                 # blank
         (3, "", "en", "s0", 0),                    # blank (empty)
+        (7, "\t\n \t", "en", "s0", 4),             # blank (tab/newline)
         (4, "bad � decode", "en", "s0", 12),  # mojibake
         (5, "short", "en", "s0", 99),              # length_mismatch
         (6, "no meta", "en", "s0", None),          # length_mismatch
@@ -702,8 +703,9 @@ def test_document_validity_classes(spark):
     assert got == {
         0: "ok", 1: "null_text", 2: "blank", 3: "blank",
         4: "mojibake", 5: "length_mismatch", 6: "length_mismatch",
+        7: "blank",
     }
     clean, quar = quarantine_documents(docs)
     assert [r.doc_id for r in clean.collect()] == [0]
     assert "validity" not in clean.columns
-    assert quar.count() == 6
+    assert quar.count() == 7
