@@ -934,10 +934,14 @@ def document_validity(docs: DataFrame) -> DataFrame:
     """Adds a ``validity`` column classifying each document:
 
     - ``null_text``: the text column is NULL;
-    - ``blank``: empty or whitespace-only (``\\s``-class, not just
-      spaces — ``trim`` would pass a tab/newline-only document as
-      ``ok``); a tokenizer no-op that still costs a row everywhere
-      downstream;
+    - ``blank``: empty or whitespace-only — matched with an EXPLICIT
+      character class (``[ \\t\\n\\r\\f\\x0B]``), anchored, because
+      the shorthand ``\\s`` diverges between engines (Java includes
+      vertical tab, DuckDB's RE2 does not) and ``trim`` strips spaces
+      only; the anchored ``rlike`` also fails at the first
+      non-whitespace character instead of materializing a rewritten
+      copy of every document on the ingest hot path. A blank row is a
+      tokenizer no-op that still costs a row everywhere downstream;
     - ``mojibake``: contains U+FFFD — the replacement character a
       lossy decode leaves behind, the standard "this text was mangled
       upstream" marker;
@@ -952,10 +956,7 @@ def document_validity(docs: DataFrame) -> DataFrame:
     txt = F.col("text")
     validity = (
         F.when(txt.isNull(), F.lit("null_text"))
-        .when(
-            F.regexp_replace(txt, r"\s+", "") == F.lit(""),
-            F.lit("blank"),
-        )
+        .when(txt.rlike(r"^[ \t\n\r\f\x0B]*$"), F.lit("blank"))
         .when(txt.contains(F.lit("�")), F.lit("mojibake"))
         .when(
             # null-safe: a NULL n_chars is itself a metadata-contract

@@ -62,7 +62,6 @@ EMB_VALIDITY_CLASSES = ("null", "wrong_dim", "nonfinite", "zero", "ok")
 
 def embedding_validity(
     embeddings: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     expected_dim: int | None = None,
 ) -> DataFrame:
@@ -107,7 +106,6 @@ def embedding_validity(
 
 def quarantine_embeddings(
     embeddings: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     expected_dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -117,9 +115,7 @@ def quarantine_embeddings(
     — safe input for every operator in this module. ``quarantined``
     keeps the ``validity`` column as the dead-letter reason, the
     same lane shape as the CSV bad-record sink in ``sources/``."""
-    classified = embedding_validity(
-        embeddings, id_col, vec_col, expected_dim
-    )
+    classified = embedding_validity(embeddings, vec_col, expected_dim)
     clean = classified.filter(F.col("validity") == "ok").drop("validity")
     quarantined = classified.filter(F.col("validity") != "ok")
     return clean, quarantined

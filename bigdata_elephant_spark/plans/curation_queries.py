@@ -1009,7 +1009,7 @@ def q_documents_quarantine(
     )
 
 
-DOCUMENTS_QUARANTINE_SQL = """
+DOCUMENTS_QUARANTINE_SQL = r"""
 WITH injected AS (
     SELECT doc_id,
         CASE
@@ -1028,7 +1028,7 @@ classified AS (
     SELECT doc_id,
         CASE
             WHEN text IS NULL THEN 'null_text'
-            WHEN regexp_replace(text, '\s+', '', 'g') = ''
+            WHEN regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
                 THEN 'blank'
             WHEN contains(text, chr(65533)) THEN 'mojibake'
             WHEN n_chars IS DISTINCT FROM length(text)

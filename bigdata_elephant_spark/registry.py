@@ -94,7 +94,7 @@ GATE_PRIORITY = (
     #   After this window the worst oracled age is r4-gated = 9 at
     #   r13 close -> r14 drains r6 remainder + r7 cohort and
     #   gate_coverage --max-age 6 exits 0 from r14 on. Steady state:
-    #   ~45 drain slots/round over 267 queries = a 6-round cycle,
+    #   ~45 drain slots/round over 268 queries = a 6-round cycle,
     #   provided new-query production stays <= ~5.
     #
     # --- must-gates: ship r13 ---

@@ -2,9 +2,13 @@
 
 The drain machinery is on the critical path every round (the r12
 verdict's schedule arithmetic depends on it proposing exactly the
-oldest-first window with family coverage repaired); these tests pin
-its invariants on synthetic inputs where the expected window is
-computable by hand — no git, no registry, no Spark.
+oldest-first window with family coverage repaired). The unit tests
+pin its invariants on synthetic inputs where the expected window is
+computable by hand (no git, no registry, no Spark); the final
+integration test deliberately runs against the REAL registry and the
+repo's correctness history (imports the registry, reads git-tracked
+CORRECTNESS files) to prove the committed 50-slot proposal covers
+every required family.
 """
 
 from __future__ import annotations

@@ -54,7 +54,10 @@ for s in all_specs():
     try:
         src = inspect.getsource(s.fn)
     except OSError:
-        src = repr(s.fn)
+        # address-free fallback: repr() embeds the function's memory
+        # address, which differs between the two fingerprint
+        # subprocesses and would report the query as changed forever
+        src = f"{s.fn.__module__}.{getattr(s.fn, '__qualname__', s.fn)}"
     sql = resolve_oracle(s)
     out[s.name] = {
         "fn": sha(src),

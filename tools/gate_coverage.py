@@ -116,7 +116,7 @@ def propose_window(specs, rows, n_slots: int, required_tags=None):
     shipping or changing this round (which this tool cannot know);
     every slot spent on those should come out of the youngest
     proposed drains. Pure function of its inputs (no git/registry
-    access) so tests/test_tools.py can pin the swap algorithm."""
+    access) so tests/test_gate_plan.py can pin the swap algorithm."""
     if required_tags is None:
         from bigdata_elephant_spark.registry import REQUIRED_TAGS
         required_tags = REQUIRED_TAGS

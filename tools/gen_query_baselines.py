@@ -84,11 +84,12 @@ DEFINITION_ROUNDS = {
 # regression reference. Value = the best-of-3 from a load<1 run, with
 # the provenance recorded so the override is auditable.
 MEASURED_REPINS = {
-    # r06 pin 0.355s was a pre-policy single sample on a 0.3-0.6s
-    # query; driver runs read 1.77x-1.99x against it two rounds
-    # running while the builder and isolated ratios sat at ~1.3x.
+    # r03 pin 0.355s (BENCH_r03.json) was a pre-policy single sample
+    # on a 0.3-0.6s query; driver runs read 1.77x-1.99x against it
+    # two rounds running while the builder and isolated ratios sat
+    # at ~1.3x.
     "q1_pricing_fast": (0.496, (
-        "pre-best-of-3 r06 pin (0.355s) made the 2x gate "
+        "pre-best-of-3 r03 pin (0.355s) made the 2x gate "
         "jitter-bound; re-measured r13 2026-08-16, load 0.24, "
         "in-suite best-of-3 over a shuffled 2-pass run"
     )),
