@@ -44,7 +44,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _DUMP = r"""
 import hashlib, inspect, json, sys
 sys.path.insert(0, ".")
-from bigdata_elephant_spark.registry import all_specs, resolve_oracle
+from bigdata_elephant_spark.registry import all_specs
+try:
+    from bigdata_elephant_spark.registry import resolve_oracle
+except ImportError:
+    # pre-r6 registries have no lazy-oracle resolver; oracles were
+    # plain strings (or early callables) on the spec
+    def resolve_oracle(s):
+        o = s.oracle
+        return o() if callable(o) else o
 
 def sha(s):
     return hashlib.sha256(s.encode()).hexdigest()[:16]
