@@ -734,10 +734,8 @@ def test_quarantine_enforces_finite_contract(spark, vecs, thr_x10):
     }
     # every quarantined row carries a non-ok reason from the declared
     # class set
-    assert all(
-        r.validity in ("null", "wrong_dim", "nonfinite", "zero")
-        for r in quar_rows
-    )
+    bad = set(similarity.EMB_VALIDITY_CLASSES) - {"ok"}
+    assert all(r.validity in bad for r in quar_rows)
     # composed pipeline == miner over the manually-filtered finite
     # subset: quarantining is exactly "remove out-of-contract rows",
     # nothing else

@@ -709,3 +709,7 @@ def test_document_validity_classes(spark):
     assert [r.doc_id for r in clean.collect()] == [0]
     assert "validity" not in clean.columns
     assert quar.count() == 7
+    from bigdata_elephant_spark.operators.curation import (
+        DOC_VALIDITY_CLASSES,
+    )
+    assert set(got.values()) == set(DOC_VALIDITY_CLASSES)
