@@ -713,3 +713,57 @@ def test_document_validity_classes(spark):
         DOC_VALIDITY_CLASSES,
     )
     assert set(got.values()) == set(DOC_VALIDITY_CLASSES)
+
+
+# the blank class is an EXPLICIT character class (engine-portable; see
+# document_validity) — this reference predicate must stay identical
+_BLANK_CHARS = set(" \t\n\r\f\x0b")
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0, max_codepoint=0x24FF
+            ),
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@example(texts=["\x0b\x0b"])   # vertical tab: the \s-class divergence
+@example(texts=[" "])     # NBSP: NOT blank by the declared class
+@example(texts=["", " \t\n", "�", "a�b", "plain"])
+@SETTINGS
+def test_document_validity_matches_reference_on_unicode(spark, texts):
+    """document_validity over arbitrary BMP unicode equals a
+    pure-python reference of the declared contract (n_chars planted
+    consistent, so only null/blank/mojibake/ok can fire): the regex
+    class and the length semantics hold beyond the oracle's planted
+    ASCII classes."""
+    from bigdata_elephant_spark.operators.curation import (
+        document_validity,
+    )
+
+    rows = [
+        (i, t, "xx", "s0", len(t)) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {
+        r.doc_id: r.validity
+        for r in document_validity(docs).collect()
+    }
+
+    def ref(t):
+        if all(c in _BLANK_CHARS for c in t):  # '' is blank too
+            return "blank"
+        if "�" in t:
+            return "mojibake"
+        return "ok"
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
