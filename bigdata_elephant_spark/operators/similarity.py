@@ -1112,6 +1112,46 @@ def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
     return None if row is None else int(row["dim"])
 
 
+def _gate_build_input(
+    embeddings: DataFrame, vec_col: str
+) -> tuple[DataFrame, int | None]:
+    """Enforce the finite-floats ingest contract at every artifact
+    builder's entry (the r13 quarantine lane, production-default
+    since r14): returns ``(clean, dim)`` where ``dim`` is the first
+    row's vector length (what the manifest records — wrong_dim is
+    judged against it) and ``clean`` carries only in-contract
+    vectors. The validity predicate is pure column expressions that
+    fuse into the build's existing corpus scan (no extra shuffle, no
+    extra pass); out-of-contract rows are dropped here, silently —
+    a caller that wants the dead-letter lane runs
+    :func:`quarantine_embeddings` first (the gate is idempotent on
+    its clean side). Without this, one NaN vector at 100 TB poisons
+    the centroid means for its whole cell (NaN propagates through
+    every distance), and the norm>0 read-side filters can't catch it
+    (NaN > 0 is TRUE under Spark's NaN-greatest ordering)."""
+    dim = _vec_dim(embeddings, vec_col)
+    clean, _ = quarantine_embeddings(
+        embeddings, vec_col, expected_dim=dim
+    )
+    return clean, dim
+
+
+def _gate_delta_input(delta: DataFrame, vec_col: str) -> DataFrame:
+    """Day-2 twin of :func:`_gate_build_input` for the append paths
+    (``update_ivf_index`` / ``update_ivfsq8_index`` /
+    ``update_ivfpq_index``): drop NULL / nonfinite / zero delta
+    vectors — the classes that would silently poison the frozen
+    layout (a NaN vector NaN-sinks into some cell and then passes
+    every read-side ``norm > 0`` guard). Wrong-dim is deliberately
+    NOT dead-lettered here: each update keeps its explicit in-plan
+    raise guard, because an id-targeted delta with the wrong
+    dimensionality is a caller bug worth failing loudly (the FAISS
+    ``add()`` d-assertion), not a corpus-quality row to drop.
+    Delta-sized column predicate, no extra pass."""
+    clean, _ = quarantine_embeddings(delta, vec_col, expected_dim=None)
+    return clean
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -1129,7 +1169,13 @@ def build_ivf_index(
     With this layout a probe is static partition pruning: the scan
     touches n_probe/n_cells of the files (asserted in
     tests/test_similarity.py against ``inputFiles()``).
+
+    Input is gated through the finite-floats ingest contract
+    (:func:`_gate_build_input`): only finite, nonzero,
+    manifest-dim vectors reach the quantizer or the persisted
+    layout.
     """
+    embeddings, dim = _gate_build_input(embeddings, vec_col)
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     (
@@ -1139,10 +1185,7 @@ def build_ivf_index(
         .parquet(f"{path}/vectors")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    write_index_manifest(
-        path, kind="ivf", dim=_vec_dim(embeddings, vec_col),
-        n_cells=n_cells,
-    )
+    write_index_manifest(path, kind="ivf", dim=dim, n_cells=n_cells)
     _verify_pointer_reset(path, "vectors", "build_ivf_index")
     _expire_versions(path, "vectors", keep=("vectors",))
     # A rebuild resets the index's whole lifetime, including pending
@@ -1181,6 +1224,7 @@ def update_ivf_index(
             "IVFPQ add needs the delta PQ-encoded into codes/, "
             "which is a rebuild"
         )
+    delta = _gate_delta_input(delta, vec_col)
     cents = spark.read.parquet(f"{path}/centroids")
     dim = man.get("dim")
     if dim is None:
@@ -2333,8 +2377,12 @@ def build_ivfsq8_index(
 
     Both quantizers train on the full table, exactly as
     :func:`ivf_sq8_topk` does inline, so a query over this layout
-    returns identical rows (equivalence-tested)."""
-    dim = _vec_dim(embeddings, vec_col)
+    returns identical rows (equivalence-tested). Input is gated
+    through the finite-floats ingest contract
+    (:func:`_gate_build_input`) — one ±Inf component would
+    otherwise blow the trained per-dim (vmin, vstep) range so wide
+    every finite value quantizes to the same code."""
+    embeddings, dim = _gate_build_input(embeddings, vec_col)
     if dim is None:
         raise ValueError(
             "build_ivfsq8_index: embeddings input is empty — an SQ8 "
@@ -2395,6 +2443,7 @@ def update_ivfsq8_index(
             "update_ivfsq8_index appends SQ8 codes — use "
             "update_ivf_index / update_ivfpq_index for those layouts"
         )
+    delta = _gate_delta_input(delta, vec_col)
     cents = spark.read.parquet(f"{path}/centroids")
     stats = spark.read.parquet(f"{path}/sq8_stats")
     if "vmax" not in stats.columns:
@@ -2909,9 +2958,12 @@ def build_ivfpq_index(
     At 100 TB the codes table is the only corpus-sized artifact a
     query scans; raw vectors are touched just for the shortlist
     re-rank point lookups. Same training pipeline as the inline
-    form, so a query over this layout returns identical rows."""
+    form, so a query over this layout returns identical rows.
+    Input is gated through the finite-floats ingest contract
+    (:func:`_gate_build_input`) before any quantizer trains."""
     from bigdata_elephant_spark.session import persist_tracked
 
+    embeddings, dim = _gate_build_input(embeddings, vec_col)
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assign = ivf_assign(embeddings, cents, id_col, vec_col)
     resid = persist_tracked(
@@ -2940,9 +2992,8 @@ def build_ivfpq_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cbooks.write.mode("overwrite").parquet(f"{path}/codebooks")
     write_index_manifest(
-        path, kind="ivfpq", dim=_vec_dim(embeddings, vec_col),
-        n_cells=n_cells, n_sub=n_sub, sub_dim=sub_dim,
-        n_codes=n_codes,
+        path, kind="ivfpq", dim=dim, n_cells=n_cells, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes,
     )
     _verify_pointer_reset(path, "codes", "build_ivfpq_index")
     _expire_versions(path, "codes", keep=("codes",))
@@ -2977,6 +3028,7 @@ def update_ivfpq_index(
             "update_ivfpq_index appends PQ codes — use "
             "update_ivf_index for a plain IVF layout"
         )
+    delta = _gate_delta_input(delta, vec_col)
     cents = spark.read.parquet(f"{path}/centroids")
     cbooks = spark.read.parquet(f"{path}/codebooks")
     # PQ geometry from the manifest; pre-manifest dirs infer it from

@@ -1630,3 +1630,90 @@ def test_pca2_projection_matches_numpy(spark, emb_df, vectors):
             np.linalg.norm(P[:, k]) * np.linalg.norm(ref[:, k])
         )
         assert cos > 0.995, (k, cos)
+
+
+def test_builders_gate_out_of_contract_vectors(spark, tmp_path):
+    """r14: the artifact builders enforce the r13 finite-floats
+    ingest contract themselves (quarantine is production-default,
+    not opt-in): NaN / Inf / zero / wrong-dim / NULL vectors never
+    reach the persisted layout, and the manifest dim is the first
+    row's length."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    good = {
+        i: [float(x) for x in rng.normal(size=4).astype(np.float32)]
+        for i in range(20)
+    }
+    rows = [(i, v) for i, v in good.items()] + [
+        (100, [float("nan"), 1.0, 1.0, 1.0]),
+        (101, [float("inf"), 1.0, 1.0, 1.0]),
+        (102, [0.0, 0.0, 0.0, 0.0]),
+        (103, [1.0, 2.0]),  # wrong dim vs first row's 4
+        (104, None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "gated_ivf")
+    sim.build_ivf_index(emb, path, n_cells=2)
+    stored = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert stored == set(good)
+    assert sim.read_index_manifest(path)["dim"] == 4
+    # same contract on the quantizing builders
+    p2 = str(tmp_path / "gated_sq8")
+    sim.build_ivfsq8_index(emb, p2, n_cells=2)
+    codes = {
+        r["vec_id"] for r in spark.read.parquet(f"{p2}/codes").collect()
+    }
+    assert codes == set(good)
+    p3 = str(tmp_path / "gated_pq")
+    sim.build_ivfpq_index(
+        emb, p3, n_cells=2, n_sub=2, sub_dim=2, n_codes=4
+    )
+    pq = {
+        r["vec_id"] for r in spark.read.parquet(f"{p3}/codes").collect()
+    }
+    assert pq == set(good)
+
+
+def test_updates_gate_delta_but_keep_dim_raise(spark, tmp_path):
+    """Day-2 twin (r14): the append paths drop NULL/NaN/zero delta
+    vectors (silent poison classes) while the wrong-dim raise guard
+    still fails loudly — dead-letter for corpus quality, assertion
+    for caller bugs."""
+    from pyspark.errors import SparkRuntimeException
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4).astype(np.float32)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, path, n_cells=2)
+    delta = spark.createDataFrame(
+        [
+            (50, [1.0, 2.0, 3.0, 4.0]),            # in contract
+            (51, [float("nan"), 1.0, 1.0, 1.0]),   # dropped
+            (52, [0.0, 0.0, 0.0, 0.0]),            # dropped
+            (53, None),                            # dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    sim.update_ivf_index(spark, path, delta)
+    stored = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert stored == set(range(20)) | {50}
+    # wrong-dim (finite) still raises via the in-plan guard
+    bad = spark.createDataFrame(
+        [(60, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(SparkRuntimeException, match="components"):
+        sim.update_ivf_index(spark, path, bad)
