@@ -655,6 +655,91 @@ def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
     return rate, data
 
 
+# Media-validity classes, most-broken-first (first match wins) —
+# the bytes-side member of the ingest dead-letter lane family
+# (similarity.py embedding_validity, curation.py document_validity):
+# every media operator here assumes a decodable payload, and
+# :func:`decode_wav` raises per-row deep inside an Arrow batch when
+# it is not — at 100 TB the broken row should be dead-lettered by a
+# scan-fused column predicate at ingest, not discovered as a Python
+# exception that kills a whole partition's task hours in.
+MEDIA_VALIDITY_CLASSES = (
+    "null_media", "empty", "truncated_header", "bad_magic",
+    "size_mismatch", "ok",
+)
+
+_RIFF_HEADER_LEN = 12  # 'RIFF' + uint32le size + 'WAVE'
+
+
+def _byte_at(media_col: str, pos: int):
+    """1-based byte of a binary column as a long — pure column
+    expressions (substring -> hex -> base-16 conv), no UDF."""
+    return F.conv(
+        F.hex(F.substring(F.col(media_col), pos, 1)), 16, 10
+    ).cast("long")
+
+
+def media_validity(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """Adds a ``validity`` column classifying each RIFF/WAV payload
+    (the container :func:`decode_wav` — the in-repo REAL decoder —
+    accepts):
+
+    - ``null_media``: the bytes column is NULL;
+    - ``empty``: zero bytes;
+    - ``truncated_header``: shorter than the 12-byte RIFF preamble
+      (``'RIFF' + uint32le size + 'WAVE'``) — no container header to
+      parse at all;
+    - ``bad_magic``: preamble present but ``RIFF``/``WAVE`` magic
+      bytes wrong — not this container (or hopelessly mangled);
+    - ``size_mismatch``: the declared RIFF chunk size (little-endian
+      uint32 at bytes 5-8) disagrees with the actual byte count —
+      the truncated-mid-stream class. This is the dangerous one:
+      :func:`decode_wav` does NOT raise on it (Python slices clamp),
+      it silently returns fewer samples than the payload declared;
+    - ``ok``: a structurally sound container.
+
+    Pure column expressions (octet_length + four 1-byte hex reads,
+    no UDF, no shuffle): pipelines into the ingest scan exactly like
+    the embedding and document gates. Structural validity only — a
+    payload can still carry an unsupported codec; that (per-format,
+    decode-time) failure stays with the decoder."""
+    m = F.col(media_col)
+    nb = F.octet_length(m)
+    declared = (
+        _byte_at(media_col, 5)
+        + _byte_at(media_col, 6) * 256
+        + _byte_at(media_col, 7) * 65536
+        + _byte_at(media_col, 8) * 16777216
+    )
+    validity = (
+        F.when(m.isNull(), F.lit("null_media"))
+        .when(nb == 0, F.lit("empty"))
+        .when(nb < _RIFF_HEADER_LEN, F.lit("truncated_header"))
+        .when(
+            (F.substring(m, 1, 4) != F.lit(b"RIFF"))
+            | (F.substring(m, 9, 4) != F.lit(b"WAVE")),
+            F.lit("bad_magic"),
+        )
+        .when(declared + 8 != nb, F.lit("size_mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("validity", validity)
+
+
+def quarantine_media(
+    df: DataFrame, media_col: str = "media"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split on :func:`media_validity`:
+    ``(clean, quarantined)`` — same lane shape as
+    ``quarantine_embeddings`` / ``quarantine_documents``."""
+    classified = media_validity(df, media_col)
+    clean = classified.filter(F.col("validity") == "ok").drop("validity")
+    quarantined = classified.filter(F.col("validity") != "ok")
+    return clean, quarantined
+
+
 def synth_wav_payloads(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -410,3 +410,66 @@ def test_real_pil_decode_where_available(spark):
     assert len(out[0]) == FEATURE_DIM
     assert all(abs(v) < 1e-9 for v in out[0])        # black image
     assert all(abs(v - 1.0) < 1e-9 for v in out[1])  # white image
+
+
+def test_media_validity_classifies_real_bytes(spark):
+    """r14 ingest lane: media_validity parses the REAL RIFF
+    container with pure column expressions and lands every corrupt
+    shape in its declared class (first match wins), and the
+    quarantine split's clean side is schema-stable."""
+    import numpy as np
+
+    wav = mm.encode_wav(np.arange(100, dtype=np.int16), 8000)
+    rows = [
+        (0, wav),
+        (1, None),
+        (2, b""),
+        (3, wav[:7]),
+        (4, b"JUNK" + wav[4:]),
+        (5, wav[:8] + b"EVAW" + wav[12:]),
+        (6, wav[:-5]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r["doc_id"]: r["validity"]
+        for r in mm.media_validity(df).collect()
+    }
+    assert got == {
+        0: "ok",
+        1: "null_media",
+        2: "empty",
+        3: "truncated_header",
+        4: "bad_magic",
+        5: "bad_magic",
+        6: "size_mismatch",
+    }
+    assert set(got.values()) <= set(mm.MEDIA_VALIDITY_CLASSES)
+    clean, quar = mm.quarantine_media(df)
+    assert [r["doc_id"] for r in clean.collect()] == [0]
+    assert clean.columns == ["doc_id", "media"]
+    assert quar.columns == ["doc_id", "media", "validity"]
+
+
+def test_media_quarantine_matches_decoder_contract(spark):
+    """The lane's promise: every clean-side payload really decodes
+    (decode_wav succeeds and returns exactly the declared sample
+    count), and every hard-broken class raises — so the scan-fused
+    column predicate is a faithful, cheap stand-in for a decode
+    attempt. size_mismatch is the documented exception: decode_wav
+    silently clamps (returns fewer samples), which is exactly why
+    the lane must catch it structurally."""
+    import numpy as np
+    import pytest as _pytest
+
+    wav = mm.encode_wav(
+        (np.arange(200) % 4096 - 2048).astype(np.int16), 16000
+    )
+    ok_rate, ok_samples = mm.decode_wav(wav)
+    assert ok_rate == 16000 and len(ok_samples) == 200
+
+    for payload in (b"", wav[:7], b"JUNK" + wav[4:]):
+        with _pytest.raises(ValueError):
+            mm.decode_wav(payload)
+    # the silent class: decodes, but short — dead-letter material
+    rate, samples = mm.decode_wav(wav[:-6])
+    assert rate == 16000 and len(samples) == 197
