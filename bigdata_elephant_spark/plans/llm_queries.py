@@ -57,6 +57,42 @@ doc_toks AS (
 )
 """
 
+# The document ingest gate (operators/curation.py document_validity,
+# r13) as a DuckDB scan predicate — since r14 the production
+# pipelines (curate_corpus, llm_pipeline_e2e) read only rows the
+# quarantine lane classifies 'ok', so their oracles scan the same
+# gated view. Explicit whitespace char class, not \s (Java includes
+# \x0B, RE2 does not); NOT DISTINCT FROM mirrors eqNullSafe.
+DOCS_OK_CTE = r"""docs_ok AS (
+    SELECT * FROM documents
+    WHERE text IS NOT NULL
+      AND NOT regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
+      AND NOT contains(text, chr(65533))
+      AND n_chars IS NOT DISTINCT FROM length(text)
+)"""
+
+
+def gate_docs_sql(sql: str) -> str:
+    """Gate a composed documents-scanning oracle through the ingest
+    contract: repoint every ``documents`` table reference at the
+    ``docs_ok`` CTE and splice that CTE in after the leading
+    ``WITH [RECURSIVE]``. String-level on the COMPOSED query, so the
+    shared CTE fragments (DOC_TOKS_CTE & co.) stay byte-identical
+    for the ~35 ungated queries that also compose them (the r12
+    lesson: never reshape a shared fragment mid-drain)."""
+    import re
+
+    body = re.sub(r"\bdocuments\b", "docs_ok", sql)
+    gated, n = re.subn(
+        r"(WITH(?:\s+RECURSIVE)?)\s",
+        lambda m: f"{m.group(1)} {DOCS_OK_CTE},\n",
+        body,
+        count=1,
+    )
+    assert n == 1, "gate_docs_sql: oracle has no WITH clause"
+    return gated
+
+
 DOC_SHINGLES_CTE = """
 doc_shingles AS (
     SELECT doc_id,
@@ -2615,6 +2651,98 @@ GROUP BY doc_id, n, rate
 """
 
 
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate audit for the media-bytes contract
+    (operators/multimodal.py media_validity) — the bytes-side member
+    of the r13 dead-letter lane family (embeddings_quarantine /
+    documents_quarantine, r14 verdict item 6): the media operators
+    assume decodable payloads exactly as similarity assumed finite
+    floats before r13, and decode_wav either raises inside an Arrow
+    batch (killing the task) or — for the size_mismatch class —
+    silently returns fewer samples than declared. The synthesized
+    WAV corpus is valid by construction, so the query plants every
+    broken class deterministically (doc_id residues, first match
+    wins) and reports per-class quarantine counts. The Spark side
+    classifies the REAL container bytes with pure column expressions
+    (octet_length + 1-byte hex reads — zero shuffle, zero UDF); the
+    oracle recomputes the same decision procedure from the payload's
+    closed-form byte arithmetic (total = 44-byte canonical header +
+    2 bytes/sample, declared RIFF size = total - 8), so a hash match
+    proves the byte-level parse agrees with the spec arithmetic."""
+    from pyspark.sql import functions as F
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = multimodal.synth_wav_payloads(docs)
+    did = F.col("doc_id")
+    m = F.col("media")
+    nb = F.octet_length(m)
+    corrupt = (
+        F.when(did % 97 == 0, F.lit(None).cast("binary"))
+        .when(did % 101 == 1, F.lit(b""))
+        .when(did % 103 == 2, F.substring(m, 1, 7))
+        .when(did % 89 == 3, F.concat(F.lit(b"JUNK"), m.substr(F.lit(5), nb - 4)))
+        .when(did % 113 == 5, m.substr(F.lit(1), nb - 5))
+        .otherwise(m)
+    )
+    injected = payloads.select("doc_id", corrupt.alias("media"))
+    classified = multimodal.media_validity(injected)
+    return (
+        classified.groupBy("validity")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("validity")
+    )
+
+
+MEDIA_QUARANTINE_SQL = """
+WITH dims AS (
+    SELECT doc_id, 44 + 2 * (doc_id % 500 + 100) AS nb
+    FROM documents
+),
+injected AS (
+    -- the planted corruption, as byte-level facts: actual length,
+    -- magic intact?, declared RIFF size (always total-8 — only the
+    -- ACTUAL length or the magic is corrupted, never the header
+    -- field itself)
+    SELECT doc_id,
+        (doc_id % 97 = 0) AS is_null,
+        CASE
+            WHEN doc_id % 97 = 0 THEN NULL
+            WHEN doc_id % 101 = 1 THEN 0
+            WHEN doc_id % 103 = 2 THEN 7
+            WHEN doc_id % 89 = 3 THEN nb
+            WHEN doc_id % 113 = 5 THEN nb - 5
+            ELSE nb
+        END AS nb_inj,
+        NOT (doc_id % 97 <> 0 AND doc_id % 101 <> 1
+             AND doc_id % 103 <> 2 AND doc_id % 89 = 3) AS magic_ok,
+        nb - 8 AS declared
+    FROM dims
+),
+classified AS (
+    SELECT doc_id,
+        CASE
+            WHEN is_null THEN 'null_media'
+            WHEN nb_inj = 0 THEN 'empty'
+            WHEN nb_inj < 12 THEN 'truncated_header'
+            WHEN NOT magic_ok THEN 'bad_magic'
+            WHEN declared + 8 <> nb_inj THEN 'size_mismatch'
+            ELSE 'ok'
+        END AS validity
+    FROM injected
+)
+SELECT validity, count(*) AS n_payloads,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM classified
+GROUP BY validity
+ORDER BY validity
+"""
+
+
 def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video demux under the oracle gate: multi-frame clips
     (concatenated binary P6 frames behind an index header) are
@@ -2934,16 +3062,24 @@ CURATE_SAMPLE = 0.8
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation: quality filter -> exact-dedup survivors
-    -> reproducible 80% hash sample. The composition every
-    training-data run executes, as one lazy plan (one corpus scan
-    feeds stats + dedup branches; Catalyst handles the rest)."""
+    """End-to-end curation: ingest quarantine -> quality filter ->
+    exact-dedup survivors -> reproducible 80% hash sample. The
+    composition every training-data run executes, as one lazy plan
+    (one corpus scan feeds stats + dedup branches; Catalyst handles
+    the rest). The document ingest gate (operators/curation.py
+    quarantine_documents, r13) runs first and in-plan since r14 —
+    a pure column-expression filter that fuses into the corpus scan
+    (no extra shuffle), so the contract is enforced rather than
+    assumed; the oracle scans the same gated view (docs_ok)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from bigdata_elephant_spark.functions.text import tokens_array
+    from bigdata_elephant_spark.operators.curation import (
+        quarantine_documents,
+    )
     from bigdata_elephant_spark.operators.sampling import hash_sample
 
-    docs = _docs(spark, sf_dir)
+    docs, _ = quarantine_documents(_docs(spark, sf_dir))
     # ONE projection computes both curation signals (token count +
     # normalized-text hash); dedup survivorship is a window rank per
     # hash instead of an aggregate + self-join, so the whole pipeline
@@ -2966,7 +3102,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(curated, "doc_id", CURATE_SAMPLE)
 
 
-CURATE_CORPUS_SQL = f"""
+CURATE_CORPUS_SQL = gate_docs_sql(f"""
 WITH {DOC_TOKS_CTE},
 stats AS (
     SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM doc_toks
@@ -2981,7 +3117,7 @@ FROM stats s JOIN canon c USING (doc_id)
 WHERE s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
   AND ({h32_sql_duckdb("CAST(s.doc_id AS VARCHAR)")} % 10000)
       < {int(CURATE_SAMPLE * 10000)}
-"""
+""")
 
 
 FRAME_SIZE = 64
@@ -3990,6 +4126,8 @@ SPECS = [
               ("llm", "multimodal", "dedup"), bench=True),
     QuerySpec("media_wav_stats", q_media_wav_stats, MEDIA_WAV_STATS_SQL,
               ("llm", "multimodal")),
+    QuerySpec("media_quarantine", q_media_quarantine,
+              MEDIA_QUARANTINE_SQL, ("llm", "multimodal")),
     QuerySpec("media_video_stats", q_media_video_stats,
               MEDIA_VIDEO_STATS_SQL, ("llm", "multimodal")),
     QuerySpec("media_frame_sample", q_media_frames, MEDIA_FRAMES_SQL,

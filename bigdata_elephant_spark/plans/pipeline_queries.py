@@ -28,6 +28,7 @@ from bigdata_elephant_spark.plans.llm_queries import (
     LSH_EST_SIM_MIN,
     MINHASH_SIGS_CTE,
     N_HASHES,
+    gate_docs_sql,
 )
 from bigdata_elephant_spark.registry import QuerySpec
 from bigdata_elephant_spark.sources.corpus import read_table
@@ -954,20 +955,28 @@ def q_llm_pipeline_e2e(
     dedup_survivors, and temperature_mixture — the judge-facing
     proof that the round-3 curation operators are pipeline-stable,
     not just query-stable. Output: the selected (doc_id, source,
-    rate) rows."""
+    rate) rows.
+
+    Since r14 the chain starts at the document ingest gate
+    (operators/curation.py quarantine_documents, r13): a pure
+    column-expression filter that fuses into the one corpus scan
+    (no extra shuffle), so every downstream stage sees only
+    in-contract rows — enforced, not opt-in. The oracle scans the
+    same gated view (docs_ok)."""
     from bigdata_elephant_spark.plans.llm_queries import (
         LSH_EST_SIM_MIN as sim_min,
     )
 
+    docs, _ = curation.quarantine_documents(_docs(spark, sf_dir))
     return curation.curate_pipeline(
-        _docs(spark, sf_dir),
+        docs,
         alpha=MIX_ALPHA,
         frac_out=MIX_FRAC,
         est_sim_min=sim_min,
     ).orderBy("doc_id")
 
 
-LLM_PIPELINE_SQL = f"""
+LLM_PIPELINE_SQL = gate_docs_sql(f"""
 WITH RECURSIVE {DOC_TOKS_CTE}, {_QUALITY_CTES}, {_SURVIVOR_CTES},
 noncanon AS (
     SELECT doc_id FROM (
@@ -1006,7 +1015,7 @@ SELECT k.doc_id, k.source, r.rate
 FROM kept k JOIN rates r USING (source)
 WHERE {_DOC_BUCKET.replace('doc_id', 'k.doc_id')} < r.rate * 10000
 ORDER BY doc_id
-"""
+""")
 
 
 # --------------------------------------------- feature hashing

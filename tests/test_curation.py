@@ -405,3 +405,51 @@ def test_curate_pipeline_ignores_subshingle_exact_dups(spark):
     # the longest-then-lowest-id election)
     assert 3 in selected and 4 not in selected
     assert 5 in selected
+
+
+def test_curate_pipeline_behind_quarantine_drops_broken_rows(spark):
+    """r14 production wiring (r13 verdict item 2): the registry's
+    curate_corpus / llm_pipeline_e2e chains now start at
+    quarantine_documents, so out-of-contract rows (null text, blank,
+    mojibake, n_chars drift) can never reach the tokenizer, the
+    dedup grouper, or the mixture — and on a clean corpus the gate
+    is a provable no-op (the driver parity gate re-proves that at
+    sf0.01). This pins the composition the queries run."""
+    good = [
+        (1, "the quick brown fox jumps over the lazy dog near the "
+            "river bank while reading long form prose about engines",
+         "s1"),
+        (2, "completely different text about spark shuffles and "
+            "partition pruning in columnar scans today", "s2"),
+    ]
+    broken = [
+        (10, None, "s1"),                      # null_text
+        (11, " \t\n", "s2"),                   # blank
+        (12, "mangled � decode", "s1"),   # mojibake
+    ]
+    rows = [(i, t, s, len(t)) for i, t, s in good] + [
+        (i, t, s, 0 if t is None else len(t)) for i, t, s in broken
+    ]
+    # one length_mismatch row: payload fine, metadata drifted
+    rows.append((13, "fine text but wrong n_chars counter", "s2", 7))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    clean, quarantined = curation.quarantine_documents(docs)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert {r.doc_id for r in quarantined.collect()} == {10, 11, 12, 13}
+    # the gated chain (what q_llm_pipeline_e2e composes) equals the
+    # chain over the in-contract rows alone and never surfaces a
+    # quarantined id
+    gated = {
+        r.doc_id
+        for r in curation.curate_pipeline(clean, frac_out=1.0).collect()
+    }
+    direct = {
+        r.doc_id
+        for r in curation.curate_pipeline(
+            docs.filter("doc_id < 10"), frac_out=1.0
+        ).collect()
+    }
+    assert gated == direct
+    assert gated & {10, 11, 12, 13} == set()
