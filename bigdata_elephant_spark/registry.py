@@ -73,86 +73,93 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-13 ROTATION — the committed drain round (r12 verdict
-    # item 1). Window composition, per the schedule recorded in the
-    # r12 comment (git history) and tools/gate_coverage.py --plan:
-    #   - 2 must-gates: embeddings_quarantine and
-    #     documents_quarantine ship this round (the finite-floats /
-    #     document ingest gates, r12 verdict item 4) — new queries
-    #     gate the round they ship. They take the two youngest
-    #     evictable slots (docs_stream_dsir r8 — streaming coverage
-    #     stays on events_stream_anomalies; decontaminate_eval r6 —
-    #     dedup/llm stay covered by source_overlap_matrix,
-    #     dedup_report and others; it joins r14's mandatory drain,
-    #     33 of 50 slots).
-    #   - the full 14-query r3 remainder + the 30-query r4 remainder
-    #     + 2 r6 queries (oldest-first drain, the --plan proposal),
-    #     leaving the r6 remainder + r7 cohort for r14.
-    #   - 2 family carriers: events_stream_anomalies (stateful) and
-    #     zorder_orders_layout (layout), both r10 — no older carrier
-    #     exists for either family.
-    #   After this window the worst oracled age is r4-gated = 9 at
-    #   r13 close -> r14 drains r6 remainder + r7 cohort and
-    #   gate_coverage --max-age 6 exits 0 from r14 on. Steady state:
-    #   ~45 drain slots/round over 268 queries = a 6-round cycle,
-    #   provided new-query production stays <= ~5.
+    # ROUND-14 ROTATION — the FINAL drain leg (r13 verdict item 1):
+    # after this window rotates, every oracled query has been gated
+    # within the last 6 rounds and tools/gate_coverage.py --max-age 6
+    # exits 0 for the first time. Composition, from the --plan
+    # proposal with 3 slots handed to this round's must-gates:
+    #   - 3 must-gates: media_quarantine ships this round (the
+    #     media-bytes ingest lane, r13 verdict item 6), and
+    #     llm_pipeline_e2e + curate_corpus changed (the r13
+    #     document quarantine lane is now wired into the production
+    #     pipelines — enforced at ingest, not opt-in; r13 verdict
+    #     item 2). They take the three youngest evictable proposal
+    #     slots (events_stream_enrich, embedding_novelty,
+    #     emb_stream_novelty, all r9 — join/streaming/similarity
+    #     coverage stays on skew_salted_join_events,
+    #     docs_stream_dsir/events_stream_distinct, and the r7
+    #     kmeans/knn cohort respectively).
+    #   - the MANDATORY 33 (everything last-gated <= r7): the r6
+    #     remainder — 21 oracled queries + the no-oracle perf twin
+    #     q1_pricing_fast (rows-only driver row) — plus the 11-query
+    #     r7 cohort.
+    #   - the r8 cohort (6) + 5 oldest r9 queries (oldest-first
+    #     drain order).
+    #   - 3 family carriers with no older ungated member:
+    #     pagerank_dupgraph (graph, r10), compaction_plan (layout,
+    #     r11), events_stream_distinct (stateful, r11).
+    #   Steady state from here (pinned as a property in
+    #   tests/test_gate_plan.py): ~45 drain slots/round over a
+    #   268-query registry = a 6-round revisit cycle, provided
+    #   new-query production stays <= 5/round.
     #
-    # --- must-gates: ship r13 ---
-    "embeddings_quarantine",
-    "documents_quarantine",
-    # --- the 14-query r3 remainder ---
-    "event_transition_matrix",
-    "mixture_rebalance",
-    "pivot_api_events",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q21_waiting_suppliers",
-    "q4_priority_timeliness",
-    "quality_logit_filter",
-    "source_overlap_matrix",
-    "surprisal_band_sample",
-    "table_diff_orders",
-    "temperature_mixture_sample",
-    "token_budget_selection",
-    "trimmed_value_stats",
-    # --- the 30-query r4 remainder ---
-    "cms_join_cardinality",
-    "corpus_bigrams",
-    "dedup_report",
-    "dq_orders_report",
-    "event_trigram_paths",
-    "ewma_user_value",
-    "hashed_doc_vectors",
-    "heavy_hitter_keys",
-    "hourly_volume_anomalies",
-    "k_anonymity_audit",
-    "kmeanspp_seeds",
-    "kmv_user_setops",
-    "lang_source_chisq",
-    "media_ppm_features",
-    "media_resize",
-    "media_scene_cuts",
-    "media_wav_rms",
-    "neyman_sample_orders",
-    "props_key_counts",
-    "quantile_normalize_values",
-    "redact_pii",
-    "revenue_concentration",
-    "rfm_segments",
-    "robust_value_outliers",
-    "rolling_hll_users",
-    "top_events_per_user",
-    "value_moments_by_type",
-    "value_trend_by_type",
-    "vocab_heaps_fit",
-    "vocab_zipf_fit",
-    # --- 2 r6 queries (drain continues into r6; remainder -> r14) ---
-    "doc_meta",
-    "pagerank_dangling",
-    # --- 2 family carriers (youngest members, no older carrier
-    # exists): stateful and layout ---
-    "events_stream_anomalies",
-    "zorder_orders_layout",
+    # --- must-gates: ship/changed r14 ---
+    "media_quarantine",
+    "llm_pipeline_e2e",
+    "curate_corpus",
+    # --- the r6 remainder (mandatory drain) ---
+    "decontaminate_eval",
+    "dedup_exact",
+    "duplicate_passages",
+    "embedding_gram_matrix",
+    "eval_contamination",
+    "incremental_dedup",
+    "lang_id_ngram",
+    "lang_id_profiles",
+    "media_frame_sample",
+    "order_aging",
+    "pandas_token_counts",
+    "q12_ship_delay_priority",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipments",
+    "q22_dormant_customers",
+    "q6_forecast_revenue",
+    "q1_pricing_fast",  # no-oracle perf twin: rows-only driver row
+    "search_batch",
+    "simhash_signatures",
+    "token_counts",
+    "vocab_incremental_update",
+    # --- the r7 cohort (mandatory drain) ---
+    "dedup_minhash_lsh",
+    "dsir_gumbel_sample",
+    "dsir_incremental",
+    "dsir_select",
+    "hard_negative_mining",
+    "index_incremental_update",
+    "kmeans_step",
+    "kmeans_train",
+    "knn_mmr",
+    "skew_safe_user_stats",
+    "skew_salted_join_events",
+    # --- the r8 cohort ---
+    "bpe_subword_vocab",
+    "docs_stream_dsir",
+    "q2_min_cost_supplier",
+    "related_terms_pmi",
+    "sq8_reconstruction_report",
+    "unigram_surprisal",
+    # --- 6 oldest r9 queries ---
+    "asof_events_orders",
+    "bigram_surprisal",
+    "boilerplate_flags_relative",
+    "dedup_lsh_recall",
+    "kmv_distinct_users",
+    # --- 3 family carriers (no older ungated member exists):
+    # graph, layout, stateful ---
+    "pagerank_dupgraph",
+    "compaction_plan",
+    "events_stream_distinct",
 )
 
 

@@ -149,3 +149,51 @@ def test_current_registry_proposal_covers_all_families():
     )
     assert len(window) + len(never) == 50
     assert uncovered == frozenset()
+
+
+def _simulate_drain(n_queries, slots, production, horizon):
+    """Round-by-round drain simulation (r13 verdict item 4): a
+    registry of ``n_queries`` oracled queries, a ``slots``-slot
+    window, and ``production`` must-gate slots consumed each round
+    by freshly-changed queries. Must-gates are chosen ADVERSARIALLY
+    as the just-gated youngest rows (pure slot waste — a changed
+    query that was already fresh), so the drain sees only
+    ``slots - production`` useful slots. Returns the worst
+    (next-round view) age observed across the horizon."""
+    last = {f"q{i}": 1 + (i % 6) for i in range(n_queries)}
+    specs = [Spec(n, ()) for n in last]
+    worst = 0
+    for rnd in range(7, 7 + horizon):
+        by_age = sorted(last, key=lambda n: (-last[n], n))
+        changed = by_age[:production]  # youngest = most wasteful
+        rows = [
+            row(n, last[n]) for n in last if n not in changed
+        ]
+        window, never, _ = propose_window(
+            specs, rows, slots - production, frozenset()
+        )
+        assert never == []
+        for n in names(window) + changed:
+            last[n] = rnd
+        worst = max(worst, rnd + 1 - min(last.values()))
+    return worst
+
+
+def test_drain_cycle_sustains_max_age_6():
+    """The steady-state gate-cycle arithmetic pinned as a property
+    (registry.py GATE_PRIORITY comment): a 268-query registry with a
+    50-slot window sustains a <=6-round revisit cycle as long as
+    new-query/changed-query production stays <= 5/round — even when
+    every production slot is pure waste (268 / (50-5) = 5.96 <= 6).
+    This is the invariant the whole r12-r14 drain schedule was built
+    on; if the registry outgrows 6 * (window - production), the
+    bound breaks and the window (or production cap) must change."""
+    assert _simulate_drain(268, 50, production=5, horizon=40) <= 6
+
+
+def test_drain_cycle_bound_is_tight():
+    """The complement: one extra production slot per round (6) sinks
+    the useful drain rate below the 6-round requirement
+    (268 / 44 = 6.09), so the property must FAIL — proving the <=5
+    cap in the schedule comment is load-bearing, not slack."""
+    assert _simulate_drain(268, 50, production=6, horizon=40) > 6
