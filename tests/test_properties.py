@@ -753,3 +753,96 @@ def test_quarantine_enforces_finite_contract(spark, vecs, thr_x10):
         }
 
     assert pairs(clean) == pairs(manual)
+
+
+# Media-bytes lane (r14): media_validity must agree with the plain
+# python reference predicate over ANY mutation of a valid RIFF/WAV
+# container — the Spark side reads the container with column
+# expressions (octet_length + hex byte reads), so this property is
+# the proof that the byte-level parse implements the documented
+# decision procedure, not something merely close to it. Mutations
+# compose (Hypothesis draws a per-row op), and the documented edge
+# classes are pinned as @example per the r11 lesson.
+def _ref_media_class(b):
+    if b is None:
+        return "null_media"
+    if len(b) == 0:
+        return "empty"
+    if len(b) < 12:
+        return "truncated_header"
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return "bad_magic"
+    if int.from_bytes(b[4:8], "little") + 8 != len(b):
+        return "size_mismatch"
+    return "ok"
+
+
+def _mutate_payload(base, op, k):
+    if op == "keep":
+        return base
+    if op == "null":
+        return None
+    if op == "truncate":
+        return base[: k % 12]  # always below the 12-byte preamble
+    if op == "flip_riff":
+        return b"JUNK" + base[4:]
+    if op == "flip_wave":
+        return base[:8] + b"EVAW" + base[12:]
+    if op == "chop":
+        return base[: len(base) - 1 - (k % 16)]
+    if op == "pad":
+        return base + bytes(1 + k % 16)
+    if op == "declared":  # rewrite the declared size field itself
+        return base[:4] + k.to_bytes(4, "little") + base[8:]
+    raise AssertionError(op)
+
+
+media_op_strategy = st.tuples(
+    st.sampled_from(
+        ["keep", "null", "truncate", "flip_riff", "flip_wave",
+         "chop", "pad", "declared"]
+    ),
+    st.integers(min_value=0, max_value=300),
+)
+
+_MIN_RIFF = b"RIFF" + (4).to_bytes(4, "little") + b"WAVE"
+
+
+@given(ops=st.lists(media_op_strategy, min_size=1, max_size=10))
+@example(ops=[("declared", 4)])    # 12-byte zero-chunk container: ok
+@example(ops=[("declared", 5)])    # off-by-one declared size
+@example(ops=[("truncate", 11)])   # one byte short of the preamble
+@example(ops=[("pad", 0)])         # one trailing pad byte
+@example(ops=[("chop", 0)])        # one byte chopped
+@example(ops=[("null", 0), ("keep", 0), ("flip_wave", 0)])
+@SETTINGS
+def test_media_validity_matches_reference_predicate(spark, ops):
+    import numpy as np
+
+    from bigdata_elephant_spark.operators import multimodal as mm
+
+    base = mm.encode_wav(
+        (np.arange(40) % 7 - 3).astype(np.int16), 8000
+    )
+    payloads = [
+        _mutate_payload(_MIN_RIFF if op == "declared" else base, op, k)
+        for op, k in ops
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, media binary",
+    ).localCheckpoint()
+    got = {
+        r.doc_id: r.validity
+        for r in mm.media_validity(df).collect()
+    }
+    want = {i: _ref_media_class(p) for i, p in enumerate(payloads)}
+    assert got == want
+    # the split is a partition and the clean side is exactly the
+    # reference-ok subset
+    clean, quar = mm.quarantine_media(df)
+    ids_clean = {r.doc_id for r in clean.collect()}
+    ids_quar = {r.doc_id for r in quar.collect()}
+    assert ids_clean.isdisjoint(ids_quar)
+    assert ids_clean | ids_quar == set(want)
+    assert ids_clean == {i for i, c in want.items() if c == "ok"}
