@@ -214,6 +214,13 @@ def main() -> int:
                     help="propose the next N-slot drain window "
                          "(oldest-first, family-coverage repaired) "
                          "instead of the report")
+    ap.add_argument("--assume-gated", action="store_true",
+                    help="simulate the NEXT round's view: treat the "
+                         "committed 50-entry window as gated this "
+                         "round, then report ages as the round after "
+                         "will see them — the mechanical check that "
+                         "a composed window actually reaches the "
+                         "age bound before the driver runs it")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -248,6 +255,19 @@ def main() -> int:
             "module": mod_file,
             "code_touched_since_gate": touched,
         })
+
+    if args.assume_gated:
+        # the what-if view: the committed window gates at cur_round,
+        # and we report from (cur_round + 1) exactly as this tool
+        # will compute it once CORRECTNESS_r{cur_round} lands
+        for r in rows:
+            if r["in_window"]:
+                r["last_gated_round"] = cur_round
+                r["code_touched_since_gate"] = False
+        cur_round += 1
+        for r in rows:
+            if r["last_gated_round"] is not None:
+                r["rounds_since"] = cur_round - r["last_gated_round"]
 
     def _key(r):
         return (
