@@ -157,6 +157,14 @@ def build_sf1(spark) -> None:
             F.concat(F.col("text"), F.lit(" salt"),
                      F.col("c").cast("string")),
         )
+        # keep the corpus IN its own metadata contract: salting
+        # changes the text, so n_chars must follow — since r14 the
+        # production pipelines quarantine length_mismatch rows at
+        # ingest, and a stale n_chars would (correctly!) dead-letter
+        # every synthesized copy, silently shrinking the e2e
+        # measurement to an empty corpus (observed: llm_pipeline_e2e
+        # "slope -0.46" on the first r14 run)
+        .withColumn("n_chars", F.length("text"))
         .drop("c")
         .write.mode("overwrite")
         .parquet(os.path.join(DST, "documents.parquet"))
