@@ -52,3 +52,42 @@ def test_parity_gate_actually_rejects(spark, duck, sf_dir):
         assert_parity(
             good.withColumnRenamed("df", "df2"), rel, "meta-col"
         )
+
+
+def test_gate_docs_sql_isolates_shared_fragments():
+    """r14 oracle-gating contract: gate_docs_sql rewrites only the
+    COMPOSED query it is given — the shared CTE fragments stay
+    byte-identical for the ~35 ungated queries that also compose
+    them (the r12 lesson: a shared-fragment reshape must-gates
+    every consumer at once), and in the gated SQL every table-level
+    `documents` reference is repointed at the docs_ok CTE, whose
+    own scan of the raw table is the single exception."""
+    import re
+
+    from bigdata_elephant_spark.plans.llm_queries import (
+        CURATE_CORPUS_SQL,
+        DOC_TOKS_CTE,
+        DOCS_OK_CTE,
+        gate_docs_sql,
+    )
+    from bigdata_elephant_spark.plans.pipeline_queries import (
+        LLM_PIPELINE_SQL,
+        _QUALITY_CTES,
+        _SURVIVOR_CTES,
+    )
+
+    # shared fragments still scan the raw table (ungated consumers)
+    for frag in (DOC_TOKS_CTE, _QUALITY_CTES, _SURVIVOR_CTES):
+        assert re.search(r"\bdocuments\b", frag)
+    # the two gated oracles reference `documents` exactly once: the
+    # docs_ok CTE's own ingest scan
+    for sql in (CURATE_CORPUS_SQL, LLM_PIPELINE_SQL):
+        assert DOCS_OK_CTE in sql
+        assert len(re.findall(r"\bdocuments\b", sql)) == 1
+        assert "docs_ok" in sql
+    # double-gating is visible, never silent: a second application
+    # yields two same-named CTEs (one self-referential), which
+    # DuckDB rejects at bind time — a pipeline bug surfaces as a
+    # loud binder error, not as a silently double-filtered oracle
+    gated_twice = gate_docs_sql(CURATE_CORPUS_SQL)
+    assert gated_twice.count("docs_ok AS") == 2
