@@ -1128,10 +1128,34 @@ def _gate_build_input(
     its clean side). Without this, one NaN vector at 100 TB poisons
     the centroid means for its whole cell (NaN propagates through
     every distance), and the norm>0 read-side filters can't catch it
-    (NaN > 0 is TRUE under Spark's NaN-greatest ordering)."""
-    dim = _vec_dim(embeddings, vec_col)
+    (NaN > 0 is TRUE under Spark's NaN-greatest ordering).
+
+    The dim the manifest records is ELECTED, not probed (r14 review
+    finding): reading any single row — even one that passed the
+    dim-free classes — lets a corrupt LEADING row invert the gate
+    (a wrong-dim first row pins expected_dim to the corrupt value
+    and quarantines the whole in-contract corpus; a NULL first
+    vector crashes the int() cast). So: drop null/nonfinite/zero
+    first, then take the MAJORITY vector length among the survivors
+    (count-desc, dim-asc tie-break — deterministic). The election
+    is one partial-aggregated count over the handful of distinct
+    sizes (metadata-sized result; the build already makes multiple
+    corpus passes to train its quantizers). An input with NO rows
+    surviving the dim-free classes yields ``dim=None`` + an empty
+    clean side, which ``build_ivfsq8_index`` turns into its loud
+    empty-corpus error."""
+    prefiltered, _ = quarantine_embeddings(
+        embeddings, vec_col, expected_dim=None
+    )
+    row = (
+        prefiltered.groupBy(F.size(vec_col).alias("dim"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("dim"))
+        .first()
+    )
+    dim = None if row is None else int(row["dim"])
     clean, _ = quarantine_embeddings(
-        embeddings, vec_col, expected_dim=dim
+        prefiltered, vec_col, expected_dim=dim
     )
     return clean, dim
 

@@ -149,7 +149,7 @@ GATE_PRIORITY = (
     "related_terms_pmi",
     "sq8_reconstruction_report",
     "unigram_surprisal",
-    # --- 6 oldest r9 queries ---
+    # --- 5 oldest r9 queries ---
     "asof_events_orders",
     "bigram_surprisal",
     "boilerplate_flags_relative",

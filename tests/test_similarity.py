@@ -1717,3 +1717,50 @@ def test_updates_gate_delta_but_keep_dim_raise(spark, tmp_path):
     )
     with pytest.raises(SparkRuntimeException, match="components"):
         sim.update_ivf_index(spark, path, bad)
+
+
+def test_builder_gate_survives_corrupt_first_row(spark, tmp_path):
+    """r14 review finding: the dim probe must not read the RAW
+    first row — a wrong-dim leading row would otherwise pin
+    expected_dim to the corrupt value and quarantine the whole
+    in-contract corpus (gate inversion), and a NULL first vector
+    would crash the int() cast. dim comes from the first row that
+    already passed the dim-free classes."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    good = {
+        i + 100: [float(x) for x in rng.normal(size=4).astype(np.float32)]
+        for i in range(12)
+    }
+    # corrupt rows FIRST in physical order: null, then wrong-dim
+    rows = [(0, None), (1, [1.0, 2.0])] + sorted(good.items())
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)  # one partition => deterministic physical order
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=2)
+    stored = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert stored == set(good)
+    assert sim.read_index_manifest(path)["dim"] == 4
+
+
+def test_sq8_build_raises_on_fully_out_of_contract_corpus(spark, tmp_path):
+    """Companion finding: a nonempty input whose every row is out of
+    contract must hit the loud empty-corpus error, not silently
+    persist an SQ8 index trained on zero rows."""
+    from bigdata_elephant_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]),
+         (1, [float("nan"), 1.0, 1.0, 1.0]),
+         (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        sim.build_ivfsq8_index(
+            emb, str(tmp_path / "sq8"), n_cells=2
+        )
