@@ -585,18 +585,25 @@ def boilerplate_flags(
     )
 
 
+def _cc_edges(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Checkpointed symmetrized edge list (reused every round)."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+
 def _cc_init(
     pairs: DataFrame, a_col: str, b_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Connected-components state init: the symmetrized edge list and
     the self-labelled node table, both checkpointed (edges are reused
     every round; labels seed the propagation)."""
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = _cc_edges(pairs, a_col, b_col)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -634,11 +641,93 @@ def duplicate_groups_round_frame(
     return _cc_step(edges, _cc_step(edges, labels))
 
 
+# Directed-edge count at or below which the transitive closure runs
+# driver-side (collect + synchronous min-label hops in Python) instead
+# of as distributed label-propagation rounds. 2^18 directed edges is
+# ~4 MB of id pairs — the same metadata-size class as the broadcast
+# hint gate (session.BROADCAST_HINT_CAP_BYTES) and the kmeans-seed /
+# BPE-merge driver-iteration pattern. The win is structural, not a
+# local[32] tune: every distributed round costs 2 hops x 3 exchanges
+# plus a checkpoint job and a convergence aggregate, which is pure
+# fixed overhead once the edge list is this small, at ANY cluster
+# size (a 100 TB corpus whose LSH pair graph is tiny still pays it).
+# Above the gate the distributed loop below is unchanged — that is
+# the at-scale path, and the hop semantics of the two are identical
+# (tests/test_dedup.py pins equality, including max_iter truncation).
+CC_DRIVER_MAX_EDGES = 1 << 18
+
+
+def _cc_driver(
+    edges: DataFrame, max_iter: int
+) -> DataFrame | None:
+    """Driver-side twin of the distributed min-label loop: the SAME
+    synchronous hop update (new[v] = min(old[v], min over in-edges
+    of old[src])), run hop-by-hop up to ``max_iter`` with early stop
+    at the fixpoint — so results are identical to the distributed
+    path bit-for-bit, including truncation when a component chain
+    exceeds the hop budget. Returns None (caller falls back to the
+    distributed loop) if any endpoint is NULL — the join-based
+    propagation has engine-specific null semantics the simulation
+    does not reproduce."""
+    try:
+        tbl = edges.toArrow()
+        srcs = tbl.column("src").to_pylist()
+        dsts = tbl.column("dst").to_pylist()
+    except Exception:  # pragma: no cover — Arrow path exists on 4.x
+        rows = edges.collect()
+        srcs = [r[0] for r in rows]
+        dsts = [r[1] for r in rows]
+    if any(s is None for s in srcs) or any(d is None for d in dsts):
+        return None
+    adj: dict = {}
+    for s, d in zip(srcs, dsts):
+        adj.setdefault(s, []).append(d)
+    labels = {v: v for v in adj}
+    hops, converged = 0, False
+    while hops < max_iter:
+        new = dict(labels)
+        changed = False
+        for s, lab in labels.items():
+            for d in adj[s]:
+                if lab < new[d]:
+                    new[d] = lab
+                    changed = True
+        hops += 1
+        labels = new
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_groups: still propagating after max_iter="
+            f"{max_iter} rounds — a component chain is longer than "
+            "max_iter hops and group ids are NOT fully transitive "
+            "(the exact-closure oracle will mismatch). Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = edges.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", node_t, False),
+            StructField("group_id", node_t, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        sorted(labels.items()), schema
+    )
+
+
 def duplicate_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Transitive duplicate groups: connected components over a pair
     graph -> ``(doc_id, group_id)`` with ``group_id`` = min doc id in
@@ -663,8 +752,27 @@ def duplicate_groups(
     sums costs one map-side-partial aggregate over the node table —
     the old-vs-new label equi-join it replaces was a second
     node-sized shuffle per round.
+
+    Small graphs (at most ``driver_max_edges`` directed edges after
+    symmetrization — a count read off the already-checkpointed edge
+    RDD, so the gate costs one metadata-cheap job) take
+    :func:`_cc_driver`: one bounded collect + the identical hop
+    update in Python + a LocalRelation result. Identical output
+    (pinned by tests), and the LocalRelation gives downstream joins
+    real size stats, so the consumer (``dedup_survivors``) plans a
+    broadcast instead of a stats-blind sort-merge join.
     """
-    edges, labels = _cc_init(pairs, a_col, b_col)
+    edges = _cc_edges(pairs, a_col, b_col)
+    if edges.count() <= driver_max_edges:
+        res = _cc_driver(edges, max_iter)
+        if res is not None:
+            return res
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
 
     def _label_sum(df: DataFrame):
         return df.agg(

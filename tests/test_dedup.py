@@ -389,3 +389,68 @@ def test_duplicate_groups_round_frame_is_one_production_round(spark):
             for r in duplicate_groups(pairs, max_iter=2).collect()
         }
     assert got == want
+
+
+def test_duplicate_groups_driver_path_equals_distributed(spark):
+    """The size-gated driver fast path (_cc_driver) is bit-identical
+    to the distributed label-propagation loop — on a random multi-
+    component graph, on a chain truncated by max_iter, and on the
+    empty graph. driver_max_edges=0 forces the distributed loop for
+    the comparison."""
+    import random
+    import warnings
+
+    from bigdata_elephant_spark.operators.dedup import duplicate_groups
+
+    rng = random.Random(14)
+    pairs_rows = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    cases = [
+        pairs_rows,                           # random, several components
+        [(i, i + 1) for i in range(30)],      # diameter 29 > 20-hop cap
+        [],                                   # empty graph
+        [(5, 5)],                             # self-loop only
+    ]
+    for rows in cases:
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            fast = {
+                (r.doc_id, r.group_id)
+                for r in duplicate_groups(pairs).collect()
+            }
+            slow = {
+                (r.doc_id, r.group_id)
+                for r in duplicate_groups(
+                    pairs, driver_max_edges=0
+                ).collect()
+            }
+        assert fast == slow, rows[:5]
+
+
+def test_duplicate_groups_driver_path_max_iter_truncation(spark):
+    """Hop-budget truncation (max_iter) yields the SAME partially
+    propagated labels on both paths — the driver twin simulates the
+    identical synchronous hop update, not a full closure."""
+    import warnings
+
+    from bigdata_elephant_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    for cap in (1, 2, 3):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            fast = {
+                (r.doc_id, r.group_id)
+                for r in duplicate_groups(pairs, max_iter=cap).collect()
+            }
+            slow = {
+                (r.doc_id, r.group_id)
+                for r in duplicate_groups(
+                    pairs, max_iter=cap, driver_max_edges=0
+                ).collect()
+            }
+        assert fast == slow, cap
