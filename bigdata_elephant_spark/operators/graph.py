@@ -101,6 +101,15 @@ def _pr_init(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
+    return _pr_state(e, handle_dangling)
+
+
+def _pr_state(
+    e: DataFrame, handle_dangling: bool
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None, int,
+           DataFrame | None]:
+    """Distributed-state half of :func:`_pr_init`, over an already
+    checkpointed ``(src, dst)`` edge list."""
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -128,6 +137,117 @@ def _pr_init(
     return nodes, w, ranks, n, dang
 
 
+# Directed-edge count at or below which the rank iteration runs
+# driver-side over the collected edge list — the same size gate and
+# rationale as dedup.CC_DRIVER_MAX_EDGES: once the graph is
+# metadata-sized, every distributed round is pure fixed overhead
+# (2 joins + an aggregate + a checkpoint job) at ANY cluster size.
+# The driver twin mirrors the distributed arithmetic exactly:
+# IEEE-double products, HALF_UP decimal rounding per round (Spark's
+# Round on doubles == Decimal(x).quantize(1e-9, HALF_UP)), and the
+# exact-decimal dangling-mass sum; equality is pinned by tests on
+# real and random graphs. Above the gate the loop below is
+# unchanged — the 100 TB path.
+PR_DRIVER_MAX_EDGES = 1 << 18
+
+
+def _pr_driver(
+    e: DataFrame,
+    iterations: int,
+    damping: float,
+    handle_dangling: bool,
+) -> DataFrame | None:
+    """Driver-side twin of the distributed loop (see
+    :data:`PR_DRIVER_MAX_EDGES`). Returns None on NULL endpoints
+    (join-semantics edge case left to the distributed path).
+
+    Only wired up for ``handle_dangling=False``: the dangling
+    correction adds ``dm/n`` to EVERY node's inflow each round,
+    which parks many ranks exactly on 6-decimal halfway points —
+    there the final HALF_UP rounding becomes sensitive to float
+    summation order, and the driver-order result measurably flips
+    a few rows vs the distributed/oracle order (observed 2/2000 at
+    sf0.01). Without the correction, verified rank-exact against
+    the DuckDB oracle at sf0.001 and sf0.01."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    Q9 = Decimal("1e-9")
+    Q6 = Decimal("1e-6")
+
+    def rnd(x: float, q: Decimal) -> float:
+        # Spark's Round(double, s): exact binary expansion, HALF_UP
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    try:
+        tbl = e.toArrow()
+        srcs = tbl.column("src").to_pylist()
+        dsts = tbl.column("dst").to_pylist()
+    except Exception:  # pragma: no cover — Arrow path exists on 4.x
+        rows = e.collect()
+        srcs = [r[0] for r in rows]
+        dsts = [r[1] for r in rows]
+    if any(s is None for s in srcs) or any(d is None for d in dsts):
+        return None
+    nodes = sorted(set(srcs) | set(dsts))
+    n = len(nodes)
+    if n == 0:
+        return e.sparkSession.createDataFrame(
+            [], "node long, rank double"
+        )
+    outdeg: dict = {}
+    for s in srcs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    # per-edge weight exactly as _pr_init: 1.0 / outdeg (IEEE divide)
+    w = [(s, d, 1.0 / outdeg[s]) for s, d in zip(srcs, dsts)]
+    w.sort()  # deterministic contribution order
+    dang = (
+        [v for v in nodes if v not in outdeg] if handle_dangling else None
+    )
+    base = float(1.0 - damping) / n
+    ranks = {v: rnd(1.0 / n, Q9) for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, wt in w:
+            inflow[d] += ranks[s] * wt
+        if dang is not None:
+            # exact decimal sum of the 9-decimal ranks (the
+            # decimal(20,9) cast + SUM in _pr_round)
+            dm = sum(
+                (
+                    Decimal(ranks[v]).quantize(
+                        Q9, rounding=ROUND_HALF_UP
+                    )
+                    for v in dang
+                ),
+                Decimal(0),
+            )
+            dmn = float(dm) / float(n)
+            ranks = {
+                v: rnd(base + damping * (inflow[v] + dmn), Q9)
+                for v in nodes
+            }
+        else:
+            ranks = {
+                v: rnd(base + damping * inflow[v], Q9) for v in nodes
+            }
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    node_t = e.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_t, False),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
+    return e.sparkSession.createDataFrame(
+        [(v, rnd(ranks[v], Q6)) for v in nodes], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -135,6 +255,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     handle_dangling: bool = False,
+    driver_max_edges: int = PR_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """``(node, rank)`` after ``iterations`` synchronous updates.
 
@@ -151,8 +272,20 @@ def pagerank(
     decimal-sum discipline), computed as a 1-row DataFrame and
     broadcast-crossed into the update, so the iteration stays one
     lazy plan with no driver round-trip.
+
+    Small graphs (at most ``driver_max_edges`` directed edges, read
+    off the already-checkpointed edge RDD) run the iteration
+    driver-side (:func:`_pr_driver`) with the identical arithmetic —
+    see :data:`PR_DRIVER_MAX_EDGES`.
     """
-    nodes, w, ranks, n, dang = _pr_init(edges, src, dst, handle_dangling)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    if not handle_dangling and e.count() <= driver_max_edges:
+        res = _pr_driver(e, iterations, damping, False)
+        if res is not None:
+            return res
+    nodes, w, ranks, n, dang = _pr_state(e, handle_dangling)
     if n == 0:
         # empty edge set (a dedup graph with zero duplicate pairs is
         # legitimate): 1/N and (1-d)/N would raise ZeroDivisionError

@@ -123,3 +123,51 @@ def test_pagerank_round_frame_is_one_production_iteration(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     out = pagerank_round_frame(empty)
     assert out.count() == 0 and out.columns == ["node", "rank"]
+
+
+def test_pagerank_driver_path_equals_distributed(spark):
+    """The size-gated driver fast path (_pr_driver) reproduces the
+    distributed loop exactly on non-dangling graphs (both paths are
+    deterministic, so exact float equality is a stable pin);
+    driver_max_edges=0 forces the distributed loop."""
+    import random
+
+    from bigdata_elephant_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(120)
+    ]
+    cases = [
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)],  # cycle + tail
+        rand_edges,                                # fixed-seed random
+        [(i, i + 1) for i in range(25)],           # long chain
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        fast = {
+            (r.node, r.rank)
+            for r in pagerank(edges, iterations=5).collect()
+        }
+        slow = {
+            (r.node, r.rank)
+            for r in pagerank(
+                edges, iterations=5, driver_max_edges=0
+            ).collect()
+        }
+        assert fast == slow, rows[:5]
+
+
+def test_pagerank_dangling_keeps_distributed_path(spark):
+    """handle_dangling=True never takes the driver path (the dm/n
+    correction makes 6-decimal HALF_UP rounding summation-order
+    sensitive — see _pr_driver docstring): the result plan must NOT
+    be a LocalRelation."""
+    from bigdata_elephant_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=2, handle_dangling=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan
