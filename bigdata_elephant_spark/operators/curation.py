@@ -465,9 +465,20 @@ def quality_logit_scores(
         EN_STOPWORDS,
     )
 
+    # The token array is projected into its own column FIRST: it is
+    # referenced by three features below, and lambda-bearing
+    # expressions (filter/aggregate) are excluded from codegen
+    # subexpression elimination, so inlining tokens_array() re-runs
+    # the tokenizer regexes per reference — measured 0.83 s → 0.57 s
+    # warm at sf0.1 for this one projection (same trap as
+    # doc_shingles' 25x note).
+    toked = docs.select(
+        "doc_id", "text", *extra_cols,
+        tokens_array("text").alias("__toks"),
+    )
     lowered = F.lower(F.col("text"))
     n_chars = F.length("text")
-    toks = tokens_array("text")
+    toks = F.col("__toks")
     n_toks = F.size(toks)
     alpha_frac = F.round(
         F.length(F.regexp_replace(lowered, "[^a-z]", ""))
@@ -496,7 +507,7 @@ def quality_logit_scores(
         ),
         6,
     )
-    feats = docs.select(
+    feats = toked.select(
         "doc_id",
         *extra_cols,
         alpha_frac.alias("alpha_frac"),
@@ -651,7 +662,12 @@ def curate_pipeline(
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
-    kept = (
+    # kept is consumed twice downstream (the mixture's per-source
+    # sizes aggregate AND the final rate join) — unpersisted, each
+    # consumer replays the quality-score pass plus both joins.
+    # (doc_id, source) is two narrow columns per surviving doc, the
+    # same metadata-size class as the persisted cmap above.
+    kept = persist_tracked(
         docs.join(keep_ids, "doc_id")
         .join(noncanon, "doc_id", "left_anti")
         .select("doc_id", "source")
