@@ -140,6 +140,28 @@ def doc_lengths(postings: DataFrame) -> DataFrame:
     return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
 
+def doc_lengths_from_corpus(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`doc_lengths` computed straight from the corpus — valid
+    ONLY when the vocabulary is built from this same corpus (then
+    every token matches the vocab inner-join, so Σtf per doc is
+    exactly the token count). One narrow projection, no explode, no
+    join, no shuffle — versus the postings-lineage aggregate that
+    re-runs tokenize + vocab join + two aggregations. The docs-with-
+    no-tokens filter mirrors the postings aggregate's domain (a doc
+    with zero vocab tokens has no postings row). Callers holding a
+    materialized index artifact should keep :func:`doc_lengths`
+    (the artifact scan is cheaper than a corpus re-scan)."""
+    from bigdata_elephant_spark.functions.text import tokens_array
+
+    n = F.size(tokens_array(text_col)).cast("long")
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), n.alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
+
+
 def bm25_search(
     spark: SparkSession,
     query: str,
@@ -148,6 +170,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranking over the same inverted index the reference
     builds — the industry-standard upgrade of its raw TF/df scoring
@@ -167,7 +190,7 @@ def bm25_search(
     q = vocab.join(F.broadcast(q_terms), "word", "inner").select(
         "word_id", "q_tf", "df"
     )
-    dl, n_docs, avgdl = _bm25_corpus_stats(postings)
+    dl, n_docs, avgdl = _bm25_corpus_stats(postings, dl)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0
@@ -188,7 +211,7 @@ def bm25_search(
     )
 
 
-def _bm25_corpus_stats(postings: DataFrame):
+def _bm25_corpus_stats(postings: DataFrame, dl: DataFrame | None = None):
     """``(dl, n_docs, avgdl)`` for BM25 from ONE postings pass.
 
     ``n_docs`` (docs with >= 1 vocab token) equals the group count of
@@ -196,10 +219,12 @@ def _bm25_corpus_stats(postings: DataFrame):
     doc-sized ``dl`` table instead of a second corpus-scale
     distinct over the postings — the ``dl.count()`` action also
     materializes the cache that the scoring join and the avgdl
-    scalar then reuse."""
+    scalar then reuse. An explicitly passed ``dl`` (e.g.
+    :func:`doc_lengths_from_corpus` when the vocab covers the whole
+    corpus) skips the postings pass entirely."""
     from bigdata_elephant_spark.session import persist_tracked
 
-    dl = persist_tracked(doc_lengths(postings))
+    dl = persist_tracked(dl if dl is not None else doc_lengths(postings))
     n_docs = dl.count()
     avgdl = dl.agg(
         (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
@@ -228,6 +253,7 @@ def bm25_search_batch(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 for a probe SET of queries in ONE plan —
     ``(query_id, doc_id, score, rank)`` with per-query top-k.
@@ -256,7 +282,7 @@ def bm25_search_batch(
     q = vocab.join(F.broadcast(q_terms), "word", "inner").select(
         "query_id", "word_id", "q_tf", "df"
     )
-    dl, n_docs, avgdl = _bm25_corpus_stats(postings)
+    dl, n_docs, avgdl = _bm25_corpus_stats(postings, dl)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0

@@ -635,6 +635,7 @@ def _hybrid_fuse(
     sf_dir: str,
     vocab: DataFrame,
     postings: DataFrame,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Shared hybrid-RRF tail: BM25 top-N over the given
     vocab/postings fused with cosine top-N over the embedding table
@@ -657,7 +658,7 @@ def _hybrid_fuse(
 
     bm = bm25_search(
         spark, DEFAULT_QUERY, vocab, postings, k=HYBRID_N,
-        k1=BM25_K1, b=BM25_B,
+        k1=BM25_K1, b=BM25_B, dl=dl,
     )
     w_b = Window.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -699,7 +700,17 @@ def q_search_hybrid_rrf(
     # costs more than letting the two consumers (n_docs count,
     # scoring join) recompute the column-pruned lineage
     postings = build_index(corpus, vocab)
-    return _hybrid_fuse(spark, sf_dir, vocab, postings)
+    from bigdata_elephant_spark.operators.search import (
+        doc_lengths_from_corpus,
+    )
+
+    # dl straight from the corpus (vocab covers every corpus token,
+    # so sum(tf) per doc == token count) — one narrow projection
+    # instead of a second tokenize+join+aggregate postings pass.
+    return _hybrid_fuse(
+        spark, sf_dir, vocab, postings,
+        dl=doc_lengths_from_corpus(corpus),
+    )
 
 
 # Bench/diagnostic visibility into whether an _index_artifacts call

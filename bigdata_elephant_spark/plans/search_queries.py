@@ -691,9 +691,17 @@ def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring join) recompute the column-pruned lineage — measured
     # 3.3s (persisted) vs ~2.7s at sf0.1.
     postings = build_index(corpus, vocab)
+    # dl straight from the corpus (no postings re-pass): the vocab
+    # is built from this same corpus, so sum(tf) per doc == token
+    # count — see doc_lengths_from_corpus.
+    from bigdata_elephant_spark.operators.search import (
+        doc_lengths_from_corpus,
+    )
+
     return bm25_search_batch(
         spark, BATCH_QUERIES, vocab, postings, k=BATCH_K,
         k1=BM25_K1, b=BM25_B,
+        dl=doc_lengths_from_corpus(corpus),
     )
 
 

@@ -463,3 +463,27 @@ def test_reingest_docs_replaces_not_stacks(spark, corpus, vocab):
     assert {t for t in got if t[0] != 1} == {
         t for t in rows(postings) if t[0] != 1
     }
+
+
+def test_doc_lengths_from_corpus_equals_postings_aggregate(spark):
+    """When the vocabulary covers the whole corpus (the inline-build
+    case), dl computed straight from the corpus equals the postings
+    aggregate row-for-row — the invariant behind passing
+    dl=doc_lengths_from_corpus(corpus) into the inline BM25 queries."""
+    from bigdata_elephant_spark.operators.index import build_index
+    from bigdata_elephant_spark.operators.search import (
+        doc_lengths,
+        doc_lengths_from_corpus,
+    )
+    from bigdata_elephant_spark.operators.vocab import build_vocabulary
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    corpus = read_table(spark, "/root/testdata/sf0.01", "documents")
+    vocab = build_vocabulary(corpus)
+    postings = build_index(corpus, vocab)
+    a = {(r.doc_id, r.dl) for r in doc_lengths(postings).collect()}
+    b = {
+        (r.doc_id, r.dl)
+        for r in doc_lengths_from_corpus(corpus).collect()
+    }
+    assert a == b and len(a) > 0
