@@ -479,11 +479,20 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     from bigdata_elephant_spark.session import persist_tracked
 
     bigrams = persist_tracked(bigrams)
-    c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
-    starts = bigrams.select(
-        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    # ONE stream-sized aggregation: c1(w1) = Σ_{bg starts with w1}
+    # c2(bg), summed over the (much smaller) bigram-TYPE table
+    # instead of a second full-stream shuffle keyed on w1 — the same
+    # derivation kn_perplexity_scores already uses. typed is
+    # persisted because it feeds both the c1 rollup and the scoring
+    # join.
+    typed = persist_tracked(
+        bigrams.groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
     )
-    c1 = starts.groupBy("w1").agg(F.count("*").alias("c1"))
+    c1 = typed.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab_size = (
         docs.select(
             F.explode(tokens_array("text")).alias("w")
@@ -491,10 +500,7 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("w").alias("v"))
     )
     s = (
-        c2.withColumn(
-            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
-        )
-        .join(c1, "w1")
+        typed.join(c1, "w1")
         .crossJoin(F.broadcast(vocab_size))
         .select(
             "bg",
