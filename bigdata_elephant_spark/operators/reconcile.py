@@ -80,7 +80,15 @@ def table_diff(
             f"a-only={sorted(set(a.columns) - set(b.columns))} "
             f"b-only={sorted(set(b.columns) - set(a.columns))}"
         )
-    va, vb = _sided(a, key_cols, n_buckets), _sided(b, key_cols, n_buckets)
+    # Each side's (bucket, key, signature) projection feeds TWO
+    # consumers — the bucket fingerprint and the differing-bucket
+    # candidate join. Unpersisted, both full tables are scanned and
+    # re-hashed twice; persisted, the diff costs one pass per side
+    # plus bucket-pruned cache reads (narrow rows: keys + one hash).
+    from bigdata_elephant_spark.session import persist_tracked
+
+    va = persist_tracked(_sided(a, key_cols, n_buckets))
+    vb = persist_tracked(_sided(b, key_cols, n_buckets))
 
     def fingerprint(v):
         return v.groupBy("_bucket").agg(

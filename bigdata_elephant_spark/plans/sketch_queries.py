@@ -153,7 +153,14 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates the per-group REGISTER tables (elementwise max) —
     sketch states merge, raw data is scanned once."""
     e = read_table(spark, sf_dir, "events")
-    regs = hll_registers(e, "user_id", "event_type")
+    # regs feeds two consumers (the per-type estimate union AND the
+    # 'ALL' register merge); unpersisted each replays the full
+    # hash+aggregate scan of events. The register table is at most
+    # m rows per group — persisting it makes the docstring's "raw
+    # data is scanned once" literally true for the sketch side.
+    from bigdata_elephant_spark.session import persist_tracked
+
+    regs = persist_tracked(hll_registers(e, "user_id", "event_type"))
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("r").alias("r"))
