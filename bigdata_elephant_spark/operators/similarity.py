@@ -2816,7 +2816,10 @@ def ivfpq_topk(
         .alias("pd"),
     )
     short = (
-        codes.join(assign, id_col)
+        # cell_id read off the PERSISTED resid cache (resid's inner
+        # joins preserve the assignment row-for-row) instead of
+        # recomputing the argmin pass through a second assign lineage
+        codes.join(resid.select(id_col, "cell_id"), id_col)
         .filter(F.col(id_col) != query_vec_id)
         .join(
             F.broadcast(lut),
@@ -2944,7 +2947,8 @@ def ivfpq_topk_batch(
         F.desc("adc"), F.asc(id_col)
     )
     short = (
-        codes.join(assign, id_col)
+        # cell_id from the persisted resid cache (see ivfpq_topk)
+        codes.join(resid.select(id_col, "cell_id"), id_col)
         .join(F.broadcast(lut), ["cell_id", "sub"])
         .filter(F.col("code") == F.col("code_id"))
         .filter(F.col(id_col) != F.col("q_id"))
