@@ -540,6 +540,42 @@ def ahash_hashes(
     )
 
 
+def synth_ahash_hashes(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`synth_ppm_payloads` composed with :func:`ahash_hashes`
+    in ONE Python stage: the payload is encoded AND decoded inside
+    the same task (a real container round-trip through encode_ppm /
+    decode_ppm, so the parse path is genuinely exercised), but the
+    image bytes never cross the JVM↔Python boundary — only the
+    16-byte (id, hi, lo) rows do. Two chained mapInPandas stages
+    ship every payload Python→JVM→Python per batch; at 100 TB of
+    images that is the whole corpus over the serialization boundary
+    twice for nothing — move keys and hashes across boundaries, not
+    payloads. Bit-identical to the two-stage composition (pinned
+    in tests/test_multimodal.py)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id in pdf[id_col]:
+                w = int(doc_id) % 16 + 8
+                h = int(doc_id) % 8 + 8
+                p = np.arange(w * h * 3, dtype=np.int64)
+                px = ((int(doc_id) * 31 + p * 7) % 256).astype(np.uint8)
+                raw = encode_ppm(px.reshape(h, w, 3))
+                dec = decode_ppm(raw)
+                if dec.shape[2] == 1:
+                    dec = np.repeat(dec, 3, axis=2)
+                hi, lo = ahash_64(dec)
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+
+    return df.select(id_col).mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
 def phash_near_dup_pairs(hashes: DataFrame, thr: int = 3) -> DataFrame:
     """Banded Hamming self-join over aHash values.
 

@@ -2555,8 +2555,10 @@ def q_media_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_elephant_spark.operators import multimodal
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    payloads = multimodal.synth_ppm_payloads(docs)
-    hashes = multimodal.ahash_hashes(payloads)
+    # fused synth+decode+hash: one Python stage, payload bytes never
+    # cross the JVM boundary (bit-identical to the two-stage
+    # composition — see multimodal.synth_ahash_hashes)
+    hashes = multimodal.synth_ahash_hashes(docs)
     return multimodal.phash_near_dup_pairs(hashes, thr=3).orderBy(
         "doc_a", "doc_b"
     )

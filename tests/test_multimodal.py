@@ -473,3 +473,23 @@ def test_media_quarantine_matches_decoder_contract(spark):
     # the silent class: decodes, but short — dead-letter material
     rate, samples = mm.decode_wav(wav[:-6])
     assert rate == 16000 and len(samples) == 197
+
+
+def test_synth_ahash_fused_equals_composed(spark):
+    """The fused single-Python-stage synth+hash (synth_ahash_hashes)
+    is bit-identical to synth_ppm_payloads |> ahash_hashes — the
+    payload round-trip it removes is pure serialization."""
+    from bigdata_elephant_spark.operators import multimodal
+
+    docs = spark.range(0, 300).selectExpr("id AS doc_id")
+    fused = {
+        (r.doc_id, r.h_hi, r.h_lo)
+        for r in multimodal.synth_ahash_hashes(docs).collect()
+    }
+    composed = {
+        (r.doc_id, r.h_hi, r.h_lo)
+        for r in multimodal.ahash_hashes(
+            multimodal.synth_ppm_payloads(docs)
+        ).collect()
+    }
+    assert fused == composed and len(fused) == 300
