@@ -149,12 +149,24 @@ GATE_PRIORITY = (
     "related_terms_pmi",
     "sq8_reconstruction_report",
     "unigram_surprisal",
-    # --- 5 oldest r9 queries ---
+    # --- 2 oldest r9 queries (3 slots of this group were handed
+    # to the r14-optimization must-gates below; the displaced r9
+    # trio — boilerplate_flags_relative, dedup_lsh_recall,
+    # kmv_distinct_users — drains in r15 at exactly the age bound,
+    # family coverage unchanged: sketch/agg ride hll_distinct_users,
+    # dedup rides dedup_exact/dedup_minhash_lsh/media_phash_dupes,
+    # text rides bigram_surprisal) ---
     "asof_events_orders",
     "bigram_surprisal",
-    "boilerplate_flags_relative",
-    "dedup_lsh_recall",
-    "kmv_distinct_users",
+    # --- must-gates: optimization round 14 changed definitions
+    # (changed_queries.py vs round start: hll_distinct_users
+    # persists its register table, media_phash_dupes fuses the
+    # synth+hash Python stages, search_hybrid_rrf passes a
+    # corpus-derived dl; search_batch also changed and already
+    # holds a window slot above) ---
+    "hll_distinct_users",
+    "media_phash_dupes",
+    "search_hybrid_rrf",
     # --- 3 family carriers (no older ungated member exists):
     # graph, layout, stateful ---
     "pagerank_dupgraph",
