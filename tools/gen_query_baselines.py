@@ -106,6 +106,22 @@ MEASURED_REPINS = {
         "min over the shuffled 2-pass bench run (isolated "
         "best-of-3: 1.708s)"
     )),
+    # The r03 pin (5.028s) measured a DIFFERENT computation: the
+    # r14 build wired the document ingest gate into the pipeline
+    # (per-row regex + contains + length contract at the scan) and
+    # the r14 optimization round restructured its dedup closure and
+    # mixture tail. DEFINITION_ROUNDS can't point at r14 (no driver
+    # BENCH_r14 record exists until after this round), so the pin is
+    # the hand-measured current-definition value, the same policy as
+    # the entries above.
+    "llm_pipeline_e2e": (6.367, (
+        "r03 pin (5.028s) predates the r14 ingest-gate wiring and "
+        "the r14 optimization restructure (both definition "
+        "changes); re-measured r14 2026-08-18, load 0.73 at start, "
+        "in-suite min over the shuffled 2-pass bench run (isolated "
+        "quiet-box best-of-3: 8.18s, warm in-process best-of-5: "
+        "6.17s)"
+    )),
 }
 
 
