@@ -117,6 +117,21 @@ def _merge_fold(s: Column, lhs: str, rhs: str, merged: str) -> Column:
 # off-slice pair's count by the slice minimum.
 BPE_BATCH_SLICE = 256
 
+# Distinct-word count at or below which the whole merge loop runs
+# driver-side over the collected vocabulary — the same size gate and
+# rationale as dedup.CC_DRIVER_MAX_EDGES / graph.PR_DRIVER_MAX_EDGES:
+# the corpus contributes exactly ONE scan either way (the word_
+# frequencies groupBy), and once the vocab table is metadata-sized
+# every distributed round is pure fixed overhead (a pair-count
+# aggregate + collect + checkpoint per batch) at ANY cluster size.
+# 2^17 (word, syms, freq) rows is a few MB of strings — the broadcast
+# size class. Above the gate the batched distributed loop below is
+# unchanged — the 100 TB path (a Heaps-law vocabulary over a 100 TB
+# corpus is tens of millions of words and stays distributed). The
+# gate count is read off the already-materialized checkpoint, so it
+# costs one metadata-cheap job, not a recompute.
+BPE_DRIVER_MAX_WORDS = 1 << 17
+
 # Initial symbol alphabet after the reference tokenizer ([a-z0-9]) —
 # every symbol the vocab table can ever contain is one of these or a
 # previous merge's output, so "is this merged string a brand-new
@@ -204,12 +219,71 @@ def _select_merge_batch(
     return batch
 
 
+def _merge_word_py(syms: list[str], lhs: str, rhs: str,
+                   merged: str) -> list[str]:
+    """Pure-python twin of :func:`_merge_fold`: left-to-right
+    non-overlapping — a fresh ``merged`` tail never re-matches
+    ``lhs`` (``bbbb`` -> ``[bb, bb]``)."""
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == lhs and x == rhs:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_train_driver(
+    wf_rows: list[tuple[str, list[str], int]],
+    n_merges: int,
+) -> tuple[list[tuple[int, str, str, str, int]],
+           list[tuple[str, list[str], int]]]:
+    """Driver-side twin of the merge loop (see
+    :data:`BPE_DRIVER_MAX_WORDS`): the PLAIN SEQUENTIAL greedy
+    trainer — argmax by exact integer ``(pair_count DESC, lhs, rhs)``
+    then one rewrite, repeated. The distributed batched loop is
+    transcript-equal to this by construction (tests/test_properties.py
+    drives both through hypothesis; tests/test_bpe.py pins the
+    driver-vs-distributed equality on the real corpus), and every
+    count is an exact long over ASCII symbols, so there is no
+    float/ordering hazard of the pagerank-twin kind."""
+    words = [(syms, int(freq)) for _, syms, freq in wf_rows]
+    rules: list[tuple[int, str, str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = lhs + rhs
+        rules.append((len(rules) + 1, lhs, rhs, merged, cnt))
+        words = [
+            (
+                _merge_word_py(syms, lhs, rhs, merged)
+                if lhs in syms else syms,
+                freq,
+            )
+            for syms, freq in words
+        ]
+    final = [
+        (w, syms, freq)
+        for (w, _, freq), (syms, _) in zip(wf_rows, words)
+    ]
+    return rules, final
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_batch: int = 16,
+    driver_max_words: int = BPE_DRIVER_MAX_WORDS,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges; return ``(merges, final_wf)``.
 
@@ -235,6 +309,32 @@ def bpe_train(
     )
     # One corpus scan materialized; every round below is vocab-sized.
     wf = wf.localCheckpoint(eager=True)
+    if wf.count() <= driver_max_words:
+        # metadata-sized vocabulary: one Arrow collect, the whole
+        # merge loop in python, LocalRelations out (real stats for
+        # every consumer join) — see BPE_DRIVER_MAX_WORDS
+        tbl = wf.toArrow()
+        wf_rows = list(
+            zip(
+                tbl.column("word").to_pylist(),
+                tbl.column("syms").to_pylist(),
+                tbl.column("freq").to_pylist(),
+            )
+        )
+        rules_d, final_rows = _bpe_train_driver(wf_rows, n_merges)
+        wf_schema = T.StructType(
+            [
+                T.StructField("word", T.StringType(), False),
+                T.StructField(
+                    "syms", T.ArrayType(T.StringType(), False), False
+                ),
+                T.StructField("freq", T.LongType(), False),
+            ]
+        )
+        return (
+            spark.createDataFrame(rules_d, MERGE_SCHEMA),
+            spark.createDataFrame(final_rows, wf_schema),
+        )
     rules: list[tuple[int, str, str, str, int]] = []
     known: set[str] = set(_BPE_ALPHABET)
     while len(rules) < n_merges:

@@ -221,11 +221,54 @@ def test_batched_transcript_equals_sequential(spark, sf_dir):
     from bigdata_elephant_spark.sources.corpus import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    m_seq, _ = bpe.bpe_train(docs, n_merges=40, max_batch=1)
-    m_bat, _ = bpe.bpe_train(docs, n_merges=40, max_batch=16)
+    # driver_max_words=0 forces the DISTRIBUTED loop on both arms —
+    # the r15 driver twin would otherwise swallow both sides of this
+    # comparison (the corpus vocab is far under the gate)
+    m_seq, _ = bpe.bpe_train(
+        docs, n_merges=40, max_batch=1, driver_max_words=0
+    )
+    m_bat, _ = bpe.bpe_train(
+        docs, n_merges=40, max_batch=16, driver_max_words=0
+    )
     assert [tuple(r) for r in m_seq.collect()] == [
         tuple(r) for r in m_bat.collect()
     ]
+
+
+def test_driver_twin_equals_distributed(spark, sf_dir):
+    """The r15 size-gated driver fast path (BPE_DRIVER_MAX_WORDS)
+    must reproduce the distributed trainer exactly: same rule table,
+    same rewritten vocabulary, same dtypes — on the real corpus and
+    on the self-pair/cascade edge the batch criterion trips over."""
+    from bigdata_elephant_spark.sources.corpus import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    m_drv, wf_drv = bpe.bpe_train(docs, n_merges=12)
+    m_dst, wf_dst = bpe.bpe_train(docs, n_merges=12, driver_max_words=0)
+    assert [tuple(r) for r in m_drv.collect()] == [
+        tuple(r) for r in m_dst.collect()
+    ]
+    key = lambda r: r["word"]  # noqa: E731
+    rows_drv = sorted(wf_drv.collect(), key=key)
+    rows_dst = sorted(wf_dst.collect(), key=key)
+    assert [tuple(r) for r in rows_drv] == [tuple(r) for r in rows_dst]
+    assert [f.dataType for f in m_drv.schema] == [
+        f.dataType for f in m_dst.schema
+    ]
+    # the hypothesis-found batching edge (bb/aaa: self-pair creates
+    # (aa, a) which outranks (b, b) at equal count) must come out the
+    # same from the python twin and the distributed sequential loop
+    def train_edge(gate):
+        m, _ = bpe.bpe_train(
+            spark.createDataFrame(
+                [("d1", "bb bb aaa aaa")], ["doc_id", "text"]
+            ),
+            n_merges=3,
+            driver_max_words=gate,
+        )
+        return [tuple(r) for r in m.collect()]
+
+    assert train_edge(1 << 17) == train_edge(0)
 
 
 def test_select_merge_batch_criteria():
