@@ -2807,10 +2807,15 @@ def ivfpq_topk(
             )
         ).alias("s"),
     ).select("cell_id", "s.sub", "s.qvec")
+    # `code_id` renamed to `code` so the shortlist probe is a THREE-
+    # key equi-join: the old two-key join + post-join code filter
+    # made every broadcast hash lookup match all n_codes LUT rows
+    # and discard n_codes-1 — pure per-row fan-out (guide §3.1:
+    # put every equality in the join key)
     lut = cbooks.join(F.broadcast(qslices), "sub").select(
         "cell_id",
         "sub",
-        "code_id",
+        F.col("code_id").alias("code"),
         F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
         .cast("decimal(18,6)")
         .alias("pd"),
@@ -2823,9 +2828,8 @@ def ivfpq_topk(
         .filter(F.col(id_col) != query_vec_id)
         .join(
             F.broadcast(lut),
-            ["cell_id", "sub"],
+            ["cell_id", "sub", "code"],
         )
-        .filter(F.col("code") == F.col("code_id"))
         .groupBy(id_col)
         .agg(F.sum("pd").alias("adc"))
         .orderBy(F.desc("adc"), F.asc(id_col))
@@ -2934,6 +2938,12 @@ def ivfpq_topk_batch(
         )
         .select("q_id", "cell_id", "s.sub", "s.qvec")
     )
+    # NOTE r15: ivfpq_topk/ivfpq_topk_indexed switched their LUT
+    # probe to a three-key equi-join (no n_codes match fan-out); the
+    # same fix applies here but is deliberately NOT taken this round
+    # — knn_ivfpq_batch is unbenched and the r15 gate window had no
+    # slot left for its changed definition after the mandatory r9
+    # drain (changed queries must gate the round they ship).
     lut = cbooks.join(F.broadcast(qslices), "sub").select(
         "q_id",
         "cell_id",
@@ -3157,13 +3167,23 @@ def ivfpq_topk_indexed(
             [], f"{id_col} long, cos_sim double"
         )
     codes = _live_rows(spark, index_path, raw, id_col)
-    meta = (
-        cbooks.agg(
-            (F.max("sub") + 1).alias("n_sub"),
-            F.max(F.size("cvec")).alias("sub_dim"),
-        ).collect()[0]
-    )
-    n_sub, sub_dim = int(meta["n_sub"]), int(meta["sub_dim"])
+    # PQ geometry is index METADATA: build_ivfpq_index writes n_sub/
+    # sub_dim into the manifest, so reading them back is a file read,
+    # not a Spark job — the old codebooks aggregate+collect cost one
+    # extra job + codebooks scan per query (r15; guide §1.2 job
+    # count). The aggregate stays as the fallback for a manifest-less
+    # (pre-manifest) layout.
+    man = read_index_manifest(index_path) or {}
+    if "n_sub" in man and "sub_dim" in man:
+        n_sub, sub_dim = int(man["n_sub"]), int(man["sub_dim"])
+    else:  # pragma: no cover — legacy layout without a manifest
+        meta = (
+            cbooks.agg(
+                (F.max("sub") + 1).alias("n_sub"),
+                F.max(F.size("cvec")).alias("sub_dim"),
+            ).collect()[0]
+        )
+        n_sub, sub_dim = int(meta["n_sub"]), int(meta["sub_dim"])
     q = source.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv")
     )
@@ -3202,10 +3222,12 @@ def ivfpq_topk_indexed(
             )
         ).alias("s"),
     ).select("cell_id", "s.sub", "s.qvec")
+    # three-key equi-join (see ivfpq_topk): no per-row n_codes
+    # match fan-out + discard
     lut = cbooks.join(F.broadcast(qslices), "sub").select(
         "cell_id",
         "sub",
-        "code_id",
+        F.col("code_id").alias("code"),
         F.round(_dot(F.col("cvec"), F.col("qvec")), 6)
         .cast("decimal(18,6)")
         .alias("pd"),
@@ -3228,8 +3250,7 @@ def ivfpq_topk_indexed(
         )
     short = (
         cand_codes
-        .join(F.broadcast(lut), ["cell_id", "sub"])
-        .filter(F.col("code") == F.col("code_id"))
+        .join(F.broadcast(lut), ["cell_id", "sub", "code"])
         .groupBy(id_col)
         .agg(F.sum("pd").alias("adc"))
         .orderBy(F.desc("adc"), F.asc(id_col))
@@ -3267,7 +3288,23 @@ def ivf_topk_batch(
     table is cell_id-partitioned and the union of probed cells
     prunes the scan, exactly as in :func:`ivf_topk_indexed`. Scoring
     and ordering per query are identical to single-query
-    :func:`ivf_topk` (rounded cosine, id tie-break)."""
+    :func:`ivf_topk` (rounded cosine, id tie-break).
+
+    r15 restructure (same rows, one less corpus pass): the candidate
+    lineage carries the vector and its norm THROUGH the assignment
+    aggregate (``min(dc).c`` plus ``first`` over the single-source-row
+    group — every crossJoin row of a group holds the identical
+    vector, so ``first`` is deterministic) instead of joining the
+    corpus back to itself on id. At scale that replaces two
+    corpus-sized Exchange inputs plus a sort-merge join with ONE
+    partial-aggregated Exchange; locally it removes the join and one
+    embeddings scan (warm A/B 1.53 → 1.44 s min at sf0.1, rows
+    bit-identical). Relies on ``id_col`` being unique (the embeddings
+    table's contract, as everywhere in this module): a duplicated id
+    would collapse to one group here where the old id-join multiplied
+    it. A driver-collected LocalRelation variant for the bounded
+    centroid/query slices was measured SLOWER (2.03 s — two eager
+    collect round-trips per invocation) and rejected."""
     from pyspark.sql import Window
 
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
@@ -3292,8 +3329,7 @@ def ivf_topk_batch(
         .filter(F.col("_rn") <= n_probe)
         .select("q_id", "cell_id")
     )
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    candidates = (
+    dists = (
         embeddings.select(
             id_col,
             vec_col,
@@ -3302,9 +3338,30 @@ def ivf_topk_batch(
         # zero-norm guard on the data side (_exact_rerank contract);
         # the norm is projected ONCE and reused by the score below —
         # filtering on a re-derived _norm2 would pay the array fold
-        # twice per row
+        # twice per row. Filtering BEFORE the assignment crossJoin
+        # is equivalent: the old embeddings-side filter intersected
+        # the same ids out of the inner join on id.
         .filter(F.col("_nrm") > 0)
-        .join(assigned, id_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            F.struct(
+                F.round(
+                    _l2sq(F.col(vec_col), F.col("cvec")), 6
+                ).alias("d"),
+                F.col("cell_id").alias("c"),
+            ).alias("dc"),
+        )
+    )
+    assigned = dists.groupBy(id_col).agg(
+        F.min("dc").getField("c").alias("cell_id"),
+        F.first(vec_col).alias(vec_col),
+        F.first("_nrm").alias("_nrm"),
+    )
+    candidates = (
+        assigned
         .join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(q), "q_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -3756,6 +3813,15 @@ def embedding_novelty_indexed(
         .filter(F.col("_rn") <= n_probe)
         .select("q_id", "cell_id")
     )
+    # NOTE r15: the probe table (<= |delta| x n_probe id pairs) is
+    # already collected below for the cell union, so it could re-
+    # enter the plan as a LocalRelation and spare the second run of
+    # the cents-crossJoin-window lineage under the scored join — an
+    # identified optimization deliberately NOT taken this round: it
+    # changes this query's executed definition and the r15 gate
+    # window had no slot left after the mandatory r9 drain (changed
+    # queries must gate the round they ship).
+    #
     # union of probed cells: index METADATA (<= n_cells ints) —
     # becomes the static partition filter on the cell-partitioned
     # layout, exactly the ivf_topk_batch_indexed pruning
