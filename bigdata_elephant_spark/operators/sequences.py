@@ -92,15 +92,28 @@ def concurrency_timeline(events: DataFrame) -> DataFrame:
     session spanning a silent hour keeps the level constant there).
     """
     dur = F.greatest(F.col("value").cast("int"), F.lit(0))
-    starts = events.select(
-        F.col("ts").alias("t"), F.lit(1).alias("d")
-    )
-    ends = events.select(
-        F.timestamp_add("SECOND", dur, F.col("ts")).alias("t"),
-        F.lit(-1).alias("d"),
-    )
-    deltas = starts.unionAll(ends).withColumn(
-        "hour", F.date_trunc("hour", F.col("t"))
+    # Both edges of a session come out of ONE events scan via an
+    # inline 2-element explode — the previous starts/ends unionAll
+    # read the table twice (r15; guide §2.4/§6: the union's second
+    # scan was the only repeated corpus pass in this query).
+    deltas = events.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ts").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.timestamp_add("SECOND", dur, F.col("ts")).alias(
+                        "t"
+                    ),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.t").alias("t"),
+        F.col("e.d").alias("d"),
+        F.date_trunc("hour", F.col("e.t")).alias("hour"),
     )
     nets = deltas.groupBy("hour").agg(F.sum("d").alias("net"))
     w_hours = (
@@ -124,7 +137,11 @@ def concurrency_timeline(events: DataFrame) -> DataFrame:
     # is exactly max(entering level, all post-edge levels).
     lvl = F.col("offset") + F.col("run")
     return (
-        running.join(offsets, "hour")
+        # offsets is the HOUR table — bucket-count rows, bounded by
+        # the data's time span (metadata-sized even for years), so
+        # the hint is safe by construction (session.py broadcast
+        # gate rationale)
+        running.join(F.broadcast(offsets), "hour")
         .groupBy("hour")
         .agg(
             F.max(F.greatest(lvl, lvl - F.col("d"))).alias(
