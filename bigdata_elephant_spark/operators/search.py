@@ -380,8 +380,20 @@ def more_like_this(
     fan-out per term is its posting-list length, so stopword-like
     terms dominate cost — prune them upstream with a df cap exactly
     as the tokenizer already drops the hardcoded stopword class.
+
+    When ``corpus`` is the same corpus the vocabulary was built from,
+    ``n_docs`` is counted off one narrow corpus projection
+    (:func:`doc_lengths_from_corpus` — same covering-vocabulary
+    precondition) instead of a tokenize + vocab-join + distinct pass
+    over the postings lineage (r15 A/B at sf0.1: 2.68 → 2.22 s warm
+    min, rows identical; the wp-level persist re-ran per the r14
+    verdict and still LOSES — 2.49 s persisted — so the recompute
+    stays).
     """
-    n_docs = postings.select("doc_id").distinct().count()
+    if corpus is not None:
+        n_docs = doc_lengths_from_corpus(corpus).count()
+    else:
+        n_docs = postings.select("doc_id").distinct().count()
     idf = vocab.select(
         "word_id",
         F.round(

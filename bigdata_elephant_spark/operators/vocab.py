@@ -128,6 +128,17 @@ def build_vocabulary(
     (``Vocabulary.java:103`` — the column the reference's Query later
     misreads as "idf"; see search.py).
 
+    COVERING-VOCABULARY INVARIANT (load-bearing, r14 ADVICE): this
+    function applies NO min_df / stopword / frequency filtering —
+    every token the tokenizer emits gets a vocab row. Fast paths in
+    search.py (``doc_lengths_from_corpus``, ``more_like_this``'s
+    corpus-side ``n_docs``) are correct ONLY under this invariant
+    (every token survives the vocab inner-join, so Σtf per doc ≡
+    token count and "docs with postings" ≡ "docs with tokens"). If a
+    vocab filter is ever added here, those callers must go back to
+    the postings-lineage aggregates or BM25 dl/n_docs/avgdl silently
+    diverge from the postings truth.
+
     ``id_mode``: ``"window"`` = global ``row_number`` (one-partition
     funnel, vocabulary-sized — right up to tens of millions of
     words); ``"distributed"`` = :func:`assign_dense_ids_distributed`
