@@ -153,14 +153,16 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates the per-group REGISTER tables (elementwise max) —
     sketch states merge, raw data is scanned once."""
     e = read_table(spark, sf_dir, "events")
-    # regs feeds two consumers (the per-type estimate union AND the
-    # 'ALL' register merge); unpersisted each replays the full
-    # hash+aggregate scan of events. The register table is at most
-    # m rows per group — persisting it makes the docstring's "raw
-    # data is scanned once" literally true for the sketch side.
-    from bigdata_elephant_spark.session import persist_tracked
-
-    regs = persist_tracked(hll_registers(e, "user_id", "event_type"))
+    # r14 persisted regs (two consumers: per-type estimates + 'ALL'
+    # merge) to make the sketch side one events scan; the r14 driver
+    # record put it at 1.18x its pin and the r15 keep-or-revert A/B
+    # read 1.139s (persisted) vs 0.879s (recomputed) warm min at
+    # sf0.1 — the cache fill costs more than the saved scan at any
+    # size where the register table's build is aggregation-bound, so
+    # the persist is REVERTED per the r14 commitment. At 100 TB the
+    # second scan is real but cheap relative to the cache-fill barrier
+    # this inserted before both consumers.
+    regs = hll_registers(e, "user_id", "event_type")
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("r").alias("r"))
