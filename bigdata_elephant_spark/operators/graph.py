@@ -175,8 +175,15 @@ def _pr_driver(
     Q6 = Decimal("1e-6")
 
     def rnd(x: float, q: Decimal) -> float:
-        # Spark's Round(double, s): exact binary expansion, HALF_UP
-        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+        # Spark's Round(double, s) goes through BigDecimal.valueOf,
+        # i.e. the SHORTEST-STRING decimal repr of the double, not
+        # its exact binary expansion — Decimal(repr(x)) mirrors that
+        # (r14 ADVICE: Decimal(x) could land on the other side of a
+        # halfway point for a value whose binary expansion sits just
+        # under its shortest repr). Python's repr and Java's
+        # Double.toString both emit a shortest decimal that
+        # round-trips, so the quantize inputs agree.
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
     try:
         tbl = e.toArrow()
@@ -188,12 +195,26 @@ def _pr_driver(
         dsts = [r[1] for r in rows]
     if any(s is None for s in srcs) or any(d is None for d in dsts):
         return None
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    node_t = e.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_t, False),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
     nodes = sorted(set(srcs) | set(dsts))
     n = len(nodes)
     if n == 0:
-        return e.sparkSession.createDataFrame(
-            [], "node long, rank double"
-        )
+        # empty result typed off the source node column — the old
+        # hardcoded 'node long' diverged from the distributed empty
+        # path on a non-long edge list (r14 ADVICE)
+        return e.sparkSession.createDataFrame([], schema)
     outdeg: dict = {}
     for s in srcs:
         outdeg[s] = outdeg.get(s, 0) + 1
@@ -214,7 +235,7 @@ def _pr_driver(
             # decimal(20,9) cast + SUM in _pr_round)
             dm = sum(
                 (
-                    Decimal(ranks[v]).quantize(
+                    Decimal(repr(ranks[v])).quantize(
                         Q9, rounding=ROUND_HALF_UP
                     )
                     for v in dang
@@ -230,19 +251,6 @@ def _pr_driver(
             ranks = {
                 v: rnd(base + damping * inflow[v], Q9) for v in nodes
             }
-    from pyspark.sql.types import (
-        DoubleType,
-        StructField,
-        StructType,
-    )
-
-    node_t = e.schema["src"].dataType
-    schema = StructType(
-        [
-            StructField("node", node_t, False),
-            StructField("rank", DoubleType(), False),
-        ]
-    )
     return e.sparkSession.createDataFrame(
         [(v, rnd(ranks[v], Q6)) for v in nodes], schema
     )

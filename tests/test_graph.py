@@ -158,6 +158,38 @@ def test_pagerank_driver_path_equals_distributed(spark):
         assert fast == slow, rows[:5]
 
 
+def test_pagerank_driver_rounding_fuzz_across_gate(spark):
+    """r14 ADVICE: the driver twin rounds via Decimal(repr(x)) to
+    mirror Spark Round's BigDecimal.valueOf(shortest-repr) semantics;
+    keep the empirical pin honest with a seed-swept random-graph
+    comparison across the gate (exact float equality, both paths
+    deterministic). Graphs include dangling nodes (no correction —
+    handle_dangling stays False, the only driver-wired mode)."""
+    import random
+
+    from bigdata_elephant_spark.operators.graph import pagerank
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        n_nodes = rng.choice([7, 19, 53])
+        rows = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.choice([10, 60, 150]))
+        ]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        fast = {
+            (r.node, r.rank)
+            for r in pagerank(edges, iterations=4).collect()
+        }
+        slow = {
+            (r.node, r.rank)
+            for r in pagerank(
+                edges, iterations=4, driver_max_edges=0
+            ).collect()
+        }
+        assert fast == slow, (seed, n_nodes, rows[:5])
+
+
 def test_pagerank_dangling_keeps_distributed_path(spark):
     """handle_dangling=True never takes the driver path (the dm/n
     correction makes 6-decimal HALF_UP rounding summation-order
