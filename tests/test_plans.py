@@ -5,6 +5,8 @@ the hot path."""
 
 from __future__ import annotations
 
+import pytest
+
 from bigdata_elephant_spark.operators.index import build_index
 from bigdata_elephant_spark.operators.search import search
 from bigdata_elephant_spark.operators.vocab import build_vocabulary
@@ -66,6 +68,7 @@ def test_vocab_auto_small_corpus_keeps_window_path(spark, sf_dir):
     assert "Scan ExistingRDD" not in plan     # no localCheckpoint
 
 
+@pytest.mark.slow  # ~2 min: plans every registry query (driver-run budget)
 def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     """Hot paths must stay JVM-side: no BatchEvalPython / ArrowEvalPython
     in any registered batch query plan."""

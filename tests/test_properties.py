@@ -2,6 +2,9 @@
 
 Hypothesis drives the corpus shapes; example counts are small because
 each example runs real Spark jobs.
+
+Marked ``slow`` (several minutes of Spark jobs): deselected from the
+default/driver pytest run (pytest.ini); run locally with ``-m ""``.
 """
 
 from __future__ import annotations
@@ -9,6 +12,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from hypothesis import (
     HealthCheck, example, given, settings, strategies as st,
 )

@@ -6,6 +6,8 @@ import os
 
 from datetime import datetime, timedelta
 
+import pytest
+
 from hypothesis import (
     HealthCheck, example, given, settings, strategies as st,
 )
@@ -489,6 +491,7 @@ def test_ivf_batch_degenerate_inputs(spark, sf_dir):
     assert 0 < len(rows) < 10**6
 
 
+@pytest.mark.slow  # ~30s of degenerate-input sweeps (driver-run budget)
 def test_dedup_guard_operators_on_empty_and_degenerate_inputs(spark):
     """The r10/r11 mega-bucket-guard surface on empty / degenerate
     inputs: no crashes, sensible empties, schemas intact. Degenerate
