@@ -73,106 +73,91 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 # covered by the driver-faithful local gate (tests/test_oracle_parity
 # + tests/parity.py).
 GATE_PRIORITY = (
-    # ROUND-14 ROTATION — the FINAL drain leg (r13 verdict item 1):
-    # after this window rotates, every oracled query has been gated
-    # within the last 6 rounds and tools/gate_coverage.py --max-age 6
-    # exits 0 for the first time. Composition, from the --plan
-    # proposal with 3 slots handed to this round's must-gates:
-    #   - 3 must-gates: media_quarantine ships this round (the
-    #     media-bytes ingest lane, r13 verdict item 6), and
-    #     llm_pipeline_e2e + curate_corpus changed (the r13
-    #     document quarantine lane is now wired into the production
-    #     pipelines — enforced at ingest, not opt-in; r13 verdict
-    #     item 2). They take the three youngest evictable proposal
-    #     slots (events_stream_enrich, embedding_novelty,
-    #     emb_stream_novelty, all r9 — join/streaming/similarity
-    #     coverage stays on skew_salted_join_events,
-    #     docs_stream_dsir/events_stream_distinct, and the r7
-    #     kmeans/knn cohort respectively).
-    #   - the MANDATORY 33 (everything last-gated <= r7): the r6
-    #     remainder — 21 oracled queries + the no-oracle perf twin
-    #     q1_pricing_fast (rows-only driver row) — plus the 11-query
-    #     r7 cohort.
-    #   - the r8 cohort (6) + 5 oldest r9 queries (oldest-first
-    #     drain order).
-    #   - 3 family carriers with no older ungated member:
-    #     pagerank_dupgraph (graph, r10), compaction_plan (layout,
-    #     r11), events_stream_distinct (stateful, r11).
-    #   Steady state from here (pinned as a property in
-    #   tests/test_gate_plan.py): ~45 drain slots/round over a
-    #   268-query registry = a 6-round revisit cycle, provided
-    #   new-query production stays <= 5/round.
+    # ROUND-15 ROTATION (optimization round 2). Composition:
+    #   - the ENTIRE remaining r9 cohort (34 queries) — all at the
+    #     age-6 bound this round (the window MUST drain them or
+    #     gate_coverage --max-age 6 breaks at r16), including the r14
+    #     displaced trio (boilerplate_flags_relative, dedup_lsh_recall,
+    #     kmv_distinct_users) whose r15 drain the r14 window comment
+    #     promised (now also pinned by tests/test_gate_plan.py).
+    #   - 13 must-gates: the six r14 helper-changed queries the r14
+    #     verdict mandated (dedup_groups, dup_group_size_histogram,
+    #     table_diff_orders, quality_logit_filter, kn_perplexity [r9,
+    #     above], knn_ivfpq) plus this round's changed definitions
+    #     (BPE driver twin: bpe_merges/bpe_encode_sample/
+    #     bpe_fertility_by_source [r9, above] + bpe_subword_vocab;
+    #     ivf_topk_batch restructure: knn_ivf_batch +
+    #     ivf_recall_report; ivfpq LUT equi-join + manifest read:
+    #     knn_ivfpq, knn_ivfpq_indexed, knn_ivfpq_incremental;
+    #     concurrency_timeline single-scan explode; pagerank driver-
+    #     twin repr-rounding: pagerank_dupgraph — also the graph
+    #     family carrier; hll_distinct_users persist revert;
+    #     search_more_like_this corpus-side n_docs [r9, above]).
+    #     Two otherwise-ready optimizations were REVERTED because no
+    #     slot remained for their changed queries (knn_ivfpq_batch
+    #     LUT join, embedding_novelty_indexed probe LocalRelation —
+    #     see OPTIMIZATION_r15.md).
+    #   - 3 family carriers (oldest member of each otherwise-
+    #     uncovered family): events_range_join (temporal, r10),
+    #     events_stream_sessions (stateful, r11),
+    #     weighted_sample_orders (layout, r12).
     #
-    # --- must-gates: ship/changed r14 ---
-    "media_quarantine",
-    "llm_pipeline_e2e",
-    "curate_corpus",
-    # --- the r6 remainder (mandatory drain) ---
-    "decontaminate_eval",
-    "dedup_exact",
-    "duplicate_passages",
-    "embedding_gram_matrix",
-    "eval_contamination",
-    "incremental_dedup",
-    "lang_id_ngram",
-    "lang_id_profiles",
-    "media_frame_sample",
-    "order_aging",
-    "pandas_token_counts",
-    "q12_ship_delay_priority",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q20_excess_shipments",
-    "q22_dormant_customers",
-    "q6_forecast_revenue",
-    "q1_pricing_fast",  # no-oracle perf twin: rows-only driver row
-    "search_batch",
-    "simhash_signatures",
-    "token_counts",
-    "vocab_incremental_update",
-    # --- the r7 cohort (mandatory drain) ---
-    "dedup_minhash_lsh",
-    "dsir_gumbel_sample",
-    "dsir_incremental",
-    "dsir_select",
-    "hard_negative_mining",
-    "index_incremental_update",
-    "kmeans_step",
-    "kmeans_train",
-    "knn_mmr",
-    "skew_safe_user_stats",
-    "skew_salted_join_events",
-    # --- the r8 cohort ---
-    "bpe_subword_vocab",
-    "docs_stream_dsir",
-    "q2_min_cost_supplier",
-    "related_terms_pmi",
-    "sq8_reconstruction_report",
-    "unigram_surprisal",
-    # --- 2 oldest r9 queries (3 slots of this group were handed
-    # to the r14-optimization must-gates below; the displaced r9
-    # trio — boilerplate_flags_relative, dedup_lsh_recall,
-    # kmv_distinct_users — drains in r15 at exactly the age bound,
-    # family coverage unchanged: sketch/agg ride hll_distinct_users,
-    # dedup rides dedup_exact/dedup_minhash_lsh/media_phash_dupes,
-    # text rides bigram_surprisal) ---
-    "asof_events_orders",
-    "bigram_surprisal",
-    # --- must-gates: optimization round 14 changed definitions
-    # (changed_queries.py vs round start: hll_distinct_users
-    # persists its register table, media_phash_dupes fuses the
-    # synth+hash Python stages, search_hybrid_rrf passes a
-    # corpus-derived dl; search_batch also changed and already
-    # holds a window slot above) ---
+    # --- this round's changed definitions (must-gate) ---
     "hll_distinct_users",
-    "media_phash_dupes",
-    "search_hybrid_rrf",
-    # --- 3 family carriers (no older ungated member exists):
-    # graph, layout, stateful ---
+    "bpe_subword_vocab",
+    "knn_ivf_batch",
+    "ivf_recall_report",
+    "knn_ivfpq",
+    "knn_ivfpq_indexed",
+    "knn_ivfpq_incremental",
+    "concurrency_timeline",
     "pagerank_dupgraph",
-    "compaction_plan",
-    "events_stream_distinct",
+    # --- r14 helper-changed must-gates (r14 verdict item 2) ---
+    "dedup_groups",
+    "dup_group_size_histogram",
+    "table_diff_orders",
+    "quality_logit_filter",
+    # --- the full r9 cohort (mandatory age-bound drain) ---
+    "boilerplate_flags_relative",
+    "bpe_encode_sample",
+    "bpe_fertility_by_source",
+    "bpe_merges",
+    "dedup_lsh_recall",
+    "dsir_select_indexed",
+    "emb_stream_novelty",
+    "embedding_novelty",
+    "events_stream_enrich",
+    "gopher_ngram_filters",
+    "ivf_cell_histogram",
+    "kmv_distinct_users",
+    "kn_perplexity",
+    "media_features",
+    "minhash_est_error",
+    "novelty_threshold_sweep",
+    "postings_build",
+    "q11_important_parts",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "search_batch_indexed",
+    "search_bm25",
+    "search_more_like_this",
+    "search_phrase",
+    "search_reference_indexed",
+    "search_reingest",
+    "search_smooth",
+    "top_customers",
+    "vocab_build",
+    "window_value_funcs",
+    # --- family carriers (oldest otherwise-uncovered member) ---
+    "events_range_join",
+    "events_stream_sessions",
+    "weighted_sample_orders",
 )
+
 
 
 def all_specs() -> list[QuerySpec]:

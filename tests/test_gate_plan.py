@@ -151,6 +151,36 @@ def test_current_registry_proposal_covers_all_families():
     assert uncovered == frozenset()
 
 
+def test_committed_window_respects_age_bound():
+    """r14 ADVICE: displaced queries' next-round drain was enforced
+    only by a registry comment. Generalized pin: simulate the NEXT
+    round's view (the committed 50-entry window counts as gated this
+    round) and assert no oracled query's age exceeds the 6-round
+    bound — exactly `tools/gate_coverage.py --assume-gated
+    --max-age 6` exiting 0, so a future window edit that silently
+    orphans a query past the bound fails here, not at the driver."""
+    import gate_coverage as gc
+    from bigdata_elephant_spark.registry import all_specs
+
+    specs = all_specs()
+    gated = gc._last_gated()
+    cur_round = max(gated.values(), default=0) + 1
+    worst = 0
+    for pos, s in enumerate(specs):
+        if s.oracle is None:
+            continue
+        last = cur_round if pos < 50 else gated.get(s.name, 0)
+        if last == 0:
+            # never gated and outside the window: unbounded age
+            worst = max(worst, 7)
+            continue
+        worst = max(worst, cur_round + 1 - last)
+    assert worst <= 6, (
+        f"committed window leaves an oracled query {worst} rounds "
+        "ungated at the next round's view"
+    )
+
+
 def _simulate_drain(n_queries, slots, production, horizon):
     """Round-by-round drain simulation (r13 verdict item 4): a
     registry of ``n_queries`` oracled queries, a ``slots``-slot
